@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB posture: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast threshold generous enough to
+keep dimension joins shuffle-free, Arrow enabled for the sanctioned
+pandas_udf extension point, and UTC session time (reference runs Airflow
+with ``default_timezone = utc``, airflow.cfg:43).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "reddit-apache-airflow-postgres-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller leaves it None and spark-submit supplies it.
+    ``shuffle_partitions`` defaults to the local core count — on a cluster
+    set it to 2-3x total executor cores (AQE coalesces the excess).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime partition coalescing + skew-join handling — the
+        # first line of defense for hot keys at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas_udf / mapInPandas (vectors, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep small-dim joins broadcast (region/nation/supplier style).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Stable timestamp behavior for the DuckDB oracle comparison.
+        .config("spark.sql.datetime.java8API.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

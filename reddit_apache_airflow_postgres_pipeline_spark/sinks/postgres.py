@@ -1,0 +1,129 @@
+"""Staged Postgres upsert sink (SURVEY.md A8-A10, A13).
+
+Execution contract of the reference's load task
+(Combine_send_to_postgresql.py:211-264): one transaction on one driver-held
+connection —
+  CREATE TEMP TABLE stage (LIKE target INCLUDING DEFAULTS) ON COMMIT DROP;
+  COPY stage (cols...) FROM STDIN WITH (FORMAT csv, HEADER true);
+  INSERT INTO target SELECT cols FROM stage
+    ON CONFLICT (thing_key) DO UPDATE SET <update_cols> = EXCLUDED.<...>;
+
+Spark's JDBC sink has no merge mode and no cross-statement transaction, so
+the merge must run server-side on a single connection. The relational
+semantics are defined (and oracle-tested) by ``operators.merge.upsert_merge``;
+this module is the connector that pushes the same statement into Postgres.
+
+psycopg2 is not baked into this container, so the writer is import-gated:
+constructing the SQL is pure and unit-tested; executing requires a live
+driver + database.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
+from reddit_apache_airflow_postgres_pipeline_spark.schemas import DB_COLUMNS, UPSERT_UPDATE_COLUMNS
+
+
+def q_ident(s: str) -> str:
+    """SQL identifier quoting (F15, Combine_send_to_postgresql.py:220-225)."""
+    return '"' + s.replace('"', '""') + '"'
+
+
+@dataclass(frozen=True)
+class UpsertStatements:
+    create_schema: str
+    create_table: str
+    create_stage: str
+    copy: str
+    upsert: str
+
+
+def build_upsert_statements(
+    cfg: EngineConfig,
+    columns: list[str] | None = None,
+    update_cols: list[str] | None = None,
+    full_update: bool = False,
+) -> UpsertStatements:
+    """Build the exact statement sequence of the reference load task.
+
+    ``full_update=True`` selects the gen-1 policy (all fields +
+    ``ingested_at = NOW()`` — recovered from
+    dags/__pycache__/Reddit--CSV-to-Postgres bytecode, SURVEY.md §0.1);
+    default is the current 5-column partial-update policy
+    (README.md:188-195).
+    """
+    columns = columns or DB_COLUMNS
+    update_cols = update_cols or (
+        [c for c in columns if c != "thing_key"] if full_update else UPSERT_UPDATE_COLUMNS
+    )
+    tgt = f"{q_ident(cfg.pg_schema)}.{q_ident(cfg.pg_table)}"
+    collist = ", ".join(q_ident(c) for c in columns)
+    sets = ", ".join(f"{q_ident(c)} = EXCLUDED.{q_ident(c)}" for c in update_cols)
+    if full_update:
+        sets += ", ingested_at = NOW()"
+    # DDL per README.md:204-225.
+    create_table = f"""
+CREATE TABLE IF NOT EXISTS {tgt} (
+  thing_key        TEXT PRIMARY KEY,
+  thing_type       TEXT NOT NULL,
+  id               TEXT,
+  created_at       TIMESTAMPTZ,
+  score            INTEGER,
+  num_comments     INTEGER,
+  title_sanitized  TEXT,
+  author_hash      TEXT,
+  permalink        TEXT,
+  subreddit        TEXT,
+  flair_text       TEXT
+)""".strip()
+    return UpsertStatements(
+        create_schema=f"CREATE SCHEMA IF NOT EXISTS {q_ident(cfg.pg_schema)}",
+        create_table=create_table,
+        create_stage=(
+            f"CREATE TEMP TABLE stage (LIKE {tgt} INCLUDING DEFAULTS) ON COMMIT DROP"
+        ),
+        copy=(
+            f"COPY stage ({collist}) FROM STDIN WITH "
+            f"(FORMAT csv, HEADER true, DELIMITER ',', QUOTE '\"')"
+        ),
+        upsert=(
+            f"INSERT INTO {tgt} ({collist}) SELECT {collist} FROM stage "
+            f"ON CONFLICT (thing_key) DO UPDATE SET {sets}"
+        ),
+    )
+
+
+def load_csv_to_postgres(csv_path: str, cfg: EngineConfig, full_update: bool = False) -> None:
+    """Execute the staged upsert in ONE transaction (A10). Requires
+    psycopg2 + a reachable Postgres; raises ImportError otherwise."""
+    try:
+        import psycopg2  # noqa: F401
+    except ImportError as e:  # pragma: no cover - driver absent in CI container
+        raise ImportError(
+            "psycopg2 is required for the Postgres sink; semantics are "
+            "covered by operators.merge.upsert_merge"
+        ) from e
+    stmts = build_upsert_statements(cfg, full_update=full_update)
+    conn = psycopg2.connect(  # pragma: no cover
+        host=cfg.pg_host,
+        port=cfg.pg_port,
+        dbname=cfg.pg_db,
+        user=cfg.pg_user,
+        password=cfg.pg_password,
+    )
+    try:  # pragma: no cover
+        with conn.cursor() as cur:
+            cur.execute(stmts.create_schema)
+            cur.execute(stmts.create_table)
+            cur.execute(stmts.create_stage)
+            with open(csv_path, encoding="utf-8") as fh:
+                cur.copy_expert(stmts.copy, fh)
+            cur.execute(stmts.upsert)
+        conn.commit()
+    except Exception:  # pragma: no cover
+        conn.rollback()
+        raise
+    finally:  # pragma: no cover
+        conn.close()

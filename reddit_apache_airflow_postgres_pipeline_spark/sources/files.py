@@ -1,0 +1,154 @@
+"""Drift-tolerant CSV inbox scan with deterministic lineage columns.
+
+Reference behavior (SURVEY.md §2.A A4-A5): the combiner lists ``DATA_DIR``
+sorted lexicographically, keeps ``{prefix}*.csv``, reads each with
+``csv.DictReader`` (all values strings), skipping unreadable/empty files
+(Combine_send_to_postgresql.py:63-79). File order → row precedence for the
+first-wins dedup (D1), so the scan must expose a deterministic
+``(file_seq, row_seq)`` lineage.
+
+Spark design: one multi-path ``spark.read.csv`` (NOT a per-file union — the
+plan stays O(1) in file count, which matters with thousands of inbox files
+at scale), with:
+
+* ``file_seq``  — dense rank of the file name within the scanned set,
+  computed from a tiny driver-side listing broadcast into the plan
+  (file *names* are driver-visible metadata, not data — this is not a
+  collect of row data).
+* ``row_seq``   — in-file row position. CSV has no ``_metadata.row_index``
+  (Parquet-only in Spark ≤4.1), so we read with ``multiLine=true`` which
+  makes CSV non-splittable → each file is exactly one partition → a
+  ``row_number`` over (file, monotonically_increasing_id) is the exact
+  in-file order. Inbox files are per-run small (reference: ≤100 rows/file),
+  so whole-file partitions are the right trade at any scale; huge-file
+  inputs should use the parquet path instead.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class InboxScan:
+    df: DataFrame
+    files: list[str]  # lexicographically sorted absolute paths actually scanned
+    skipped: list[str]  # unreadable/empty files (archived but contribute no rows)
+
+
+def list_inbox(data_dir: str, prefix: str = "", suffix: str = ".csv") -> list[str]:
+    """A4: sorted(listdir) with prefix/suffix predicate
+    (Combine_send_to_postgresql.py:63-73)."""
+    if not os.path.isdir(data_dir):
+        return []
+    return [
+        os.path.join(data_dir, name)
+        for name in sorted(os.listdir(data_dir))
+        if name.endswith(suffix) and name.startswith(prefix)
+    ]
+
+
+def read_csv_inbox(
+    spark: SparkSession,
+    data_dir: str,
+    prefix: str = "",
+    columns: list[str] | None = None,
+) -> InboxScan:
+    """Scan the inbox as ONE DataFrame with lineage columns
+    ``_file, file_seq, row_seq``.
+
+    All data columns are StringType (schema-on-read parity, A5); missing
+    columns are added as NULL so drift variants union cleanly. Empty and
+    headerless files are skipped like the reference's try/except read
+    (Combine_send_to_postgresql.py:140-150).
+    """
+    paths = list_inbox(data_dir, prefix)
+    usable: list[str] = []
+    skipped: list[str] = []
+    all_cols: list[str] = list(columns or [])
+    per_file_cols: dict[str, list[str]] = {}
+    for p in paths:
+        # Header sniff is driver-side file *metadata* work (one line per
+        # file), mirroring DictReader's fieldnames probe.
+        try:
+            with open(p, encoding="utf-8", errors="strict") as fh:
+                header = fh.readline().strip()
+        except OSError:
+            skipped.append(p)
+            continue
+        if not header:
+            skipped.append(p)
+            continue
+        cols = next(
+            iter(
+                __import__("csv").reader([header])
+            )
+        )
+        per_file_cols[p] = cols
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+        usable.append(p)
+
+    if not usable:
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField(c, T.StringType()) for c in all_cols]
+                + [
+                    T.StructField("_file", T.StringType()),
+                    T.StructField("file_seq", T.LongType()),
+                    T.StructField("row_seq", T.LongType()),
+                ]
+            ),
+        )
+        return InboxScan(df=empty, files=[], skipped=skipped)
+
+    # Group files by identical header so each group is one scan with an
+    # explicit all-string schema; groups are unioned by name. The number
+    # of *distinct schemas* is tiny (producer generations), so the plan
+    # stays small even with thousands of files.
+    by_schema: dict[tuple[str, ...], list[str]] = {}
+    for p in usable:
+        by_schema.setdefault(tuple(per_file_cols[p]), []).append(p)
+
+    file_seq_map = {p: i for i, p in enumerate(usable)}  # lexicographic rank
+    seq_entries = [(p, i) for p, i in file_seq_map.items()]
+    seq_df = spark.createDataFrame(seq_entries, ["_file", "file_seq"])
+
+    parts: list[DataFrame] = []
+    for cols, group in by_schema.items():
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+        part = (
+            spark.read.option("header", True)
+            .option("multiLine", True)  # forces whole-file partitions → exact row order
+            .option("mode", "PERMISSIVE")
+            .schema(schema)
+            .csv(group)
+            .withColumn("_file", F.input_file_name())
+            .withColumn("_mid", F.monotonically_increasing_id())
+        )
+        for c in all_cols:
+            if c not in cols:
+                part = part.withColumn(c, F.lit(None).cast("string"))
+        parts.append(part.select(*all_cols, "_file", "_mid"))
+
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    # input_file_name() returns a file URI; normalize to the local path for
+    # the join with the driver-side listing.
+    df = df.withColumn("_file", F.regexp_replace("_file", "^file:(//)?", ""))
+    df = df.join(F.broadcast(seq_df), "_file", "left")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_file").orderBy("_mid")
+    df = df.withColumn("row_seq", F.row_number().over(w).cast("long")).drop("_mid")
+    return InboxScan(df=df, files=usable, skipped=skipped)

@@ -1,0 +1,141 @@
+"""Property tests for the tricky expressions (SURVEY.md §5.2): F4 hash
+byte-parity with hashlib, F10 falsy-or vs Python `or`, F7 cast-with-default
+vs Python int(), F3 sanitize chain vs the reference's regex order."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_apache_airflow_postgres_pipeline_spark.functions import expr as E
+
+SALT = "test-salt"
+
+
+def py_hash(val, salt=SALT):
+    # _hash_value, Fetch_reddit.py:58-63
+    if not val:
+        return ""
+    return hashlib.sha256((salt + str(val)).encode("utf-8")).hexdigest()
+
+
+def py_sanitize(title, max_len=300):
+    # _sanitize_title, Fetch_reddit.py:44-55
+    t = (title or "").replace("\n", " ")
+    t = re.sub(r"\s+", " ", t).strip()
+    t = re.sub(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[redacted-email]", t)
+    t = re.sub(r"[0-9]{7,}", "[redacted-number]", t)
+    return t[:max_len]
+
+
+def _run(spark, values, expr_builder, in_type=T.StringType()):
+    schema = T.StructType([T.StructField("v", in_type)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return [r[0] for r in df.select(expr_builder(F.col("v"))).collect()]
+
+
+def test_salted_sha256_parity(spark):
+    values = ["t3_abc", "hello", "", None, "ünïcode-é", "a" * 500, "t3:xyz"]
+    got = _run(spark, values, lambda c: E.salted_sha256(c, SALT))
+    assert got == [py_hash(v) for v in values]
+
+
+def test_sanitize_title_parity(spark):
+    values = [
+        None,
+        "",
+        "hello world",
+        "line1\nline2\n\nline3",
+        "  lots   of\t spaces  ",
+        "contact me at foo.bar+1@example.co.uk now",
+        "call 12345678901 or 123456",
+        "x" * 400,
+        "email@ex.com and 99999999 together\nnewline",
+        "trailing space after truncation " + "y" * 300,
+    ]
+    got = _run(spark, values, E.sanitize_title)
+    assert got == [py_sanitize(v) for v in values]
+
+
+def test_falsy_or_matches_python_or(spark):
+    rows = [
+        ("a", "b"), ("", "b"), (None, "b"), ("", ""), (None, None), ("", None), ("a", ""),
+    ]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = [r[0] for r in df.select(E.falsy_or("x", "y", default="D")).collect()]
+    assert got == [(x or y or "D") for x, y in rows]
+
+
+def test_safe_int_matches_python_int(spark):
+    def py_int(v):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return 0
+
+    values = ["3", "", None, "abc", "3.5", " 7 ", "-4", "007"]
+    got = _run(spark, values, E.safe_int)
+    assert got == [py_int(v) for v in values]
+
+
+def test_epoch_to_iso(spark):
+    import datetime as dt
+
+    def py_iso(v):
+        if v is None:
+            return None
+        return (
+            dt.datetime.fromtimestamp(int(v), tz=dt.timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+        )
+
+    values = [1757397763.0, 0.0, None, 1699999999.9]
+    got = _run(spark, values, E.epoch_to_iso, T.DoubleType())
+    assert got == [py_iso(v) for v in values]
+
+
+def test_fullname_fallback(spark):
+    rows = [("t3_x", "y"), (None, "y"), ("", "y"), (None, None), ("", "")]
+    df = spark.createDataFrame(rows, "name string, id string")
+    got = [r[0] for r in df.select(E.fullname_fallback()).collect()]
+    assert got == ["t3_x", "t3_y", "t3_y", None, None]
+
+
+def test_normalize_permalink(spark):
+    values = ["/r/Italy/Comments/ABC/", "  /r/x/// ", "", None, "/r/y"]
+    got = _run(spark, values, E.normalize_permalink)
+    def py_norm(v):
+        # _normalize_permalink, Combine_send_to_postgresql.py:49-56
+        v = (v or "").strip().lower()
+        return re.sub(r"/+$", "", v)
+    assert got == [py_norm(v) for v in values]
+
+
+def test_thing_key_fallback(spark):
+    rows = [
+        ("k1", "t3", "id1", "/r/x"),   # existing key wins
+        ("", "t3", "id1", "/r/x"),     # derive from id
+        (None, "t3", "", "/r/x"),      # derive from permalink
+        ("", "t3", "", ""),            # nothing → empty (dropped later)
+    ]
+    df = spark.createDataFrame(rows, "tk string, tt string, id string, pl string")
+    got = [
+        r[0]
+        for r in df.select(
+            E.thing_key_fallback("tk", "tt", "id", "pl", SALT)
+        ).collect()
+    ]
+    assert got[0] == "k1"
+    assert got[1] == py_hash("t3:id1")
+    assert got[2] == py_hash("t3:/r/x")
+    assert got[3] == ""
+
+
+def test_build_url(spark):
+    values = ["/r/x/1", "", None]
+    got = _run(spark, values, E.build_url)
+    assert got == ["https://www.reddit.com/r/x/1", None, None]

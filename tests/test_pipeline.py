@@ -1,0 +1,171 @@
+"""End-to-end combine pipeline on reference-shaped fixture CSVs
+(FIXTURES.md §6 scenario matrix), cross-checked against a pure-Python
+re-implementation of the reference semantics."""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import os
+import re
+
+import pytest
+
+from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
+from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import run_combine
+from reddit_apache_airflow_postgres_pipeline_spark.schemas import DB_COLUMNS
+
+SALT = "test-salt"
+
+
+def _h(v):
+    return hashlib.sha256((SALT + str(v)).encode()).hexdigest() if v else ""
+
+
+def write_csv(path, cols, rows):
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(cols)
+        w.writerows(rows)
+
+
+@pytest.fixture()
+def inbox(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    # file 1 (current-gen schema): two rows, one dup key with file 2
+    write_csv(
+        data / "italytravel_20250909T010000.csv",
+        DB_COLUMNS,
+        [
+            ["k1", "t3", "id1", "2025-09-09T01:00:00Z", "5", "2", "first k1", "ah1", "/r/x/1/", "ItalyTravel", ""],
+            ["k2", "t3", "id2", "2025-09-09T01:00:01Z", "", "abc", "t two", "ah2", "/R/X/2///", "", "Question"],
+        ],
+    )
+    # file 2: duplicate k1 (must lose), new k3
+    write_csv(
+        data / "italytravel_20250909T020000.csv",
+        DB_COLUMNS,
+        [
+            ["k1", "t3", "id1", "2025-09-09T02:00:00Z", "9", "9", "later k1 must lose", "ah1", "/r/x/1/", "ItalyTravel", ""],
+            ["k3", "", "id3", "", "3.5", "4", "t three", "", "/r/x/3", "", ""],
+        ],
+    )
+    # file 3 (gen-1 legacy schema): no thing_key → derived; one row with no id/permalink → dropped
+    write_csv(
+        data / "italytravel_legacy.csv",
+        ["id", "author", "title", "score", "num_comments", "created_at", "permalink"],
+        [
+            ["idL", "alice", "legacy  title\nwith newline", "7", "1", "2025-09-08T00:00:00Z", "/r/L/9/"],
+            ["", "bob", "no identity row", "1", "1", "", ""],
+        ],
+    )
+    # empty file → skipped but archived
+    (data / "italytravel_empty.csv").write_text("")
+    # non-matching prefix → ignored entirely
+    write_csv(data / "other.csv", ["a"], [["1"]])
+    return data
+
+
+def test_combine_end_to_end(spark, tmp_path, inbox):
+    cfg = EngineConfig(
+        gdpr_salt=SALT,
+        data_dir=str(inbox),
+        combine_dir=str(tmp_path / "combined"),
+        loaded_dir=str(tmp_path / "loaded"),
+    )
+    res = run_combine(spark, cfg, run_ts="20250909T030000")
+
+    with open(res.combined_path) as fh:
+        rows = list(csv.DictReader(fh))
+    by_key = {r["thing_key"]: r for r in rows}
+
+    # dup k1: first file (lexicographic) wins
+    assert by_key["k1"]["title_sanitized"] == "first k1"
+    assert by_key["k1"]["score"] == "5"
+    # F7: '' and 'abc' → 0
+    assert by_key["k2"]["score"] == "0"
+    assert by_key["k2"]["num_comments"] == "0"
+    # F9: permalink lowercased, trailing slashes stripped
+    assert by_key["k2"]["permalink"] == "/r/x/2"
+    # F11 defaults
+    assert by_key["k2"]["subreddit"] == "ItalyTravel"
+    assert by_key["k3"]["thing_type"] == "t3"
+    # F7: '3.5' unparsable → 0
+    assert by_key["k3"]["score"] == "0"
+    # legacy row: key derived via F12 (colon format), title drift-coalesced + NOT re-sanitized
+    dk = _h("t3:idL")
+    assert dk in by_key
+    assert by_key[dk]["id"] == "idL"
+    assert by_key[dk]["permalink"] == "/r/l/9"
+    # the no-identity legacy row was dropped (F13)
+    assert len(rows) == 4
+
+    # archive drained the inbox (A11): matching-prefix files moved, other.csv stays
+    assert sorted(os.listdir(inbox)) == ["other.csv"]
+    assert len(os.listdir(tmp_path / "loaded")) == 4
+
+    # column order contract (F14)
+    with open(res.combined_path) as fh:
+        assert next(csv.reader(fh)) == DB_COLUMNS
+
+
+def test_combine_no_files_fails(spark, tmp_path):
+    cfg = EngineConfig(
+        gdpr_salt=SALT,
+        data_dir=str(tmp_path / "nope"),
+        combine_dir=str(tmp_path / "c"),
+        loaded_dir=str(tmp_path / "l"),
+    )
+    with pytest.raises(FileNotFoundError):
+        run_combine(spark, cfg, run_ts="20250909T030000")
+
+
+def test_combine_zero_valid_rows_archives_then_fails(spark, tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    write_csv(
+        data / "italytravel_bad.csv",
+        ["id", "author", "title", "score", "num_comments", "created_at", "permalink"],
+        [["", "x", "no identity", "1", "1", "", ""]],
+    )
+    cfg = EngineConfig(
+        gdpr_salt=SALT,
+        data_dir=str(data),
+        combine_dir=str(tmp_path / "c"),
+        loaded_dir=str(tmp_path / "l"),
+    )
+    with pytest.raises(ValueError):
+        run_combine(spark, cfg, run_ts="20250909T030000")
+    # O7: archived anyway
+    assert os.listdir(data) == []
+    assert len(os.listdir(tmp_path / "l")) == 1
+
+
+def test_fetch_transform_matches_reference(spark):
+    """DAG-1 body parity: hashing policy + sanitize + epoch format
+    (Fetch_reddit.py:140-258)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import fetch_transform
+    from reddit_apache_airflow_postgres_pipeline_spark.schemas import REDDIT_RAW
+
+    cfg = EngineConfig(gdpr_salt=SALT)
+    rows = [
+        ("t3_abc", "abc", 1757397763.0, 12, 3, "Call 12345678 now\nplease",
+         "alice", "/r/ItalyTravel/comments/abc/slug/", "ItalyTravel", "Question"),
+        (None, "def", None, None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, REDDIT_RAW)
+    out = {r["thing_key"]: r.asDict() for r in fetch_transform(df, cfg).collect()}
+
+    r1 = out[_h("t3_abc")]
+    assert r1["id"] == _h("abc")
+    assert r1["author_hash"] == _h("alice")
+    assert r1["permalink"] == _h("https://www.reddit.com/r/ItalyTravel/comments/abc/slug/")
+    assert r1["created_at"] == "2025-09-09T06:02:43Z"
+    assert r1["title_sanitized"] == "Call [redacted-number] now please"
+    assert r1["subreddit"] == "ItalyTravel"
+
+    r2 = out[_h("t3_def")]  # F6 fullname fallback
+    assert r2["created_at"] == ""
+    assert r2["score"] == ""
+    assert r2["title_sanitized"] == ""
