@@ -1,0 +1,263 @@
+"""Near-duplicate detection over text: n-gram Jaccard, MinHash+LSH,
+SimHash. The dedup ladder for training-data pipelines:
+
+  exact (operators.dedup) → fingerprint (textstats.fingerprint)
+  → MinHash LSH (this module, sub-quadratic) → n-gram Jaccard verify.
+
+Design for 100 TB:
+
+* Shingling is a map-only explode; the only shuffles are the
+  (band, band-key) self-join (MinHash LSH) and the shingle self-join
+  (exact Jaccard — quadratic in bucket size, so ONLY run it on LSH
+  candidates or small corpora).
+* The MinHash trick for cross-engine determinism: a "hash function" is
+  ``md5(i || ':' || shingle)`` and the signature element is the
+  **lexicographic min of the hex strings** — a uniform total order on
+  128-bit values that DuckDB reproduces verbatim, no integer conversion.
+
+Everything below is built-in expressions (explode/groupBy/agg) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams of lowercased whitespace-tokenized text.
+    Texts with < n tokens yield their full token-join as one shingle
+    (so short docs still participate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded relation — distinct per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s")
+    ).filter(F.col("s") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|. Pairs sharing
+    no shingle have Jaccard 0 and are never materialized. Output
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale: the self-join is quadratic per shingle posting list — safe on
+    LSH candidates or deduped shingle universes; for open-world corpora
+    use minhash_lsh_pairs first and feed its candidates here.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    cnt = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("id_a"), "s")
+    b = sh.select(F.col("doc").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc, mh_0..mh_{k-1}): MinHash signature as lexicographic mins of
+    salted md5 hex digests — one groupBy over the shingle table computes
+    all k mins (map-side partial agg)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = k/b rows;
+    docs agreeing on ALL rows of any band become candidates (classic
+    s-curve: P[candidate] = 1-(1-j^r)^b). Candidates are then verified
+    with exact n-gram Jaccard, so the output has no false positives —
+    only (possibly) missed pairs, the standard MinHash trade.
+
+    Output (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    # candidates: equal band value in any band → union of per-band joins,
+    # deduped. Each join shuffles on the band key only.
+    cands = None
+    for b in range(bands):
+        a = banded.select(F.col("doc").alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        c = banded.select(F.col("doc").alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+
+    # exact verify on candidates only
+    sh = shingle_table(df, id_col, text_col, n)
+    cnt = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("id_a"), "s")
+    b = sh.select(F.col("doc").alias("id_b"), "s")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b.withColumnRenamed("s", "s2"), "id_b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = cnt.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    cb = cnt.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash of whitespace tokens: bit j of the hash is the sign of
+    Σ_tokens (bit_j(md5(token))·2−1). Uses the first ``bits``/4 hex chars
+    of the digest. Returns the hash as a ``bits``-char '0'/'1' string
+    (cross-engine safe; no 64-bit int parsing needed).
+    """
+    assert bits % 4 == 0
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(
+        F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    )
+    digests = F.transform(toks, lambda t: F.md5(t))
+    out_bits = []
+    for j in range(bits):
+        nibble_idx = j // 4 + 1  # 1-based substring index
+        bit_in_nibble = 3 - (j % 4)  # md5 hex: high bit first
+        # weight_j(token) = +1 if bit set else -1
+        w = F.aggregate(
+            digests,
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + F.when(
+                (
+                    F.conv(F.substring(d, nibble_idx, 1), 16, 10).cast("int")
+                    .bitwiseAND(F.lit(1 << bit_in_nibble))
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)).cast("long"),
+        )
+        out_bits.append(F.when(w >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*out_bits)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs whose SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation blocks on bit-bands (pigeonhole: distance ≤ d
+    ⇒ at least one of d+1 bands is identical), then verifies the exact
+    Hamming distance — same ban d trick as MinHash LSH, so no quadratic
+    cross join. Output (id_a, id_b, hamming).
+    """
+    nbands = max_hamming + 1
+    width = bits // nbands
+    sig = df.select(
+        F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sh")
+    )
+    cands = None
+    for b in range(nbands):
+        start = b * width + 1
+        w = width if b < nbands - 1 else bits - (nbands - 1) * width
+        a = sig.select(
+            F.col("doc").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.substring("sh", start, w).alias("bk"),
+        )
+        c = sig.select(
+            F.col("doc").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.substring("sh", start, w).alias("bk"),
+        )
+        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "sh_a", "sh_b"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sh_a"), "(?!$)"),
+            F.split(F.col("sh_b"), "(?!$)"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): tokenization, token counting, quality scoring, language ID,
+document fingerprinting.
+
+All operators are built-in Column expressions (JVM-side, codegen-friendly)
+— no Python in the hot path — and each has a deterministic ANSI-SQL
+equivalent so the DuckDB oracle can verify results (plans/registry.py).
+
+At 100 TB these are embarrassingly parallel map-only projections: no
+shuffle, pushdown-friendly, limited only by scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + hardcoded: the operator contract is
+# deterministic voting, not model quality.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "que", "pour"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text; empty text → empty array.
+
+    ``split`` on ``\\s+`` after trim — both engines agree that tokenizing
+    an empty string yields zero tokens (guarded explicitly).
+    """
+    c = F.trim(F.lower(F.coalesce(_col(col), F.lit(""))))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries with
+    a BPE-flavored regex (letters runs, digit runs, single punct marks).
+    A cheap, deterministic stand-in for a real tokenizer's token count."""
+    c = F.coalesce(_col(col), F.lit(""))
+    # count matches of: letter-runs | digit-runs | non-space-non-alnum singles
+    return F.size(
+        F.filter(
+            F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != "",
+        )
+    ).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """len(non-alnum-non-space chars) / len(text); 0.0 for empty text."""
+    c = F.coalesce(_col(col), F.lit(""))
+    n = F.length(c)
+    p = n - F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords; 0.0 if no tokens."""
+    sw = stopwords or STOPWORDS_EN
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    n = F.size(t)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double")
+    )
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Average token length in characters; 0.0 if no tokens."""
+    t = tokens(col)
+    n = F.size(t)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+
+        0.4 * min(n_tokens/100, 1)        -- enough content
+      + 0.3 * (1 - punct_ratio)           -- not symbol soup
+      + 0.3 * min(stopword_ratio*5, 1)    -- natural-language-like
+
+    Deterministic and SQL-mirrorable; the weights are the contract.
+    """
+    nt = token_count(col).cast("double")
+    return (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.3) * F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-stopword hit counts (the language-ID votes)."""
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax language by marker hits; ties broken by language code order
+    (deterministic); no hits at all → ``default``.
+
+    Implemented as a greatest-score CASE chain so the whole thing stays
+    one codegen'd expression.
+    """
+    scores = lang_scores(col)
+    langs = sorted(scores)  # tie-break: alphabetical
+    best = F.greatest(*[scores[lg] for lg in langs])
+    out = F.lit(default)
+    # build reversed so earlier languages win ties
+    for lg in reversed(langs):
+        out = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text. The exact-dedup key for text that
+    differs only in spacing/case."""
+    c = F.coalesce(_col(col), F.lit(""))
+    canon = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(canon)

@@ -1,0 +1,956 @@
+"""Query registry: every operator surfaced as a (spark_fn, oracle_sql)
+pair for the driver's correctness harness (__spark_entry__.py).
+
+Cross-engine exactness rules (the reason these queries hash-match DuckDB
+bit-for-bit):
+
+* **Money/metric sums are decimal-exact**: ``SUM(CAST(x AS DECIMAL(18,2)))``
+  in both engines, cast to DOUBLE only at the end. Double summation order
+  differs between engines; decimal addition is associative.
+* **Averages** are computed as exact-sum / count, never ``avg(double)``.
+* **Timestamps are emitted as formatted strings** (`yyyy-MM-dd HH:mm:ss`)
+  — avoids tz-awareness / microsecond-repr mismatches in the hash.
+* **Element-wise float math** (dot products, ratios) is IEEE-deterministic
+  when both engines evaluate the same expression tree left-to-right over
+  the same values; results are still ``round()``ed (6 dp) as a belt.
+* **Every LIMIT/top-k has a unique tie-break key**; every window an
+  explicit total order.
+* **Counts / int sums cast to BIGINT** in SQL (DuckDB sums to HUGEINT).
+
+Scale notes are in each operator's module; queries here only declare
+plans — Catalyst chooses the physical strategy (verify with
+``bench.py --explain``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import neardup, similarity, textstats
+from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import dedup_first
+from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # included in bench.py
+
+
+def _dec(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col, scale: int = 2):
+    """Decimal-exact sum, emitted as double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+def _fmt_ts(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+SPECS: list[QuerySpec] = []
+
+
+def _q(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, headline))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core: aggregation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan→filter→hash-agg. Map-side
+    partial agg + 6-row result; scan-bound at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (_dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q03_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-N.
+    customer is the small side (broadcast); lineitem never shuffles for
+    the join, only for the final agg."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q05_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    headline=True,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join (fact + 5 dims). All dims broadcast;
+    the single shuffle is the final group-by on n_name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    headline=True,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — the pushdown benchmark. All four
+    predicates reach the parquet scan (check PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: semi / anti / outer; set ops; distinct; top-k
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_semi_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "q_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "q_outer_order_counts",
+    """
+    SELECT c.c_custkey AS c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + agg: customers with zero orders keep count 0/spend 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@_q(
+    "q_setops_segment_overlap",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    seg = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        "c_custkey"
+    )
+    big = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return seg.intersect(big).exceptAll(neg.distinct())
+
+
+@_q(
+    "q_distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@_q(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: TakeOrderedAndProject — no full sort, no single-node
+    materialization beyond k rows."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    headline=True,
+)
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "q_window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@_q(
+    "q_window_lag_event_value",
+    """
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS value_delta
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_rollup_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum("o_totalprice").alias("total"),
+        )
+    )
+
+
+@_q(
+    "q_cube_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries (strings, datetime, conditional, JSON)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_scalar_string_battery",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class,
+           round(CAST(p_retailprice AS DECIMAL(18,2)) * 110 / 100, 2)::DOUBLE AS price_markup,
+           abs(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 30, "M")
+        .otherwise("L")
+        .alias("size_class"),
+        F.round(_dec("p_retailprice") * 110 / 100, 2).cast("double").alias("price_markup"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dist"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@_q(
+    "q_scalar_datetime_battery",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("plus_30d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@_q(
+    "q_conditional_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").startswith("1")
+        | F.col("o_orderpriority").startswith("2"),
+        1,
+    ).otherwise(0)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(urgent).cast("long").alias("n_urgent"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@_q(
+    "q_string_agg_nations",
+    """
+    SELECT r.r_name AS r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@_q(
+    "q_events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch shape of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_events_tumbling_1h",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg — identical code runs under Structured
+    Streaming with a watermark (streaming/combine_stream.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+        .select(
+            _fmt_ts(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_q(
+    "q_events_session_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) — ``session_window`` in Spark;
+    the oracle reproduces the same islands with LAG + running sum."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            _fmt_ts(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity battery (the reddit pipeline expressions on documents)
+# ---------------------------------------------------------------------------
+
+_REF_SALT = "oracle-salt"
+
+@_q(
+    "q_ref_expr_battery",
+    f"""
+    SELECT doc_id,
+           substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             coalesce(text, ''), '\\n', ' ', 'g'), '\\s+', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[redacted-email]', 'g'),
+             '[0-9]{{7,}}', '[redacted-number]', 'g')), 1, 120) AS title_sanitized,
+           CASE WHEN source IS NULL OR source = '' THEN ''
+                ELSE sha256('{_REF_SALT}' || source) END AS source_hash,
+           CASE WHEN coalesce(nullif(lang, ''), '') = '' THEN 'unknown' ELSE lang END AS lang_or_default,
+           regexp_replace(lower(trim('/R/' || source || '//')), '/+$', '') AS permalink_norm,
+           coalesce(TRY_CAST(substr(text, 1, 2) AS BIGINT), 0) AS junk_int,
+           strftime(TIMESTAMP '1970-01-01 00:00:00' + n_chars * 100000 * INTERVAL 1 SECOND,
+                    '%Y-%m-%dT%H:%M:%SZ') AS fake_created_at
+    FROM documents
+    """,
+)
+def q_ref_expr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar ops (F3,F4,F5,F7,F9,F10/F11) applied to the
+    documents table so the oracle can check them on shared data."""
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import expr as E
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        E.sanitize_title("text", 120).alias("title_sanitized"),
+        E.salted_sha256(F.col("source"), _REF_SALT).alias("source_hash"),
+        E.falsy_or("lang", default="unknown").alias("lang_or_default"),
+        E.normalize_permalink(F.concat(F.lit("/R/"), F.col("source"), F.lit("//"))).alias(
+            "permalink_norm"
+        ),
+        E.safe_int(F.substring("text", 1, 2)).alias("junk_int"),
+        E.epoch_to_iso(F.col("n_chars") * 100000).alias("fake_created_at"),
+    )
+
+
+@_q(
+    "q_ref_dedup_first_wins",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+      FROM lineitem) t
+    WHERE rn = 1
+    """,
+    headline=True,
+)
+def q_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 first-wins dedup on a real table: first line of every order
+    under an explicit total order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    # full-payload tie-break: (orderkey, linenumber, partkey) repeats in
+    # the synthetic data, and dedup demands a TOTAL order
+    return dedup_first(
+        li, "l_orderkey", ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    )
+
+
+@_q(
+    "q_ref_upsert_merge",
+    """
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    stage AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           strftime(CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate ELSE s.o_orderdate END,
+                    '%Y-%m-%d') AS o_orderdate,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
+    FROM target t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_ref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A9 upsert semantics on shared data: even orderkeys are the
+    target, every 3rd orderkey arrives as a stage batch with a new status
+    + bumped price; immutable cols preserved for existing keys."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    stage = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = upsert_merge(
+        target.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ),
+        stage,
+        "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+    )
+    return merged.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = (
+    "CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(coalesce(text,''))), '\\s+') END"
+)
+
+
+def _markers_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter({_TOKENS_SQL}, t -> t IN ({markers})))"
+    )
+
+
+@_q(
+    "q_doc_token_stats",
+    f"""
+    SELECT lang,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(textstats.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@_q(
+    "q_doc_quality",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           round(CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+                 ELSE (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+                      / length(coalesce(text,'')) END, 6) AS punct_ratio,
+           round(CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0
+                 ELSE len(list_filter({_TOKENS_SQL}, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0
+                      / len({_TOKENS_SQL}) END, 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        F.round(textstats.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(textstats.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "q_doc_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_markers_sql('de')} AS s_de,
+             {_markers_sql('en')} AS s_en,
+             {_markers_sql('es')} AS s_es,
+             {_markers_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        textstats.lang_id("text").alias("lang_pred"),
+    )
+
+
+@_q(
+    "q_doc_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical fingerprint: keeper = min doc_id per
+    cluster (deterministic representative)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(textstats.fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accessors (import registry_ml for its registration side effects)
+# ---------------------------------------------------------------------------
+
+
+def all_specs() -> list[QuerySpec]:
+    import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml  # noqa: F401  (registers SPECS)
+
+    return list(SPECS)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.spark for s in all_specs()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in all_specs() if s.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.spark for s in all_specs() if s.headline}

@@ -1,0 +1,294 @@
+"""Query registry, part 2: near-duplicate detection and similarity
+search — the training-data-pipeline operators, each with a full SQL
+oracle (generated programmatically so both engines share one definition
+of shingles / hash order / hyperplanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import neardup, similarity
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _q
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+# Shared shingle definition (must match operators.neardup.word_shingles):
+# distinct word 3-grams of lowercased whitespace-split text; docs shorter
+# than 3 tokens contribute their full join as one shingle.
+_SHINGLES_SQL = """
+  SELECT doc, s FROM (
+    SELECT doc_id AS doc, unnest(shingles) AS s FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(toks) - 3, 0)),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+            FROM documents) t) u) v
+  WHERE s <> ''
+"""
+
+_JACCARD_TAIL = """
+cnt AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+  FROM {cand_join}
+  GROUP BY 1, 2)
+SELECT i.id_a AS id_a, i.id_b AS id_b,
+       round(i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter), 6) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc = i.id_a JOIN cnt cb ON cb.doc = i.id_b
+WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) >= {threshold}
+"""
+
+
+@_q(
+    "q_dedup_ngram_jaccard",
+    "WITH sh AS (" + _SHINGLES_SQL + "),\n"
+    + _JACCARD_TAIL.format(
+        cand_join="sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc",
+        threshold="0.8",
+    ),
+    headline=True,
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || s)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_keys = ",\n         ".join(
+        "concat_ws('|', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc AS id_a, b.doc AS id_b FROM banded a JOIN banded b"
+        f" ON a.band_{b} = b.band_{b} AND a.doc < b.doc"
+        for b in range(bands)
+    )
+    return (
+        "WITH sh AS (" + _SHINGLES_SQL + "),\n"
+        f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),\n"
+        f"banded AS (SELECT doc, {band_keys} FROM sig),\n"
+        f"cand AS ({band_joins}),\n"
+        + _JACCARD_TAIL.format(
+            cand_join=(
+                "cand c JOIN sh a ON a.doc = c.id_a "
+                "JOIN sh b ON b.doc = c.id_b AND b.s = a.s"
+            ),
+            threshold=str(threshold),
+        )
+    )
+
+
+@_q("q_dedup_minhash_lsh", _minhash_sql(16, 4, 0.7), headline=True)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified at 0.7.
+
+    The oracle replays the identical signature construction (lexicographic
+    min over salted md5 hex) so even the *missed* pairs agree."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+    )
+
+
+def _simhash_sql(bits: int, max_hamming: int) -> str:
+    # bit j of a token's md5: nibble = hex char 1 + j//4 (high bit first)
+    bit_weights = ",\n           ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {idx}, 1)) - 1)"
+        " & {mask}) > 0 THEN 1 ELSE -1 END) AS w_{j}".format(
+            idx=j // 4 + 1, mask=1 << (3 - j % 4), j=j
+        )
+        for j in range(bits)
+    )
+    sig_concat = " || ".join(
+        f"CASE WHEN w_{j} >= 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    nbands = max_hamming + 1
+    width = bits // nbands
+    band_joins = []
+    for b in range(nbands):
+        start = b * width + 1
+        w = width if b < nbands - 1 else bits - (nbands - 1) * width
+        band_joins.append(
+            f"SELECT a.doc AS id_a, b.doc AS id_b, a.sh AS sh_a, b.sh AS sh_b"
+            f" FROM sig a JOIN sig b ON substr(a.sh, {start}, {w}) ="
+            f" substr(b.sh, {start}, {w}) AND a.doc < b.doc"
+        )
+    cand = "\nUNION\n".join(band_joins)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(list_distinct(
+               string_split_regex(trim(lower(coalesce(text,''))), '\\s+'))) AS tok
+      FROM documents
+      WHERE trim(lower(coalesce(text,''))) <> ''),
+    weights AS (
+      SELECT doc,
+           {bit_weights}
+      FROM toks GROUP BY doc),
+    sig AS (SELECT doc, {sig_concat} AS sh FROM weights),
+    cand AS ({cand}),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(generate_series(1, {bits}),
+                  i -> substr(sh_a, i, 1) <> substr(sh_b, i, 1))) AS BIGINT) AS hamming
+      FROM cand)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
+@_q("q_dedup_simhash", _simhash_sql(32, 3))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dups, Hamming ≤ 3, pigeonhole-banded."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.simhash_near_dups(d, "doc_id", "text", bits=32, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " zp -> CAST(zp[1] AS DOUBLE) * CAST(zp[2] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))))"
+
+
+@_q(
+    "q_sim_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='c.embedding', b='q.qv')}
+               / ({_NORM_SQL.format(a='c.embedding')} * {_NORM_SQL.format(a='q.qv')}), 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 5
+    """,
+    headline=True,
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors — the brute-force
+    ANN baseline (map-only over the corpus; queries broadcast)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        e, e.filter(F.col("vec_id") < 8), k=5
+    )
+
+
+def _planes_sql(planes: list[list[float]]) -> str:
+    """Inline hyperplanes as a VALUES list: (bit, plane_array)."""
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+    return f"(VALUES {rows})"
+
+
+def _srp_near_dup_sql(
+    threshold: float, bits_per_band: int, bands: int, seed: int, dim: int
+) -> str:
+    planes = similarity.hyperplanes(dim, bits_per_band * bands, seed)
+    sig_bit = (
+        "CASE WHEN " + _DOT_SQL.format(a="e.embedding", b="p.plane")
+        + " >= 0 THEN '1' ELSE '0' END"
+    )
+    band_exprs = ",\n             ".join(
+        "concat(" + ", ".join(
+            f"max(CASE WHEN bit = {b * bits_per_band + i} THEN sbit END)"
+            for i in range(bits_per_band)
+        ) + f") AS bucket_{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b"
+        f" ON a.bucket_{b} = b.bucket_{b} AND a.vec_id < b.vec_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH bits AS (
+      SELECT e.vec_id, p.bit, {sig_bit} AS sbit
+      FROM embeddings e CROSS JOIN {_planes_sql(planes)} p(bit, plane)),
+    sig AS (
+      SELECT vec_id,
+             {band_exprs}
+      FROM bits GROUP BY vec_id),
+    cand AS ({band_joins})
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')}), 6) AS score
+    FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+                JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')}), 6) >= {threshold}
+    """
+
+
+@_q("q_sim_near_dup_srp", _srp_near_dup_sql(0.4, 4, 4, 42, 64))
+def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-random-projection LSH with
+    exact cosine verify (threshold 0.4). Oracle regenerates the identical
+    deterministic hyperplanes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(
+        e, threshold=0.4, bits_per_band=4, bands=4, seed=42, dim=64
+    )
+
+
+@_q(
+    "q_sim_label_centroid_dist",
+    f"""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    cm AS (
+      SELECT label, pos, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS m
+      FROM ex GROUP BY label, pos),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label)
+    SELECT e.vec_id AS vec_id, e.label AS label,
+           round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}
+             / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.centroid')}), 6) AS centroid_cos
+    FROM embeddings e JOIN cent c ON e.label = c.label
+    """,
+)
+def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, then each vector's cosine to its centroid —
+    the grouped-vector-aggregation shape (cluster quality / outlier
+    scoring). Centroid = column-wise mean via explode + groupBy (scales
+    to any corpus; no collect)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg((F.sum("col") / F.count("*")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label", F.transform("pm", lambda s: s.getField("m")).alias("centroid")
+        )
+    )
+    score = F.round(
+        similarity.dot(F.col("embedding"), F.col("centroid"))
+        / (similarity.norm(F.col("embedding")) * similarity.norm(F.col("centroid"))),
+        6,
+    )
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", score.alias("centroid_cos")
+    )
