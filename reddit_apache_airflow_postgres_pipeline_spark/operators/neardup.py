@@ -41,10 +41,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) exploded relation — distinct per doc."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("s")
-    ).filter(F.col("s") != "")
+    """(id, shingle) exploded relation — distinct per doc.
+
+    The input is repartitioned before the explode: document corpora often
+    arrive as few large files (or one), and shingling + hashing is
+    CPU-bound — without the spread, one task does all the regex/md5 work
+    regardless of cluster width."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .repartition(parallelism)
+        .select("doc", F.explode(word_shingles("__t", n)).alias("s"))
+        .filter(F.col("s") != "")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -65,7 +74,8 @@ def ngram_jaccard_pairs(
     LSH candidates or deduped shingle universes; for open-world corpora
     use minhash_lsh_pairs first and feed its candidates here.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh.count()  # materialize before the 3-way fan-out below
     cnt = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "s")
     b = sh.select(F.col("doc").alias("id_b"), "s")
@@ -89,6 +99,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh: array<string>) — per-doc distinct shingle set as an array
+    column. Map-side only (no explode/shuffle); docs with zero shingles
+    are dropped (they cannot pair). Input repartitioned for parallelism —
+    corpora often arrive as few large files."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .repartition(parallelism)
+        .select(
+            "doc",
+            F.filter(word_shingles("__t", n), lambda s: s != "").alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -97,14 +126,18 @@ def minhash_signature(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(doc, mh_0..mh_{k-1}): MinHash signature as lexicographic mins of
-    salted md5 hex digests — one groupBy over the shingle table computes
-    all k mins (map-side partial agg)."""
-    sh = shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    salted md5 hex digests — computed per row over the shingle ARRAY
+    (``array_min(transform(...))``): zero shuffles, pure map work."""
+    arrays = shingle_arrays(df, id_col, text_col, n)
+    return arrays.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -126,49 +159,62 @@ def minhash_lsh_pairs(
     only (possibly) missed pairs, the standard MinHash trade.
 
     Output (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
+
+    Shuffle profile (the 100 TB story): signatures are pure map work over
+    per-doc shingle arrays; the only shuffles are the ``bands`` self-joins
+    on (band-key, doc) pairs — skinny rows — plus the candidate distinct.
+    The verify step joins the (small) candidate set back to the shingle
+    arrays and computes ``array_intersect`` sizes per pair: no exploded
+    shingle self-join anywhere.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols)
-    # candidates: equal band value in any band → union of per-band joins,
-    # deduped. Each join shuffles on the band key only.
-    cands = None
-    for b in range(bands):
-        a = banded.select(F.col("doc").alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        c = banded.select(F.col("doc").alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
-
-    # exact verify on candidates only
-    sh = shingle_table(df, id_col, text_col, n)
-    cnt = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc").alias("id_a"), "s")
-    b = sh.select(F.col("doc").alias("id_b"), "s")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b.withColumnRenamed("s", "s2"), "id_b")
-        .filter(F.col("s") == F.col("s2"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # Persist the shingle arrays: referenced by the signature side AND
+    # twice by the verify side. Materialize eagerly — lazy fan-out inside
+    # one job races the cache and recomputes the scan per subtree.
+    arrays = shingle_arrays(df, id_col, text_col, n).persist()
+    arrays.count()
+    sig = arrays.select(
+        "doc",
+        *[
+            F.array_min(
+                F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
     )
-    ca = cnt.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
-    cb = cnt.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # one row per (doc, band): band key prefixed with the band index, so a
+    # SINGLE self-equi-join on bk covers "equal in ANY band" — one shuffle
+    # instead of ``bands`` separate joins
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.explode(band_keys).alias("bk"))
+    a = banded.select(F.col("doc").alias("id_a"), "bk")
+    c = banded.select(F.col("doc").alias("id_b"), "bk")
+    cands = (
+        a.join(c, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify on candidates only: fetch both shingle arrays, then
+    # |A∩B| / (|A|+|B|-|A∩B|) as pure array expressions
+    a = arrays.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
+    b = arrays.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
     if round_digits is not None:
         jac = F.round(jac, round_digits)
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

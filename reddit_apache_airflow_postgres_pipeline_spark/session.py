@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default advisory size (64m) coalesces small-but-CPU-heavy
+        # shuffles (shingle joins, vector math) down to ONE task; 8m keeps
+        # them parallel while still batching genuinely tiny exchanges.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         # Arrow for pandas_udf / mapInPandas (vectors, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep small-dim joins broadcast (region/nation/supplier style).
