@@ -67,7 +67,18 @@ def read_csv_inbox(
     headerless files are skipped like the reference's try/except read
     (Combine_send_to_postgresql.py:140-150).
     """
-    paths = list_inbox(data_dir, prefix)
+    return read_csv_paths(spark, list_inbox(data_dir, prefix), columns)
+
+
+def read_csv_paths(
+    spark: SparkSession,
+    paths: list[str],
+    columns: list[str] | None = None,
+) -> InboxScan:
+    """Path-list core of :func:`read_csv_inbox` — also used by the
+    streaming combine's ``foreachBatch`` re-read, where the file set comes
+    from the stream's batch rather than a directory listing. ``paths``
+    order defines ``file_seq`` precedence; callers pass a sorted list."""
     usable: list[str] = []
     skipped: list[str] = []
     all_cols: list[str] = list(columns or [])

@@ -1,0 +1,21 @@
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.combine_stream import (
+    MemoryUpsertTarget,
+    start_combine_stream,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    tumbling_counts,
+)
+
+__all__ = [
+    "MemoryUpsertTarget",
+    "start_combine_stream",
+    "dedup_within_watermark",
+    "read_events_stream",
+    "run_available_now",
+    "session_agg",
+    "tumbling_counts",
+]

@@ -1,0 +1,148 @@
+"""Streaming mode tests — SURVEY.md §2.E.
+
+Combine-as-stream must equal combine-as-batch on the same inbox, then
+keep upserting incrementally from the same checkpoint; windowed event
+aggregations must equal their batch forms when drained with
+``Trigger.AvailableNow``.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    MemoryUpsertTarget,
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    start_combine_stream,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+CUR_COLS = [
+    "thing_key", "thing_type", "id", "created_at", "score", "num_comments",
+    "title_sanitized", "author_hash", "permalink", "subreddit", "flair_text",
+]
+
+
+def _write_current(path: str, rows: list[list[str]]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CUR_COLS)
+        w.writerows(rows)
+
+
+def _write_legacy(path: str, rows: list[list[str]]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "author", "title", "score", "num_comments", "created_at", "permalink"])
+        w.writerows(rows)
+
+
+def _row(key: str, score: str, title: str) -> list[str]:
+    return [key, "t3", f"id-{key}", "2026-08-13T00:00:00Z", score, "1",
+            title, f"h-{key}", f"/r/x/{key}", "S", ""]
+
+
+@pytest.fixture()
+def stream_cfg(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    return EngineConfig(
+        gdpr_salt="test-salt",
+        data_dir=str(data),
+        combine_dir=str(tmp_path / "combined"),
+        loaded_dir=str(tmp_path / "loaded"),
+    )
+
+
+def _drain(spark, cfg, ckpt, target):
+    q = start_combine_stream(spark, cfg, ckpt, target.merge)
+    q.awaitTermination()
+
+
+def test_combine_stream_matches_batch_then_upserts(spark, stream_cfg, tmp_path):
+    cfg = stream_cfg
+    _write_current(os.path.join(cfg.data_dir, "italytravel_a.csv"),
+                   [_row("k1", "5", "first"), _row("k2", "9", "other")])
+    # duplicate k1 in a later file — first-wins within the batch
+    _write_current(os.path.join(cfg.data_dir, "italytravel_b.csv"),
+                   [_row("k1", "77", "later-должен-проиграть")])
+    _write_legacy(os.path.join(cfg.data_dir, "italytravel_c.csv"),
+                  [["zzz", "someone", "legacy row", "3", "0",
+                    "2026-08-13T01:00:00Z", "/r/x/zzz"]])
+
+    ckpt = str(tmp_path / "ckpt")
+    target = MemoryUpsertTarget()
+    _drain(spark, cfg, ckpt, target)
+
+    got = {r["thing_key"]: r.asDict() for r in target.df(spark).collect()}
+    assert len(got) == 3  # k1, k2, derived key for legacy zzz
+    assert got["k1"]["score"] == "5"  # first file won
+    assert got["k1"]["title_sanitized"] == "first"
+    # inbox drained, files archived (A11 parity)
+    assert sorted(os.listdir(cfg.data_dir)) == []
+    assert len(os.listdir(cfg.loaded_dir)) == 3
+
+    # second tick: new file updates k1's mutable cols, immutables persist
+    _write_current(os.path.join(cfg.data_dir, "italytravel_d.csv"),
+                   [["k1", "t3", "SHOULD-NOT-WIN", "2099-01-01T00:00:00Z", "50",
+                     "8", "updated title", "hX", "/r/x/NEW", "S2", "F"],
+                    _row("k9", "4", "brand new")])
+    _drain(spark, cfg, ckpt, target)
+
+    got = {r["thing_key"]: r.asDict() for r in target.df(spark).collect()}
+    assert len(got) == 4
+    assert got["k1"]["score"] == "50"  # updatable (README.md:188-195)
+    assert got["k1"]["title_sanitized"] == "updated title"
+    assert got["k1"]["id"] == "id-k1"  # immutable preserved
+    assert got["k1"]["created_at"] == "2026-08-13T00:00:00Z"
+    assert got["k9"]["score"] == "4"
+
+    # third tick with NOTHING new: no change, nothing re-processed
+    _drain(spark, cfg, ckpt, target)
+    assert len(target.df(spark).collect()) == 4
+
+
+def test_tumbling_counts_stream_equals_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+
+    stream = tumbling_counts(read_events_stream(spark, str(src)))
+    run_available_now(stream, str(tmp_path / "ckpt"), "t_tumbling")
+    got = spark.table("t_tumbling")
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dups"
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    base = load_table(spark, SF, "events").limit(50)
+    base.unionAll(base).write.parquet(str(src))  # every event delivered twice
+
+    stream = dedup_within_watermark(
+        read_events_stream(spark, str(src), nanos=False), ["event_id"], watermark="10 minutes"
+    )
+    run_available_now(stream, str(tmp_path / "ckpt"), "t_dedup")
+    assert spark.table("t_dedup").count() == 50
