@@ -940,6 +940,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def all_specs() -> list[QuerySpec]:
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml  # noqa: F401  (registers SPECS)
+    import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm  # noqa: F401  (registers SPECS)
 
     return list(SPECS)
 

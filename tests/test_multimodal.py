@@ -1,0 +1,105 @@
+"""Multimodal binary-column tests: the fake codec is deterministic, so
+every distributed result is asserted against a pure-Python recomputation
+of the same bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as MM
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF, "documents").limit(60)
+    return MM.media_from_documents(docs).persist()
+
+
+@pytest.fixture(scope="module")
+def docs_rows(spark):
+    return {
+        r["doc_id"]: (r["text"] or "")
+        for r in load_table(spark, SF, "documents").limit(60).collect()
+    }
+
+
+def test_media_schema_and_payload(media, docs_rows):
+    # same names and types (nullability flags differ between an expression
+    # output and a declared schema — irrelevant here)
+    assert [(f.name, f.dataType.simpleString()) for f in media.schema] == [
+        (f.name, f.dataType.simpleString()) for f in MM.MEDIA_SCHEMA
+    ]
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == set(docs_rows)
+    for mid, text in docs_rows.items():
+        r = rows[mid]
+        assert bytes(r["payload"]) == text.encode("utf-8")
+        assert r["kind"] == MM.KINDS[mid % 3]
+        assert r["meta"]["width"] == 16 + mid % 48
+        assert r["meta"]["n_frames"] == 1 + mid % 16
+
+
+def test_decode_stats_exact(media, docs_rows):
+    got = {r["media_id"]: r for r in MM.decode_stats(media).collect()}
+    for mid, text in docs_rows.items():
+        a = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        r = got[mid]
+        assert r["n_bytes"] == a.size
+        if a.size:
+            assert r["byte_mean"] == pytest.approx(float(a.mean()))
+            assert r["byte_min"] == int(a.min())
+            assert r["byte_max"] == int(a.max())
+
+
+def test_resize_image_exact(media, docs_rows):
+    out = MM.resize_image(media.filter(F.col("kind") == "image"), 8, 8)
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got, "expected image rows"
+    for mid, r in got.items():
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        w, h = 16 + mid % 48, 16 + mid % 32
+        grid = np.zeros(h * w, dtype=np.uint8)
+        src = np.frombuffer(docs_rows[mid].encode("utf-8"), dtype=np.uint8)[: h * w]
+        grid[: src.size] = src
+        grid = grid.reshape(h, w)
+        yi, xi = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+        assert bytes(r["payload"]) == grid[np.ix_(yi, xi)].tobytes()
+
+
+def test_sample_frames_exact(media, docs_rows):
+    frames = MM.sample_frames(media, every_k=2).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    video_ids = [mid for mid in docs_rows if mid % 3 == 2]
+    assert set(by_media) <= set(video_ids)
+    for mid in video_ids:
+        n = 1 + mid % 16
+        payload = docs_rows[mid].encode("utf-8")
+        flen = len(payload) // n
+        expected = {
+            i: payload[i * flen : (i + 1) * flen] for i in range(0, n, 2)
+        }
+        got = {r["frame_idx"]: bytes(r["frame"]) for r in by_media.get(mid, [])}
+        assert got == expected
+
+
+def test_payload_fingerprint_dedups_exact_copies(spark, media):
+    doubled = media.unionAll(media)
+    n_distinct = (
+        doubled.select(MM.payload_fingerprint("payload").alias("fp"))
+        .distinct()
+        .count()
+    )
+    base = media.select(MM.payload_fingerprint("payload").alias("fp")).distinct().count()
+    assert n_distinct == base
+
+
+def test_real_codec_gate_raises():
+    with pytest.raises(NotImplementedError):
+        MM._decode_real("image", b"x", {})
