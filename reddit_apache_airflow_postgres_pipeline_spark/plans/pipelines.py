@@ -103,6 +103,38 @@ def combine_pipeline(df: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 @dataclass(frozen=True)
+class FetchResult:
+    csv_path: str
+    rows: int
+
+
+def run_fetch(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    run_ts: str,
+    rows: list | None = None,
+) -> FetchResult:
+    """Materializing runner for §3.1 (DAG 1): fetch → hash/sanitize →
+    run-stamped atomic CSV. ``rows`` injects recorded listing rows
+    (fixture mode); when None, the live RedditSource fetches
+    (Fetch_reddit.py:261-276 semantics). ``run_ts`` is injected (A7)."""
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.reddit import (
+        RedditSource,
+        reddit_listing_df,
+    )
+
+    if rows is None:
+        rows = RedditSource(cfg.subreddit, cfg.limit).fetch_rows()
+    raw = reddit_listing_df(spark, rows)
+    out = fetch_transform(raw, cfg)
+    dest = os.path.join(cfg.data_dir, f"italytravel_{run_ts}.csv")
+    write_atomic_csv(out, dest, single_file=True)
+    return FetchResult(dest, len(rows))
+
+
+@dataclass(frozen=True)
 class CombineResult:
     combined_path: str
     rows: int
