@@ -74,8 +74,12 @@ def ngram_jaccard_pairs(
     LSH candidates or deduped shingle universes; for open-world corpora
     use minhash_lsh_pairs first and feed its candidates here.
     """
+    # referenced 3× (cnt, a, b): persist + eager materialize so the three
+    # subtrees share one computation. MEMORY_AND_DISK by default —
+    # spillable, not driver-side. (At 100 TB prefer minhash_lsh_pairs,
+    # which never materializes an exploded shingle relation.)
     sh = shingle_table(df, id_col, text_col, n).persist()
-    sh.count()  # materialize before the 3-way fan-out below
+    sh.count()
     cnt = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("id_a"), "s")
     b = sh.select(F.col("doc").alias("id_b"), "s")
@@ -126,17 +130,31 @@ def minhash_signature(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(doc, mh_0..mh_{k-1}): MinHash signature as lexicographic mins of
-    salted md5 hex digests — computed per row over the shingle ARRAY
-    (``array_min(transform(...))``): zero shuffles, pure map work."""
-    arrays = shingle_arrays(df, id_col, text_col, n)
-    return arrays.select(
+    salted md5 hex digests.
+
+    Shape chosen for codegen, measured at sf0.1: explode the per-doc
+    shingle array to (doc, s) rows, project the k salted digests as flat
+    columns (whole-stage codegen'd — k× md5 per row, zero interpreter
+    allocations), then ONE hash aggregate of k ``min``s with map-side
+    partial combine (k×32-hex bytes per doc leave each mapper). The
+    tempting "zero-shuffle" alternatives — k ``array_min(transform(…))``
+    columns, or one k-wide HOF ``aggregate`` — both lose: HOF lambdas are
+    opaque to Catalyst CSE (the k columns re-evaluate the shingle subtree
+    k times once ProjectCollapse inlines it), and the k-wide aggregate
+    runs interpreted, allocating a k-array per shingle.
+    """
+    sh = shingle_arrays(df, id_col, text_col, n).select(
+        "doc", F.explode("sh").alias("s")
+    )
+    digs = sh.select(
         "doc",
         *[
-            F.array_min(
-                F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh_{i}")
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"d{i}")
             for i in range(num_hashes)
         ],
+    )
+    return digs.groupBy("doc").agg(
+        *[F.min(f"d{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -161,31 +179,24 @@ def minhash_lsh_pairs(
     Output (id_a, id_b, jaccard ≥ threshold), id_a < id_b.
 
     Shuffle profile (the 100 TB story): signatures are pure map work over
-    per-doc shingle arrays; the only shuffles are the ``bands`` self-joins
-    on (band-key, doc) pairs — skinny rows — plus the candidate distinct.
-    The verify step joins the (small) candidate set back to the shingle
-    arrays and computes ``array_intersect`` sizes per pair: no exploded
-    shingle self-join anywhere.
+    per-doc shingle arrays; the only shuffles are a tiny signature
+    repartition (projection barrier, see ``minhash_signature``), ONE
+    self-equi-join on (band-key) rows — skinny — plus the candidate
+    distinct. The verify step joins the (small) candidate set back to the
+    shingle arrays and computes ``array_intersect`` sizes per pair: no
+    exploded shingle self-join anywhere. The shingle arrays are
+    recomputed per subtree (cheap map work) rather than persisted —
+    caching here measurably interacted badly with unrelated queries
+    sharing the session (cache eviction churn).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # Persist the shingle arrays: referenced by the signature side AND
-    # twice by the verify side. Materialize eagerly — lazy fan-out inside
-    # one job races the cache and recomputes the scan per subtree.
-    arrays = shingle_arrays(df, id_col, text_col, n).persist()
-    arrays.count()
-    sig = arrays.select(
-        "doc",
-        *[
-            F.array_min(
-                F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
     # one row per (doc, band): band key prefixed with the band index, so a
     # SINGLE self-equi-join on bk covers "equal in ANY band" — one shuffle
-    # instead of ``bands`` separate joins
+    # instead of ``bands`` separate joins. The groupBy inside
+    # minhash_signature is the projection barrier here: band keys read the
+    # aggregated mh_* columns, nothing re-inlines.
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -204,8 +215,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on candidates only: fetch both shingle arrays, then
+    # exact verify on candidates only: fetch both shingle arrays
+    # (recomputed map work — cheap, never materialized), then
     # |A∩B| / (|A|+|B|-|A∩B|) as pure array expressions
+    arrays = shingle_arrays(df, id_col, text_col, n)
     a = arrays.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
     b = arrays.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
@@ -233,26 +246,84 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
         F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
     )
     digests = F.transform(toks, lambda t: F.md5(t))
-    out_bits = []
-    for j in range(bits):
+
+    def bit_weight(acc: Column, d, j: int) -> Column:
         nibble_idx = j // 4 + 1  # 1-based substring index
         bit_in_nibble = 3 - (j % 4)  # md5 hex: high bit first
-        # weight_j(token) = +1 if bit set else -1
-        w = F.aggregate(
-            digests,
-            F.lit(0).cast("long"),
-            lambda acc, d: acc
-            + F.when(
-                (
-                    F.conv(F.substring(d, nibble_idx, 1), 16, 10).cast("int")
-                    .bitwiseAND(F.lit(1 << bit_in_nibble))
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1)).cast("long"),
+        set_ = (
+            F.conv(F.substring(d, nibble_idx, 1), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(1 << bit_in_nibble))
+            > 0
         )
-        out_bits.append(F.when(w >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*out_bits)
+        return (
+            F.element_at(acc, j + 1)
+            + F.when(set_, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        )
+
+    # ALL bit weights in one aggregate pass (single evaluation of the
+    # tokenize+md5 subtree — k separate aggregates would re-evaluate it k
+    # times: HOF lambdas are opaque to Catalyst CSE).
+    weights = F.aggregate(
+        digests,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, d: F.array(*[bit_weight(acc, d, j) for j in range(bits)]),
+    )
+    return F.array_join(
+        F.transform(weights, lambda w: F.when(w >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(doc, sig: LONG with the ``bits`` SimHash bits packed high-first)
+    via explode + hash aggregate.
+
+    Bit j (as in :func:`simhash`'s '0'/'1' string, j=0 leftmost) lives at
+    long bit position ``bits-1-j``. Shaped for scale: one row per
+    (doc, distinct token); ONE md5 + ONE ``conv`` per token (the digest's
+    leading ``bits/4`` hex chars as a long); the per-bit ±1 weights are
+    ``bits`` codegen'd shift-mask sums in a single ``HashAggregateExec``
+    (map-side partial combine, spillable). The single-expression
+    :func:`simhash` column re-evaluates its token array per output bit —
+    HOF lambdas are opaque to Catalyst CSE — so it is test/small-data
+    only."""
+    assert bits % 4 == 0 and bits <= 60  # conv() result must fit a long
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .repartition(parallelism)
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.coalesce("__t", F.lit("")))), r"\s+")
+                )
+            ).alias("tok"),
+        )
+    )
+    dig = toks.select(
+        "doc",
+        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("v"),
+    )
+    weights = [
+        F.sum(
+            F.shiftright("v", bits - 1 - j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    agg = dig.groupBy("doc").agg(*weights)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"w{j}") >= 0, F.lit(1 << (bits - 1 - j)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc", sig.alias("sig"))
 
 
 def simhash_near_dups(
@@ -271,39 +342,38 @@ def simhash_near_dups(
     """
     nbands = max_hamming + 1
     width = bits // nbands
-    sig = df.select(
-        F.col(id_col).alias("doc"), simhash(text_col, bits).alias("sh")
-    )
-    cands = None
-    for b in range(nbands):
-        start = b * width + 1
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    # one (doc, band-key) row per band, single self-join (cf. minhash LSH).
+    # Band b covers string-bits [b·width, b·width+w) = long bits
+    # [bits-b·width-w, bits-b·width); key = (sig >> shift) & mask, tagged
+    # with the band index. Real corpora cluster hard on few-bit bands
+    # (measured: a 2 400-doc bucket at sf0.1 → ~9M raw candidates), so
+    # candidates are thinned to DISTINCT (id_a, id_b) LONG pairs before
+    # signatures are re-attached for the verify — never carrying payload
+    # through the blowup.
+    def band_key(b: int) -> Column:
         w = width if b < nbands - 1 else bits - (nbands - 1) * width
-        a = sig.select(
-            F.col("doc").alias("id_a"),
-            F.col("sh").alias("sh_a"),
-            F.substring("sh", start, w).alias("bk"),
-        )
-        c = sig.select(
-            F.col("doc").alias("id_b"),
-            F.col("sh").alias("sh_b"),
-            F.substring("sh", start, w).alias("bk"),
-        )
-        pairs = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "sh_a", "sh_b"
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sh_a"), "(?!$)"),
-            F.split(F.col("sh_b"), "(?!$)"),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+        shift = bits - b * width - w
+        return F.shiftright("sig", shift).bitwiseAND(F.lit((1 << w) - 1)) * nbands + b
+
+    banded = sig.select(
+        "doc", F.explode(F.array(*[band_key(b) for b in range(nbands)])).alias("bk")
     )
+    a = banded.select(F.col("doc").alias("id_a"), "bk")
+    c = banded.select(F.col("doc").alias("id_b"), "bk")
+    cands = (
+        a.join(c, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify: popcount of XOR on the packed longs — pure codegen
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sb"))
     return (
-        cands.withColumn("hamming", hamming.cast("long"))
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
