@@ -132,7 +132,6 @@ def lsh_candidates(
     planes = hyperplanes(dim, bits_per_band * bands, seed)
     sig = vectors.select(
         F.col(id_col),
-        F.col(vec_col),
         *[
             srp_signature(
                 vec_col, planes[b * bits_per_band : (b + 1) * bits_per_band]
@@ -140,25 +139,118 @@ def lsh_candidates(
             for b in range(bands)
         ],
     )
-    cands = None
-    for b in range(bands):
-        a = sig.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("__va"),
-            F.col(f"bucket_{b}").alias("bk"),
-        )
-        c = sig.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("__vb"),
-            F.col(f"bucket_{b}").alias("bk"),
-        )
-        pairs = (
-            a.join(c, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    return cands.dropDuplicates(["id_a", "id_b"])
+    # one (id, band-tagged key) row per band → SINGLE self-join; the
+    # join and the distinct carry only skinny id pairs — the vector
+    # payload is re-attached by the caller AFTER the candidate blowup
+    # is thinned (cf. the same fix in neardup.simhash_near_dups)
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), F.col(f"bucket_{b}"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("doc"), F.explode(band_keys).alias("bk"))
+    a = banded.select(F.col("doc").alias("id_a"), "bk")
+    c = banded.select(F.col("doc").alias("id_b"), "bk")
+    thin = (
+        a.join(c, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return thin.join(va, "id_a").join(vb, "id_b")
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, cv): deterministic seed centroids — the ``n_cells`` corpus
+    vectors with the lowest ids. Real IVF would k-means-refine these;
+    refinement is iterative and non-deterministic across engines, so the
+    seeded variant IS the contract (documented, oracle-reproducible).
+    The quantizer quality changes recall, not the operator's shape."""
+    return corpus.orderBy(F.col(id_col)).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """(out_id, vec, cell): each vector's ``n_probe`` nearest cells by
+    cosine (rounded 6dp; ties broken by cell id — fully deterministic).
+
+    Map-only at any scale: centroids are broadcast, the cross join scores
+    ``n_cells`` cells per vector, and the per-vector top-n_probe is a
+    window over that small fan-out."""
+    from pyspark.sql import Window
+
+    scored = vectors.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(centroids)).withColumn(
+        "__cs", F.round(cosine(F.col("__v"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy(out_id).orderBy(F.desc("__cs"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_probe)
+        .select(out_id, F.col("__v").alias(vec_col), "cell")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
+    inverted lists, probe each query's ``n_probe`` nearest cells, exact
+    cosine only within probed cells.
+
+    The 100 TB story: assignment is map-only (broadcast centroids); the
+    search shuffles corpus and probes on ``cell`` — each query touches
+    ~n_probe/n_cells of the corpus instead of all of it, and cells are
+    the unit of partition-pruning when the assignment is written out
+    partitioned by cell. Recall < 1 when a true neighbor's cell isn't
+    probed — the standard IVF trade (n_probe is the knob).
+
+    Output (query_id, neighbor_id, score), ranked by (score desc,
+    neighbor_id) per query.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assign = ivf_assign(corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id")
+    probes = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id")
+    qv = probes.select("query_id", F.col(vec_col).alias("__qv"), "cell")
+    cv = assign.select("neighbor_id", F.col(vec_col).alias("__cv"), "cell")
+    score = F.round(cosine(F.col("__cv"), F.col("__qv")), round_digits)
+    scored = (
+        cv.join(qv, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
 
 
 def embedding_near_dups(

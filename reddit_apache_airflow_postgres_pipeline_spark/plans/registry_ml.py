@@ -247,6 +247,52 @@ def q_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    corpus_scored AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.cv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.cv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT neighbor_id, cvec, cell FROM corpus_scored WHERE rn = 1),
+    q_scored AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.cv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.cv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, qvec, cell FROM q_scored WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             round({_DOT_SQL.format(a='a.cvec', b='p.qvec')}
+               / ({_NORM_SQL.format(a='a.cvec')} * {_NORM_SQL.format(a='p.qvec')}), 6) AS score
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 5
+    """
+
+
+@_q("q_sim_ivf_knn", _IVF_SQL)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 8 query vectors (16 cells, 4 probes) —
+    the scale path: each query scans ~n_probe/n_cells of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_knn(
+        e, e.filter(F.col("vec_id") < 8), n_cells=16, n_probe=4, k=5
+    )
+
+
 @_q(
     "q_sim_label_centroid_dist",
     f"""
