@@ -934,6 +934,140 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins beyond equi: range/band join, as-of join
+# ---------------------------------------------------------------------------
+
+_BANDS = [(900.0 + 20 * i, 920.0 + 20 * i, f"b{i}") for i in range(5)]
+
+
+@_q(
+    "q_join_range_bands",
+    f"""
+    WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)})
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against a broadcast interval dimension —
+    the scalable non-equi pattern (broadcast nested-loop over a tiny
+    interval table; never a fact×fact theta join)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _dsum("p_retailprice").alias("sum_price"),
+        )
+    )
+
+
+@_q(
+    "q_join_asof",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, 1 AS side, event_id,
+             NULL::BIGINT AS r_event, NULL::DOUBLE AS r_value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, event_id, value
+      FROM events WHERE event_type = 'view'),
+    carried AS (
+      SELECT user_id, ts, side, event_id,
+             last_value(r_event IGNORE NULLS) OVER w AS view_event_id,
+             round(last_value(r_value IGNORE NULLS) OVER w, 2) AS view_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           view_event_id, view_value
+    FROM carried WHERE side = 1
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event paired with the user's most recent
+    prior view (operators/asof.py — union + ordered window, one linear
+    shuffle, no range-scan blowup)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"),
+        F.round("value", 2).alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, on="user_id", right_cols=["view_event_id", "view_value"],
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", _fmt_ts("ts").alias("ts"),
+        "view_event_id", "view_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles & cardinality sketches
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). Exact percentile sorts within each group —
+    at 100 TB switch to ``approx_percentile`` (t-digest, mergeable
+    map-side sketch); declared separately because approx results are not
+    oracle-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.expr(
+        "percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.9D, 0.99D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("p50"),
+            F.round(F.element_at("__p", 2), 4).alias("p90"),
+            F.round(F.element_at("__p", 3), 4).alias("p99"),
+        )
+    )
+
+
+@_q("q_approx_count_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality per group next to the exact count —
+    rows-only driver check (sketches are engine-specific); the pytest
+    asserts relative error < 5%. At 100 TB the sketch is the only sane
+    option: fixed memory, mergeable map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Accessors (import registry_ml for its registration side effects)
 # ---------------------------------------------------------------------------
 

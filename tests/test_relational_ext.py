@@ -1,0 +1,46 @@
+"""Extended relational operators: as-of join exactness on a controlled
+fixture, approx_count_distinct error bound."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_exact(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"), "L1"),
+         (1, _ts("2026-01-01T12:00:00"), "L2"),
+         (2, _ts("2026-01-01T09:00:00"), "L3"),
+         (3, _ts("2026-01-01T09:00:00"), "L4")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T09:30:00"), "R1"),
+         (1, _ts("2026-01-01T11:00:00"), "R2"),
+         (1, _ts("2026-01-01T12:00:00"), "R3"),  # equal ts -> inclusive match
+         (2, _ts("2026-01-01T09:30:00"), "R4")],  # after L3 -> no match
+        ["k", "ts", "rv"],
+    )
+    out = {r["lv"]: r["rv_asof"] for r in asof_join(left, right, on="k").collect()}
+    assert out == {"L1": "R1", "L2": "R3", "L3": None, "L4": None}
+
+
+def test_approx_count_distinct_error(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import queries
+
+    rows = queries()["q_approx_count_distinct"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel < 0.05, r
