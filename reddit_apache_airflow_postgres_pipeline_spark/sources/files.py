@@ -53,6 +53,35 @@ def list_inbox(data_dir: str, prefix: str = "", suffix: str = ".csv") -> list[st
     ]
 
 
+def resolve_latest(
+    data_dir: str,
+    exact: str | None = None,
+    prefix: str = "",
+    suffix: str = ".csv",
+    max_age_s: float = 1800.0,
+    now: float | None = None,
+) -> str | None:
+    """A12 (gen-1 file-arrival sensor path resolver, SURVEY.md §2.A):
+    prefer the exact expected filename; otherwise the newest
+    prefix/suffix match whose mtime is within ``max_age_s`` (30 min in
+    the reference). Returns None when nothing qualifies — the caller's
+    sensor/trigger loop keeps polling (streaming mode subsumes this with
+    the checkpointed file source)."""
+    import time as _time
+
+    if exact:
+        p = os.path.join(data_dir, exact)
+        if os.path.isfile(p):
+            return p
+    now = _time.time() if now is None else now
+    best: tuple[float, str] | None = None
+    for p in list_inbox(data_dir, prefix, suffix):
+        mtime = os.path.getmtime(p)
+        if now - mtime <= max_age_s and (best is None or mtime > best[0]):
+            best = (mtime, p)
+    return best[1] if best else None
+
+
 def read_csv_inbox(
     spark: SparkSession,
     data_dir: str,

@@ -44,3 +44,21 @@ def test_approx_count_distinct_error(spark):
     for r in rows:
         rel = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
         assert rel < 0.05, r
+
+
+def test_resolve_latest(tmp_path):
+    import os
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.files import resolve_latest
+
+    d = str(tmp_path)
+    for name, age in [("italytravel_a.csv", 100), ("italytravel_b.csv", 50),
+                      ("italytravel_old.csv", 3000), ("other.txt", 10)]:
+        p = os.path.join(d, name)
+        open(p, "w").write("x")
+        os.utime(p, (1_000_000 - age, 1_000_000 - age))
+    # exact wins even when older
+    assert resolve_latest(d, exact="italytravel_a.csv", now=1_000_000).endswith("_a.csv")
+    # else newest within the 30-min window (old one excluded, txt filtered)
+    assert resolve_latest(d, prefix="italytravel_", now=1_000_000).endswith("_b.csv")
+    # nothing within window
+    assert resolve_latest(d, prefix="italytravel_", max_age_s=10, now=1_000_000) is None
