@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 LONG_DIGITS_RE = r"[0-9]{7,}"
 
+# Python's ``\s`` (and ``str.strip()``) character set, spelled out for the
+# JVM regex engine: Java ``\s`` is ASCII-only ([ \t\n\x0B\f\r]) and even
+# ``(?U)`` diverges on no-break spaces, while the reference's
+# ``re.sub(r"\s+", …)`` matches full Unicode whitespace including the
+# C0 separators \x1c-\x1f (property-tested parity, F3).
+PY_WHITESPACE_RE = (
+    "[ \\t\\n\\x0B\\f\\r\\x1c-\\x1f\\x85\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -66,7 +76,9 @@ def sanitize_title(col: Column | str, max_len: int = 300) -> Column:
     """
     c = F.coalesce(_col(col).cast("string"), F.lit(""))
     c = F.regexp_replace(c, r"\n", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    # Python-\s parity (see PY_WHITESPACE_RE); after the collapse only
+    # plain spaces remain, so trim == Python str.strip() here
+    c = F.regexp_replace(c, PY_WHITESPACE_RE + "+", " ")
     c = F.trim(c)
     c = F.regexp_replace(c, EMAIL_RE, "[redacted-email]")
     c = F.regexp_replace(c, LONG_DIGITS_RE, "[redacted-number]")
@@ -111,6 +123,13 @@ def safe_int(col: Column | str, default: int = 0) -> Column:
 
     Python ``int('3.5')`` raises → default; ``try_cast`` to int has the
     same string-strictness. Returns LongType for 100 TB-scale counters.
+
+    Known, accepted divergence from CPython ``int()``: non-ASCII decimal
+    digits (``int('٣') == 3``) and digit-group underscores
+    (``int('1_0') == 10``) are rejected here → default, as are values
+    outside int64 (Python ints are unbounded). The wire formats feeding
+    this cast (Reddit JSON, our own CSVs) only ever carry ASCII int32
+    counters, so parity is scoped accordingly (property-tested).
     """
     return F.coalesce(F.trim(_col(col).cast("string")).try_cast("long"), F.lit(default))
 

@@ -1,0 +1,176 @@
+"""Property-based tests (SURVEY.md §5.2): each tricky expression is
+compared against an independent pure-Python implementation of the
+reference's row semantics over hypothesis-generated inputs.
+
+One Spark job per example would be minutes-slow, so each hypothesis
+example is a BATCH of generated strings evaluated in one DataFrame pass
+(max_examples kept small; each example covers hundreds of values).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.functions import expr as E
+from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import dedup_first
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# surrogate-free text (Spark/Arrow reject lone surrogates, as does UTF-8)
+text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+maybe_text = st.one_of(st.none(), text)
+
+
+def _run(spark, vals, col_expr):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v string"
+    )
+    rows = df.select("i", col_expr.alias("o")).collect()
+    return [r["o"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+# --- F4: salted sha256 ----------------------------------------------------
+
+
+def _py_hash(salt: str, v: str | None) -> str:
+    if not v:
+        return ""
+    return hashlib.sha256((salt + str(v)).encode("utf-8")).hexdigest()
+
+
+@given(vals=st.lists(maybe_text, min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_salted_sha256_property(spark, vals):
+    got = _run(spark, vals, E.salted_sha256(F.col("v"), "salt-π"))
+    assert got == [_py_hash("salt-π", v) for v in vals]
+
+
+# --- F3: sanitize chain ---------------------------------------------------
+
+
+def _py_sanitize(v: str | None, max_len: int = 300) -> str:
+    s = (v or "").replace("\n", " ")
+    s = re.sub(r"\s+", " ", s)
+    s = s.strip()
+    s = re.sub(E.EMAIL_RE, "[redacted-email]", s)
+    s = re.sub(E.LONG_DIGITS_RE, "[redacted-number]", s)
+    return s[:max_len]
+
+
+dirty = st.text(
+    alphabet=st.one_of(
+        st.characters(blacklist_categories=("Cs",)),
+        st.sampled_from(list("\n\t  @.0123456789abc")),
+    ),
+    max_size=80,
+)
+
+
+@given(vals=st.lists(st.one_of(st.none(), dirty), min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_sanitize_title_property(spark, vals):
+    got = _run(spark, vals, E.sanitize_title(F.col("v")))
+    want = [_py_sanitize(v) for v in vals]
+    assert got == want
+
+
+# --- F7: int cast with default -------------------------------------------
+
+
+def _py_safe_int(v: str | None, default: int = 0) -> int:
+    try:
+        n = int(str(v).strip())
+    except (TypeError, ValueError):
+        return default
+    # engine scope: 64-bit counters; Python's unbounded int out of range
+    # → default (expr.safe_int docstring)
+    return n if -(2**63) <= n < 2**63 else default
+
+
+# ASCII-scoped on purpose: CPython int() additionally accepts non-ASCII
+# decimal digits and digit-group underscores; the engine documents that
+# divergence (wire formats are ASCII) — see expr.safe_int.
+num_like = st.one_of(
+    st.none(),
+    st.integers(-(10**12), 10**12).map(str),
+    st.sampled_from(["", " 42 ", "3.5", "abc", "+7", "-0", "1e3", "  ", "9" * 25]),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20),
+)
+
+
+@given(vals=st.lists(num_like, min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_safe_int_property(spark, vals):
+    got = _run(spark, vals, E.safe_int(F.col("v")))
+    assert got == [_py_safe_int(v) for v in vals]
+
+
+# --- F9/F10: permalink normalization and falsy-or -------------------------
+
+
+@given(vals=st.lists(maybe_text, min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_normalize_permalink_property(spark, vals):
+    got = _run(spark, vals, E.normalize_permalink(F.col("v")))
+    want = [re.sub("/+$", "", (v or "").strip().lower()) for v in vals]
+    assert got == want
+
+
+@given(
+    pairs=st.lists(st.tuples(maybe_text, maybe_text), min_size=1, max_size=200),
+    default=text,
+)
+@settings(**SETTINGS)
+def test_falsy_or_property(spark, pairs, default):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a string, b string",
+    )
+    rows = df.select(
+        "i", E.falsy_or("a", "b", default=default).alias("o")
+    ).collect()
+    got = [r["o"] for r in sorted(rows, key=lambda r: r["i"])]
+    assert got == [(a or b or default) for a, b in pairs]
+
+
+# --- D1: first-wins dedup is exactly min-by-order -------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.integers(0, 3),  # file_seq
+            st.integers(0, 50),  # row_seq
+            st.integers(),  # payload
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_first_property(spark, rows):
+    # make (key, file_seq, row_seq) unique — the operator's precondition
+    # (the inbox scan's lineage is unique by construction)
+    uniq = {(k, f, r): p for k, f, r, p in rows}
+    data = [(k, f, r, p) for (k, f, r), p in uniq.items()]
+    df = spark.createDataFrame(data, ["k", "file_seq", "row_seq", "p"])
+    got = {
+        r["k"]: (r["file_seq"], r["row_seq"], r["p"])
+        for r in dedup_first(df, "k", ["file_seq", "row_seq"]).collect()
+    }
+    want: dict[int, tuple[int, int, int]] = {}
+    for k, f, r, p in sorted(data, key=lambda t: (t[0], t[1], t[2])):
+        want.setdefault(k, (f, r, p))
+    assert got == want
