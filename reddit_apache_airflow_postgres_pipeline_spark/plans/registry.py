@@ -720,7 +720,8 @@ _REF_SALT = "oracle-salt"
     f"""
     SELECT doc_id,
            substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             coalesce(text, ''), '\\n', ' ', 'g'), '\\s+', ' ', 'g'),
+             coalesce(text, ''), '\\n', ' ', 'g'),
+             '[ \\t\\n\\x0B\\f\\r\\x1c-\\x1f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]+', ' ', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[redacted-email]', 'g'),
              '[0-9]{{7,}}', '[redacted-number]', 'g')), 1, 120) AS title_sanitized,
            CASE WHEN source IS NULL OR source = '' THEN ''
@@ -1051,6 +1052,50 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("__p", 2), 4).alias("p90"),
             F.round(F.element_at("__p", 3), 4).alias("p99"),
         )
+    )
+
+
+@_q(
+    "q_skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 4) AS avg_price,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a genuinely skewed key (3 return
+    flags across the whole fact table) — result-identical to the plain
+    group-by, but hot keys fan out over 16 reducers in phase 1
+    (operators/skew.py). The oracle IS the plain group-by."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__qty", _dec("l_quantity")
+    ).withColumn("__price", _dec("l_extendedprice"))
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs=[
+            Agg("count", None, "n_rows"),
+            Agg("sum", "__qty", "sum_qty"),
+            Agg("avg", "__price", "avg_price"),
+            Agg("min", "l_partkey", "min_part"),
+            Agg("max", "l_partkey", "max_part"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.round(F.col("avg_price").cast("double"), 4).alias("avg_price"),
+        "min_part",
+        "max_part",
     )
 
 

@@ -62,3 +62,38 @@ def test_resolve_latest(tmp_path):
     assert resolve_latest(d, prefix="italytravel_", now=1_000_000).endswith("_b.csv")
     # nothing within window
     assert resolve_latest(d, prefix="italytravel_", max_age_s=10, now=1_000_000) is None
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from pyspark.sql import functions as F
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r["l_returnflag"]: r.asDict()
+        for r in salted_agg(
+            li, ["l_returnflag"],
+            [Agg("count", None, "n"), Agg("sum", "l_quantity", "s"),
+             Agg("avg", "l_discount", "a"), Agg("min", "l_partkey", "mn"),
+             Agg("max", "l_partkey", "mx")],
+            buckets=7,
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r.asDict()
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("s"),
+            F.avg("l_discount").alias("a"), F.min("l_partkey").alias("mn"),
+            F.max("l_partkey").alias("mx"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for c in ["n", "s", "mn", "mx"]:
+            assert got[k][c] == want[k][c], (k, c)
+        assert got[k]["a"] == pytest.approx(want[k]["a"], rel=1e-12)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-algebraic"):
+        salted_agg(li, ["l_returnflag"], [Agg("median", "l_quantity", "m")])
