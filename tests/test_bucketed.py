@@ -1,0 +1,44 @@
+"""Bucketed-table co-location: the join over two same-bucketed tables
+must plan with ZERO Exchange operators (no shuffle), and its result must
+equal the plain join."""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import colocated_join, write_bucketed
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8,
+                   str(base / "orders"), sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8,
+                   str(base / "lineitem"), sort_cols=["l_orderkey"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_no_shuffle_and_correct(spark, bucketed_tables):
+    j = colocated_join(
+        spark, "orders_b", "lineitem_b", on=[("o_orderkey", "l_orderkey")]
+    ).select("o_orderkey", "l_quantity")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+    # equality against the plain (shuffled) join
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    want = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select("o_orderkey", "l_quantity")
+    assert j.count() == want.count()
+    assert j.exceptAll(want).count() == 0 and want.exceptAll(j).count() == 0
