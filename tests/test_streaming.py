@@ -146,3 +146,44 @@ def test_dedup_within_watermark(spark, tmp_path):
     )
     run_available_now(stream, str(tmp_path / "ckpt"), "t_dedup")
     assert spark.table("t_dedup").count() == 50
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.stateful import user_totals_stream
+
+    src = tmp_path / "ev"
+    base = load_table(spark, SF, "events").limit(500)
+    base.write.parquet(str(src))
+
+    stream = user_totals_stream(read_events_stream(spark, str(src), nanos=False))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last row per user = final totals; single batch -> rows are final
+    got = {
+        r["user_id"]: r
+        for r in spark.table("t_user_totals").collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in base.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid]["n_events"] == want[uid]["n_events"]
+        assert got[uid]["n_purchases"] == want[uid]["n_purchases"]
+        assert abs(got[uid]["total_value"] - want[uid]["total_value"]) < 1e-6
