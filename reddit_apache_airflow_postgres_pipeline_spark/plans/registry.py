@@ -1084,16 +1084,21 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             Agg("count", None, "n_rows"),
             Agg("sum", "__qty", "sum_qty"),
-            Agg("avg", "__price", "avg_price"),
+            Agg("sum", "__price", "sum_price"),
+            Agg("count", "__price", "n_price"),
             Agg("min", "l_partkey", "min_part"),
             Agg("max", "l_partkey", "max_part"),
         ],
     )
+    # avg re-derived as DOUBLE sum / count — decimal-division rounding
+    # differs from the oracle's double division at the 4dp boundary
     return out.select(
         "l_returnflag",
         "n_rows",
         F.col("sum_qty").cast("double").alias("sum_qty"),
-        F.round(F.col("avg_price").cast("double"), 4).alias("avg_price"),
+        F.round(
+            F.col("sum_price").cast("double") / F.col("n_price"), 4
+        ).alias("avg_price"),
         "min_part",
         "max_part",
     )
