@@ -144,9 +144,14 @@ def build_url(permalink: Column | str) -> Column:
 
 def normalize_permalink(col: Column | str) -> Column:
     """strip → lower → drop trailing ``/``s; empty→``''`` (F9,
-    Combine_send_to_postgresql.py:49-56)."""
+    Combine_send_to_postgresql.py:49-56). Strip matches Python
+    ``str.strip()``'s full Unicode whitespace set (PY_WHITESPACE_RE),
+    not SQL trim's space-only set."""
     c = F.coalesce(_col(col).cast("string"), F.lit(""))
-    return F.regexp_replace(F.lower(F.trim(c)), "/+$", "")
+    stripped = F.regexp_replace(
+        c, f"^{PY_WHITESPACE_RE}+|{PY_WHITESPACE_RE}+$", ""
+    )
+    return F.regexp_replace(F.lower(stripped), "/+$", "")
 
 
 def thing_key_fallback(
