@@ -42,3 +42,28 @@ def test_bucketed_join_no_shuffle_and_correct(spark, bucketed_tables):
     ).select("o_orderkey", "l_quantity")
     assert j.count() == want.count()
     assert j.exceptAll(want).count() == 0 and want.exceptAll(j).count() == 0
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.parquet import write_partitioned
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, ["event_type"], max_records_per_file=10_000)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("event_type=")
+    ) == sorted(f"event_type={t}" for t in
+                ["click", "error", "purchase", "signup", "view"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # pruned at the partition level — the predicate is a PartitionFilter,
+    # not a post-scan data filter
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
