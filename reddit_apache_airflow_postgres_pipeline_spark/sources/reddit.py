@@ -184,3 +184,29 @@ def reddit_listing_df(
 ) -> DataFrame:
     """Materialize fetched rows as the REDDIT_RAW relation."""
     return spark.createDataFrame(rows, REDDIT_RAW)
+
+
+def listing_json_df(spark: SparkSession, payloads: list[str | bytes]) -> DataFrame:
+    """Distributed parse of raw listing payloads: the F1 nested
+    projection as a Spark plan — ``from_json`` with the declared
+    REDDIT_LISTING schema, ``explode(data.children)``, project
+    ``.data.*`` (SURVEY.md §1.1).
+
+    ``parse_listing``/``fetch_rows`` is the driver-side row path for
+    interactive fetches; THIS is the shape for bulk archives (a directory
+    of listing JSON files — swap the literal payload column for
+    ``spark.read.text(dir)`` and the same plan applies)."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.schemas import REDDIT_LISTING
+
+    raw = spark.createDataFrame(
+        [(p.decode() if isinstance(p, bytes) else p,) for p in payloads],
+        "payload string",
+    )
+    parsed = raw.select(
+        F.from_json("payload", REDDIT_LISTING).alias("j")
+    )
+    return parsed.select(
+        F.explode("j.data.children").alias("c")
+    ).select("c.data.*")

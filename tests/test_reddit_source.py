@@ -144,3 +144,21 @@ def test_run_fetch_pipeline(spark, tmp_path):
     # fullname fallback: row with name=None derives t3_def
     assert by_id[h("def")]["thing_key"] == h("t3_def")
     assert by_id[h("def")]["flair_text"] == ""
+
+
+def test_listing_json_df_matches_driver_parse(spark):
+    payload = _listing(POSTS)
+    df = R.listing_json_df(spark, [payload])
+    got = sorted([r.asDict() for r in df.collect()], key=lambda r: r["id"])
+    want = sorted(R.parse_listing(payload, limit=99), key=lambda r: r["id"])
+    assert [r["id"] for r in got] == [r["id"] for r in want]
+    for g, w in zip(got, want):
+        for k in ["name", "title", "author", "permalink", "score",
+                  "num_comments", "created_utc", "link_flair_text"]:
+            assert g[k] == w[k], (k, g, w)
+    # transform chain accepts the json-path relation unchanged
+    from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import fetch_transform
+
+    out = fetch_transform(df, EngineConfig(gdpr_salt="test-salt"))
+    assert out.count() == 3 and "thing_key" in out.columns
