@@ -140,6 +140,10 @@ class CombineResult:
     rows: int
     used_files: list[str]
     archived: list[str]
+    # O6 observability: plan-side metrics captured by df.observe() during
+    # the count action — no extra job, no extra scan.
+    rows_scanned: int = 0
+    rows_deduped_or_dropped: int = 0
 
 
 def run_combine(
@@ -154,15 +158,28 @@ def run_combine(
     never call now())."""
     import os
 
+    from pyspark.sql import Observation
+
     scan = read_csv_inbox(spark, cfg.data_dir, cfg.csv_glob_prefix)
     if not scan.files and not scan.skipped:
         raise FileNotFoundError(f"no CSV files found in {cfg.data_dir}")
-    combined = combine_pipeline(scan.df, cfg)
+    # O6: observe() rides the count action — scanned/dropped metrics with
+    # zero extra jobs (the reference logs the same counts,
+    # Combine_send_to_postgresql.py:202-205)
+    obs = Observation("combine")
+    observed = scan.df.observe(obs, F.count(F.lit(1)).alias("rows_scanned"))
+    combined = combine_pipeline(observed, cfg)
     dest = os.path.join(cfg.combine_dir, f"italytravel_combined_{run_ts}.csv")
     n = combined.count()
+    metrics = obs.get if n >= 0 else {}
+    scanned = int(metrics.get("rows_scanned", 0))
     if n == 0:
         archive_files(scan.files + scan.skipped, cfg.loaded_dir)
         raise ValueError("no valid rows found in any CSV file")
     write_atomic_csv(combined, dest, single_file=True)
     archived = archive_files(scan.files + scan.skipped, cfg.loaded_dir)
-    return CombineResult(dest, n, scan.files, archived)
+    return CombineResult(
+        dest, n, scan.files, archived,
+        rows_scanned=scanned,
+        rows_deduped_or_dropped=scanned - n if scanned >= n else 0,
+    )

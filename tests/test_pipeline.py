@@ -169,3 +169,29 @@ def test_fetch_transform_matches_reference(spark):
     assert r2["created_at"] == ""
     assert r2["score"] == ""
     assert r2["title_sanitized"] == ""
+
+
+def test_combine_observe_metrics(spark, tmp_path):
+    import csv as _csv
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import run_combine
+
+    cfg = EngineConfig(
+        gdpr_salt="test-salt",
+        data_dir=str(tmp_path / "d"),
+        combine_dir=str(tmp_path / "c"),
+        loaded_dir=str(tmp_path / "l"),
+    )
+    os.makedirs(cfg.data_dir)
+    with open(os.path.join(cfg.data_dir, "italytravel_m.csv"), "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["thing_key", "score"])
+        w.writerow(["k1", "1"])
+        w.writerow(["k1", "2"])   # dedup loser
+        w.writerow(["", "3"])     # dropped: no key and no id/permalink
+    res = run_combine(spark, cfg, "20260813T050000")
+    assert res.rows == 1
+    assert res.rows_scanned == 3
+    assert res.rows_deduped_or_dropped == 2
