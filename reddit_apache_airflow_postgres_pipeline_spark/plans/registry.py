@@ -934,6 +934,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_events_sliding_2h1h",
+    """
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS sum_value
+    FROM contrib GROUP BY ws, event_type
+    """,
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 2-hour windows every 1 hour — each event
+    lands in exactly two windows. Spark's ``window(ts, '2 hours',
+    '1 hour')``; the oracle materializes the two contributions per event
+    explicitly. Same transform runs under Structured Streaming with a
+    watermark (streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            _fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins beyond equi: range/band join, as-of join
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.streaming.events import (
     session_agg,
     tumbling_counts,
 )
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.stateful import user_totals_stream
 
 __all__ = [
     "MemoryUpsertTarget",
@@ -18,4 +19,5 @@ __all__ = [
     "run_available_now",
     "session_agg",
     "tumbling_counts",
+    "user_totals_stream",
 ]
