@@ -935,6 +935,60 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (rollup/cube have
+    DataFrame forms above; arbitrary set lists are SQL-first in Spark)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS rf,
+               coalesce(l_linestatus, '<all>') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@_q(
+    "q_array_agg",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           array_to_string(list(o_orderpriority ORDER BY o_orderpriority), ',')
+             AS priorities
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted list of order priorities,
+    serialized for cross-engine comparison (collect_list is
+    order-nondeterministic → array_sort makes it canonical)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderpriority")), ","
+            ).alias("priorities"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@_q(
     "q_events_sliding_2h1h",
     """
     WITH contrib AS (
