@@ -935,6 +935,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order totals by priority × status. Explicit value list —
+    at scale an unbounded ``pivot()`` first scans for distinct values
+    (extra job) and can explode the schema; pin the columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_dsum("o_totalprice"))
+    )
+
+
+@_q(
+    "q_unpivot_part",
+    """
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+      UNION ALL
+      SELECT 'retailprice', p_retailprice FROM part)
+    GROUP BY metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via ``stack`` (wide→long), then aggregate per metric —
+    the melt shape feature pipelines use before per-feature stats."""
+    p = load_table(spark, sf_dir, "part")
+    long = p.selectExpr(
+        "stack(2, 'size', CAST(p_size AS DOUBLE),"
+        " 'retailprice', p_retailprice) AS (metric, v)"
+    )
+    return long.groupBy("metric").agg(
+        F.count("*").alias("n"), _dsum("v").alias("total")
+    )
+
+
+@_q(
     "q_grouping_sets",
     """
     SELECT coalesce(l_returnflag, '<all>') AS rf,

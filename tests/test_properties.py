@@ -153,7 +153,7 @@ def test_falsy_or_property(spark, pairs, default):
             st.integers(0, 5),  # key
             st.integers(0, 3),  # file_seq
             st.integers(0, 50),  # row_seq
-            st.integers(),  # payload
+            st.integers(-(2**63), 2**63 - 1),  # payload (int64 column)
         ),
         min_size=1,
         max_size=200,
