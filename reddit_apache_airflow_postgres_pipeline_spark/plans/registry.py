@@ -935,6 +935,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_scd2_merge",
+    """
+    SELECT c_custkey AS k, c_mktsegment AS attr, 't0' AS valid_from,
+           CASE WHEN c_custkey % 3 = 0 THEN 't1' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MOVED', 't1', NULL FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge (operators/scd2.py): every third customer changes
+    segment — old version closed out at t1, new current version appended,
+    unchanged customers untouched. The oracle states the expected
+    end-state relation directly."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.scd2 import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit("t0").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = c.select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("attr"),
+    )
+    return scd2_apply(dim, upd, key="k", ts="t1")
+
+
+@_q(
     "q_pivot_status",
     """
     SELECT o_orderpriority,
