@@ -1,4 +1,40 @@
-from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import dedup_exact, dedup_first
+from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
+from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_first,
+    dedup_first_agg,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
+from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.operators.scd2 import scd2_apply
+from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+    embedding_near_dups,
+    ivf_knn,
+    knn_bruteforce,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg
 
-__all__ = ["dedup_exact", "dedup_first", "upsert_merge"]
+__all__ = [
+    "Agg",
+    "asof_join",
+    "dedup_exact",
+    "dedup_first",
+    "dedup_first_agg",
+    "embedding_near_dups",
+    "ivf_knn",
+    "knn_bruteforce",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "salted_agg",
+    "scd2_apply",
+    "simhash_near_dups",
+    "simhash_signatures",
+    "upsert_merge",
+]

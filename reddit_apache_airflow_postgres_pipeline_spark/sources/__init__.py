@@ -1,4 +1,16 @@
-from reddit_apache_airflow_postgres_pipeline_spark.sources.files import read_csv_inbox
+from reddit_apache_airflow_postgres_pipeline_spark.sources.files import (
+    list_inbox,
+    read_csv_inbox,
+    read_csv_paths,
+    resolve_latest,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table, load_tables
 
-__all__ = ["read_csv_inbox", "load_table", "load_tables"]
+__all__ = [
+    "list_inbox",
+    "load_table",
+    "load_tables",
+    "read_csv_inbox",
+    "read_csv_paths",
+    "resolve_latest",
+]
