@@ -133,26 +133,41 @@ def minhash_signature(
     salted md5 hex digests.
 
     Shape chosen for codegen, measured at sf0.1: explode the per-doc
-    shingle array to (doc, s) rows, project the k salted digests as flat
-    columns (whole-stage codegen'd — k× md5 per row, zero interpreter
-    allocations), then ONE hash aggregate of k ``min``s with map-side
-    partial combine (k×32-hex bytes per doc leave each mapper). The
-    tempting "zero-shuffle" alternatives — k ``array_min(transform(…))``
-    columns, or one k-wide HOF ``aggregate`` — both lose: HOF lambdas are
-    opaque to Catalyst CSE (the k columns re-evaluate the shingle subtree
-    k times once ProjectCollapse inlines it), and the k-wide aggregate
-    runs interpreted, allocating a k-array per shingle.
+    shingle array to (doc, s) rows, derive the k hash values, then ONE
+    hash aggregate of k ``min``s with map-side partial combine (k×8-hex
+    bytes per doc leave each mapper). The tempting "zero-shuffle"
+    alternatives — k ``array_min(transform(…))`` columns, or one k-wide
+    HOF ``aggregate`` — both lose: HOF lambdas are opaque to Catalyst CSE
+    (the k columns re-evaluate the shingle subtree k times once
+    ProjectCollapse inlines it), and the k-wide aggregate runs
+    interpreted, allocating a k-array per shingle.
+
+    Hash family: for k ≤ 12, ONE ``md5 || sha256`` digest per shingle
+    (96 hex chars) sliced into k independent 8-hex chunks — 2 hash calls
+    per shingle instead of k salted ones (~6× less hashing; both hex
+    alphabets are lowercase in Spark and DuckDB so the lexicographic min
+    agrees). Beyond 12, fall back to salted per-function md5.
     """
     sh = shingle_arrays(df, id_col, text_col, n).select(
         "doc", F.explode("sh").alias("s")
     )
-    digs = sh.select(
-        "doc",
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"d{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    if num_hashes <= 12:
+        dg = F.concat(F.md5("s"), F.sha2("s", 256))
+        digs = sh.select(
+            "doc",
+            *[
+                F.substring(dg, i * 8 + 1, 8).alias(f"d{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        digs = sh.select(
+            "doc",
+            *[
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"d{i}")
+                for i in range(num_hashes)
+            ],
+        )
     return digs.groupBy("doc").agg(
         *[F.min(f"d{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )

@@ -58,9 +58,17 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
     r = num_hashes // bands
-    mins = ",\n         ".join(
-        f"min(md5('{i}:' || s)) AS mh_{i}" for i in range(num_hashes)
-    )
+    # hash family must mirror operators.neardup.minhash_signature: one
+    # md5||sha256 digest sliced into 8-hex chunks for k <= 12
+    if num_hashes <= 12:
+        mins = ",\n         ".join(
+            f"min(substr(md5(s) || sha256(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            for i in range(num_hashes)
+        )
+    else:
+        mins = ",\n         ".join(
+            f"min(md5('{i}:' || s)) AS mh_{i}" for i in range(num_hashes)
+        )
     band_keys = ",\n         ".join(
         "concat_ws('|', "
         + ", ".join(f"mh_{b * r + i}" for i in range(r))
@@ -87,15 +95,16 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
     )
 
 
-@_q("q_dedup_minhash_lsh", _minhash_sql(16, 4, 0.7), headline=True)
+@_q("q_dedup_minhash_lsh", _minhash_sql(12, 4, 0.7), headline=True)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified at 0.7.
+    """MinHash(12) + 4-band LSH candidates, exact-Jaccard verified at 0.7.
 
     The oracle replays the identical signature construction (lexicographic
-    min over salted md5 hex) so even the *missed* pairs agree."""
+    min over md5||sha256 digest chunks) so even the *missed* pairs
+    agree."""
     d = load_table(spark, sf_dir, "documents")
     return neardup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
     )
 
 
