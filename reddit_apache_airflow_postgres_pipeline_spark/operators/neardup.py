@@ -318,6 +318,13 @@ def simhash_signatures(
                 )
             ).alias("tok"),
         )
+        # split(trim('')) yields [''] — drop it so empty/whitespace-only
+        # docs contribute zero rows and fall out of the groupBy entirely.
+        # Keeps the doc universe identical to the oracle's
+        # WHERE trim(lower(coalesce(text,''))) <> '' (registry_ml), and
+        # prevents all empty docs sharing one md5('') signature (an
+        # O(n²) identical-signature candidate blowup at scale).
+        .filter(F.col("tok") != "")
     )
     dig = toks.select(
         "doc",

@@ -88,15 +88,29 @@ def run_with_retries(
 
 def run_with_timeout(fn: Callable[[], T], timeout_s: float, job_name: str = "job") -> T:
     """Fail the run if ``fn`` exceeds ``timeout_s`` (dagrun_timeout O4).
-    Runs in a worker thread; on timeout raises TimeoutError (the Spark
-    job keeps its own cancellation semantics — callers owning a
-    SparkSession can follow up with ``sparkContext.cancelAllJobs``)."""
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(fn)
-        try:
-            return fut.result(timeout=timeout_s)
-        except concurrent.futures.TimeoutError:
-            raise TimeoutError(f"{job_name} exceeded {timeout_s:.0f}s") from None
+
+    Runs ``fn`` in a worker thread and returns control at the deadline:
+    the executor is shut down with ``wait=False`` on the timeout path
+    (a ``with`` block would call ``shutdown(wait=True)`` and block until
+    ``fn`` finishes on its own, defeating the deadline). The abandoned
+    worker thread keeps running ``fn`` to completion in the background —
+    Python threads can't be killed — so callers owning a SparkSession
+    should follow up with ``sparkContext.cancelAllJobs`` to stop any
+    Spark work the orphaned job submits."""
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix=f"{job_name}-timeout"
+    )
+    fut = pool.submit(fn)
+    try:
+        result = fut.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise TimeoutError(f"{job_name} exceeded {timeout_s:.0f}s") from None
+    except BaseException:
+        pool.shutdown(wait=False)
+        raise
+    pool.shutdown(wait=False)
+    return result
 
 
 def fetch_job(

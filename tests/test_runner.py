@@ -51,6 +51,25 @@ def test_run_with_timeout():
         R.run_with_timeout(lambda: time.sleep(2), timeout_s=0.2)
 
 
+def test_run_with_timeout_returns_promptly_for_hung_job():
+    # The deadline must be enforced even when fn outlives it by a lot:
+    # a `with ThreadPoolExecutor()` would block in shutdown(wait=True)
+    # until fn finished (10s here), delivering the TimeoutError late.
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="hung exceeded"):
+        R.run_with_timeout(lambda: time.sleep(10), timeout_s=0.2, job_name="hung")
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5, f"timeout delivered only after {elapsed:.1f}s (fn still running)"
+
+
+def test_run_with_timeout_propagates_fn_exception():
+    def boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        R.run_with_timeout(boom, timeout_s=5)
+
+
 def test_combine_load_job_end_to_end(spark, tmp_path):
     cfg = EngineConfig(
         gdpr_salt="test-salt",
