@@ -34,6 +34,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def decoded_input_file() -> F.Column:
+    """``input_file_name()`` decoded to the local filesystem path.
+
+    The builtin returns a percent-encoded ``file:`` URI, so a filename
+    with a space, ``%`` or non-ASCII char would fail a raw string
+    equi-join against a driver-side ``os.listdir`` listing (leaving
+    ``file_seq`` NULL — which sorts first and silently inverts the D1
+    first-wins precedence). Decode before joining. ``url_decode`` is
+    form-decoding (``+`` → space), but URIs encode a space as ``%20``
+    never ``+``, so any literal ``+`` is itself re-encoded to ``%2B``
+    first to round-trip exactly."""
+    stripped = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 @dataclass(frozen=True)
 class InboxScan:
     df: DataFrame
@@ -170,7 +185,7 @@ def read_csv_paths(
             .option("mode", "PERMISSIVE")
             .schema(schema)
             .csv(group)
-            .withColumn("_file", F.input_file_name())
+            .withColumn("_file", decoded_input_file())
             .withColumn("_mid", F.monotonically_increasing_id())
         )
         for c in all_cols:
@@ -182,9 +197,8 @@ def read_csv_paths(
     for p in parts[1:]:
         df = df.unionByName(p)
 
-    # input_file_name() returns a file URI; normalize to the local path for
-    # the join with the driver-side listing.
-    df = df.withColumn("_file", F.regexp_replace("_file", "^file:(//)?", ""))
+    # _file is already the decoded local path (decoded_input_file), so it
+    # equi-joins exactly with the driver-side listing.
     df = df.join(F.broadcast(seq_df), "_file", "left")
 
     from pyspark.sql import Window

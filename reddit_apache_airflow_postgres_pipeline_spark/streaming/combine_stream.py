@@ -47,7 +47,10 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert
 from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import combine_pipeline
 from reddit_apache_airflow_postgres_pipeline_spark.schemas import DB_COLUMNS, UPSERT_UPDATE_COLUMNS
 from reddit_apache_airflow_postgres_pipeline_spark.sinks.archive import archive_files
-from reddit_apache_airflow_postgres_pipeline_spark.sources.files import read_csv_paths
+from reddit_apache_airflow_postgres_pipeline_spark.sources.files import (
+    decoded_input_file,
+    read_csv_paths,
+)
 
 
 @dataclass
@@ -102,11 +105,11 @@ def start_combine_stream(
     names = reader.load(pattern)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # decoded_input_file: percent-decoded local paths, so names with
+        # spaces/%/non-ASCII re-read and archive correctly (cf. files.py).
         files = sorted(
             r["f"]
-            for r in batch_df.select(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias("f")
-            )
+            for r in batch_df.select(decoded_input_file().alias("f"))
             .distinct()
             .collect()
         )

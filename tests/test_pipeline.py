@@ -195,3 +195,42 @@ def test_combine_observe_metrics(spark, tmp_path):
     assert res.rows == 1
     assert res.rows_scanned == 3
     assert res.rows_deduped_or_dropped == 2
+
+
+def test_inbox_lineage_survives_special_filenames(spark, tmp_path):
+    """file_seq must be non-NULL for names input_file_name() percent-
+    encodes (space, %, +, non-ASCII) — a raw URI equi-join leaves them
+    NULL, which sorts first and silently inverts first-wins (ADVICE r01)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.files import read_csv_inbox
+
+    data = tmp_path / "data"
+    data.mkdir()
+    names = [
+        "italytravel_a with space.csv",
+        "italytravel_b%25literal.csv",
+        "italytravel_c+plus.csv",
+        "italytravel_dümlaut.csv",
+    ]
+    # same key everywhere: only the lexicographically-first file's row wins
+    for i, name in enumerate(sorted(names)):
+        write_csv(data / name, ["thing_key", "score"], [["k1", str(i)]])
+
+    scan = read_csv_inbox(spark, str(data), prefix="italytravel_")
+    rows = scan.df.select("_file", "file_seq", "row_seq", "score").collect()
+    assert len(rows) == 4
+    assert all(r.file_seq is not None for r in rows), rows
+    by_seq = {r.file_seq: (os.path.basename(r._file), r.score) for r in rows}
+    assert [by_seq[i][0] for i in range(4)] == sorted(names)
+    assert by_seq[0][1] == "0"
+
+    cfg = EngineConfig(
+        gdpr_salt=SALT,
+        data_dir=str(data),
+        combine_dir=str(tmp_path / "combined"),
+        loaded_dir=str(tmp_path / "loaded"),
+    )
+    res = run_combine(spark, cfg, "20260813T000000")
+    assert res.rows == 1
+    with open(res.combined_path) as fh:
+        combined = list(csv.DictReader(fh))
+    assert combined[0]["score"] == "0"  # first file won, not an arbitrary one
