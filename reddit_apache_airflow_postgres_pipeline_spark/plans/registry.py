@@ -1078,7 +1078,7 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           round(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM contrib GROUP BY ws, event_type
     """,
 )
@@ -1093,7 +1093,9 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-exact sum: double summation is order-dependent and
+            # Spark's partial-agg order differs from DuckDB's (ADVICE r01)
+            _dsum("value", 6).alias("sum_value"),
         )
         .select(
             _fmt_ts(F.col("w.start")).alias("window_start"),
