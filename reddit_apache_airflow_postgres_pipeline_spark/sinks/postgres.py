@@ -63,7 +63,19 @@ def build_upsert_statements(
     sets = ", ".join(f"{q_ident(c)} = EXCLUDED.{q_ident(c)}" for c in update_cols)
     if full_update:
         sets += ", ingested_at = NOW()"
-    # DDL per README.md:204-225.
+    # DDL per README.md:204-225. The gen-1 policy (full_update) also sets
+    # ingested_at = NOW() on update, so its DDL must carry the audit
+    # column — gen-1's recovered DDL has it (`ingested_at TIMESTAMPTZ NOT
+    # NULL DEFAULT NOW()`, dags/__pycache__/Reddit--CSV-to-Postgres
+    # bytecode, SURVEY.md §0.1), and it explains the 12th column in the
+    # production export redit_table_202509091827.csv:1. Without it the
+    # gen-1 statements raise undefined_column against a table this engine
+    # bootstrapped (VERDICT r01 "What's wrong" #1).
+    ingested = (
+        ",\n  ingested_at      TIMESTAMPTZ NOT NULL DEFAULT NOW()"
+        if full_update
+        else ""
+    )
     create_table = f"""
 CREATE TABLE IF NOT EXISTS {tgt} (
   thing_key        TEXT PRIMARY KEY,
@@ -76,7 +88,7 @@ CREATE TABLE IF NOT EXISTS {tgt} (
   author_hash      TEXT,
   permalink        TEXT,
   subreddit        TEXT,
-  flair_text       TEXT
+  flair_text       TEXT{ingested}
 )""".strip()
     return UpsertStatements(
         create_schema=f"CREATE SCHEMA IF NOT EXISTS {q_ident(cfg.pg_schema)}",
