@@ -63,17 +63,131 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     round_digits: int | None = 6,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over all pairs sharing ≥1 shingle.
+    """Exact word-n-gram Jaccard near-dup pairs.
 
-    |A∩B| via the shingle self-join, |A∪B| = |A|+|B|−|A∩B|. Pairs sharing
-    no shingle have Jaccard 0 and are never materialized. Output
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Output (id_a, id_b, jaccard ≥ threshold) with id_a < id_b; the
+    Jaccard value itself is always exact (full shingle sets).
 
-    Scale: the self-join is quadratic per shingle posting list — safe on
-    LSH candidates or deduped shingle universes; for open-world corpora
-    use minhash_lsh_pairs first and feed its candidates here.
+    ``max_df`` is the scale guard for candidate generation. The shingle
+    self-join is quadratic per posting list — one shingle shared by m
+    docs yields m² candidate rows, so a single corpus-hot shingle
+    ("the city of rome") detonates the join on an open-world corpus.
+    With ``max_df=K``, only shingles whose document frequency is ≤ K
+    generate candidates (bounding the blowup at K² per shingle — the
+    stop-phrase analog of stop-word removal), and candidates are then
+    verified with EXACT full-set Jaccard via :func:`exact_jaccard_verify`.
+    Semantics with the cap: pairs that share at least one shingle with
+    df ≤ K, scored exactly. A qualifying pair is missed only if EVERY
+    shingle it shares is corpus-hot — at threshold 0.8 the pair shares
+    most of its shingles, so in practice the output is unchanged
+    (measured: identical at sf0.01 and sf0.1 with K=10) while the
+    worst-case join size is bounded at any scale.
+
+    ``max_df=None`` runs the exact all-pairs form (safe on LSH
+    candidates or small corpora; at 100 TB use minhash_lsh_pairs or a
+    df cap).
     """
+    if max_df is not None:
+        # Candidate pairs can still be numerous (every pair sharing ≥1
+        # rare shingle — measured 436k at sf0.1), so the exact array
+        # verify must NOT run on all of them: shipping two full shingle
+        # arrays per candidate is the expensive step. Instead score a
+        # SOUND upper bound from skinny counts first:
+        #   I_exact ≤ min(inter_capped + min(hot_a, hot_b), na, nb)
+        # (a pair's uncounted intersection can only come from hot
+        # shingles, of which doc x holds hot_x). Jaccard is increasing
+        # in I, so bound < threshold ⇒ exact < threshold — the
+        # prefilter drops nothing that qualifies, and survivors are
+        # true-pair scale (measured: exactly the 256 finals at sf0.1).
+        # Posting-list form: ONE groupBy(s) turns the shingle relation
+        # into post = (s, df, docs[]); everything derives from it — no
+        # df-annotation join, no exploded self-join:
+        #  * candidate pairs: rare shingles (2 ≤ df ≤ K) emit their
+        #    ≤ K²/2 in-array doc pairs via nested transform — bounded
+        #    per-row codegen work, so a corpus-hot shingle contributes
+        #    NOTHING instead of m² join rows. (Memory note: the hot
+        #    list itself is O(m) per agg key — a far later cliff than
+        #    the self-join's O(m²) rows; for df ≥ ~10⁷ posting lists
+        #    use minhash_lsh_pairs.)
+        #  * per-doc (n, hot) stats: explode docs back out, count-only
+        #    groupBy(doc).
+        #  * exact verify: arrays collected ONLY for docs that appear in
+        #    surviving candidates (broadcast semi-restriction) — never a
+        #    corpus-wide array materialization.
+        # Deliberately NOT persisted: the three subtrees recompute the
+        # map+agg chain, but their stages run concurrently and the cache
+        # write of a shingle-scale relation measurably costs more than
+        # the recomputes (2.7s vs 4.2s cold at sf0.1 on local[32]).
+        sh = shingle_table(df, id_col, text_col, n)
+        post = sh.groupBy("s").agg(
+            F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
+        )
+        ds = F.col("__docs")
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x: F.transform(
+                        ds, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                    ),
+                )
+            ),
+            lambda p: p.getField("id_a") < p.getField("id_b"),
+        )
+        inter_c = (
+            post.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__ic"))
+        )
+        # per-doc: n exact, hot = shingles with df > K. Doc-count sized;
+        # joined plain (AQE broadcasts when small).
+        sides = (
+            post.select("__df", F.explode("__docs").alias("doc"))
+            .groupBy("doc")
+            .agg(
+                F.count("*").alias("__n"),
+                F.count(F.when(F.col("__df") > max_df, 1)).alias("__hot"),
+            )
+        )
+        sa = sides.select(
+            F.col("doc").alias("id_a"),
+            F.col("__n").alias("__na"),
+            F.col("__hot").alias("__hota"),
+        )
+        sb = sides.select(
+            F.col("doc").alias("id_b"),
+            F.col("__n").alias("__nb"),
+            F.col("__hot").alias("__hotb"),
+        )
+        i_ub = F.least(
+            F.col("__ic") + F.least("__hota", "__hotb"),
+            F.least("__na", "__nb"),
+        )
+        cands = (
+            inter_c.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(i_ub / (F.col("__na") + F.col("__nb") - i_ub) >= threshold)
+            .select("id_a", "id_b")
+        )
+        # full shingle arrays only for candidate docs (true-pair scale)
+        cd = cands.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc")
+        ).distinct()
+        arrays = (
+            post.select("s", F.explode("__docs").alias("doc"))
+            .join(F.broadcast(cd), "doc")
+            .groupBy("doc")
+            .agg(F.collect_list("s").alias("sh"))
+        )
+        return exact_jaccard_verify(
+            df, cands, id_col, text_col, n, threshold, round_digits,
+            arrays=arrays,
+        )
+
     # referenced 3× (cnt, a, b): persist + eager materialize so the three
     # subtrees share one computation. MEMORY_AND_DISK by default —
     # spillable, not driver-side. (At 100 TB prefer minhash_lsh_pairs,
@@ -97,6 +211,40 @@ def ngram_jaccard_pairs(
     return (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def exact_jaccard_verify(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    round_digits: int | None,
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """Exact full-set Jaccard for a skinny (id_a, id_b) candidate
+    relation: re-attach both docs' shingle arrays (recomputed map work —
+    cheap, never materialized — unless a precomputed ``arrays``
+    (doc, sh) relation is passed) and score with ``array_intersect`` —
+    pure codegen expressions, no exploded self-join. Shared by
+    :func:`minhash_lsh_pairs` and the df-capped
+    :func:`ngram_jaccard_pairs`."""
+    if arrays is None:
+        arrays = shingle_arrays(df, id_col, text_col, n)
+    a = arrays.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
+    b = arrays.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    if round_digits is not None:
+        jac = F.round(jac, round_digits)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -230,22 +378,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on candidates only: fetch both shingle arrays
-    # (recomputed map work — cheap, never materialized), then
-    # |A∩B| / (|A|+|B|-|A∩B|) as pure array expressions
-    arrays = shingle_arrays(df, id_col, text_col, n)
-    a = arrays.select(F.col("doc").alias("id_a"), F.col("sh").alias("__sha"))
-    b = arrays.select(F.col("doc").alias("id_b"), F.col("sh").alias("__shb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
-    if round_digits is not None:
-        jac = F.round(jac, round_digits)
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # exact verify on candidates only — no exploded shingle self-join
+    return exact_jaccard_verify(
+        df, cands, id_col, text_col, n, threshold, round_digits
     )
 
 

@@ -41,19 +41,36 @@ WHERE i.inter * 1.0 / (ca.n_sh + cb.n_sh - i.inter) >= {threshold}
 """
 
 
+_JACCARD_MAX_DF = 10  # candidate-gen df cap; see ngram_jaccard_pairs docstring
+
 @_q(
     "q_dedup_ngram_jaccard",
     "WITH sh AS (" + _SHINGLES_SQL + "),\n"
+    + "keep AS (SELECT s FROM sh GROUP BY s"
+    + f" HAVING COUNT(*) <= {_JACCARD_MAX_DF}),\n"
+    + "cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b\n"
+    + "         FROM sh a JOIN keep k ON a.s = k.s\n"
+    + "         JOIN sh b ON b.s = a.s AND a.doc < b.doc),\n"
     + _JACCARD_TAIL.format(
-        cand_join="sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc",
+        cand_join=(
+            "cand c JOIN sh a ON a.doc = c.id_a "
+            "JOIN sh b ON b.doc = c.id_b AND b.s = a.s"
+        ),
         threshold="0.8",
     ),
     headline=True,
 )
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8), candidate
+    generation df-capped at 10 so a corpus-hot shingle can't detonate the
+    self-join (bounded at K² rows per shingle at any scale). The Jaccard
+    scores are exact full-set values; measured output is identical to the
+    uncapped form at sf0.01 AND sf0.1 (a pair is lost only if every
+    shared shingle is hot — near-impossible at threshold 0.8)."""
     d = load_table(spark, sf_dir, "documents")
-    return neardup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return neardup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_df=_JACCARD_MAX_DF
+    )
 
 
 def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
