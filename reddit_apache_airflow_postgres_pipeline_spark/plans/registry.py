@@ -1276,16 +1276,38 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_approx_count_distinct", None)
+@_q(
+    "q_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality per group next to the exact count —
-    rows-only driver check (sketches are engine-specific); the pytest
-    asserts relative error < 5%. At 100 TB the sketch is the only sane
-    option: fixed memory, mergeable map-side."""
+    """HyperLogLog++ cardinality per group, made oracle-checkable: the
+    sketch value itself is engine-specific, so the checked relation is
+    (group, exact count, sketch-within-5%-of-exact). Spark's HLL++ is
+    deterministic for given data (hash-based, no RNG), so within_5pct is
+    a stable TRUE and the row hash-matches the oracle's literal TRUE.
+    At 100 TB the sketch is the only sane option: fixed memory,
+    mergeable map-side."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("__approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -42,8 +42,9 @@ def test_approx_count_distinct_error(spark):
     ).collect()
     assert rows
     for r in rows:
-        rel = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
-        assert rel < 0.05, r
+        # within_5pct is the oracle-checked sketch-vs-exact bound
+        assert r["within_5pct"] is True, r
+        assert r["exact_parts"] > 0
 
 
 def test_resolve_latest(tmp_path):
