@@ -3,8 +3,12 @@
 The reference drains the inbox every run: used, skipped, AND
 empty-result source files all move ``data/`` → ``data/loaded/``
 (Combine_send_to_postgresql.py:168-200). Batch mode = driver-side rename
-after a successful write; streaming mode uses the built-in
-``cleanSource=archive`` (streaming/combine_stream.py).
+after a successful write. Streaming mode calls THIS function driver-side
+inside ``foreachBatch`` after the merge commits
+(streaming/combine_stream.py) — not the built-in ``cleanSource=archive``:
+the drift-tolerant re-read needs the batch's file list in the driver
+anyway, and the explicit move preserves the reference's
+move-after-commit ordering.
 """
 
 from __future__ import annotations

@@ -187,3 +187,61 @@ def test_stateful_user_totals(spark, tmp_path):
         assert got[uid]["n_events"] == want[uid]["n_events"]
         assert got[uid]["n_purchases"] == want[uid]["n_purchases"]
         assert abs(got[uid]["total_value"] - want[uid]["total_value"]) < 1e-6
+
+
+def test_combine_stream_crash_recovery(spark, stream_cfg, tmp_path):
+    """Kill the combine stream mid-inbox (merge raises on the 2nd
+    micro-batch) and restart from the checkpoint: committed batches are
+    NOT re-merged (exactly-once input), the failed batch re-runs, and
+    inbox/archive converge — the contract documented in
+    streaming/combine_stream.py. Keys are disjoint per file so the final
+    state is independent of file-pickup order."""
+    cfg = stream_cfg
+    _write_current(os.path.join(cfg.data_dir, "italytravel_a.csv"),
+                   [_row("k1", "5", "first")])
+    _write_current(os.path.join(cfg.data_dir, "italytravel_b.csv"),
+                   [_row("k2", "9", "second")])
+    _write_current(os.path.join(cfg.data_dir, "italytravel_c.csv"),
+                   [_row("k3", "4", "third")])
+
+    ckpt = str(tmp_path / "ckpt")
+    target = MemoryUpsertTarget()
+    merged_batches: list[list[str]] = []
+    state = {"invocations": 0}
+
+    def flaky_merge(df, epoch):
+        state["invocations"] += 1
+        if state["invocations"] == 2:
+            raise RuntimeError("injected crash mid-inbox")
+        merged_batches.append(sorted(r["thing_key"] for r in df.collect()))
+        target.merge(df, epoch)
+
+    q = start_combine_stream(spark, cfg, ckpt, flaky_merge,
+                             max_files_per_trigger=1)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    # crash state: exactly one batch committed+archived; the failed
+    # batch's file must still be in the inbox (archive runs post-merge)
+    assert len(merged_batches) == 1
+    assert len(os.listdir(cfg.loaded_dir)) == 1
+    assert len(os.listdir(cfg.data_dir)) == 2
+
+    def clean_merge(df, epoch):
+        merged_batches.append(sorted(r["thing_key"] for r in df.collect()))
+        target.merge(df, epoch)
+
+    q = start_combine_stream(spark, cfg, ckpt, clean_merge,
+                             max_files_per_trigger=1)
+    q.awaitTermination()
+
+    # convergence: all keys present, inbox drained, everything archived
+    got = {r["thing_key"]: r.asDict() for r in target.df(spark).collect()}
+    assert set(got) == {"k1", "k2", "k3"}
+    assert got["k2"]["score"] in {"9"}
+    assert sorted(os.listdir(cfg.data_dir)) == []
+    assert len(os.listdir(cfg.loaded_dir)) == 3
+    # exactly-once: each key merged exactly once across crash + restart —
+    # the committed pre-crash batch was not re-delivered
+    all_keys = [k for batch in merged_batches for k in batch]
+    assert sorted(all_keys) == ["k1", "k2", "k3"]
