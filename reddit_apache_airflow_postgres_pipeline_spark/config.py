@@ -49,6 +49,13 @@ class EngineConfig:
     # Sanitization knobs (Fetch_reddit.py:44-55)
     title_max_len: int = 300
 
+    # Engine extension (no reference analog): first-wins dedup strategy
+    # for the combine pipeline. "window" = ROW_NUMBER form (parity
+    # default, rank materialized per row); "agg" = min_by hash-aggregate
+    # form — map-side partial combine, the lower-shuffle choice at
+    # 100 TB. Both are oracle-equivalent (tests/test_pipeline.py).
+    dedup_strategy: str = field(default_factory=lambda: _env("DEDUP_STRATEGY", "window"))
+
     @property
     def jdbc_url(self) -> str:
         return f"jdbc:postgresql://{self.pg_host}:{self.pg_port}/{self.pg_db}"

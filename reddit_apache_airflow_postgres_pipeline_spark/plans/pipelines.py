@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.config import EngineConfig
 from reddit_apache_airflow_postgres_pipeline_spark.functions import expr as E
-from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import dedup_first
+from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import dedup_first, dedup_first_agg
 from reddit_apache_airflow_postgres_pipeline_spark.schemas import DB_COLUMNS
 from reddit_apache_airflow_postgres_pipeline_spark.sinks.archive import archive_files
 from reddit_apache_airflow_postgres_pipeline_spark.sinks.csv import write_atomic_csv
@@ -95,10 +95,29 @@ def normalize_rows(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     return out.filter(F.length("thing_key") > 0)  # F13
 
 
-def combine_pipeline(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """normalize → first-wins dedup on (file_seq, row_seq) → DB_COLUMNS."""
+def combine_pipeline(
+    df: DataFrame, cfg: EngineConfig, dedup_strategy: str | None = None
+) -> DataFrame:
+    """normalize → first-wins dedup on (file_seq, row_seq) → DB_COLUMNS.
+
+    ``dedup_strategy`` (default: ``cfg.dedup_strategy``) picks the D1
+    execution form: ``"window"`` (ROW_NUMBER, parity default) or
+    ``"agg"`` (``min_by(struct(payload), struct(file_seq, row_seq))``
+    hash aggregate — map-side partial combine halves shuffle volume at
+    scale). Identical results: (file_seq, row_seq) is a total order."""
+    strategy = dedup_strategy or cfg.dedup_strategy
     normalized = normalize_rows(df, cfg)
-    deduped = dedup_first(normalized, "thing_key", ["file_seq", "row_seq"])
+    if strategy == "agg":
+        deduped = dedup_first_agg(
+            normalized,
+            "thing_key",
+            F.struct("file_seq", "row_seq"),
+            payload_cols=[c for c in DB_COLUMNS if c != "thing_key"],
+        )
+    elif strategy == "window":
+        deduped = dedup_first(normalized, "thing_key", ["file_seq", "row_seq"])
+    else:
+        raise ValueError(f"unknown dedup_strategy: {strategy!r}")
     return deduped.select(*DB_COLUMNS)
 
 

@@ -234,3 +234,41 @@ def test_inbox_lineage_survives_special_filenames(spark, tmp_path):
     with open(res.combined_path) as fh:
         combined = list(csv.DictReader(fh))
     assert combined[0]["score"] == "0"  # first file won, not an arbitrary one
+
+
+def test_dedup_strategies_equivalent_on_drift_inbox(spark, tmp_path, inbox):
+    """The min_by-agg dedup (100 TB scale path) must produce EXACTLY the
+    window form's rows on the drift fixtures — same winners under the
+    (file_seq, row_seq) total order."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.pipelines import combine_pipeline
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.files import read_csv_inbox
+
+    cfg = EngineConfig(gdpr_salt=SALT, data_dir=str(inbox))
+    scan = read_csv_inbox(spark, cfg.data_dir, cfg.csv_glob_prefix)
+    window_rows = sorted(map(tuple, combine_pipeline(scan.df, cfg, "window").collect()))
+    agg_rows = sorted(map(tuple, combine_pipeline(scan.df, cfg, "agg").collect()))
+    assert window_rows == agg_rows
+    assert len(window_rows) == 4  # k1 (first file), k2, k3, legacy-derived
+
+    with pytest.raises(ValueError, match="unknown dedup_strategy"):
+        combine_pipeline(scan.df, cfg, "bogus")
+
+
+def test_dedup_first_agg_matches_window_on_lineitem(spark):
+    """Both D1 forms hash-match on the q_ref_dedup_first_wins relation
+    (the driver-gate query, VERDICT r01 #6)."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
+        dedup_first,
+        dedup_first_agg,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    )
+    order = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity"]
+    w = dedup_first(li, "l_orderkey", order)
+    a = dedup_first_agg(li, "l_orderkey", F.struct(*order)).select(*w.columns)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, a.collect()))
