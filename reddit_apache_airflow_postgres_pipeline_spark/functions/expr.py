@@ -90,8 +90,13 @@ def epoch_to_iso(col: Column | str) -> Column:
 
     Matches ``datetime.fromtimestamp(v, tz=utc).isoformat().replace('+00:00','Z')``
     (Fetch_reddit.py:144-148). Session timezone is UTC (session.py), so
-    ``date_format`` with ``'Z'`` literal is exact for whole seconds; the
-    reference floors sub-second epochs via int parsing upstream.
+    ``date_format`` with ``'Z'`` literal is exact for whole seconds.
+
+    Fractional-epoch CONTRACT: the engine truncates to the whole second
+    (the Python reference would emit microseconds for a ``.5`` epoch).
+    Reddit's ``created_utc`` is float on the wire but integral-valued in
+    practice; the choice is pinned by
+    tests/test_properties.py::test_epoch_to_iso_property.
     """
     return F.date_format(
         F.timestamp_seconds(_col(col).cast("double").cast("long")),
