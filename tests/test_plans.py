@@ -1,0 +1,69 @@
+"""Physical-plan property tests (VERDICT r01 #8).
+
+PLANS_sf0.1.txt is the diffable snapshot; these assertions pin the plan
+properties that must not regress round-over-round:
+
+* q06: the date/discount/quantity predicates reach the parquet scan
+  (PushedFilters) — a scan without them re-reads the full table;
+* q03/q05: dimension joins are broadcast (no shuffle of the fact side
+  for a small build side);
+* q_topk_orders: ORDER BY + LIMIT collapses to TakeOrderedAndProject
+  (never a global sort);
+* q01: exactly one exchange — the aggregation is map-side partial;
+* near-dup headliners: no cartesian/nested-loop join anywhere (the
+  all-pairs trap the banded designs exist to avoid).
+
+Plans are built, not executed — assertions run on the pre-AQE static
+plan, where broadcast hints and pushdown are already decided.
+"""
+
+from __future__ import annotations
+
+import re
+
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import queries
+
+SF = "/root/testdata/sf0.1"
+
+
+def _plan(spark, name: str) -> str:
+    df = queries()[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q06_filters_reach_parquet_scan(spark):
+    plan = _plan(spark, "q06_forecast_revenue")
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, "no PushedFilters section in q06 plan"
+    flat = ";".join(pushed)
+    assert "l_shipdate" in flat and "l_discount" in flat and "l_quantity" in flat, flat
+
+
+def test_q03_q05_broadcast_dimension_joins(spark):
+    for name in ("q03_shipping_priority", "q05_local_supplier_volume"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
+        assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered_and_project(spark):
+    plan = _plan(spark, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would mean the limit didn't fuse into the sort
+    assert not re.search(r"\(\d+\) Sort\b", plan), plan
+
+
+def test_q01_single_exchange_partial_agg(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"q01 should shuffle once, saw {len(exchanges)}"
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_neardup_headliners_never_cross_join(spark):
+    for name in ("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
