@@ -108,16 +108,40 @@ class RedditSource:
     sleep: Callable[[float], None] = time.sleep
     rng: random.Random = field(default_factory=lambda: random.Random())
 
-    def _url(self, authed: bool) -> str:
-        params = urllib.parse.urlencode(
-            {"limit": min(self.limit, 100), "raw_json": 1}
-        )
+    def _url(self, authed: bool, page_limit: int, after: str | None = None) -> str:
+        q: dict[str, Any] = {"limit": page_limit, "raw_json": 1}
+        if after:
+            q["after"] = after
+        params = urllib.parse.urlencode(q)
         if authed:
             return f"https://oauth.reddit.com/r/{self.subreddit}/new?{params}"
         return f"https://www.reddit.com/r/{self.subreddit}/new.json?{params}"
 
     def fetch_rows(self) -> list[dict[str, Any]]:
-        """A1+A3: listing GET with retry/backoff → projected row dicts."""
+        """A1+A3: listing GET with retry/backoff → projected row dicts.
+
+        Reference parity for ``limit ≤ 100``: ONE request with
+        ``limit=min(limit,100)`` and client-side early stop
+        (Fetch_reddit.py:116,170-171). EXTENSION beyond the reference
+        (which simply caps at 100): for ``limit > 100`` the fetch
+        paginates with the listing's ``data.after`` cursor, 100 rows per
+        page, stopping early at ``limit`` rows or when the cursor ends —
+        each page gets the full retry envelope."""
+        rows: list[dict[str, Any]] = []
+        after: str | None = None
+        while len(rows) < self.limit:
+            remaining = self.limit - len(rows)
+            page, after = self._fetch_page(min(remaining, 100), after)
+            rows.extend(page[:remaining])
+            if after is None or not page:
+                break  # listing exhausted before limit
+        return rows
+
+    def _fetch_page(
+        self, page_limit: int, after: str | None
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        """One listing page under the A3 retry envelope; returns
+        (rows, next-page cursor)."""
         last_err: Exception | None = None
         for attempt in range(MAX_ATTEMPTS):
             token = self.token_cache.get() if self.token_cache else None
@@ -126,7 +150,9 @@ class RedditSource:
                 headers["Authorization"] = f"Bearer {token}"
             try:
                 status, resp_headers, body = self.transport(
-                    self._url(authed=token is not None), headers
+                    self._url(authed=token is not None, page_limit=page_limit,
+                              after=after),
+                    headers,
                 )
             except OSError as e:  # network error → retry
                 last_err = e
@@ -140,7 +166,7 @@ class RedditSource:
                 continue
             if status != 200:
                 raise RuntimeError(f"listing fetch failed: HTTP {status}")
-            return parse_listing(body, self.limit)
+            return parse_listing_page(body, page_limit)
         raise RuntimeError(f"listing fetch exhausted {MAX_ATTEMPTS} attempts") from last_err
 
     def _backoff(self, attempt: int, retry_after: str | None) -> None:
@@ -156,7 +182,16 @@ class RedditSource:
 def parse_listing(body: bytes | str, limit: int) -> list[dict[str, Any]]:
     """``data.children[].data`` → REDDIT_RAW row dicts, early-stop at
     ``limit`` (API order newest-first is preserved)."""
+    return parse_listing_page(body, limit)[0]
+
+
+def parse_listing_page(
+    body: bytes | str, limit: int
+) -> tuple[list[dict[str, Any]], str | None]:
+    """:func:`parse_listing` plus the listing's ``data.after`` cursor
+    (fullname of the last item, None on the final page)."""
     payload = json.loads(body)
+    after = (payload.get("data") or {}).get("after")
     rows: list[dict[str, Any]] = []
     for child in (payload.get("data") or {}).get("children") or []:
         d = child.get("data") or {}
@@ -176,7 +211,7 @@ def parse_listing(body: bytes | str, limit: int) -> list[dict[str, Any]]:
         )
         if len(rows) >= limit:
             break
-    return rows
+    return rows, after
 
 
 def reddit_listing_df(

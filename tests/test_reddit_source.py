@@ -162,3 +162,80 @@ def test_listing_json_df_matches_driver_parse(spark):
 
     out = fetch_transform(df, EngineConfig(gdpr_salt="test-salt"))
     assert out.count() == 3 and "thing_key" in out.columns
+
+
+def _paged_listing(posts: list[dict], after: str | None) -> bytes:
+    return json.dumps(
+        {"data": {"children": [{"data": p} for p in posts], "after": after}}
+    ).encode()
+
+
+def test_paginated_fetch_follows_after_cursor():
+    """EXTENSION (VERDICT r01 #9): limit > 100 paginates with the
+    data.after cursor, 100/page, early-stopping at limit."""
+    pages = {
+        None: _paged_listing(
+            [dict(POSTS[0], name=f"t3_p1_{i}", id=f"p1_{i}") for i in range(100)],
+            "t3_p1_99",
+        ),
+        "t3_p1_99": _paged_listing(
+            [dict(POSTS[0], name=f"t3_p2_{i}", id=f"p2_{i}") for i in range(100)],
+            "t3_p2_99",
+        ),
+        "t3_p2_99": _paged_listing(
+            [dict(POSTS[0], name=f"t3_p3_{i}", id=f"p3_{i}") for i in range(100)],
+            None,
+        ),
+    }
+    urls = []
+
+    def transport(url, headers):
+        urls.append(url)
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(url).query)
+        return 200, {}, pages[q.get("after", [None])[0]]
+
+    src = R.RedditSource("s", limit=250, transport=transport, sleep=lambda s: None)
+    rows = src.fetch_rows()
+    assert len(rows) == 250  # early stop mid-page-3
+    assert rows[0]["id"] == "p1_0" and rows[-1]["id"] == "p3_49"
+    assert len(urls) == 3
+    # page limits: 100, 100, then only the 50 remaining
+    from urllib.parse import parse_qs, urlparse
+
+    limits = [parse_qs(urlparse(u).query)["limit"][0] for u in urls]
+    assert limits == ["100", "100", "50"]
+
+
+def test_paginated_fetch_stops_when_listing_exhausted():
+    pages = {
+        None: _paged_listing(POSTS[:2], "t3_x"),
+        "t3_x": _paged_listing([POSTS[2]], None),  # final page, no cursor
+    }
+
+    def transport(url, headers):
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(url).query)
+        return 200, {}, pages[q.get("after", [None])[0]]
+
+    src = R.RedditSource("s", limit=500, transport=transport, sleep=lambda s: None)
+    rows = src.fetch_rows()
+    assert [r["id"] for r in rows] == ["abc", "def", "ghi"]
+
+
+def test_single_request_parity_for_small_limit():
+    """Reference parity: limit ≤ 100 stays ONE request with no after
+    param (Fetch_reddit.py:116)."""
+    urls = []
+
+    def transport(url, headers):
+        urls.append(url)
+        return 200, {}, _listing(POSTS)
+
+    src = R.RedditSource("s", limit=10, transport=transport, sleep=lambda s: None)
+    rows = src.fetch_rows()
+    assert len(rows) == 3
+    assert len(urls) == 1
+    assert "after=" not in urls[0] and "limit=10" in urls[0]
