@@ -1,4 +1,8 @@
 from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
+from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import (
+    canonical_docs,
+    connected_components,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
     dedup_exact,
     dedup_first,
@@ -6,11 +10,17 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
 )
 from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
 from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+    exact_jaccard_verify,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash_near_dups,
     simhash_signatures,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+    hash_bucket,
+    sample_by_hash,
+    stratified_sample_by_hash,
 )
 from reddit_apache_airflow_postgres_pipeline_spark.operators.scd2 import scd2_apply
 from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
@@ -23,18 +33,24 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, sa
 __all__ = [
     "Agg",
     "asof_join",
+    "canonical_docs",
+    "connected_components",
     "dedup_exact",
     "dedup_first",
     "dedup_first_agg",
     "embedding_near_dups",
+    "exact_jaccard_verify",
+    "hash_bucket",
     "ivf_knn",
     "knn_bruteforce",
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "salted_agg",
+    "sample_by_hash",
     "scd2_apply",
     "simhash_near_dups",
     "simhash_signatures",
+    "stratified_sample_by_hash",
     "upsert_merge",
 ]

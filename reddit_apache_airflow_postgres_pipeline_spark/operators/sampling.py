@@ -1,0 +1,65 @@
+"""Deterministic hash-based corpus sampling.
+
+``df.sample()`` draws from a per-partition RNG: the selected set changes
+with partitioning, plan, and engine — unusable when a training-data
+pipeline must be reproducible and auditable. The scalable practice is
+CONTENT-ADDRESSED sampling: a doc is in the sample iff
+``hash(salt ‖ key) mod M < rate·M`` — a pure map-side predicate,
+stable across engines, partitionings, and reruns, and composable
+(rate 0.5 then 0.2 over the same salt ≡ rate 0.1... for nested salts).
+
+Per-stratum rates (``stratified_sample_by_hash``) give deterministic
+stratified sampling — e.g. downsample by language or source while
+keeping rare strata whole — as one broadcast join + the same predicate.
+
+Hash: first 8 hex chars of md5 (32 uniform bits) — cheap, and DuckDB
+reproduces it verbatim for the oracle (registry_ml)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Uniform 32-bit bucket of ``salt ‖ key`` via the md5 prefix."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes below ``rate`` of the bucket space.
+    Map-side only (pushes past shuffles, no RNG, no state)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(key_col, salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps
+    ``rates.get(s, default_rate)`` of its rows by key hash. The rate
+    table is a literal broadcast map — no shuffle, no second pass."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    thresh = F.lit(int(default_rate * _BUCKETS))
+    expr = None
+    for s, r in rates.items():
+        cond = F.col(stratum_col) == s
+        val = F.lit(int(r * _BUCKETS))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(hash_bucket(key_col, salt) < thresh)

@@ -364,3 +364,96 @@ def q_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(cent), "label").select(
         "vec_id", "label", score.alias("centroid_cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution and deterministic sampling (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _clusters_sql(pairs_sql: str) -> str:
+    """Connected components over a pair relation as a recursive CTE:
+    enumerate every reachable label per node, keep the minimum — the
+    same fixpoint operators.clusters.connected_components converges to."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) mh),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v)
+    SELECT u AS doc, MIN(lbl) AS canonical FROM reach GROUP BY u
+    """
+
+
+@_q("q_dedup_canonical_clusters", _clusters_sql(_minhash_sql(12, 4, 0.7)))
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → (doc, canonical): the
+    deletion-safe top of the dedup ladder (pairwise output alone
+    double-deletes transitive chains A~B~C). Iterative min-label
+    propagation, one shuffle join per round, O(cluster diameter)
+    rounds."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
+    )
+    return connected_components(pairs)
+
+
+_SAMPLE_RATE = 0.25
+_SAMPLE_THRESH = int(_SAMPLE_RATE * (1 << 32))
+
+
+@_q(
+    "q_sample_by_hash",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < {_SAMPLE_THRESH}
+    """,
+)
+def q_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus sample: membership is a pure function of
+    md5(salt ‖ doc_id) — reproducible across engines, partitionings, and
+    reruns (df.sample()'s per-partition RNG is none of those). Map-side
+    predicate; pushes below shuffles."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import sample_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_by_hash(d, "doc_id", _SAMPLE_RATE, salt="s1").select("doc_id")
+
+
+_STRATA_RATES = {"en": 0.5, "de": 0.1}
+_STRATA_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(r * (1 << 32))}" for s, r in _STRATA_RATES.items()
+)
+
+
+@_q(
+    "q_sample_stratified",
+    f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE ('0x' || substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CASE lang {_STRATA_CASE} ELSE {1 << 32} END
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (downsample dominant languages,
+    keep rare ones whole) — the same hash predicate with a per-stratum
+    threshold; no shuffle, no second pass. Output: per-language kept
+    counts."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        stratified_sample_by_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample_by_hash(
+        d, "doc_id", "lang", _STRATA_RATES, default_rate=1.0, salt="s2"
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_sampled"))
