@@ -349,8 +349,11 @@ def minhash_lsh_pairs(
     shingle arrays and computes ``array_intersect`` sizes per pair: no
     exploded shingle self-join anywhere. The shingle arrays are
     recomputed per subtree (cheap map work) rather than persisted —
-    caching here measurably interacted badly with unrelated queries
-    sharing the session (cache eviction churn).
+    measured A/B at sf0.1: eagerly persisting the candidate set and
+    restricting the verify to candidate docs ran 9s vs 5s for this form,
+    because the independent subtrees' stages overlap across cores while
+    an eager persist serializes the signature chain; caching the shingle
+    relation also churned unrelated queries' cache in shared sessions.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
