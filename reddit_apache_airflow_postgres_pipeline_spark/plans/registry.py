@@ -934,6 +934,89 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_SAMPLE_THRESH = int(0.5 * (1 << 32))
+_STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for')"
+_FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))"
+
+
+@_q(
+    "q_corpus_curation",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_TOKENS_SQL}) AS n_tokens,
+             CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_SQL})) * 1.0
+                       / len({_TOKENS_SQL}) END AS stop_ratio,
+             {{langid}} AS lang_pred
+      FROM (
+        SELECT doc_id, source, text,
+               {_markers_sql('de')} AS s_de, {_markers_sql('en')} AS s_en,
+               {_markers_sql('es')} AS s_es, {_markers_sql('fr')} AS s_fr
+        FROM documents) m),
+    filt AS (
+      SELECT doc_id, source, text, n_tokens FROM scored
+      WHERE lang_pred = 'en' AND n_tokens >= 25 AND stop_ratio >= 0.02),
+    fp AS (SELECT {_FP_SQL} AS fp, doc_id, source, n_tokens FROM filt),
+    keep AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp),
+    dedup AS (SELECT f.doc_id, f.source, f.n_tokens
+              FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keeper),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < {_CURATION_SAMPLE_THRESH})
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled GROUP BY source
+    """.format(
+        langid=(
+            "CASE WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+            "WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+            "WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+            "WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr' "
+            "ELSE 'und' END"
+        )
+    ),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition a training-data pipeline runs:
+    language-ID → quality gate (token count + stopword ratio) → exact
+    dedup (fingerprint, min-doc_id keeper) → deterministic 50% hash
+    sample → per-source corpus stats. Every stage is one of the engine's
+    oracle-proven operators; the composition stays a single lazy plan —
+    filters are map-side, the only shuffles are the fingerprint groupBy
+    and the final source aggregate."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import sample_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.stopword_ratio("text").alias("stop_ratio"),
+        textstats.lang_id("text").alias("lang_pred"),
+    )
+    filt = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= 25)
+        & (F.col("stop_ratio") >= 0.02)
+    )
+    fp = filt.select(
+        textstats.fingerprint("text").alias("fp"), "doc_id", "source", "n_tokens"
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dedup = fp.join(
+        keep,
+        (fp["fp"] == keep["fp"]) & (fp["doc_id"] == keep["keeper"]),
+    ).select("doc_id", "source", "n_tokens")
+    sampled = sample_by_hash(dedup, "doc_id", 0.5, salt="cur")
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 @_q(
     "q_scd2_merge",
     """
