@@ -461,6 +461,141 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_window_rank_battery",
+    """
+    SELECT o_custkey, o_orderkey,
+           NTILE(4)       OVER w AS spend_quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST()    OVER w, 6) AS cume,
+           strftime(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+           strftime(NTH_VALUE(o_orderdate, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             '%Y-%m-%d') AS second_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window battery: ntile, percent_rank,
+    cume_dist, first_value, nth_value. (o_totalprice, o_orderkey) is a
+    total order per customer so every function is deterministic;
+    nth_value needs the full-partition frame (default frame stops at
+    CURRENT ROW in both engines)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "first_date"
+        ),
+        F.date_format(F.nth_value("o_orderdate", 2).over(wf), "yyyy-MM-dd").alias(
+            "second_date"
+        ),
+    )
+
+
+@_q(
+    "q_array_hof_battery",
+    """
+    SELECT o_custkey,
+           CAST(list_sum(prices) AS DOUBLE) AS total,
+           CAST(list_max(prices) AS DOUBLE) AS top,
+           CAST(list_sum(list_transform(
+                  list_zip(prices[2:], list_slice(prices, 1, len(prices) - 1)),
+                  zp -> CASE WHEN CAST(zp[1] AS DOUBLE) > CAST(zp[2] AS DOUBLE)
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS n_increases,
+           CAST(len(list_filter(prices, x -> x > 150000)) AS BIGINT) AS n_large
+    FROM (
+      SELECT o_custkey,
+             list(CAST(o_totalprice AS DECIMAL(18,2)) ORDER BY o_totalprice, o_orderkey)
+               AS prices
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8)
+    """,
+)
+def q_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery over per-customer sorted price
+    arrays: aggregate (fold-sum), array_max, zip_with on the shifted
+    array (consecutive increases), filter + size. Arrays are built in a
+    deterministic order and summed as decimals, so the fold is
+    order-stable across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(_dec("o_totalprice").alias("p"), "o_orderkey"))
+            ).alias("pk"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 8)
+        .select(
+            "o_custkey",
+            F.transform("pk", lambda s: s.getField("p")).alias("prices"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    total = F.aggregate(
+        "prices", zero, lambda acc, x: (acc + x).cast("decimal(28,2)")
+    )
+    shifted_pairs = F.zip_with(
+        F.slice("prices", 2, F.size("prices") - 1),
+        F.slice("prices", 1, F.size("prices") - 1),
+        lambda cur, prev: F.when(cur > prev, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return packed.select(
+        "o_custkey",
+        total.cast("double").alias("total"),
+        F.array_max("prices").cast("double").alias("top"),
+        F.aggregate(
+            shifted_pairs, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_increases"),
+        F.size(F.filter("prices", lambda x: x > 150000)).cast("long").alias(
+            "n_large"
+        ),
+    )
+
+
+@_q(
+    "q_token_frequencies",
+    # tokenization matches _TOKENS_SQL (defined in the text-analysis
+    # section below — can't reference it here at module-exec time)
+    """
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+          FROM documents) t
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (generator join) + top-k: corpus token
+    frequencies with a deterministic (count desc, token asc) tiebreak —
+    the plan is explode → hash agg → TakeOrderedAndProject, the shape a
+    vocabulary build runs at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce("text", F.lit("")))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / rollup / cube
 # ---------------------------------------------------------------------------
