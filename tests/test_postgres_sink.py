@@ -247,3 +247,45 @@ def test_copy_coerces_timestamptz_and_ints(spark, dirs):
     import datetime as dt
 
     assert epoch == dt.datetime(2026, 8, 13, 1, 2, 3, tzinfo=dt.timezone.utc).timestamp()
+
+
+def test_streaming_combine_into_staged_sql_upsert(spark, dirs, tmp_path):
+    """The production path end-to-end: checkpointed combine stream →
+    per-batch atomic CSV → staged COPY + ON CONFLICT merge executed in a
+    SQL engine (DuckDB standing in for Postgres). Two ticks with an
+    overlapping key prove idempotent cross-batch upsert through the REAL
+    statement sequence rather than the in-memory test double."""
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.csv import write_atomic_csv
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import start_combine_stream
+
+    cfg = _cfg(dirs)
+    stmts = build_upsert_statements(cfg)
+    con = duckdb.connect()
+    batch_no = {"n": 0}
+
+    def sql_merge(batch_df, epoch_id):
+        batch_no["n"] += 1
+        staged = str(tmp_path / f"staged_{batch_no['n']}.csv")
+        write_atomic_csv(batch_df, staged, single_file=True)
+        _execute_load(con, stmts, staged)
+
+    _write_inbox(cfg.data_dir, "italytravel_r1.csv", ROWS_RUN1)
+    q = start_combine_stream(spark, cfg, str(tmp_path / "ckpt"), sql_merge)
+    q.awaitTermination()
+
+    _write_inbox(cfg.data_dir, "italytravel_r2.csv", ROWS_RUN2)
+    q = start_combine_stream(spark, cfg, str(tmp_path / "ckpt"), sql_merge)
+    q.awaitTermination()
+
+    got = con.execute(
+        f"""SELECT thing_key, thing_type, score, title_sanitized, author_hash
+            FROM {TGT} ORDER BY thing_key"""
+    ).fetchall()
+    assert got == [
+        ("k1", "t3", 50, "updated title", "h1"),  # mutables updated, immutables kept
+        ("k2", "t3", 1, "plain", "h2"),
+        ("k3", "t3", 7, "third", "h3"),
+    ]
+    assert os.listdir(cfg.data_dir) == []  # inbox drained + archived
