@@ -1,11 +1,11 @@
 """Query registry, part 3: multimodal binary columns.
 
-The fake codec (operators/multimodal.py) makes the media path
+The fake codec (operators/multimodal.py) makes the media path FULLY
 oracle-checkable: payload bytes are deterministic (UTF-8 of document
-text), so byte-count arithmetic — sizes, frame splits — is expressible
-in ANSI SQL even though the decode itself runs in ``mapInPandas``.
-``q_media_decode_stats`` (byte-level numpy statistics) has no SQL
-equivalent and takes the rows-only check.
+text), so byte-count arithmetic — sizes, frame splits, and even the
+per-byte numpy statistics (DuckDB unpacks the same bytes from hex
+pairs) — is expressible in ANSI SQL even though the decode itself runs
+in ``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -84,17 +84,51 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_media_decode_stats", None)
+_BYTES_SQL = (
+    "list_transform(generate_series(1, octet_length(payload)),"
+    " i -> ('0x' || substr(hex(payload), i*2-1, 2))::INT)"
+)
+
+
+@_q(
+    "q_media_decode_stats",
+    "WITH media AS (" + _MEDIA_SQL + f"""),
+    b AS (
+      SELECT media_id, kind,
+             octet_length(payload) AS n_bytes,
+             CASE WHEN octet_length(payload) = 0 THEN 0.0
+                  ELSE list_sum({_BYTES_SQL}) * 1.0 / octet_length(payload)
+             END AS byte_mean,
+             CASE WHEN octet_length(payload) = 0 THEN 0
+                  ELSE list_max({_BYTES_SQL}) END AS byte_max
+      FROM media)
+    SELECT kind, COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           round(CAST(SUM(CAST(byte_mean AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_byte_mean,
+           CAST(MAX(byte_max) AS INT) AS max_byte
+    FROM b GROUP BY kind
+    """,
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-kind statistics of decoded samples (fake codec: bytes are the
-    uint8 sample grid). Byte-level numpy math has no SQL analog → rows-only
-    driver check; exact values are asserted in tests/test_multimodal.py
-    against a pure-Python recomputation."""
+    uint8 sample grid), computed through the REAL ``mapInPandas`` decode
+    stage. Oracle-checkable after all: the fake codec's payload is the
+    UTF-8 text, so DuckDB unpacks the same bytes from hex pairs and
+    replays the numpy math (per-media integer byte-sums are exact in
+    doubles, so pairwise-vs-sequential summation agrees; the cross-media
+    mean is summed as DECIMAL to stay order-independent). Exact
+    per-media values are additionally asserted in
+    tests/test_multimodal.py against a pure-Python recomputation."""
     m = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
     stats = MM.decode_stats(m)
     return stats.groupBy("kind").agg(
         F.count("*").alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+        F.round(
+            F.sum(F.col("byte_mean").cast("decimal(18,8)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_byte_mean"),
         F.max("byte_max").alias("max_byte"),
     )
