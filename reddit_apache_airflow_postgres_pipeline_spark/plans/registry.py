@@ -303,6 +303,54 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORRELATED_SQL = """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_totalprice AS DOUBLE) AS price
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@_q("q_correlated_scalar_subquery", _CORRELATED_SQL)
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average price, phrased as TWO
+    correlated scalar subqueries and run through ``spark.sql`` — the
+    engine's SQL entry point; Catalyst decorrelates the subqueries into
+    aggregate + join. Compared as ``price·count > sum`` in DECIMAL so
+    the threshold is exact in both engines (decimal AVG division
+    rounds differently across engines)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORRELATED_SQL)
+
+
+_EXISTS_IN_SQL = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1995-01-01'
+                    AND o.o_orderdate < DATE '1996-01-01')
+      AND c.c_custkey NOT IN (SELECT o2.o_custkey FROM orders o2
+                              WHERE o2.o_orderstatus = 'F'
+                                AND o2.o_totalprice > 300000)
+"""
+
+
+@_q("q_exists_not_in_subquery", _EXISTS_IN_SQL)
+def q_exists_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT IN subqueries via ``spark.sql``: customers with a
+    1995 order and no large failed order — planned as semi + anti joins
+    by Catalyst (the NOT IN column is a non-null key, so the
+    three-valued-logic trap doesn't bite)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_IN_SQL)
+
+
 @_q(
     "q_outer_order_counts",
     """
