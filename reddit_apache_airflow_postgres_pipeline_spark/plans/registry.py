@@ -1599,3 +1599,37 @@ def oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.spark for s in all_specs() if s.headline}
+
+
+@_q(
+    "q_approx_percentile_sketch",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS exact_p50,
+           TRUE AS within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest sketch next to the exact median, made oracle-checkable
+    the same way as q_approx_count_distinct: the sketch value is
+    engine-specific but deterministic for given data, so the checked
+    relation is (group, exact median, sketch-within-2%-of-exact). At
+    100 TB approx_percentile is the only sane option — fixed-size
+    mergeable map-side state instead of a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE), 0.5D)"
+        ).alias("__exact"),
+        F.percentile_approx(price, 0.5, 10000).alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("__exact", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact"))
+            <= 0.02 * F.abs("__exact")
+        ).alias("within_2pct"),
+    )
