@@ -5,6 +5,7 @@ equal the plain join."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import colocated_join, write_bucketed
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
@@ -67,3 +68,32 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # not a post-scan data filter
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Inbox-style small files → ~target-sized output files, content
+    preserved, optional in-file clustering for footer-stat pushdown."""
+    import glob
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.parquet import compact_parquet
+
+    src = str(tmp_path / "small")
+    # 40 tiny files
+    spark.range(0, 40_000).withColumn("k", F.col("id") % 7).repartition(40).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "part-*"))) == 40
+
+    dest = str(tmp_path / "compact")
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "part-*")))
+    n = compact_parquet(spark, src, dest, target_file_bytes=total // 3,
+                        sort_within_by=["k", "id"])
+    files = glob.glob(os.path.join(dest, "part-*"))
+    assert len(files) == n
+    assert 2 <= len(files) <= 6  # ~3-4 files, far fewer than 40
+    # content identical
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="dest must differ"):
+        compact_parquet(spark, src, src)
