@@ -7,6 +7,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.streaming.events import (
     read_events_stream,
     run_available_now,
     session_agg,
+    sliding_counts,
     tumbling_counts,
 )
 from reddit_apache_airflow_postgres_pipeline_spark.streaming.stateful import user_totals_stream
@@ -18,6 +19,7 @@ __all__ = [
     "read_events_stream",
     "run_available_now",
     "session_agg",
+    "sliding_counts",
     "tumbling_counts",
     "user_totals_stream",
 ]

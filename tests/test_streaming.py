@@ -245,3 +245,47 @@ def test_combine_stream_crash_recovery(spark, stream_cfg, tmp_path):
     # the committed pre-crash batch was not re-delivered
     all_keys = [k for batch in merged_batches for k in batch]
     assert sorted(all_keys) == ["k1", "k2", "k3"]
+
+
+def test_sliding_and_session_streams_equal_batch(spark, tmp_path):
+    """Remaining §2.E parity shapes: sliding (hopping) and session
+    windows drained with AvailableNow must equal their batch forms on
+    the same files (the transform is identical DataFrame code)."""
+    import shutil as _shutil
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import session_agg, sliding_counts
+
+    src = tmp_path / "events"
+    src.mkdir()
+    _shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    batch_events = load_table(spark, SF, "events")
+
+    run_available_now(
+        sliding_counts(read_events_stream(spark, str(src))),
+        str(tmp_path / "ckpt_sl"), "t_sliding",
+    )
+    got_sl = spark.table("t_sliding")
+    want_sl = (
+        batch_events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert got_sl.count() == want_sl.count() > 0
+    assert got_sl.exceptAll(want_sl).count() == 0
+    assert want_sl.exceptAll(got_sl).count() == 0
+
+    run_available_now(
+        session_agg(read_events_stream(spark, str(src))),
+        str(tmp_path / "ckpt_se"), "t_session",
+    )
+    got_se = spark.table("t_session")
+    want_se = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+    assert got_se.count() == want_se.count() > 0
+    assert got_se.exceptAll(want_se).count() == 0
+    assert want_se.exceptAll(got_se).count() == 0
