@@ -1633,3 +1633,50 @@ def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.abs("__exact")
         ).alias("within_2pct"),
     )
+
+
+@_q(
+    "q_map_battery",
+    """
+    WITH cnt AS (
+      SELECT r.r_name, n.n_name, COUNT(*) AS c
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer cu ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT r_name,
+             map_from_entries(list((n_name, c) ORDER BY n_name)) AS nmap
+      FROM cnt GROUP BY r_name)
+    SELECT r_name,
+           CAST(cardinality(nmap) AS INT) AS n_nations,
+           nmap['ALGERIA'][1] AS algeria_customers,
+           nmap['JAPAN'][1] AS japan_customers
+    FROM m
+    """,
+)
+def q_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + access: per-region map of nation name →
+    customer count (entries sorted before construction so both engines
+    build the identical map), then cardinality and key lookups —
+    ``element_at`` returns NULL for a missing key, matching DuckDB's
+    ``m[k][1]`` on an empty hit list."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("c"))
+    )
+    m = cnt.groupBy("r_name").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "c")))
+        ).alias("nmap")
+    )
+    return m.select(
+        "r_name",
+        F.size("nmap").alias("n_nations"),
+        F.element_at("nmap", "ALGERIA").alias("algeria_customers"),
+        F.element_at("nmap", "JAPAN").alias("japan_customers"),
+    )
