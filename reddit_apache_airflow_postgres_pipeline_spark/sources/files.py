@@ -127,23 +127,25 @@ def read_csv_paths(
     skipped: list[str] = []
     all_cols: list[str] = list(columns or [])
     per_file_cols: dict[str, list[str]] = {}
+    import csv as _csv
+
     for p in paths:
         # Header sniff is driver-side file *metadata* work (one line per
-        # file), mirroring DictReader's fieldnames probe.
+        # file), mirroring DictReader's fieldnames probe. Unreadable,
+        # non-UTF-8 (binary garbage), and unparsable-header files are
+        # SKIPPED like the reference's try/except around _read_csv
+        # (Combine_send_to_postgresql.py:140-150) — they still get
+        # archived by the caller, never crash the run.
         try:
             with open(p, encoding="utf-8", errors="strict") as fh:
                 header = fh.readline().strip()
-        except OSError:
+            cols = next(iter(_csv.reader([header]))) if header else []
+        except (OSError, UnicodeDecodeError, _csv.Error):
             skipped.append(p)
             continue
-        if not header:
+        if not cols:
             skipped.append(p)
             continue
-        cols = next(
-            iter(
-                __import__("csv").reader([header])
-            )
-        )
         per_file_cols[p] = cols
         for c in cols:
             if c not in all_cols:

@@ -272,3 +272,33 @@ def test_dedup_first_agg_matches_window_on_lineitem(spark):
     w = dedup_first(li, "l_orderkey", order)
     a = dedup_first_agg(li, "l_orderkey", F.struct(*order)).select(*w.columns)
     assert sorted(map(tuple, w.collect())) == sorted(map(tuple, a.collect()))
+
+
+def test_binary_garbage_file_skipped_and_archived(spark, tmp_path):
+    """A non-UTF-8 (binary) file matching the inbox glob must be skipped
+    like the reference's try/except read — and archived — not crash the
+    combine run with UnicodeDecodeError."""
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "italytravel_binary.csv").write_bytes(b"\xff\xfe\x00garbage\x80")
+    # NUL bytes parse fine in modern Python csv: the file is read with its
+    # odd header, and its rows die at the key-required filter (F13) — same
+    # outcome DictReader gives the reference
+    (data / "italytravel_nul.csv").write_bytes(b"thing\x00key,score\nk9,1\n")
+    write_csv(data / "italytravel_ok.csv", ["thing_key", "score"], [["k1", "5"]])
+
+    cfg = EngineConfig(
+        gdpr_salt=SALT,
+        data_dir=str(data),
+        combine_dir=str(tmp_path / "combined"),
+        loaded_dir=str(tmp_path / "loaded"),
+    )
+    res = run_combine(spark, cfg, "20260813T000000")
+    assert res.rows == 1
+    assert sorted(os.path.basename(p) for p in res.used_files) == [
+        "italytravel_nul.csv",  # parsed (odd header), rows dropped by F13
+        "italytravel_ok.csv",
+    ]
+    # all three archived — inbox fully drained (A11)
+    assert sorted(os.listdir(data)) == []
+    assert len(os.listdir(cfg.loaded_dir)) == 3
