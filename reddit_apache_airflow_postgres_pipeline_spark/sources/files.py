@@ -91,7 +91,10 @@ def resolve_latest(
     now = _time.time() if now is None else now
     best: tuple[float, str] | None = None
     for p in list_inbox(data_dir, prefix, suffix):
-        mtime = os.path.getmtime(p)
+        try:
+            mtime = os.path.getmtime(p)
+        except OSError:  # raced with an archive move — not a candidate
+            continue
         if now - mtime <= max_age_s and (best is None or mtime > best[0]):
             best = (mtime, p)
     return best[1] if best else None
