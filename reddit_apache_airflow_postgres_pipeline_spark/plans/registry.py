@@ -401,6 +401,60 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_setops_all_multiplicity",
+    """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000)
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT -1 AS k, CAST((SELECT COUNT(*) FROM (
+      SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS BIGINT) AS n
+    """,
+)
+def q_setops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity
+    preserved, unlike the distinct forms in q_setops_segment_overlap.
+    Output: per-key intersect-all multiplicities plus one sentinel row
+    carrying the except-all total."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("k"))
+    inter = a.intersectAll(b).groupBy("k").agg(F.count("*").alias("n"))
+    exc = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit(-1).cast("long").alias("k"), "n"
+    )
+    return inter.unionAll(exc)
+
+
+@_q(
+    "q_regexp_battery",
+    r"""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(coalesce(text,''), '[a-z]+a'), ',') AS a_words,
+           regexp_extract(coalesce(text,''), '([a-z]+)\s+(table)', 1) AS before_table,
+           CASE WHEN regexp_matches(coalesce(text,''), 'spark') THEN 1 ELSE 0 END AS has_spark,
+           regexp_replace(coalesce(text,''), '[aeiou]', '', 'g') AS devoweled
+    FROM documents
+    """,
+)
+def q_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar battery: extract-all (serialized), group extract,
+    boolean match, global replace — same Java-compatible patterns on
+    both engines (no \\d/\\s classes, which differ cross-engine; see
+    functions/expr.py PY_WHITESPACE_RE)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.coalesce("text", F.lit(""))
+    return d.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all(t, F.lit("[a-z]+a"), 0), ",").alias("a_words"),
+        F.regexp_extract(t, r"([a-z]+)\s+(table)", 1).alias("before_table"),
+        F.when(t.rlike("spark"), F.lit(1)).otherwise(F.lit(0)).alias("has_spark"),
+        F.regexp_replace(t, "[aeiou]", "").alias("devoweled"),
+    )
+
+
+@_q(
     "q_distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )

@@ -67,3 +67,21 @@ def test_neardup_headliners_never_cross_join(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned layout must give PartitionFilters (file-level
+    pruning), not a data Filter over a full scan."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.parquet import write_partitioned
+
+    df = spark.range(0, 10_000).withColumn("day", (F.col("id") % 7).cast("string"))
+    path = str(tmp_path / "bydata")
+    write_partitioned(df, path, ["day"])
+
+    q = spark.read.parquet(path).filter(F.col("day") == "3").select("id")
+    plan = spark._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day" in m.group(1), plan
+    assert q.count() == sum(1 for i in range(10_000) if i % 7 == 3)
