@@ -12,7 +12,7 @@ shuffle, pushdown-friendly, limited only by scan bandwidth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language-ID
@@ -146,3 +146,58 @@ def fingerprint(col: Column | str) -> Column:
     c = F.coalesce(_col(col), F.lit(""))
     canon = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(canon)
+
+
+def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """Top-k TF-IDF terms per document (smoothed sklearn-style idf:
+    ``ln((N+1)/(df+1)) + 1``).
+
+    Scale shape (the plan a vocabulary/relevance build runs at 100 TB):
+
+    * tokens: map-side explode — no shuffle;
+    * tf: hash aggregate on ``(doc, term)`` — one shuffle, partial
+      map-side combine;
+    * df: re-aggregate of the (already skinny) tf relation on term —
+      vocabulary-sized output;
+    * tf⋈df on term: AQE broadcasts df when the vocabulary is small,
+      falls back to a shuffle join when it isn't — no hint forced;
+    * corpus size N: scalar aggregate, broadcast-nested into every row
+      via a 1-row cross join (never ``collect()`` — keeps the whole
+      thing one lazy plan);
+    * top-k: ``row_number`` window per doc, partition-local sort only.
+
+    Determinism contract: ranking and output both use the 6dp-rounded
+    score, so a ≤1-ulp ``ln`` divergence between engines cannot reorder
+    the top-k (ties break on term asc).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "tok", "tf", "df", "tfidf")
+    )

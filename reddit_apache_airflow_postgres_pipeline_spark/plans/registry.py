@@ -1121,6 +1121,37 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_doc_tfidf_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf) — the relevance/
+    keyword-extraction primitive of a training-data pipeline. Plan and
+    determinism contract documented on
+    operators/textstats.tfidf_top_terms."""
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(d, k=3)
+
+
+@_q(
     "q_doc_langid",
     f"""
     WITH scored AS (
