@@ -1496,6 +1496,36 @@ def q_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_join_interval_attribution",
+    """
+    WITH v AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, event_id AS click_event_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT v.user_id, view_event_id, click_event_id,
+           CAST(date_diff('second', view_ts, click_ts) AS BIGINT) AS delay_s
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND click_ts >= view_ts
+     AND click_ts <= view_ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (event-time band) self-join: clicks attributed to same-
+    user views in the preceding 30 min. The IDENTICAL code runs as a
+    watermarked stream-stream join (streaming/joins.py — parity test in
+    test_streaming.py); batch-side Spark plans it as a user_id equi-join
+    with the time band as a post-filter, so there is no theta-join
+    blowup."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.joins import (
+        view_click_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_attribution(ev)
+
+
+@_q(
     "q_join_asof",
     """
     WITH tagged AS (

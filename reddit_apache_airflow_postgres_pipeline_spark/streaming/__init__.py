@@ -10,6 +10,10 @@ from reddit_apache_airflow_postgres_pipeline_spark.streaming.events import (
     sliding_counts,
     tumbling_counts,
 )
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.joins import (
+    interval_join,
+    view_click_attribution,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.streaming.stateful import user_totals_stream
 
 __all__ = [
@@ -21,5 +25,7 @@ __all__ = [
     "session_agg",
     "sliding_counts",
     "tumbling_counts",
+    "interval_join",
+    "view_click_attribution",
     "user_totals_stream",
 ]

@@ -289,3 +289,27 @@ def test_sliding_and_session_streams_equal_batch(spark, tmp_path):
     assert got_se.count() == want_se.count() > 0
     assert got_se.exceptAll(want_se).count() == 0
     assert want_se.exceptAll(got_se).count() == 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """§2.E stream-stream join parity: the watermarked view→click
+    interval self-join drained with AvailableNow must equal the batch
+    form of the identical code (q_join_interval_attribution)."""
+    import shutil as _shutil
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import view_click_attribution
+
+    src = tmp_path / "events"
+    src.mkdir()
+    _shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+
+    run_available_now(
+        view_click_attribution(read_events_stream(spark, str(src))),
+        str(tmp_path / "ckpt_ij"), "t_ijoin",
+    )
+    got = spark.table("t_ijoin")
+    want = view_click_attribution(load_table(spark, SF, "events"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
