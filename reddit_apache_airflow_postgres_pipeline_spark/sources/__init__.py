@@ -4,6 +4,12 @@ from reddit_apache_airflow_postgres_pipeline_spark.sources.files import (
     read_csv_paths,
     resolve_latest,
 )
+from reddit_apache_airflow_postgres_pipeline_spark.sources.jsonl import (
+    DOCUMENTS_SCHEMA,
+    read_jsonl,
+    read_jsonl_with_quarantine,
+    write_jsonl,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table, load_tables
 
 __all__ = [
@@ -11,6 +17,10 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_inbox",
+    "DOCUMENTS_SCHEMA",
+    "read_jsonl",
+    "read_jsonl_with_quarantine",
+    "write_jsonl",
     "read_csv_paths",
     "resolve_latest",
 ]
