@@ -839,6 +839,98 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_funnel_view_click_purchase",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'click' AND e.ts >= fv.first_view
+      GROUP BY e.user_id),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_purchased_after
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: users who viewed, then clicked at or
+    after their first view, then purchased at or after that first
+    qualifying click. Each stage is a hash agg on user_id followed by a
+    user_id equi-join — all three shuffles share the same key, so at
+    scale the exchanges reuse one partitioning (and the stage tables
+    shrink monotonically)."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in [
+            (fv, "n_viewed"), (fc, "n_clicked_after"), (fp, "n_purchased_after")
+        ]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@_q(
+    "q_ntile_price_deciles",
+    """
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+    GROUP BY decile
+    """,
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning via ntile — the quantile-bucket primitive
+    (o_orderkey tiebreak keeps the global order, and thus the bin
+    boundaries, engine-deterministic). The global sort is the scale
+    cost; for 100 TB use q_approx_percentile_sketch's approx bounds
+    instead and bin by range."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    dec = F.ntile(10).over(w).alias("decile")
+    pr = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.select(pr.alias("p"), dec)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+        )
+    )
+
+
+@_q(
     "q_string_agg_nations",
     """
     SELECT r.r_name AS r_name,
