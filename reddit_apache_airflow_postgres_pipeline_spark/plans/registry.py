@@ -839,6 +839,91 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_dq_constraint_audit",
+    """
+    SELECT 'orders_null_custkey' AS constraint_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_fk_orders_orphans', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the validation pass a pipeline
+    runs before publishing a snapshot: null keys, domain violations,
+    FK orphans (anti-joins), cross-column ordering. Each FK check is a
+    LeftAnti join whose build side is only the key column; the scalar
+    checks are map-side conditional counts. One small output row per
+    constraint — cheap to alert on."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_null_custkey",
+            o.agg(
+                F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
+            ),
+        ),
+        one(
+            "orders_nonpositive_price",
+            o.agg(
+                F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations")
+            ),
+        ),
+        one(
+            "orders_fk_customer_orphans",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n_violations")),
+        ),
+        one(
+            "lineitem_fk_orders_orphans",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n_violations")),
+        ),
+        one(
+            "lineitem_discount_out_of_range",
+            li.agg(
+                F.count(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    )
+                ).alias("n_violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionAll(ch)
+    return out
+
+
+@_q(
     "q_funnel_view_click_purchase",
     """
     WITH fv AS (
