@@ -839,6 +839,98 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_events_daily_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT t.day::DATE AS day, et.event_type
+      FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day, spine.event_type,
+           COALESCE(daily.n, 0) AS n
+    FROM spine LEFT JOIN daily
+      ON spine.day = daily.day AND spine.event_type = daily.event_type
+    """,
+)
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a complete (day × event_type) grid over
+    the observed range, missing days filled with 0 — the time-series
+    densification every dashboard/trainer needs. The spine is
+    ``sequence()`` over a 1-row bounds agg exploded then crossed with
+    the distinct-type relation (both tiny → broadcast); the fact side
+    is one hash agg. No driver-side date loop."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q_cohort_weekly_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, w) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN firstw USING (user_id)
+    GROUP BY cohort, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each later week they return. Both inputs are user_id
+    hash aggs and the join is on user_id — the three shuffles share one
+    key, and ``(user, week)`` is distinct before the join so the final
+    count needs no count-distinct state."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("w", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+@_q(
     "q_dq_constraint_audit",
     """
     SELECT 'orders_null_custkey' AS constraint_name,
