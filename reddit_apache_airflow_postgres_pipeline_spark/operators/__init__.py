@@ -8,6 +8,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
     dedup_first,
     dedup_first_agg,
 )
+from reddit_apache_airflow_postgres_pipeline_spark.operators.diff import snapshot_diff
 from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
 from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
     exact_jaccard_verify,
@@ -53,4 +54,5 @@ __all__ = [
     "simhash_signatures",
     "stratified_sample_by_hash",
     "upsert_merge",
+    "snapshot_diff",
 ]

@@ -888,6 +888,49 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_snapshot_diff_cdc",
+    """
+    WITH prev AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    cur AS (SELECT * FROM orders WHERE o_orderkey % 103 <> 0)
+    SELECT o_orderkey, change_type FROM (
+      SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+                  WHEN c.o_orderkey IS NULL THEN 'delete'
+                  WHEN (p.o_custkey, p.o_orderstatus, p.o_totalprice,
+                        p.o_orderdate, p.o_orderpriority) IS DISTINCT FROM
+                       (c.o_custkey, c.o_orderstatus, c.o_totalprice,
+                        c.o_orderdate, c.o_orderpriority) THEN 'update'
+             END AS change_type
+      FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey)
+    WHERE change_type IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshot states (operators/diff.snapshot_diff):
+    prev/cur are derived deterministically from orders (drop keys %97 /
+    %103, double the price on %101) so inserts, deletes, and updates all
+    occur. The engine compares one xxhash64 row signature per side; the
+    oracle compares the tuples directly — agreement proves the signature
+    detects exactly the changed rows."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    prev = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cur = o.filter(F.col("o_orderkey") % 103 != 0)
+    return snapshot_diff(prev, cur, ["o_orderkey"])
+
+
+@_q(
     "q_cohort_weekly_retention",
     """
     WITH firstw AS (

@@ -85,3 +85,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "day" in m.group(1), plan
     assert q.count() == sum(1 for i in range(10_000) if i % 7 == 3)
+
+
+def test_interval_attribution_is_equi_join(spark):
+    """The event-time band join must plan as a user_id equi-join (hash or
+    sort-merge) with the band as a filter — never a theta/cartesian join."""
+    plan = _plan(spark, "q_join_interval_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ntile_single_exchange(spark):
+    """Global ntile needs exactly one exchange (the single-partition sort)
+    — the final decile agg must ride the same exchange via AQE/partial agg.
+    Count tree nodes `(n) Exchange`, not raw substrings: formatted explain
+    repeats each node in its detail section."""
+    plan = _plan(spark, "q_ntile_price_deciles")
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) == 1, plan
