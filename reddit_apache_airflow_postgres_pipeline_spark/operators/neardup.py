@@ -387,6 +387,76 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_estimate_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-accuracy relation: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE (matching signature positions / k)
+    beside the exact n-gram Jaccard, plus their absolute error.
+
+    This is the query you run before trusting a sketch configuration at
+    scale — it quantifies, on real data, how far ``k`` minhashes stray
+    from the true Jaccard (E[err] ~ sqrt(j(1-j)/k)). Same shuffle
+    profile as :func:`minhash_lsh_pairs`; the estimate join touches only
+    the k-column signature relation (skinny), and exact verification is
+    the usual array_intersect re-attach with threshold 0 (candidates
+    with no shared shingle surface as jaccard 0, not as dropped rows).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.explode(band_keys).alias("bk"))
+    cands = (
+        banded.select(F.col("doc").alias("id_a"), "bk")
+        .join(banded.select(F.col("doc").alias("id_b"), "bk"), "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = cands.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+    exact = exact_jaccard_verify(
+        df, cands, id_col, text_col, n, threshold=0.0, round_digits=6
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
 def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash of whitespace tokens: bit j of the hash is the sign of
     Σ_tokens (bit_j(md5(token))·2−1). Uses the first ``bits``/4 hex chars

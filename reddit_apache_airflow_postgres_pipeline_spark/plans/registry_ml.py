@@ -125,6 +125,75 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_quality_sql(num_hashes: int, bands: int) -> str:
+    r = num_hashes // bands
+    if num_hashes <= 12:
+        mins = ",\n         ".join(
+            f"min(substr(md5(s) || sha256(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            for i in range(num_hashes)
+        )
+    else:
+        mins = ",\n         ".join(
+            f"min(md5('{i}:' || s)) AS mh_{i}" for i in range(num_hashes)
+        )
+    band_keys = ",\n         ".join(
+        "concat_ws('|', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc AS id_a, b.doc AS id_b FROM banded a JOIN banded b"
+        f" ON a.band_{b} = b.band_{b} AND a.doc < b.doc"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    # exact tail keeps inter=0 candidates (LEFT JOIN + coalesce) to
+    # mirror the engine's threshold-0 verify
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    banded AS (SELECT doc, {band_keys} FROM sig),
+    cand AS ({band_joins}),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round(({match_sum}) * 1.0 / {num_hashes}, 6) AS est_jaccard
+      FROM cand c JOIN sig sa ON sa.doc = c.id_a
+                  JOIN sig sb ON sb.doc = c.id_b),
+    cnt AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c JOIN sh a ON a.doc = c.id_a
+                  JOIN sh b ON b.doc = c.id_b AND b.s = a.s
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT c.id_a, c.id_b,
+             round(COALESCE(i.inter, 0) * 1.0
+                   / (ca.n_sh + cb.n_sh - COALESCE(i.inter, 0)), 6) AS exact_jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN cnt ca ON ca.doc = c.id_a JOIN cnt cb ON cb.doc = c.id_b)
+    SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
+           round(abs(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """
+
+
+@_q("q_dedup_minhash_estimate_quality", _minhash_quality_sql(12, 4))
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy audit: estimated vs exact Jaccard on every
+    LSH candidate pair (operators/neardup.minhash_estimate_quality).
+    Both engines replay the identical hash family, so even the
+    estimates agree bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.minhash_estimate_quality(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4
+    )
+
+
 def _simhash_sql(bits: int, max_hamming: int) -> str:
     # bit j of a token's md5: nibble = hex char 1 + j//4 (high bit first)
     bit_weights = ",\n           ".join(
