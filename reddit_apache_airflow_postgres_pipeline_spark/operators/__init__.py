@@ -9,6 +9,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
     dedup_first_agg,
 )
 from reddit_apache_airflow_postgres_pipeline_spark.operators.diff import snapshot_diff
+from reddit_apache_airflow_postgres_pipeline_spark.operators.incremental import merge_rollup
 from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
 from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
     exact_jaccard_verify,
@@ -55,4 +56,5 @@ __all__ = [
     "stratified_sample_by_hash",
     "upsert_merge",
     "snapshot_diff",
+    "merge_rollup",
 ]

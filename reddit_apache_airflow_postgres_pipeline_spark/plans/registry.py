@@ -888,6 +888,48 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_incremental_rollup_merge",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance proven against full recompute:
+    events are split deterministically into a historical part
+    (event_id % 10 != 0, pre-aggregated as the materialized rollup) and
+    a new batch (% 10 == 0, aggregated alone); merging the two partial
+    aggregates (operators/incremental.merge_rollup) must equal the
+    oracle's one-pass aggregate over ALL events. Sums stay DECIMAL
+    through the merge so the two-step total is order-exact."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.incremental import (
+        merge_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def part_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    base = part_agg(ev.filter(F.col("event_id") % 10 != 0))
+    delta = part_agg(ev.filter(F.col("event_id") % 10 == 0))
+    merged = merge_rollup(base, delta, ["day", "event_type"], ["n", "sum_value"])
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@_q(
     "q_snapshot_diff_cdc",
     """
     WITH prev AS (
