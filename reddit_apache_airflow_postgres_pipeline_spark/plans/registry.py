@@ -888,6 +888,82 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_running_distinct_users",
+    """
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    newperday AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM firstday GROUP BY d),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY days.d) AS BIGINT) AS cum_users
+    FROM days LEFT JOIN newperday ON newperday.d = days.d
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT count-distinct state:
+    each user contributes 1 on their first-seen day (a user_id hash
+    agg), then a running sum over the tiny per-day relation. The
+    window's single-partition sort touches |days| rows, not |events| —
+    the only way exact running distincts stay cheap at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    newperday = firstday.groupBy("d").agg(F.count("*").alias("n_new"))
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(newperday, "d", "left")
+        .select("d", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+        )
+    )
+
+
+@_q(
+    "q_fuzzy_brand_match",
+    """
+    WITH brands AS (SELECT DISTINCT p_brand FROM part),
+    probes AS (SELECT replace(p_brand, '#', '-') AS probe FROM brands),
+    scored AS (
+      SELECT probe, p_brand AS matched_brand,
+             CAST(levenshtein(probe, p_brand) AS BIGINT) AS dist,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY levenshtein(probe, p_brand), p_brand) AS rk
+      FROM probes CROSS JOIN brands)
+    SELECT probe, matched_brand, dist FROM scored WHERE rk = 1
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) join: noisy probe strings matched to their
+    closest catalog value by Levenshtein, deterministic tiebreak on the
+    candidate. The pattern for typo-tolerant dimension lookup: candidates
+    × broadcast(probes) scored JVM-side, best match per probe via one
+    window — the cross product is |probes|×|dim-distinct|, never
+    fact-sized."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    brands = p.select("p_brand").distinct()
+    probes = brands.select(
+        F.replace("p_brand", F.lit("#"), F.lit("-")).alias("probe")
+    )
+    scored = brands.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        F.col("p_brand").alias("matched_brand"),
+        F.levenshtein("probe", "p_brand").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "matched_brand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe", "matched_brand", "dist")
+    )
+
+
+@_q(
     "q_incremental_rollup_merge",
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
