@@ -13,6 +13,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.incremental import 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.merge import upsert_merge
 from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
     exact_jaccard_verify,
+    minhash_estimate_quality,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -45,6 +46,7 @@ __all__ = [
     "hash_bucket",
     "ivf_knn",
     "knn_bruteforce",
+    "minhash_estimate_quality",
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
@@ -54,7 +56,7 @@ __all__ = [
     "simhash_near_dups",
     "simhash_signatures",
     "stratified_sample_by_hash",
-    "upsert_merge",
-    "snapshot_diff",
     "merge_rollup",
+    "snapshot_diff",
+    "upsert_merge",
 ]

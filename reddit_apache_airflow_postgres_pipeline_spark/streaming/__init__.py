@@ -11,6 +11,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.streaming.events import (
     tumbling_counts,
 )
 from reddit_apache_airflow_postgres_pipeline_spark.streaming.joins import (
+    enrich_with_static,
     interval_join,
     view_click_attribution,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "session_agg",
     "sliding_counts",
     "tumbling_counts",
+    "enrich_with_static",
     "interval_join",
     "view_click_attribution",
     "user_totals_stream",

@@ -50,6 +50,25 @@ def interval_join(
     return lw.join(rw, cond, "inner").drop(rw[key])
 
 
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of ``stream`` is
+    joined against the (batch) ``dim`` DataFrame.
+
+    No watermark needed — the static side is re-evaluated per
+    micro-batch (so a dim backed by a parquet path picks up file-level
+    updates between batches, the cheap slowly-changing-dimension mode).
+    Spark broadcasts the dim when it fits; at 100 TB keep dims skinny or
+    pre-bucket both sides. Inner/left are the streaming-supported modes
+    for a static right side.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def view_click_attribution(
     events: DataFrame,
     within: str = "30 minutes",

@@ -313,3 +313,31 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join parity: enriching a streaming events source
+    with a static dimension must equal the same join in batch."""
+    import shutil as _shutil
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import enrich_with_static
+
+    src = tmp_path / "events"
+    src.mkdir()
+    _shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    dim = spark.createDataFrame(
+        [("view", "engage"), ("click", "engage"), ("purchase", "convert")],
+        ["event_type", "category"],
+    )
+    enriched = enrich_with_static(
+        read_events_stream(spark, str(src)), dim, "event_type"
+    ).select("event_id", "event_type", "category")
+    run_available_now(enriched, str(tmp_path / "ckpt_en"), "t_enrich")
+    got = spark.table("t_enrich")
+    want = enrich_with_static(
+        load_table(spark, SF, "events"), dim, "event_type"
+    ).select("event_id", "event_type", "category")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
