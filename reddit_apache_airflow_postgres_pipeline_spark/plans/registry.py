@@ -888,6 +888,45 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_group_zscore_pandas",
+    """
+    WITH g AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(l_quantity) AS s, SUM(l_quantity * l_quantity) AS ss
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag AS grp,
+           CAST(l.l_orderkey * 10 + l.l_linenumber AS BIGINT) AS rid,
+           round(CASE WHEN g.n < 2
+                        OR (g.ss / g.n - (g.s / g.n) * (g.s / g.n)) <= 0
+                      THEN 0.0
+                      ELSE (l.l_quantity - g.s / g.n)
+                           / sqrt(g.ss / g.n - (g.s / g.n) * (g.s / g.n))
+                 END, 6) AS zscore
+    FROM lineitem l JOIN g USING (l_returnflag)
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas extension point (§2.F) under the full oracle:
+    per-returnflag z-scores computed in an ``applyInPandas`` function
+    (operators/grouped.group_zscore). l_quantity is integer-valued so
+    the pandas float64 sums are exact → order-free → the SQL oracle
+    replays the identical mean/std arithmetic. For the same statistic
+    at 100 TB you'd use the pure-codegen window/join form (the oracle's
+    own shape); this query exists to pin the Arrow grouped-map path's
+    correctness."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.grouped import group_zscore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("rid"),
+        "l_quantity",
+    )
+    return group_zscore(li, "grp", "rid", "l_quantity")
+
+
+@_q(
     "q_running_distinct_users",
     """
     WITH firstday AS (
