@@ -148,6 +148,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canon)
 
 
+# PII patterns — kept to syntax Java regex and RE2 (DuckDB) agree on:
+# plain classes and bounded repeats, no lookaround, no \s (Java's \s
+# includes \x0B, RE2's does not), no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+# scrub order is part of the contract: email first (its local part could
+# otherwise be chewed up by the phone pattern's digit runs), then IP
+# (dotted digits must go before the looser phone digits), then phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "[EMAIL]"),
+    ("ipv4", PII_IPV4_RE, "[IP]"),
+    ("phone", PII_PHONE_RE, "[PHONE]"),
+]
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern PII hit counts on the original text (long columns)."""
+    c = F.coalesce(_col(col), F.lit(""))
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact all PII patterns, applied in the documented order."""
+    c = F.coalesce(_col(col), F.lit(""))
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
 def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3):
     """Top-k TF-IDF terms per document (smoothed sklearn-style idf:

@@ -1621,6 +1621,77 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_doc_pii_scrub",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' contact u' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +1 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                     ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+             '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+    FROM noisy
+    """,
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery (operators/textstats.PII_PATTERNS): the
+    corpus carries no PII, so deterministic synthetic email/IP/phone
+    strings are injected per doc_id (varied moduli exercise non-matches
+    too), then counted and scrubbed in the documented order. Map-only
+    codegen regexes — at 100 TB this is a free rider on any scan."""
+    d = load_table(spark, sf_dir, "documents")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact u"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-0"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = textstats.pii_counts("t")
+    return noisy.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        textstats.pii_scrub("t").alias("scrubbed"),
+    )
+
+
+@_q(
     "q_doc_langid",
     f"""
     WITH scored AS (
