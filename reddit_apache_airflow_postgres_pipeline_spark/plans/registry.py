@@ -888,6 +888,43 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_recursive_hierarchy_agg",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS k, c_custkey // 10 AS a
+      FROM customer WHERE c_custkey > 0
+      UNION ALL
+      SELECT k, a // 10 FROM anc WHERE a > 0)
+    SELECT a AS ancestor, CAST(COUNT(*) AS BIGINT) AS n_desc
+    FROM anc GROUP BY a
+    """,
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x) walking a derived key hierarchy
+    (parent = key div 10, an acyclic tree of depth ~log10 N): descendant
+    counts per ancestor. Spark's recursion supports UNION ALL only
+    (probed: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — fine on DAGs/trees
+    where each (node, ancestor) path is unique; CYCLIC closures (near-dup
+    clusters) must keep using the iterative checkpointed label
+    propagation in operators/clusters.py, whose oracle-side recursion
+    relies on DuckDB's UNION-distinct termination."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS k, c_custkey DIV 10 AS a
+          FROM __rec_customer WHERE c_custkey > 0
+          UNION ALL
+          SELECT k, a DIV 10 FROM anc WHERE a > 0)
+        SELECT a AS ancestor, COUNT(*) AS n_desc
+        FROM anc GROUP BY a
+        """
+    )
+
+
+@_q(
     "q_group_zscore_pandas",
     """
     WITH g AS (
