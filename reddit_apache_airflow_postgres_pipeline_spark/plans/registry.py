@@ -888,6 +888,95 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_window_moving_avg_7d",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT t.day::DATE AS day
+      FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds) t),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(SUM(COALESCE(v, CAST(0 AS DECIMAL(18,2))))
+                      OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 2) AS avg_7d
+    FROM spine LEFT JOIN daily USING (day)
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window (ROWS BETWEEN 6 PRECEDING): 7-day moving
+    average of daily value totals over a gap-filled date spine (missing
+    days count as 0 — without the spine the frame would silently span
+    gaps). Decimal daily sums stay order-exact; the avg is
+    double(sum)/count because decimal-division scale rules differ
+    between engines at the rounding boundary. The window runs over
+    |days| rows, not |events|."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    filled = spine.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce("v", F.lit(0).cast("decimal(18,2)")).alias("v")
+    )
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w), 2
+        ).alias("avg_7d"),
+    )
+
+
+@_q(
+    "q_window_range_frame_2h",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_2h
+    FROM events
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the trailing-2-hours value sum
+    at every event. Spark expresses interval ranges as a rangeBetween on
+    epoch seconds — identical frame membership to the oracle's
+    ``RANGE BETWEEN INTERVAL`` because both bounds are inclusive and the
+    data is micros-aligned. Frames are per-user partitions (small), so
+    the sort never goes global."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_2h"),
+    )
+
+
+@_q(
     "q_recursive_hierarchy_agg",
     """
     WITH RECURSIVE anc AS (
