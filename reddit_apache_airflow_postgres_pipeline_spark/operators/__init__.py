@@ -31,7 +31,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
     ivf_knn,
     knn_bruteforce,
 )
-from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg
+from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg, salted_join
 
 __all__ = [
     "Agg",
@@ -51,6 +51,7 @@ __all__ = [
     "minhash_signature",
     "ngram_jaccard_pairs",
     "salted_agg",
+    "salted_join",
     "sample_by_hash",
     "scd2_apply",
     "simhash_near_dups",

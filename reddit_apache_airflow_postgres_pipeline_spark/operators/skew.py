@@ -79,3 +79,37 @@ def salted_agg(
     p1 = salted.groupBy(*keys, "__salt").agg(*phase1)
     p2 = p1.groupBy(*keys).agg(*phase2)
     return p2.select(*keys, *final)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the big (skewed) side, REPLICATE
+    the small side ``buckets`` times, join on (key, salt).
+
+    A hot key on the big side fans its rows over ``buckets`` reducers
+    instead of one; the cost is a ``buckets``× blow-up of the small side
+    — the deliberate trade when the small side is dimension-sized but
+    too big (or the skew too extreme) for plain broadcast, and AQE's
+    size-threshold skew splitting hasn't kicked in (it only splits
+    post-shuffle partitions over ``skewedPartitionThresholdInBytes``;
+    a logical hot KEY below that still serializes).
+
+    Result-identical to ``big.join(small, on, how)`` for inner/left
+    joins (each big row matches exactly one replica). The big-side salt
+    is uniform and data-independent (``monotonically_increasing_id``)
+    so no correlation with the key distribution is possible.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    )
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return b.join(s, [on, "__salt"], how).drop("__salt")

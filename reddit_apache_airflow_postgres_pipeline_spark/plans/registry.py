@@ -888,6 +888,37 @@ def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_join_salted_skew",
+    """
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-fact join (operators/skew.salted_join): lineitem's
+    rows fan out over 16 salt buckets, orders' join columns replicate
+    16× — the explicit fallback when a hot join key defeats both
+    broadcast and AQE's size-based skew splitting. Result-identical to
+    the plain join (the oracle runs exactly that)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, "l_orderkey", buckets=16)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        _dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@_q(
     "q_window_moving_avg_7d",
     """
     WITH bounds AS (
