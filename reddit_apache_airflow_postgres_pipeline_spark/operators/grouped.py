@@ -66,3 +66,52 @@ def group_zscore(
         .groupBy(group_col)
         .applyInPandas(_one, schema=out_schema)
     )
+
+
+def cogroup_type_balance(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Co-grouped-map Pandas (``groupBy().cogroup().applyInPandas``):
+    for each key, both sides' rows arrive as two pandas DataFrames in
+    one Python call — the extension point for per-key two-table logic
+    (custom as-of matching, per-entity reconciliation) that a join
+    can't express row-wise.
+
+    Demonstration statistic (exact-arithmetic, oracle-replayable):
+    per key, each side's row count and integer value sum, plus their
+    difference — keys present on one side only still produce a row
+    (counts 0), which is exactly the semantics an outer join + 2 aggs
+    needs three shuffles for and cogroup does in one pass per side.
+
+    Output: ``key, n_left, n_right, sum_left, sum_right, balance``.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} long, n_left long, n_right long, "
+        "sum_left long, sum_right long, balance long"
+    )
+
+    def _one(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        key = l[key_col].iloc[0] if len(l) else r[key_col].iloc[0]
+        sl = int(l[value_col].sum()) if len(l) else 0
+        sr = int(r[value_col].sum()) if len(r) else 0
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "n_left": [len(l)],
+                "n_right": [len(r)],
+                "sum_left": [sl],
+                "sum_right": [sr],
+                "balance": [sl - sr],
+            }
+        )
+
+    lsel = left.select(key_col, value_col)
+    rsel = right.select(key_col, value_col)
+    return lsel.groupBy(key_col).cogroup(rsel.groupBy(key_col)).applyInPandas(
+        _one, schema=out_schema
+    )

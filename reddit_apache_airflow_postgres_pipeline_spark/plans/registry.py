@@ -1008,6 +1008,44 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_cogroup_feed_reconcile",
+    """
+    WITH l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_left,
+                      CAST(SUM(event_id) AS BIGINT) AS sum_left
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_right,
+                 CAST(SUM(event_id) AS BIGINT) AS sum_right
+          FROM events WHERE event_type = 'click' GROUP BY user_id)
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+           COALESCE(sum_left, 0) AS sum_left,
+           COALESCE(sum_right, 0) AS sum_right,
+           COALESCE(sum_left, 0) - COALESCE(sum_right, 0) AS balance
+    FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+    """,
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped Pandas extension point (§2.F,
+    operators/grouped.cogroup_type_balance): per-user reconciliation of
+    two event feeds (row counts + id checksums + balance) in ONE
+    two-sided Python call per key. The oracle is the three-shuffle
+    relational equivalent (two aggs + full outer join) — identical
+    output proves the cogroup path, including one-sided keys."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.grouped import (
+        cogroup_type_balance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("v")
+    )
+    return cogroup_type_balance(views, clicks, "user_id", "v")
+
+
+@_q(
     "q_recursive_hierarchy_agg",
     """
     WITH RECURSIVE anc AS (
