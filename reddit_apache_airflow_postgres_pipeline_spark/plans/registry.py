@@ -1816,6 +1816,60 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_doc_token_encode",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(lower(coalesce(text,''))), '\\s+'), 1) AS pos
+        FROM documents) t
+      WHERE tok <> ''),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS tok_id
+      FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+      ORDER BY n DESC, tok LIMIT 100),
+    enc AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS tok_id
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(tok_id ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization + vocabulary encoding — the text→ids step of
+    a training-data pipeline: top-100 frequency vocabulary (id 1..100,
+    ties broken by token; out-of-vocab → 0), every document re-emitted
+    as its position-ordered id array. Plan shape: posexplode (map-side)
+    → broadcast vocab join → one hash agg collecting (pos,id) structs,
+    sorted in-array — no window over the exploded relation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(textstats.tokens("text")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    wv = Window.orderBy(F.desc("n"), "tok")
+    vocab = counts.select(
+        "tok", F.row_number().over(wv).cast("long").alias("tok_id")
+    ).filter(F.col("tok_id") <= 100)
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+            lambda s: s.tok_id,
+        ).alias("token_ids"),
+    )
+
+
+@_q(
     "q_doc_pii_scrub",
     r"""
     WITH noisy AS (
