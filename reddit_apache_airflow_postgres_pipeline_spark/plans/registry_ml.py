@@ -473,6 +473,39 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@_q(
+    "q_sim_quantize_audit",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    m AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) AS maxabs FROM v),
+    s AS (SELECT vec_id, vec, maxabs, 127.0 / maxabs AS scale FROM m),
+    e AS (SELECT vec_id, vec, maxabs,
+                 list_reduce(
+                   list_transform(vec, x -> (x - round(x * scale) / scale)
+                                            * (x - round(x * scale) / scale)),
+                   (acc, x) -> acc + x) / len(vec) AS mse,
+                 len(list_filter(vec, x -> abs(round(x * scale)) >= 127)) AS n_sat
+          FROM s)
+    SELECT vec_id, CAST(len(vec) AS BIGINT) AS n_dims,
+           round(CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs END, 6) AS max_abs,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE n_sat END AS BIGINT) AS n_saturated,
+           round(CASE WHEN maxabs = 0 THEN 0.0 ELSE mse END, 9) AS mse
+    FROM e
+    """,
+)
+def q_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization audit (operators/similarity.
+    quantize_audit): per-vector reconstruction MSE + saturation before
+    committing to 4× smaller storage. The oracle replays the identical
+    sequential fold (DuckDB list_reduce ≡ Spark F.aggregate) so even the
+    accumulation order matches."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_audit(vecs)
+
+
 _SAMPLE_RATE = 0.25
 _SAMPLE_THRESH = int(_SAMPLE_RATE * (1 << 32))
 
