@@ -1434,37 +1434,41 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel: users who viewed, then clicked at or
     after their first view, then purchased at or after that first
-    qualifying click. Each stage is a hash agg on user_id followed by a
-    user_id equi-join — all three shuffles share the same key, so at
-    scale the exchanges reuse one partitioning (and the stage tables
-    shrink monotonically)."""
+    qualifying click."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    fv = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+    # single scan, single user_id exchange: three sequential whole-
+    # partition windows resolve each stage's "first qualifying ts", then
+    # one global agg counts the stages — vs. the naive three filtered
+    # scans + three joins (13 exchanges → 2).
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("fv", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("fv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("fc", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("fc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("fp", fp)
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("fv").isNotNull().cast("int")).alias("v"),
+        F.max(F.col("fc").isNotNull().cast("int")).alias("c"),
+        F.max(F.col("fp").isNotNull().cast("int")).alias("p"),
     )
-    fc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(fv, "user_id")
-        .filter(F.col("ts") >= F.col("first_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click"))
+    return per_user.agg(
+        F.sum("v").cast("long").alias("n_viewed"),
+        F.sum("c").cast("long").alias("n_clicked_after"),
+        F.sum("p").cast("long").alias("n_purchased_after"),
     )
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(fc, "user_id")
-        .filter(F.col("ts") >= F.col("first_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    counts = [
-        df.agg(F.count("*").alias(name))
-        for df, name in [
-            (fv, "n_viewed"), (fc, "n_clicked_after"), (fp, "n_purchased_after")
-        ]
-    ]
-    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
 
 
 @_q(
