@@ -1820,6 +1820,45 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_pandas_udf_battery",
+    """
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(list_filter(
+               string_split_regex(trim(lower(coalesce(text,''))), '[\\t\\n\\f\\r ]+'),
+               x -> x <> '')) AS n_toks
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_pandas_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two sanctioned pandas_udf surfaces (§2.F,
+    functions/pandas_ext.py) under the oracle: a SCALAR vectorized
+    token count per document and a GROUPED-AGGREGATE exact integer sum,
+    composed in one groupBy. Integer outputs keep the Arrow path
+    bit-reproducible in SQL; this is the template, the hot paths stay
+    pure Column expressions."""
+    from reddit_apache_airflow_postgres_pipeline_spark.functions.pandas_ext import (
+        sum_long_pd,
+        token_count_pandas,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    with_toks = d.select(
+        "lang", "n_chars", token_count_pandas("text").alias("n_toks")
+    )
+    # both aggregates are pandas grouped-aggs: Spark disallows mixing
+    # them with builtins in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
+    return with_toks.groupBy("lang").agg(
+        sum_long_pd("n_chars").alias("total_chars"),
+        sum_long_pd("n_toks").alias("total_tokens"),
+    )
+
+
+@_q(
     "q_doc_token_encode",
     """
     WITH toks AS (
