@@ -1820,6 +1820,77 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_nest_unnest_roundtrip",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(struct_pack(l_linenumber := l_linenumber, l_quantity := l_quantity)
+                  ORDER BY l_linenumber) AS items
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(items) AS BIGINT) AS n_items,
+           CAST(list_reduce(list_transform(items, x -> x.l_quantity),
+                            (a, b) -> a + b) AS DOUBLE) AS sum_qty,
+           CAST(items[1].l_linenumber AS BIGINT) AS first_line
+    FROM nested
+    """,
+)
+def q_nest_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-record modeling (the training-record/document-store
+    shape): lineitems folded into a per-order array of structs — sorted
+    by line number so the nesting is deterministic — then consumed with
+    array HOFs (size, fold over a field, positional access). One hash
+    agg builds the nest; everything after is map-side. l_quantity is
+    integer-valued so the sequential fold is order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate(
+            F.transform("items", lambda x: x.l_quantity),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sum_qty"),
+        F.col("items")[0]["l_linenumber"].cast("long").alias("first_line"),
+    )
+
+
+@_q(
+    "q_try_cast_battery",
+    """
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS BIGINT) AS bad_int,
+           TRY_CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS good_int,
+           CASE WHEN p_partkey % 5 = 0 THEN NULL
+                ELSE CAST(p_partkey // (p_partkey % 5) AS BIGINT) END AS guarded_div,
+           TRY_CAST(substr(p_type, 1, 4) AS DOUBLE) AS bad_double
+    FROM part
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casts: malformed input yields NULL, never a task
+    failure — TRY_CAST / try_divide are how a 100 TB ingest survives the
+    garbage percentile without PERMISSIVE-mode blind spots. (Spark's
+    try_divide(x, 0) is NULL; DuckDB raises on integer /0, so the
+    oracle guards with CASE — same relation.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("long").alias("bad_int"),
+        F.col("p_partkey").cast("string").try_cast("long").alias("good_int"),
+        F.try_divide("p_partkey", F.col("p_partkey") % 5)
+        .cast("long")
+        .alias("guarded_div"),
+        F.substring("p_type", 1, 4).try_cast("double").alias("bad_double"),
+    )
+
+
+@_q(
     "q_pandas_udf_battery",
     """
     WITH t AS (
