@@ -1,0 +1,225 @@
+"""Corpus-curation operators for LLM training-data preparation.
+
+The reference pipeline (dags/Fetch_reddit.py, dags/
+Combine_send_to_postgresql.py) stops at dedup + upsert; these extend the
+engine with the curation stages a training-data pipeline runs before
+tokenization, per the build brief: repetition-based quality filtering
+(Gopher-style signals), benchmark decontamination (n-gram overlap with an
+eval set), deterministic hash split assignment, and sequence packing
+(concat-and-chunk token budgeting).
+
+Scale posture (100 TB):
+
+* ``repetition_signals`` — one explode into (doc, bigram), hash-aggregated
+  with map-side partial combine; the per-doc stats joins are between two
+  aggregates that share the ``doc_id`` hash partitioning, so AQE plans
+  them without an extra exchange. No window over the full corpus.
+* ``contaminated_ids`` — eval/benchmark sets are tiny next to a training
+  corpus (MMLU-scale: thousands of rows), so the eval shingle-hash side is
+  ``broadcast()``; the train side streams map-only through a broadcast
+  semi-join. No shuffle of the corpus at all.
+* ``hash_split`` — pure map-side column derivation (md5-bucket), no
+  shuffle, stable under re-runs and insertions (a doc's split never
+  depends on other rows — the property that keeps eval sets frozen as the
+  corpus grows).
+* ``pack_chunks`` — cumulative token sums are windowed **per shard**
+  (``part_col``), never globally: a global order over 100 TB is a
+  single-partition sort, while per-shard packing matches how training
+  shards are actually written (each shard → one packed stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import word_shingles
+from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count, tokens
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style).
+
+    Output: (doc_id, n_tokens, distinct_token_ratio, top_bigram_frac,
+    dup_bigram_frac, repetitive) where
+
+    * ``distinct_token_ratio`` — distinct tokens / total tokens,
+    * ``top_bigram_frac``     — occurrences of the most frequent token
+      bigram / total bigrams,
+    * ``dup_bigram_frac``     — fraction of bigram occurrences whose
+      bigram appears more than once,
+    * ``repetitive``          — ``dup_bigram_frac > 0.1`` (the filter
+      decision a curation pipeline would apply).
+
+    Ratios are NULL for docs with no tokens / no bigrams (never a
+    divide-by-zero under ANSI mode). Tokenization is the engine-wide
+    whitespace contract (:func:`textstats.tokens`).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    tok_stats = (
+        base.select("doc_id", F.explode_outer("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.count_distinct("tok").alias("n_distinct"),
+        )
+    )
+    # Bigrams via one zip_with evaluated once and immediately exploded —
+    # the HOF result feeds a single consumer, so Catalyst's
+    # ProjectCollapse re-evaluation trap (see minhash_signature) does not
+    # apply here.
+    big = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    bgs = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("__total"),
+            F.max("c").alias("__maxc"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+            ).alias("__dup"),
+        )
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, F.round(num / den, 6))
+
+    dup_frac = _frac(F.col("__dup"), F.col("__total"))
+    return (
+        tok_stats.join(bgs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _frac(F.col("n_distinct"), F.col("n_tokens")).alias(
+                "distinct_token_ratio"
+            ),
+            _frac(F.col("__maxc"), F.col("__total")).alias(
+                "top_bigram_frac"
+            ),
+            dup_frac.alias("dup_bigram_frac"),
+            (dup_frac > 0.1).alias("repetitive"),
+        )
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Training docs sharing ≥1 word ``n``-gram with an eval/benchmark set.
+
+    GPT-3-style decontamination: hash every word n-gram of the eval set,
+    broadcast the (small) hash set, and semi-join the training corpus's
+    n-gram hashes against it. Output: one ``doc_id`` column of distinct
+    contaminated training docs.
+
+    Real pipelines use n = 8–13; the default 4 is sized to this repo's
+    synthetic 31-word-vocabulary corpus, where wider grams never collide
+    (n is a parameter, not a behavior change). Shingles come from
+    :func:`neardup.word_shingles` — the same definition the Jaccard/
+    MinHash dedup family uses, so one shingle table can serve both at
+    scale.
+    """
+    ev = (
+        eval_df.select(F.explode(word_shingles(text_col, n)).alias("s"))
+        .filter(F.col("s") != "")
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    tr = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, n)).alias("s"),
+        )
+        .filter(F.col("s") != "")
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Bucket = first 8 hex digits of ``md5(id)`` as an integer mod 100;
+    train < ``train_pct`` ≤ val < ``train_pct+val_pct`` ≤ test. Pure
+    map-side, reproducible across engines and runs, and independent of
+    row order or corpus growth — the properties ``rand()``-based splits
+    lack.
+    """
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+    chunk_tokens: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each doc the training
+    chunk its first token lands in.
+
+    Docs are laid end-to-end per shard (``part_col``) in ``id_col`` order;
+    chunk ``i`` covers token offsets [i·B, (i+1)·B). A doc's chunk is
+    ``floor(preceding_tokens / B)`` — docs may straddle chunk boundaries,
+    exactly like GPT-style packed pretraining streams. Output adds
+    ``n_tok`` (doc token count) and ``chunk_id``.
+
+    The window is partitioned by shard, so no global sort exists at any
+    scale; chunk ids are deterministic given the shard's id order.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            part_col,
+            F.col(id_col).alias("doc_id"),
+            token_count(text_col).alias("n_tok"),
+        )
+        .withColumn("__cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("__cum") - F.col("n_tok")) / F.lit(float(chunk_tokens))),
+        )
+        .drop("__cum")
+    )

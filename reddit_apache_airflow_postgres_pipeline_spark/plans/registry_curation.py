@@ -1,0 +1,175 @@
+"""Query registry, part 4: corpus-curation operators (operators/
+curation.py) — repetition filtering, benchmark decontamination, hash
+split assignment, sequence packing. Each query carries a full DuckDB
+oracle sharing the engine-wide tokenization contract (_TOKENS_SQL) and
+the word-shingle definition the dedup family already proved
+cross-engine (registry_ml._SHINGLES_SQL, generalized to n=4 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL, _q
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+
+def _shingles_sql(n: int, pred: str) -> str:
+    """(doc_id, s) word n-gram shingle relation over ``documents`` rows
+    matching ``pred`` — the SQL mirror of neardup.word_shingles(col, n):
+    distinct per doc, short docs contribute their full join, '' dropped."""
+    return f"""
+  SELECT doc_id, s FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(0, greatest(len(toks) - {n}, 0)),
+      i -> array_to_string(toks[i+1:i+{n}], ' ')))) AS s
+    FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+          FROM documents WHERE {pred}) t) u
+  WHERE s <> ''
+"""
+
+
+@_q(
+    "q_doc_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bgs AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS maxc,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM bgc GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(tok.n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN tok.n_tokens > 0
+                THEN round(tok.n_distinct * 1.0 / tok.n_tokens, 6) END
+             AS distinct_token_ratio,
+           CASE WHEN bgs.total > 0
+                THEN round(bgs.maxc * 1.0 / bgs.total, 6) END
+             AS top_bigram_frac,
+           CASE WHEN bgs.total > 0
+                THEN round(bgs.dup * 1.0 / bgs.total, 6) END
+             AS dup_bigram_frac,
+           CASE WHEN bgs.total > 0
+                THEN round(bgs.dup * 1.0 / bgs.total, 6) > 0.1 END
+             AS repetitive
+    FROM tok LEFT JOIN bgs ON bgs.doc_id = tok.doc_id
+    """,
+)
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document — the filter
+    pass a pretraining pipeline runs before tokenization. Plan: one
+    explode → (doc, bigram) hash agg → per-doc re-agg; both aggregates
+    hash-partition on doc_id so the joins add no exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.repetition_signals(d)
+
+
+@_q(
+    "q_decontam_eval_overlap",
+    "WITH sh AS (" + _shingles_sql(4, "TRUE") + "),\n"
+    + """
+    ev AS (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, md5(s) AS h FROM sh WHERE doc_id % 20 <> 0),
+    bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.h = tr.h)
+    SELECT d.source,
+           COUNT(*) AS n_train_docs,
+           CAST(COUNT(bad.doc_id) AS BIGINT) AS n_contaminated,
+           round(COUNT(bad.doc_id) * 1.0 / COUNT(*), 6) AS contamination_rate
+    FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY d.source
+    """,
+)
+def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: every 20th doc plays the eval
+    set; training docs sharing any word 4-gram with it are flagged, and
+    the contamination rate is reported per source. The eval shingle-hash
+    side is broadcast — the corpus is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    bad = curation.contaminated_ids(tr, ev, n=4).withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        tr.select("doc_id", "source")
+        .join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.count("__hit").alias("n_contaminated"),
+            F.round(F.count("__hit") / F.count("*"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+@_q(
+    "q_split_hash_assign",
+    f"""
+    WITH s AS (
+      SELECT *,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      FROM documents)
+    SELECT CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens,
+           round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+    FROM s GROUP BY 1
+    """,
+)
+def q_split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5(doc_id) bucket —
+    map-side only, reproduced digit-for-digit by the oracle via the
+    hex-prefix→BIGINT recipe. Stable under corpus growth, unlike
+    rand()-seeded splits."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = curation.hash_split(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+@_q(
+    "q_sequence_pack_chunks",
+    f"""
+    WITH t AS (SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tok
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT source,
+           CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing audit: docs laid end-to-end per
+    source shard in doc_id order, each assigned the 512-token chunk its
+    first token lands in; per-chunk doc counts and started-token sums.
+    The cumulative window is per-shard — no global sort at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    packed = curation.pack_chunks(d, chunk_tokens=512)
+    return packed.groupBy("source", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for operators/curation.py — the edge cases the oracle gate
+can't exercise on the synthetic corpus (empty docs, boundary-straddling
+chunks, split stability under corpus growth, explicit contamination)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_repetition_signals_edge_docs(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b a b", "s"),      # one bigram dominates
+            (2, "w x y z", "s"),          # all bigrams unique
+            (3, "solo", "s"),             # 1 token → no bigrams
+            (4, "   ", "s"),              # no tokens at all
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.repetition_signals(d).collect()
+    }
+    # doc 1: tokens [a b a b a b] → 5 bigrams: a_b ×3, b_a ×2 — all dup
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[1]["dup_bigram_frac"] == 1.0
+    assert out[1]["repetitive"] is True
+    assert out[1]["distinct_token_ratio"] == round(2 / 6, 6)
+    # doc 2: 3 unique bigrams
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["repetitive"] is False
+    # doc 3: no bigrams → NULL fracs, NULL flag
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] is None
+    assert out[3]["repetitive"] is None
+    # doc 4: whitespace-only → zero tokens, every ratio NULL
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["distinct_token_ratio"] is None
+
+
+def test_contaminated_ids_explicit_overlap(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps", "eval")])
+    tr = _docs(
+        spark,
+        [
+            (1, "lazy dog saw the quick brown fox leap", "s"),  # shares 4-gram
+            (2, "totally different words entirely here now", "s"),
+            (3, "quick brown fox jumps high", "s"),              # shares 4-gram
+        ],
+    )
+    bad = sorted(
+        r["doc_id"]
+        for r in curation.contaminated_ids(tr, ev, n=4).collect()
+    )
+    assert bad == [1, 3]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    d1 = _docs(spark, [(i, "t", "s") for i in range(200)])
+    d2 = _docs(spark, [(i, "t", "s") for i in range(400)])  # corpus grew
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(d1).collect()
+    }
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in curation.hash_split(d2).collect()
+    }
+    # growth never reassigns an existing doc
+    assert all(s2[i] == s1[i] for i in range(200))
+    # matches the documented bucket formula
+    for i in (0, 7, 123):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        want = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert s1[i] == want
+    assert set(s1.values()) <= {"train", "val", "test"}
+
+
+def test_pack_chunks_boundaries(spark):
+    # per-shard streams: chunk = floor(preceding_tokens / 4)
+    d = _docs(
+        spark,
+        [
+            (1, "a b c", "s1"),    # preceding 0 → chunk 0
+            (2, "d e f", "s1"),    # preceding 3 → chunk 0 (straddles)
+            (3, "g", "s1"),        # preceding 6 → chunk 1
+            (4, "h i j k l", "s2"),  # other shard restarts at 0
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.pack_chunks(d, chunk_tokens=4).collect()
+    }
+    assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[4]["chunk_id"] == 0 and out[4]["source"] == "s2"
+    assert out[1]["n_tok"] == 3
