@@ -1,0 +1,170 @@
+"""Query registry, part 5: time-series / interval analytics over the
+events stream (operators/timeseries.py) plus distribution histograms —
+sweep-line concurrency, gaps-and-islands, bounded EWMA smoothing, and
+fixed-width binning, each with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import timeseries
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _q
+from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+
+@_q(
+    "q_events_max_concurrency",
+    """
+    WITH pts AS (
+      SELECT event_type AS key, ts AS t, 1 AS delta, event_id AS id FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 10 MINUTE, -1, event_id FROM events),
+    c AS (
+      SELECT key, delta,
+             SUM(delta) OVER (PARTITION BY key
+                              ORDER BY t ASC, delta DESC, id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM pts)
+    SELECT key AS event_type,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           CAST(MAX(cum) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY key
+    """,
+)
+def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: treat each event as a 10-minute
+    open interval and report, per event type, the peak number open at
+    once. ±1 deltas, one per-key ordered running sum, max per key —
+    the running-max is invariant to equal-time tie order, which is what
+    makes the result deterministic (and the oracle replayable)."""
+    e = load_table(spark, sf_dir, "events")
+    out = timeseries.max_concurrency(
+        e, "event_type", "ts", "event_id", "INTERVAL 10 MINUTES"
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("max_concurrent").cast("long").alias("max_concurrent"),
+    )
+
+
+@_q(
+    "q_events_gaps_islands",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INT) AS grp
+          FROM d),
+    isl AS (SELECT user_id, grp, COUNT(*) AS island_len FROM r
+            GROUP BY user_id, grp)
+    SELECT CAST(island_len AS BIGINT) AS island_len,
+           COUNT(*) AS n_islands,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM isl GROUP BY island_len
+    """,
+)
+def q_events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (rn-difference idiom), summarized as an island-length
+    histogram. The window partitions by user — distinct-day lists are
+    tiny per user, so the sort is per-key and parallel at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    isl = timeseries.activity_islands(e, "user_id", "ts")
+    return isl.groupBy(F.col("island_len").cast("long").alias("island_len")).agg(
+        F.count("*").alias("n_islands"),
+        F.count_distinct("key").alias("n_users"),
+    )
+
+
+@_q(
+    "q_events_ewma",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER win AS l1,
+             lag(value, 2) OVER win AS l2,
+             lag(value, 3) OVER win AS l3,
+             lag(value, 4) OVER win AS l4
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT event_id, user_id,
+           round((((value * 1.0
+                    + coalesce(0.5 * l1, 0.0))
+                    + coalesce(0.25 * l2, 0.0))
+                    + coalesce(0.125 * l3, 0.0)
+                    + coalesce(0.0625 * l4, 0.0))
+                 / ((((1.0
+                    + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END)
+                    + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END)
+                    + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END)
+                    + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END), 6)
+             AS ewma
+    FROM w
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth EWMA (alpha = 0.5, depth 4) of event values per
+    user: a lag-chain window expression, not recursive state — fixed
+    size, codegen'd, and arithmetically identical across engines
+    (weights are exact powers of two; additions associate
+    left-to-right in both). Series heads renormalize over the weights
+    present."""
+    e = load_table(spark, sf_dir, "events")
+    ew = timeseries.ewma_bounded(
+        F.col("value"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        F.col("user_id"),
+        alpha=0.5,
+        depth=4,
+    )
+    return e.select(
+        "event_id", "user_id", F.round(ew, 6).alias("ewma")
+    )
+
+
+@_q(
+    "q_orders_price_histogram",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT),
+                   23) AS bucket,
+             o_totalprice
+      FROM orders)
+    SELECT bucket,
+           CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY bucket
+    """,
+)
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution histogram: 25k-wide price buckets with a
+    top catch-all at 23 (the width_bucket idiom spelled as floor
+    arithmetic so both engines run the identical IEEE ops). Map-side
+    bucket derivation + one hash agg — the shape a data-profiler runs
+    over 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice").cast("double") / 25000.0).cast("long"),
+        F.lit(23).cast("long"),
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("bucket_lo"),
+            "n",
+            "total",
+        )
+    )
