@@ -168,3 +168,101 @@ def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@_q(
+    "q_events_winsorize_clip",
+    """
+    WITH p AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(least(greatest(e.value, p.p05), p.p95), 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum,
+           CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping at p05/p95 per event type): exact
+    per-group percentiles, broadcast back onto the stream, clip, and
+    re-aggregate. Percentile bounds are rounded to 6 dp BEFORE the
+    comparison so both engines clip the identical row set; clipped sums
+    are 2-dp-decimal exact. At 100 TB swap the exact percentile for
+    approx_percentile — the join-back shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    pct = (
+        e.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.05D, 0.95D))").alias("__p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("__p", 1), 6).alias("p05"),
+            F.round(F.element_at("__p", 2), 6).alias("p95"),
+        )
+    )
+    j = e.join(F.broadcast(pct), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(clipped, 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("clipped_sum"),
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_lo"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_hi"),
+    )
+
+
+@_q(
+    "q_crosstab_source_lang",
+    """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+    rt AS (SELECT source, SUM(n) AS row_tot FROM cells GROUP BY source),
+    ct AS (SELECT lang, SUM(n) AS col_tot FROM cells GROUP BY lang),
+    tot AS (SELECT SUM(n) AS total FROM cells)
+    SELECT c.source, c.lang,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 * t.total / (r.row_tot * l.col_tot), 6) AS lift
+    FROM cells c
+    JOIN rt r ON r.source = c.source
+    JOIN ct l ON l.lang = c.lang
+    CROSS JOIN tot t
+    """,
+)
+def q_crosstab_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency cross-tab with association lift (observed /
+    expected-under-independence) — the data-profiling shape behind
+    chi-square drift checks. Cell counts shuffle once; row totals, col
+    totals, and the 1-row grand total are all broadcast joins (the BNLJ
+    on the scalar is the sanctioned 1-row cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    rt = cells.groupBy("source").agg(F.sum("n").alias("row_tot"))
+    ct = cells.groupBy("lang").agg(F.sum("n").alias("col_tot"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n") * 1.0 * F.col("total")
+                / (F.col("row_tot") * F.col("col_tot")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -104,3 +104,61 @@ def test_ntile_single_exchange(spark):
     plan = _plan(spark, "q_ntile_price_deciles")
     nodes = re.findall(r"\(\d+\) Exchange", plan)
     assert len(nodes) == 1, plan
+
+
+def test_join_strategy_hints_respected(spark):
+    """The three join-strategy hints must each produce their physical
+    operator: at 100 TB the difference between a broadcast, a shuffled
+    hash, and a sort-merge join is the difference between minutes and
+    hours — hints are the declared escape hatch when statistics lie."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+
+    def plan_of(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    merge = c.hint("merge").join(o, c.c_custkey == o.o_custkey)
+    assert "SortMergeJoin" in plan_of(merge)
+    shash = c.hint("shuffle_hash").join(o, c.c_custkey == o.o_custkey)
+    assert "ShuffledHashJoin" in plan_of(shash)
+    bcast = c.hint("broadcast").join(o, c.c_custkey == o.o_custkey)
+    assert "BroadcastHashJoin" in plan_of(bcast)
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's runtime row-level bloom filter (InjectRuntimeFilter) must
+    fire on a selective dim→fact join when enabled — at scale it prunes
+    fact rows BEFORE the shuffle. Thresholds are lowered because the
+    local test tables are tiny; the assertion is on the optimizer
+    behavior, not the data size."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf, "orders").filter("o_orderstatus = 'F'")
+        li = load_table(spark, sf, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
