@@ -321,6 +321,37 @@ def minhash_signature(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, bk): one row per (doc, band) with the band key prefixed by
+    its band index, so a SINGLE self-equi-join on ``bk`` covers "equal
+    in ANY band" — one shuffle instead of ``bands`` separate joins. The
+    groupBy inside minhash_signature is the projection barrier here:
+    band keys read the aggregated mh_* columns, nothing re-inlines.
+
+    Shared by :func:`minhash_lsh_pairs` (batch pair mining) and the
+    streaming dedup gate (streaming/dedup_gate.py), so both see the
+    identical bucket universe."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc", F.explode(band_keys).alias("bk"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -355,23 +386,7 @@ def minhash_lsh_pairs(
     an eager persist serializes the signature chain; caching the shingle
     relation also churned unrelated queries' cache in shared sessions.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
-    # one row per (doc, band): band key prefixed with the band index, so a
-    # SINGLE self-equi-join on bk covers "equal in ANY band" — one shuffle
-    # instead of ``bands`` separate joins. The groupBy inside
-    # minhash_signature is the projection barrier here: band keys read the
-    # aggregated mh_* columns, nothing re-inlines.
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)]
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc", F.explode(band_keys).alias("bk"))
+    banded = minhash_band_keys(df, id_col, text_col, n, num_hashes, bands)
     a = banded.select(F.col("doc").alias("id_a"), "bk")
     c = banded.select(F.col("doc").alias("id_b"), "bk")
     cands = (

@@ -2604,6 +2604,7 @@ def all_specs() -> list[QuerySpec]:
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_curation  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm  # noqa: F401  (registers SPECS)
+    import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_stats  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ts  # noqa: F401  (registers SPECS)
 
     return list(SPECS)
