@@ -158,3 +158,198 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov")
     )
+
+
+_LN2 = 0.6931471805599453  # double nearest ln(2): engines' log(2) may differ 1 ulp
+
+
+@_q(
+    "q_doc_entropy",
+    """
+    WITH tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> '' GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             SUM(CAST(round(c * ln(c), 9) AS DECIMAL(28,12))) AS sl
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id, n AS n_tokens, vocab,
+           round((ln(n) - CAST(sl AS DOUBLE) / n) / 0.6931471805599453, 6)
+             AS entropy_bits
+    FROM agg
+    """,
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (bits) — the
+    information-density quality signal next to the repetition family.
+    H = ln(n) − Σ c·ln(c) / n, with the per-term products rounded to
+    9 dp and summed as DECIMAL so the reduce is order-free; the ln(2)
+    divisor is a pinned literal because engines' log(2) can differ by an
+    ulp. Plan: explode → (doc, tok) hash agg → per-doc re-agg, all
+    map-side-combining."""
+    d = load_table(spark, sf_dir, "documents")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+    tc = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").alias("vocab"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")), 9).cast("decimal(28,12)")
+        ).alias("sl"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(
+            (F.log("n") - F.col("sl").cast("double") / F.col("n")) / _LN2, 6
+        ).alias("entropy_bits"),
+    )
+
+
+@_q(
+    "q_token_zipf_slope",
+    """
+    WITH tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+            FROM documents) t
+      WHERE tok <> '' GROUP BY tok),
+    top AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+      FROM tf ORDER BY n DESC, tok ASC LIMIT 50),
+    terms AS (
+      SELECT CAST(round(ln(rank), 9) AS DECIMAL(28,12)) AS x,
+             CAST(round(ln(n), 9) AS DECIMAL(28,12)) AS y,
+             CAST(round(ln(rank) * ln(n), 9) AS DECIMAL(28,12)) AS xy,
+             CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(28,12)) AS xx
+      FROM top),
+    s AS (SELECT COUNT(*) AS k, CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xy) AS DOUBLE) AS sxy,
+                 CAST(SUM(xx) AS DOUBLE) AS sxx FROM terms)
+    SELECT CAST(k AS BIGINT) AS k,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def q_token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: least-squares slope of ln(freq) vs
+    ln(rank) over the top-50 vocabulary terms — the corpus-shape
+    diagnostic a language-data pipeline tracks (natural text ≈ −1).
+    Top-k by (freq desc, tok) is TakeOrderedAndProject; the regression
+    terms are 9-dp-rounded decimal sums (order-free), with the final
+    slope/intercept arithmetic in IEEE-exact doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+    from pyspark.sql import Window
+
+    tf = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+    top = tf.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("tok"))
+        ),
+    )
+    lx, ly = F.log("rank"), F.log("n")
+    terms = top.select(
+        F.round(lx, 9).cast("decimal(28,12)").alias("x"),
+        F.round(ly, 9).cast("decimal(28,12)").alias("y"),
+        F.round(lx * ly, 9).cast("decimal(28,12)").alias("xy"),
+        F.round(lx * lx, 9).cast("decimal(28,12)").alias("xx"),
+    )
+    s = terms.agg(
+        F.count("*").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    )
+
+
+def _triangles_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import _minhash_sql
+
+    pairs = _minhash_sql(12, 4, 0.7)
+    return f"""
+    WITH edges AS (SELECT id_a, id_b FROM ({pairs}) p),
+    nodes AS (SELECT id_a AS v FROM edges UNION SELECT id_b FROM edges),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.id_a = e1.id_b
+      JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles
+    """
+
+
+@_q("q_neardup_triangles", _triangles_sql())
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate pair graph — the graph-
+    analytics sanity check on dedup output (triangle-dense components
+    are template families; the count feeds a clustering-coefficient
+    drift monitor). Edges come from the same MinHash miner as
+    q_dedup_minhash_lsh; with id_a < id_b every triangle is counted
+    once via the canonical a<b<c two-hop join. The tiny edge list is
+    localCheckpoint()ed so the three-way self-join and the node/edge
+    counts reuse one materialization instead of re-mining signatures
+    five times (at 100 TB the edge list is a written table anyway)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = (
+        neardup.minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("v"))
+        .union(edges.select("id_b"))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    ecnt = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        ecnt.crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(tri))
+        .select("n_edges", "n_nodes", "n_triangles")
+    )
