@@ -3,6 +3,12 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import (
     canonical_docs,
     connected_components,
 )
+from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+    contaminated_ids,
+    hash_split,
+    pack_chunks,
+    repetition_signals,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.operators.dedup import (
     dedup_exact,
     dedup_first,
@@ -32,9 +38,21 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
     knn_bruteforce,
 )
 from reddit_apache_airflow_postgres_pipeline_spark.operators.skew import Agg, salted_agg, salted_join
+from reddit_apache_airflow_postgres_pipeline_spark.operators.timeseries import (
+    activity_islands,
+    ewma_bounded,
+    max_concurrency,
+)
 
 __all__ = [
     "Agg",
+    "activity_islands",
+    "contaminated_ids",
+    "ewma_bounded",
+    "hash_split",
+    "max_concurrency",
+    "pack_chunks",
+    "repetition_signals",
     "asof_join",
     "canonical_docs",
     "connected_components",

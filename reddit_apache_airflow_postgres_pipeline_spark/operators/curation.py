@@ -199,8 +199,9 @@ def pack_chunks(
     Docs are laid end-to-end per shard (``part_col``) in ``id_col`` order;
     chunk ``i`` covers token offsets [i·B, (i+1)·B). A doc's chunk is
     ``floor(preceding_tokens / B)`` — docs may straddle chunk boundaries,
-    exactly like GPT-style packed pretraining streams. Output adds
-    ``n_tok`` (doc token count) and ``chunk_id``.
+    exactly like GPT-style packed pretraining streams. All input columns
+    are kept; ``n_tok`` (doc token count) and ``chunk_id`` are appended,
+    so the result can flow straight into a shard-writing sink.
 
     The window is partitioned by shard, so no global sort exists at any
     scale; chunk ids are deterministic given the shard's id order.
@@ -211,11 +212,7 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.select(
-            part_col,
-            F.col(id_col).alias("doc_id"),
-            token_count(text_col).alias("n_tok"),
-        )
+        df.withColumn("n_tok", token_count(text_col))
         .withColumn("__cum", F.sum("n_tok").over(w))
         .withColumn(
             "chunk_id",
