@@ -23,6 +23,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Size-aware spread targets. Shingling + hashing is CPU-bound, so the
+# input should be spread across the cluster — but repartitioning a
+# 600 KB corpus into defaultParallelism (32+) micro-partitions trades one
+# hot task for hundreds of empty scheduler round-trips, a shape that
+# degrades super-linearly when the host is contended (measured: the r3
+# bench's 10× q_dedup_ngram_jaccard outlier). ~256 KB of scan bytes per
+# task keeps every task >100 ms of real work; big inputs still saturate
+# the cluster because the count is capped at defaultParallelism.
+_TARGET_BYTES_PER_TASK = 256 << 10
+# Posting lists / shingle relations derived from <256 MB of input are
+# trivially cacheable — persist them so multi-consumer plans compute the
+# map+agg chain once. Above the cap, recompute (the documented 100 TB
+# path: a shingle-scale cache write costs more than concurrent
+# recomputes and can evict hotter data).
+_PERSIST_CAP_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (scan bytes for file
+    sources). Unknown stats return a huge default so callers treat the
+    input as big — the safe direction for both knobs above."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes().toString())
+    except Exception:  # pragma: no cover - py4j surface drift
+        return 1 << 62
+
+
+def _spread_partitions(df: DataFrame) -> int:
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(par, _plan_size_bytes(df) // _TARGET_BYTES_PER_TASK))
+
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of lowercased whitespace-tokenized text.
@@ -46,11 +78,12 @@ def shingle_table(
     The input is repartitioned before the explode: document corpora often
     arrive as few large files (or one), and shingling + hashing is
     CPU-bound — without the spread, one task does all the regex/md5 work
-    regardless of cluster width."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    regardless of cluster width. The partition count is size-aware
+    (:func:`_spread_partitions`): big corpora get defaultParallelism,
+    small ones only as many tasks as carry real work."""
+    sel = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     return (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-        .repartition(parallelism)
+        sel.repartition(_spread_partitions(sel))
         .select("doc", F.explode(word_shingles("__t", n)).alias("s"))
         .filter(F.col("s") != "")
     )
@@ -116,14 +149,23 @@ def ngram_jaccard_pairs(
         #  * exact verify: arrays collected ONLY for docs that appear in
         #    surviving candidates (broadcast semi-restriction) — never a
         #    corpus-wide array materialization.
-        # Deliberately NOT persisted: the three subtrees recompute the
-        # map+agg chain, but their stages run concurrently and the cache
-        # write of a shingle-scale relation measurably costs more than
-        # the recomputes (2.7s vs 4.2s cold at sf0.1 on local[32]).
+        # post feeds three subtrees (candidates, per-doc stats, verify
+        # arrays). Persist policy is size-aware: when the input is
+        # trivially cacheable (< _PERSIST_CAP_BYTES), persist + eagerly
+        # materialize so the shingle→explode→groupBy chain runs ONCE —
+        # triple-recomputing ~hundreds of tiny stages is the shape that
+        # degraded 10× under host contention in the r3 bench. Above the
+        # cap (the 100 TB path), recompute: concurrent subtree stages
+        # overlap fine on a wide cluster, and a shingle-scale cache
+        # write costs more than the recomputes while evicting hotter
+        # data.
         sh = shingle_table(df, id_col, text_col, n)
         post = sh.groupBy("s").agg(
             F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
         )
+        if _plan_size_bytes(df) <= _PERSIST_CAP_BYTES:
+            post = post.persist()
+            post.count()
         ds = F.col("__docs")
         pair_structs = F.filter(
             F.flatten(
@@ -257,11 +299,11 @@ def shingle_arrays(
     """(doc, sh: array<string>) — per-doc distinct shingle set as an array
     column. Map-side only (no explode/shuffle); docs with zero shingles
     are dropped (they cannot pair). Input repartitioned for parallelism —
-    corpora often arrive as few large files."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    corpora often arrive as few large files — with the same size-aware
+    count as :func:`shingle_table`."""
+    sel = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     return (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-        .repartition(parallelism)
+        sel.repartition(_spread_partitions(sel))
         .select(
             "doc",
             F.filter(word_shingles("__t", n), lambda s: s != "").alias("sh"),

@@ -24,9 +24,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table. Plain ``spark.read.parquet`` on purpose:
     Catalyst handles column pruning + filter pushdown; nothing to add.
 
-    Exception: files written with nanosecond timestamps (events.parquet)
-    — Spark has no TIMESTAMP(NANOS) type, so read them as long and
-    truncate to microseconds (matches a DuckDB ``CAST(ts AS TIMESTAMP)``).
+    Event-time contract: a column named ``ts`` always comes out as
+    ``TimestampType`` (TIMESTAMP_LTZ; session TZ is UTC) no matter how
+    the writer encoded it — the same normalization the streaming reader
+    applies (streaming/events.py), so batch and stream relations agree
+    on values AND schema:
+
+    * TIMESTAMP(NANOS) — no Spark type; read as long
+      (``legacy.parquet.nanosAsLong``) and integer-div-truncate to
+      micros (matches a DuckDB ``CAST(ts AS TIMESTAMP)``);
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false — inferred
+      ``timestamp_ntz``; cast (instant-preserving under UTC session).
+      NTZ also cannot carry an event-time watermark, so letting it
+      leak out would make every relation stream-incompatible.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -34,9 +44,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     for field in df.schema:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            # integer div — ns values overflow double precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name == "ts":
+            if isinstance(field.dataType, T.LongType):
+                # integer div — ns values overflow double precision
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif not isinstance(field.dataType, T.TimestampType):
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

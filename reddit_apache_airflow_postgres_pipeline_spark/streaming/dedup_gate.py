@@ -31,6 +31,7 @@ matching buckets.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,12 +41,98 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import minh
 
 _BK_SCHEMA = "doc long, bk string"
 
+# Compact once the state store accumulates this many batch_id=* dirs.
+# Without compaction the store grows one directory per micro-batch
+# forever and every batch re-lists + re-opens all of them — a listing
+# cliff around 10^5 batches.
+_COMPACT_AFTER_DIRS = 16
 
-def _load_state(spark: SparkSession, state_dir: str) -> DataFrame:
+
+def _load_state(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """Read the accepted-band-key store. ``before_batch`` excludes state
+    written by batch ids ≥ that id: a RETRIED micro-batch must not see
+    its own failed attempt's keys (it would reject every one of its
+    docs as a duplicate of itself). Generations (negative ids) are
+    always included — they only ever fold batches that committed before
+    the current one."""
     try:
-        return spark.read.schema(_BK_SCHEMA).parquet(state_dir)
+        df = spark.read.schema(_BK_SCHEMA + ", batch_id long").parquet(
+            state_dir
+        )
     except AnalysisException:
         return spark.createDataFrame([], _BK_SCHEMA)
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.select("doc", "bk")
+
+
+def _state_subdirs(state_dir: str) -> list[str]:
+    if not os.path.isdir(state_dir):
+        return []
+    return [
+        os.path.join(state_dir, d)
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=")
+        and os.path.isdir(os.path.join(state_dir, d))
+    ]
+
+
+def compact_state(
+    spark: SparkSession, state_dir: str, exclude_from: int | None = None
+) -> None:
+    """Fold per-batch state directories into one generation dir.
+
+    Generations occupy reserved NEGATIVE batch_id partitions (real
+    micro-batch ids are checkpoint-monotonic and never negative), each
+    one lower than the last, so a generation can never collide with a
+    future batch write. The sequence is crash-safe because the state is
+    a SET consumed through distinct semi-joins — duplicates never
+    change admission decisions — so it only needs superset-monotonic
+    steps:
+
+    1. read the whole store, write it (coalesced + distinct) to a tmp
+       dir OUTSIDE the store;
+    2. rename tmp into the store as the new generation (duplicate rows
+       now exist — harmless);
+    3. delete the subsumed per-batch dirs (a crash mid-delete leaves a
+       superset — harmless, next compaction finishes the job).
+
+    Local-FS ops here (the streaming tests' hermetic path); on a real
+    deployment these become storage renames/deletes, or the state store
+    is a table format (Delta/Iceberg) whose OPTIMIZE does the same
+    fold transactionally.
+
+    ``exclude_from`` (set to the in-flight batch id by the streaming
+    caller) keeps not-yet-committed state OUT of the fold: the current
+    batch's keys must stay in their own ``batch_id=<i>`` dir so a retry
+    can still exclude them (see :func:`_load_state`).
+    """
+    all_dirs = _state_subdirs(state_dir)
+    ids = {
+        d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs
+    }
+    old_dirs = [
+        d
+        for d, i in ids.items()
+        if exclude_from is None or i < exclude_from
+    ]
+    if len(old_dirs) < 2:
+        return  # nothing to fold
+    next_gen = min(min(ids.values()), 0) - 1
+    tmp = state_dir.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        _load_state(spark, state_dir, before_batch=exclude_from)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def gate_batch(
@@ -97,13 +184,17 @@ def run_gate_available_now(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger. Accepted rows land under
     ``out_dir/batch_id=<i>/``, their band keys under
     ``state_dir/batch_id=<i>/`` — per-batch overwrite makes a retried
     micro-batch idempotent, and the checkpoint guarantees each input
-    file is gated exactly once across restarts."""
+    file is gated exactly once across restarts. When the state store
+    exceeds ``compact_after_dirs`` directories it is folded into a
+    single generation (:func:`compact_state`), bounding per-batch
+    listing/open cost over an unbounded run."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -111,7 +202,9 @@ def run_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        state = _load_state(batch_df.sparkSession, state_dir)
+        state = _load_state(
+            batch_df.sparkSession, state_dir, before_batch=batch_id
+        )
         accepted, accepted_keys = gate_batch(
             batch_df, state, id_col, text_col, n, num_hashes, bands
         )
@@ -121,6 +214,10 @@ def run_gate_available_now(
         accepted_keys.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
+        if len(_state_subdirs(state_dir)) > compact_after_dirs:
+            compact_state(
+                batch_df.sparkSession, state_dir, exclude_from=batch_id
+            )
 
     q = (
         stream.writeStream.foreachBatch(_gate)

@@ -19,43 +19,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # TESTDATA parquet stores TIMESTAMP(NANOS) which Spark has no type
-        # for: read as long (legacy.parquet.nanosAsLong), truncate to
-        # micros — identical to the batch loader (sources/tables.py).
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
-    spark: SparkSession, events_dir: str, nanos: bool = True
+    spark: SparkSession, events_dir: str, nanos: bool | None = None
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     At scale the same transforms run unchanged on a Kafka source
     (``readStream.format("kafka")`` + ``from_json``); the file source is
-    what the test environment can exercise hermetically. ``nanos=False``
-    reads files whose ``ts`` is already a standard TIMESTAMP(MICROS)
-    (e.g. Spark-written), skipping the nanos workaround.
+    what the test environment can exercise hermetically.
+
+    The physical encoding of ``ts`` is auto-detected at stream
+    construction with one batch schema read of the same directory, so
+    the streaming side always agrees with the batch loader
+    (sources/tables.py) no matter how the files were written:
+
+    * TIMESTAMP(NANOS) (no Spark type) surfaces as LongType under
+      ``legacy.parquet.nanosAsLong`` and gets the integer-div-1000
+      truncation to micros;
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false infers as
+      ``timestamp_ntz`` — which event-time watermarks REJECT
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so it is cast to
+      ``timestamp``. The session runs UTC (session.py), making the
+      cast instant-preserving and the streamed values equal to the
+      batch loader's.
+
+    Contract: ``ts`` is always ``TimestampType`` on the way out —
+    watermark-ready regardless of how the writer encoded it. The
+    directory must contain at least one file when the stream is
+    constructed (true for every drain-style use here; a from-empty
+    deployment would pass an explicit schema instead). ``nanos`` is
+    retained for source compatibility and ignored — detection
+    supersedes the caller's guess, which is the point: a hardcoded
+    flag is exactly what broke when the upstream writer switched
+    encodings.
     """
-    if not nanos:
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-                for f in EVENTS_SCHEMA
-            ]
-        )
-        return spark.readStream.schema(schema).parquet(events_dir)
+    del nanos  # auto-detected; see docstring
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    physical = spark.read.parquet(events_dir).schema
+    df = spark.readStream.schema(physical).parquet(events_dir)
+    if "ts" in physical.fieldNames():
+        ts_type = physical["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div — ns values overflow double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def tumbling_counts(

@@ -92,3 +92,89 @@ def test_run_gate_streaming_state_and_checkpoint(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert got3 == [1, 3, 5]
+
+
+def test_state_compaction_preserves_gate_decisions(spark, tmp_path):
+    """§ compaction: folding per-batch state dirs into a generation must
+    not change any admission decision, and must actually bound the
+    directory count."""
+    import shutil as _sh
+
+    # two inbox copies → one run with aggressive compaction, one without
+    rows_by_file = {
+        "f1.parquet": [(1, A), (2, A), (3, B)],
+        "f2.parquet": [(4, A), (5, C)],
+        "f3.parquet": [(6, B), (7, C), (8, A)],
+        "f4.parquet": [(9, "novel text about adaptive query execution plans")],
+    }
+
+    def _run(tag, compact_after):
+        inbox = str(tmp_path / f"inbox_{tag}")
+        os.makedirs(inbox)
+        out = str(tmp_path / f"out_{tag}")
+        state = str(tmp_path / f"state_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for i, (fname, rows) in enumerate(rows_by_file.items()):
+            p = os.path.join(inbox, fname)
+            _write(spark, p, rows)
+            # distinct mtimes pin the file-source processing order (the
+            # source orders by modification time; same-tick writes tie)
+            os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
+        dedup_gate.run_gate_available_now(
+            spark, inbox, SCHEMA, out, state, ckpt,
+            compact_after_dirs=compact_after,
+        )
+        accepted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        return accepted, state
+
+    got_compact, state_c = _run("compact", 1)
+    got_plain, _ = _run("plain", 10_000)
+    assert got_compact == got_plain  # identical admissions
+    # compaction actually folded: only the generation + at most the
+    # final batch's dir remain (maxFilesPerTrigger=1 → 4 batches)
+    n_dirs = len(dedup_gate._state_subdirs(state_c))
+    assert n_dirs <= 2, f"expected folded state, found {n_dirs} dirs"
+    # a generation dir (negative batch_id) exists
+    assert any(
+        "batch_id=-" in d for d in dedup_gate._state_subdirs(state_c)
+    )
+
+    # gating a fresh batch against compacted vs plain state agrees
+    batch = spark.createDataFrame([(100, A), (101, "brand new doc")], SCHEMA)
+    st = dedup_gate._load_state(spark, state_c)
+    acc, _keys = dedup_gate.gate_batch(batch, st)
+    assert sorted(r["doc_id"] for r in acc.collect()) == [101]
+
+
+def test_compact_state_standalone_and_rerun_safe(spark, tmp_path):
+    """compact_state folds everything when no batch is in flight, and a
+    second compaction of an already-compacted store is a no-op (not an
+    error, no data loss)."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, A), (2, B)], SCHEMA)
+    _, k0 = dedup_gate.gate_batch(
+        b0, spark.createDataFrame([], "doc long, bk string")
+    )
+    k0.write.mode("overwrite").parquet(os.path.join(state, "batch_id=0"))
+    b1 = spark.createDataFrame([(3, C)], SCHEMA)
+    _, k1 = dedup_gate.gate_batch(b1, dedup_gate._load_state(spark, state))
+    k1.write.mode("overwrite").parquet(os.path.join(state, "batch_id=1"))
+
+    before = sorted(
+        (r["doc"], r["bk"])
+        for r in dedup_gate._load_state(spark, state).collect()
+    )
+    dedup_gate.compact_state(spark, state)
+    after = sorted(
+        (r["doc"], r["bk"])
+        for r in dedup_gate._load_state(spark, state).collect()
+    )
+    assert before == after
+    assert len(dedup_gate._state_subdirs(state)) == 1
+
+    dedup_gate.compact_state(spark, state)  # no-op on a single dir
+    again = sorted(
+        (r["doc"], r["bk"])
+        for r in dedup_gate._load_state(spark, state).collect()
+    )
+    assert again == after
