@@ -70,6 +70,79 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def token_chunks(col: Column | str, k: int = 8) -> Column:
+    """Non-overlapping ``k``-token chunks of lowercased
+    whitespace-tokenized text, as space-joined strings. Docs shorter
+    than ``k`` tokens yield their whole token-join as one chunk (so
+    short docs still participate); a trailing partial chunk is dropped
+    (a chunk is a fixed-size unit, mirroring fixed-window substring
+    dedup practice)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n = F.size(toks)
+    full = F.floor(n / F.lit(k)).cast("int")
+    return F.when(
+        n < k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), full - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-chunk mass: the fraction of a doc's
+    fixed-size token chunks that also occur verbatim in at least one
+    OTHER document — the fixed-window form of substring-level exact
+    dedup (the "how much of this doc is corpus boilerplate" signal
+    used to strip repeated spans from training corpora; cf. the
+    dedup ladder in this module's header).
+
+    Output: (doc_id, n_chunks, dup_chunks, dup_chunk_frac). Chunk
+    occurrences count positionally — a chunk repeated inside one doc
+    contributes each occurrence, but needs a second DOC to count as
+    duplicated.
+
+    Scale: the chunk relation is ~n_tokens/k rows per doc (k× thinner
+    than a shingle relation); the only shuffles are the per-chunk
+    doc-count agg and the occurrence join on the same key (AQE plans
+    the second from the first's partitioning), plus the final per-doc
+    agg. No self-join — cost is linear in corpus size regardless of
+    how duplicated it is.
+    """
+    occ = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .repartition(_spread_partitions(df))
+        .select("doc", F.explode(token_chunks("__t", k)).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    docs_per_chunk = occ.groupBy("c").agg(
+        F.count_distinct("doc").alias("__nd")
+    )
+    return (
+        occ.join(docs_per_chunk, "c")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("__nd") >= 2, 1)).alias("dup_chunks"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_chunks",
+            "dup_chunks",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

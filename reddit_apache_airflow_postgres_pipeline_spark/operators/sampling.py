@@ -63,3 +63,63 @@ def stratified_sample_by_hash(
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return df.filter(hash_bucket(key_col, salt) < thresh)
+
+
+def sample_to_target_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    shares: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to the LARGEST corpus matching a target stratum mix.
+
+    Training-data pipelines fix domain proportions ("30% web, 20% code,
+    …") before tokenization. Given target ``shares`` (fractions summing
+    to ~1), the largest total honoring them without upsampling is
+    ``N = min_s count_s / share_s``; stratum ``s`` then keeps
+    ``rate_s = share_s · N / count_s`` of its rows. Selection is
+    content-addressed (:func:`hash_bucket`), so the kept set is
+    deterministic across engines/reruns and stable under repartitioning.
+    Strata absent from ``shares`` are dropped (share 0).
+
+    Scale shape: one tiny counts agg (|strata| rows), a 1-row min agg
+    for N, both broadcast back — then a pure map-side filter over the
+    corpus. No corpus shuffle at any scale.
+    """
+    for s, r in shares.items():
+        if r <= 0.0:
+            raise ValueError(f"share for stratum {s!r} must be > 0, got {r}")
+    share_expr = None
+    for s, r in shares.items():
+        cond = F.col(stratum_col) == s
+        val = F.lit(float(r))
+        share_expr = (
+            F.when(cond, val) if share_expr is None else share_expr.when(cond, val)
+        )
+    per = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn("__share", share_expr)
+        .filter(F.col("__share").isNotNull())
+    )
+    nmax = per.agg(F.min(F.col("__cnt") / F.col("__share")).alias("__N"))
+    rates = (
+        per.crossJoin(F.broadcast(nmax))
+        # evaluation order pinned as (share * N) / cnt — the oracle SQL
+        # replays the identical IEEE op sequence so thresholds agree bit-for-bit
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0), (F.col("__share") * F.col("__N")) / F.col("__cnt")
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(
+            hash_bucket(key_col, salt)
+            < F.floor(F.col("__rate") * F.lit(float(_BUCKETS))).cast("long")
+        )
+        .drop("__rate")
+    )

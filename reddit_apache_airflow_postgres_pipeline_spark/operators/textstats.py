@@ -235,3 +235,51 @@ def tfidf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("rk") <= k)
         .select(id_col, "tok", "tf", "df", "tfidf")
     )
+
+
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean unigram log2-probability under the corpus's own
+    empirical unigram LM — the cheap perplexity proxy quality filters
+    use: documents whose tokens are systematically improbable for the
+    corpus (OCR noise, wrong-language spans, symbol soup) score far
+    below the bulk and can be thresholded off before training.
+
+    Output: (doc_id, n_tokens, avg_logprob) — avg_logprob is
+    ``mean(log2 c_tok / T)`` over the doc's token occurrences, where
+    ``c_tok`` is the corpus count of the token and ``T`` the total
+    token count. Always negative; higher (closer to 0) = more typical.
+    Per-token logs are rounded to 9 dp and summed as DECIMAL (the
+    engine-wide order-free-reduce idiom, cf. the entropy query) so the
+    mean is independent of partitioning and engine.
+
+    Scale shape: one explode (map-side), one vocabulary hash-agg
+    (map-side partial combine → vocabulary-sized output), the
+    occurrence⋈vocab join on token (AQE broadcasts small vocabularies,
+    shuffles big ones), the corpus total as a 1-row broadcast cross
+    join (never ``collect()``), and a final per-doc agg. At 100 TB the
+    vocabulary join is the only corpus-scale shuffle, and it reuses the
+    explode's partitioning.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = occ.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("t"))
+    return (
+        occ.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.round(F.log2(F.col("c") / F.col("t")), 9).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_tokens", "avg_logprob")
+    )

@@ -559,3 +559,83 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", _STRATA_RATES, default_rate=1.0, salt="s2"
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+_CHUNK_K = 8
+
+@_q(
+    "q_dedup_chunk_exact",
+    f"""
+    WITH occ AS (
+      SELECT doc, c FROM (
+        SELECT doc_id AS doc, unnest(chunks) AS c FROM (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < {_CHUNK_K}
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(
+                             generate_series(0, len(toks)//{_CHUNK_K} - 1),
+                             i -> array_to_string(
+                                    toks[i*{_CHUNK_K}+1 : i*{_CHUNK_K}+{_CHUNK_K}], ' '))
+                 END AS chunks
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+                FROM documents) t) u) v
+      WHERE c <> ''),
+    nd AS (SELECT c, COUNT(DISTINCT doc) AS ndocs FROM occ GROUP BY c)
+    SELECT o.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE nd.ndocs >= 2) AS BIGINT) AS dup_chunks,
+           round(COUNT(*) FILTER (WHERE nd.ndocs >= 2) * 1.0 / COUNT(*), 6)
+             AS dup_chunk_frac
+    FROM occ o JOIN nd ON o.c = nd.c
+    GROUP BY o.doc
+    """,
+)
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window substring-level exact dedup signal: per document,
+    the fraction of its 8-token chunks that occur verbatim in at least
+    one other document (corpus-boilerplate mass — the decision input
+    for stripping repeated spans from training text). Linear plan: no
+    self-join, chunk relation k× thinner than shingles; see
+    operators/neardup.py:chunk_dup_stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.chunk_dup_stats(d, "doc_id", "text", k=_CHUNK_K)
+
+
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({r} AS DOUBLE))" for s, r in _MIX_SHARES.items()
+)
+
+
+@_q(
+    "q_sample_target_mix",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    w(source, share) AS (VALUES {_MIX_VALUES}),
+    n AS (SELECT MIN(cnt / share) AS nmax FROM c JOIN w USING (source)),
+    r AS (SELECT c.source,
+                 least(CAST(1.0 AS DOUBLE), (w.share * n.nmax) / c.cnt) AS rate
+          FROM c JOIN w USING (source), n)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CAST(floor(rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_sample_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: largest deterministic subsample whose
+    source proportions hit the target shares (50/30/20 over src0-2,
+    other sources dropped). Per-stratum keep rates derive from one tiny
+    counts agg; membership is content-addressed — the map-side-only
+    plan a 100 TB mix rebalance needs. The oracle replays the identical
+    IEEE op order for the rate arithmetic, so thresholds agree exactly;
+    see operators/sampling.py:sample_to_target_mix."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_to_target_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_to_target_mix(
+        d, "doc_id", "source", _MIX_SHARES, salt="mix1"
+    ).select("doc_id", "source")

@@ -353,3 +353,37 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_edges", "n_nodes", "n_triangles")
     )
+
+
+@_q(
+    "q_doc_unigram_logprob",
+    """
+    WITH occ AS (
+      SELECT doc, tok FROM (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+        FROM documents) t
+      WHERE tok <> ''),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM v)
+    SELECT o.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(log2(v.c * 1.0 / tt.t), 9)
+                               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM occ o JOIN v USING (tok), tt
+    GROUP BY o.doc
+    """,
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: per-doc mean unigram
+    log2-probability under the corpus's own empirical unigram LM
+    (improbable-token documents — OCR noise, wrong-language spans —
+    score far below the bulk). Per-token logs rounded to 9 dp and
+    summed as DECIMAL so the reduce is order-free across engines; one
+    vocab agg + token join + per-doc agg (see
+    operators/textstats.py:unigram_logprob for the plan story)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")

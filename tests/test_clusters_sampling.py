@@ -103,3 +103,58 @@ def test_stratified_sample_rates_and_default(spark):
     want_en = [k for k, lang in rows if lang == "en"
                and _py_bucket("q", k) < int(0.5 * (1 << 32))]
     assert sorted(by_lang["en"]) == sorted(want_en)
+
+
+def test_sample_to_target_mix_proportions_and_determinism(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        sample_to_target_mix,
+    )
+    from pyspark.sql import functions as F
+
+    # 300 a / 100 b / 600 c; target 50/25/25 → N = min(300/.5, 100/.25,
+    # 600/.25) = 400 → keep-rates a 2/3, b 1.0, c 1/6
+    rows = (
+        [(i, "a") for i in range(300)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(2000 + i, "c") for i in range(600)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    kept = sample_to_target_mix(
+        df, "doc_id", "stratum", {"a": 0.5, "b": 0.25, "c": 0.25}, salt="t"
+    )
+    counts = {
+        r["stratum"]: r["n"]
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["b"] == 100  # rate 1.0 keeps everything
+    # hash sampling is binomial around the rate; loose bounds
+    assert 160 <= counts["a"] <= 240     # E=200
+    assert 60 <= counts["c"] <= 140      # E=100
+    # deterministic: the same call yields the identical set
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sample_to_target_mix(
+            df, "doc_id", "stratum", {"a": 0.5, "b": 0.25, "c": 0.25}, salt="t"
+        ).collect()
+    )
+    assert ids1 == ids2
+    # strata not in the target mix are dropped entirely
+    df2 = spark.createDataFrame(rows + [(9000, "z")], "doc_id long, stratum string")
+    kept2 = sample_to_target_mix(
+        df2, "doc_id", "stratum", {"a": 0.5, "b": 0.25, "c": 0.25}, salt="t"
+    )
+    assert kept2.filter(F.col("stratum") == "z").count() == 0
+
+
+def test_sample_to_target_mix_rejects_nonpositive_share(spark):
+    import pytest as _pytest
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_to_target_mix,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, stratum string")
+    with _pytest.raises(ValueError):
+        sample_to_target_mix(df, "doc_id", "stratum", {"a": 0.0})

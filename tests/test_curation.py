@@ -104,3 +104,26 @@ def test_pack_chunks_boundaries(spark):
     assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
     assert out[4]["chunk_id"] == 0 and out[4]["source"] == "s2"
     assert out[1]["n_tok"] == 3
+
+
+def test_unigram_logprob_orders_docs_by_typicality(spark):
+    """A doc made of corpus-common tokens must outscore a doc of
+    hapaxes; scores are negative; n_tokens matches the whitespace
+    contract."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common common common rare1"),
+        (3, "rare2 rare3 rare4 rare5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert all(v[0] == 4 for v in got.values())
+    assert all(v[1] < 0 for v in got.values())
+    assert got[1][1] > got[2][1] > got[3][1]

@@ -86,3 +86,42 @@ def test_ngram_jaccard_excludes_empty_docs(spark):
     participants = {d for p in got for d in p}
     assert participants.isdisjoint({5, 6, 7, 8})
     assert (1, 2) in got
+
+
+def test_chunk_dup_stats_semantics(spark):
+    """Fixed-window chunk dedup: known shared/unique 4-token chunks."""
+    a = "w1 w2 w3 w4 u1 u2 u3 u4"          # chunks: [w1..w4], [u1..u4]
+    b = "w1 w2 w3 w4 v1 v2 v3 v4"          # shares chunk 1 with a
+    c = "x1 x2 x3 x4 y1 y2 y3 y4 tail"     # trailing partial dropped
+    d = "short doc"                        # < k tokens → whole-doc chunk
+    e = "short doc"                        # exact dup of d at chunk level
+    df = _docs_df(spark, [(1, a), (2, b), (3, c), (4, d), (5, e)])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_chunk_frac"])
+        for r in neardup.chunk_dup_stats(df, k=4).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)   # 9 tokens → 2 full chunks, tail dropped
+    assert got[4] == (1, 1, 1.0)   # whole-doc chunk duplicated by doc 5
+    assert got[5] == (1, 1, 1.0)
+
+
+def test_chunk_dup_stats_within_doc_repeat_needs_second_doc(spark):
+    """A chunk repeated INSIDE one doc counts both occurrences but is
+    not 'duplicated' unless another doc has it."""
+    df = _docs_df(spark, [(1, "r1 r2 r3 r4 r1 r2 r3 r4")])
+    (row,) = neardup.chunk_dup_stats(df, k=4).collect()
+    assert (row["n_chunks"], row["dup_chunks"]) == (2, 0)
+
+
+def test_token_chunks_empty_and_null(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs_df(spark, [(1, ""), (2, None), (3, "   ")])
+    out = (
+        df.select("doc_id", F.explode(neardup.token_chunks("text", 4)).alias("c"))
+        .filter(F.col("c") != "")
+        .collect()
+    )
+    assert out == []  # degenerate docs contribute no chunks

@@ -162,3 +162,39 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jaccard_small_input_posting_list_cached(spark):
+    """Contention-robustness pin (r3 verdict): on a trivially-cacheable
+    corpus the df-capped jaccard must read its posting-list relation
+    from cache (InMemory*) instead of triple-recomputing the
+    shingle→explode→groupBy chain, and must NOT spread a tiny input
+    across defaultParallelism micro-partitions."""
+    plan = _plan(spark, "q_dedup_ngram_jaccard")
+    assert "InMemory" in plan, "posting list not persisted on small input"
+    import re
+
+    # size-aware spread: every explicit round-robin repartition in this
+    # plan must be far below the 32-partition fixed spread of the old
+    # form (sf0.1 documents ≈ 0.6 MB → a handful of partitions)
+    widths = [
+        int(m) for m in re.findall(r"RoundRobinPartitioning\((\d+)", plan)
+    ]
+    assert all(w <= 8 for w in widths), widths
+
+
+def test_chunk_dedup_linear_plan(spark):
+    """chunk_dup_stats must stay self-join-free (linear in corpus size):
+    no Cartesian/BNLJ, and at most the 3 designed shuffles (chunk agg,
+    occurrence join, per-doc agg)."""
+    plan = _plan(spark, "q_dedup_chunk_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_target_mix_map_side_filter(spark):
+    """sample_to_target_mix: the corpus side must be filtered via a
+    broadcast join of the tiny rates relation — no corpus shuffle."""
+    plan = _plan(spark, "q_sample_target_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
