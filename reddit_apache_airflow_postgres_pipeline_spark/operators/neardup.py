@@ -644,10 +644,9 @@ def simhash_signatures(
     HOF lambdas are opaque to Catalyst CSE — so it is test/small-data
     only."""
     assert bits % 4 == 0 and bits <= 60  # conv() result must fit a long
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sel = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     toks = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-        .repartition(parallelism)
+        sel.repartition(_spread_partitions(sel))
         .select(
             "doc",
             F.explode(
