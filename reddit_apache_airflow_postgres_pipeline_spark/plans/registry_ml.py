@@ -257,9 +257,7 @@ _DOT_SQL = (
 _NORM_SQL = "sqrt(list_sum(list_transform({a}, zx -> CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE))))"
 
 
-@_q(
-    "q_sim_knn_bruteforce",
-    f"""
+_KNN_SQL = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -271,9 +269,10 @@ _NORM_SQL = "sqrt(list_sum(list_transform({a}, zx -> CAST(zx AS DOUBLE) * CAST(z
                                    ORDER BY score DESC, neighbor_id) AS rn
       FROM scored)
     SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= 5
-    """,
-    headline=True,
-)
+    """
+
+
+@_q("q_sim_knn_bruteforce", _KNN_SQL, headline=True)
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 8 query vectors — the brute-force
     ANN baseline (map-only over the corpus; queries broadcast)."""
@@ -639,3 +638,43 @@ def q_sample_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_to_target_mix(
         d, "doc_id", "source", _MIX_SHARES, salt="mix1"
     ).select("doc_id", "source")
+
+
+@_q(
+    "q_sim_ivf_recall",
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}) x),
+    approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ({_IVF_SQL}) y)
+    SELECT e.query_id,
+           CAST(COUNT(a.hit) AS BIGINT) AS hits,
+           round(COUNT(a.hit) * 1.0 / 5, 6) AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: per-query recall@5 of the IVF index (16 cells,
+    4 probes) against the exact brute-force neighbors — the measurement
+    you run before trusting an index configuration at scale (the
+    `n_probe` knob is tuned against exactly this curve; cf. the MinHash
+    estimate-quality audit for the sketch analog). Both sides are the
+    registry's own query shapes, so the audit costs one extra skinny
+    join over results that are already computed for the headline
+    queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.knn_bruteforce(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_knn(
+        e, q, n_cells=16, n_probe=4, k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.round(F.count("__hit") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+    )
