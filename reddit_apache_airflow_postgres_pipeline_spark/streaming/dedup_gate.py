@@ -143,12 +143,30 @@ def gate_batch(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    min_quality: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply the admission policy to one (batch, state) pair.
 
     Returns (accepted_rows, accepted_band_keys) — the second is what the
     caller appends to the state store. Pure DataFrame logic so the batch
-    path is unit-testable without a stream."""
+    path is unit-testable without a stream.
+
+    ``min_quality`` prepends the curation quality filter
+    (operators/textstats.quality_score) to admission: a doc scoring
+    below the floor is rejected BEFORE its band keys are computed, so —
+    exactly like near-dup rejects — it claims no buckets and a later
+    higher-quality near-copy can still be admitted. This composes the
+    two ingest stages (quality filter → dedup gate) in one map pass
+    over the batch; the filter is a codegen column expression, adding
+    zero shuffles."""
+    if min_quality is not None:
+        from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+            quality_score,
+        )
+
+        batch_df = batch_df.filter(
+            quality_score(text_col) >= F.lit(float(min_quality))
+        )
     keys = minhash_band_keys(
         batch_df, id_col, text_col, n, num_hashes, bands
     )
@@ -185,6 +203,7 @@ def run_gate_available_now(
     num_hashes: int = 16,
     bands: int = 4,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+    min_quality: float | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger. Accepted rows land under
@@ -206,7 +225,8 @@ def run_gate_available_now(
             batch_df.sparkSession, state_dir, before_batch=batch_id
         )
         accepted, accepted_keys = gate_batch(
-            batch_df, state, id_col, text_col, n, num_hashes, bands
+            batch_df, state, id_col, text_col, n, num_hashes, bands,
+            min_quality=min_quality,
         )
         accepted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")

@@ -178,3 +178,31 @@ def test_compact_state_standalone_and_rerun_safe(spark, tmp_path):
         for r in dedup_gate._load_state(spark, state).collect()
     )
     assert again == after
+
+
+def test_gate_batch_quality_floor_composes_with_dedup(spark):
+    """min_quality rejects junk BEFORE bucket claiming: a junk doc must
+    not block a later good near-copy, and quality rejects don't enter
+    state."""
+    good = (
+        "the analytics engine reads parquet tables and aggregates daily "
+        "event counts for reporting dashboards with stable results"
+    )
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"  # pure punctuation
+    state0 = spark.createDataFrame([], "doc long, bk string")
+
+    # batch 1: junk only → nothing admitted, nothing claimed
+    b1 = spark.createDataFrame([(1, junk)], SCHEMA)
+    acc1, keys1 = dedup_gate.gate_batch(b1, state0, min_quality=0.5)
+    assert acc1.count() == 0 and keys1.count() == 0
+
+    # batch 2: the good doc + its exact copy → first-wins dedup still
+    # applies among quality survivors
+    b2 = spark.createDataFrame([(2, good), (3, good)], SCHEMA)
+    acc2, keys2 = dedup_gate.gate_batch(b2, keys1, min_quality=0.5)
+    assert sorted(r["doc_id"] for r in acc2.collect()) == [2]
+    assert set(r["doc"] for r in keys2.collect()) == {2}
+
+    # without the floor, the junk doc WOULD be admitted (control)
+    acc_ctl, _ = dedup_gate.gate_batch(b1, state0)
+    assert acc_ctl.count() == 1
