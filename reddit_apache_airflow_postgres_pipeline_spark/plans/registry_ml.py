@@ -678,3 +678,33 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("__hit") / F.lit(5.0), 6).alias("recall_at_5"),
         )
     )
+
+
+@_q(
+    "q_dedup_apply_canonical",
+    f"""
+    WITH clusters AS (SELECT * FROM ({_clusters_sql(_minhash_sql(12, 4, 0.7))}) z)
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc
+    WHERE c.doc IS NULL OR c.canonical = d.doc_id
+    """,
+)
+def q_dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ladder APPLIED: the surviving corpus after near-dup
+    removal — every doc outside a duplicate cluster, plus each
+    cluster's canonical (min doc_id) representative. Detect (MinHash
+    LSH) → resolve (connected components — pairwise deletion alone
+    double-deletes transitive chains) → remove (one left-anti-shaped
+    join against the doc-count-sized cluster map, broadcast when
+    small). This is the query a curation pipeline actually ships."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("canonical") != F.col("doc")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
