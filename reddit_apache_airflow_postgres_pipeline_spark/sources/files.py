@@ -188,6 +188,10 @@ def read_csv_paths(
             spark.read.option("header", True)
             .option("multiLine", True)  # forces whole-file partitions → exact row order
             .option("mode", "PERMISSIVE")
+            # RFC4180 doubled quotes ("") — the dialect the reference's
+            # Python csv writer produces; Spark's default backslash
+            # escape mis-parses values with embedded quotes.
+            .option("escape", '"')
             .schema(schema)
             .csv(group)
             .withColumn("_file", decoded_input_file())
