@@ -23,21 +23,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Size-aware spread targets. Shingling + hashing is CPU-bound, so the
-# input should be spread across the cluster — but repartitioning a
-# 600 KB corpus into defaultParallelism (32+) micro-partitions trades one
-# hot task for hundreds of empty scheduler round-trips, a shape that
-# degrades super-linearly when the host is contended (measured: the r3
-# bench's 10× q_dedup_ngram_jaccard outlier). ~256 KB of scan bytes per
-# task keeps every task >100 ms of real work; big inputs still saturate
-# the cluster because the count is capped at defaultParallelism.
-_TARGET_BYTES_PER_TASK = 256 << 10
-# Posting lists / shingle relations derived from <256 MB of input are
-# trivially cacheable — persist them so multi-consumer plans compute the
-# map+agg chain once. Above the cap, recompute (the documented 100 TB
-# path: a shingle-scale cache write costs more than concurrent
-# recomputes and can evict hotter data).
-_PERSIST_CAP_BYTES = 256 << 20
+# Size-aware spread targets. Shingling + hashing is heavily CPU-bound
+# (~2 digest calls per shingle over column-compressed text, so one scan
+# byte is many hash bytes): per-task input must stay SMALL or the work
+# serializes — measured at sf0.1, 2 partitions ran the LSH chain 3×
+# slower than 18. The floor exists for the opposite failure: spreading
+# a 65 KB corpus over 32 micro-partitions trades one warm task for
+# dozens of empty scheduler round-trips, a shape that degrades
+# super-linearly when the host is contended (the r3 bench's 10×
+# q_dedup_ngram_jaccard outlier). 32 KB of scan bytes per task keeps
+# tiny inputs narrow while anything ≥ ~1 MB still reaches
+# defaultParallelism (the cap — a real cluster always saturates).
+_TARGET_BYTES_PER_TASK = 32 << 10
+# Note on persist: multi-consumer shingle plans deliberately do NOT
+# cache intermediate relations. Identical subtrees share their shuffle
+# via runtime ReuseExchange, while an eager persist adds a serialized
+# materialization job — measured slower at bench scale for both the
+# jaccard and LSH chains (A/Bs in the respective docstrings) and a
+# cache-churn liability at 100 TB.
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -46,7 +49,10 @@ def _plan_size_bytes(df: DataFrame) -> int:
     input as big — the safe direction for both knobs above."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(stats.sizeInBytes().toString())
+        size = stats.sizeInBytes()
+        # py4j auto-converts small scala.BigInt to int; huge values come
+        # through as JavaObject and need the string round-trip
+        return size if isinstance(size, int) else int(size.toString())
     except Exception:  # pragma: no cover - py4j surface drift
         return 1 << 62
 
@@ -219,26 +225,23 @@ def ngram_jaccard_pairs(
         #    use minhash_lsh_pairs.)
         #  * per-doc (n, hot) stats: explode docs back out, count-only
         #    groupBy(doc).
-        #  * exact verify: arrays collected ONLY for docs that appear in
-        #    surviving candidates (broadcast semi-restriction) — never a
-        #    corpus-wide array materialization.
-        # post feeds three subtrees (candidates, per-doc stats, verify
-        # arrays). Persist policy is size-aware: when the input is
-        # trivially cacheable (< _PERSIST_CAP_BYTES), persist + eagerly
-        # materialize so the shingle→explode→groupBy chain runs ONCE —
-        # triple-recomputing ~hundreds of tiny stages is the shape that
-        # degraded 10× under host contention in the r3 bench. Above the
-        # cap (the 100 TB path), recompute: concurrent subtree stages
-        # overlap fine on a wide cluster, and a shingle-scale cache
-        # write costs more than the recomputes while evicting hotter
-        # data.
+        #  * exact verify: per-doc shingle ARRAYS come straight from the
+        #    raw docs restricted to candidate ids (broadcast join) —
+        #    map-only, no recompute of the posting-list shuffle and
+        #    never a corpus-wide array materialization.
+        # post feeds exactly TWO subtrees (candidates, per-doc stats),
+        # deliberately NOT persisted: the subtrees are identical up to
+        # the groupBy(s) exchange, so runtime ReuseExchange shares one
+        # shuffle; an explicit persist ADDS a serialized
+        # materialization job and measurably loses (A/B at sf0.1,
+        # min-of-3 ×2 rounds: no-persist 2.77s vs eager-persist 3.96s —
+        # and the same direction held for the LSH chain, 4.75s vs
+        # 8.49s). The r3 contention outlier was the 32-micro-partition
+        # spread (fixed size-aware above), not the recompute.
         sh = shingle_table(df, id_col, text_col, n)
         post = sh.groupBy("s").agg(
             F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
         )
-        if _plan_size_bytes(df) <= _PERSIST_CAP_BYTES:
-            post = post.persist()
-            post.count()
         ds = F.col("__docs")
         pair_structs = F.filter(
             F.flatten(
@@ -288,15 +291,21 @@ def ngram_jaccard_pairs(
             .filter(i_ub / (F.col("__na") + F.col("__nb") - i_ub) >= threshold)
             .select("id_a", "id_b")
         )
-        # full shingle arrays only for candidate docs (true-pair scale)
+        # full shingle arrays only for candidate docs (true-pair scale):
+        # re-shingle the raw candidate docs map-side — cheaper than a
+        # third pass over the posting-list shuffle
         cd = cands.select(
             F.explode(F.array("id_a", "id_b")).alias("doc")
         ).distinct()
         arrays = (
-            post.select("s", F.explode("__docs").alias("doc"))
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
             .join(F.broadcast(cd), "doc")
-            .groupBy("doc")
-            .agg(F.collect_list("s").alias("sh"))
+            .select(
+                "doc",
+                F.filter(word_shingles("__t", n), lambda s: s != "").alias(
+                    "sh"
+                ),
+            )
         )
         return exact_jaccard_verify(
             df, cands, id_col, text_col, n, threshold, round_digits,

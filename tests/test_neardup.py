@@ -125,3 +125,24 @@ def test_token_chunks_empty_and_null(spark):
         .collect()
     )
     assert out == []  # degenerate docs contribute no chunks
+
+
+def test_spread_partitions_size_aware(spark):
+    """The spread count must scale with input size: a tiny parquet scan
+    gets ~1 partition (never defaultParallelism micro-tasks — the r3
+    contention lesson); unknown-stats relations (local/in-memory) are
+    treated as big — the safe direction — and get the full spread."""
+    par = spark.sparkContext.defaultParallelism
+    tiny = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_tiny = neardup._spread_partitions(tiny)
+    assert n_tiny == 1  # 65 KB scan << 256 KB/task target
+
+    unknown = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert neardup._spread_partitions(unknown) == par
+
+
+def test_plan_size_bytes_sane(spark):
+    pq = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    b = neardup._plan_size_bytes(pq)
+    # the real file-size estimate (~594 KB), not the huge unknown fallback
+    assert 100_000 < b < 10_000_000

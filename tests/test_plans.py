@@ -164,23 +164,29 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.set(k, v)
 
 
-def test_jaccard_small_input_posting_list_cached(spark):
-    """Contention-robustness pin (r3 verdict): on a trivially-cacheable
-    corpus the df-capped jaccard must read its posting-list relation
-    from cache (InMemory*) instead of triple-recomputing the
-    shingle→explode→groupBy chain, and must NOT spread a tiny input
-    across defaultParallelism micro-partitions."""
-    plan = _plan(spark, "q_dedup_ngram_jaccard")
-    assert "InMemory" in plan, "posting list not persisted on small input"
+def test_jaccard_contention_robust_shape(spark):
+    """Contention-robustness pins (r3 verdict): the df-capped jaccard's
+    posting-list chain feeds exactly TWO subtrees (candidates + per-doc
+    stats; identical up to the groupBy(s) exchange, so ReuseExchange
+    shares one shuffle) — the verify arrays re-shingle raw docs
+    map-side instead of a third posting-list pass — and the spread is
+    size-aware, never defaultParallelism micro-partitions on a sub-MB
+    corpus."""
     import re
 
-    # size-aware spread: every explicit round-robin repartition in this
-    # plan must be far below the 32-partition fixed spread of the old
-    # form (sf0.1 documents ≈ 0.6 MB → a handful of partitions)
+    plan = _plan(spark, "q_dedup_ngram_jaccard")
     widths = [
         int(m) for m in re.findall(r"RoundRobinPartitioning\((\d+)", plan)
     ]
-    assert all(w <= 8 for w in widths), widths
+    # static plans expand each shared subtree per REFERENCE (runtime
+    # ReuseExchange dedups them), so pin the width per repartition —
+    # sf0.1 documents ≈ 0.6 MB → 32 KB/task, capped at parallelism; the
+    # r3-outlier shape was width == defaultParallelism(32) on that same
+    # input — and a loose ceiling on subtree count as a blowup canary.
+    par = spark.sparkContext.defaultParallelism
+    assert widths, "size-aware spread repartition missing"
+    assert all(2 <= w <= min(24, par) for w in widths), widths
+    assert len(widths) <= 12, len(widths)
 
 
 def test_chunk_dedup_linear_plan(spark):
