@@ -745,3 +745,117 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def chunk_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.6,
+    max_df: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs over distinct k-token chunk
+    sets: containment(a,b) = |A ∩ B| / min(|A|, |B|) — the signal
+    Jaccard misses when a small doc is embedded inside a much larger
+    one (quoted article in a page, boilerplate wrapper around content):
+    such pairs have low Jaccard but containment ≈ 1.
+
+    Output (id_a, id_b, containment ≥ threshold), id_a < id_b, scored
+    exactly on full distinct-chunk sets. Candidate generation is
+    df-capped exactly like :func:`ngram_jaccard_pairs` (rare chunks
+    with 2 ≤ df ≤ max_df emit their in-array pairs; a corpus-hot chunk
+    emits nothing), with the same sound upper-bound prefilter —
+    I_exact ≤ min(ic + min(hot_a, hot_b), na, nb) and containment is
+    increasing in I — so nothing that qualifies is dropped before the
+    exact verify, and the exact verify re-chunks only candidate docs
+    map-side.
+    """
+    occ = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .repartition(_spread_partitions(df))
+        .select(
+            "doc",
+            F.explode(
+                F.array_distinct(token_chunks("__t", k))
+            ).alias("c"),
+        )
+        .filter(F.col("c") != "")
+    )
+    post = occ.groupBy("c").agg(
+        F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
+    )
+    ds = F.col("__docs")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ds,
+                lambda x: F.transform(
+                    ds, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p.getField("id_a") < p.getField("id_b"),
+    )
+    inter_c = (
+        post.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__ic"))
+    )
+    sides = (
+        post.select("__df", F.explode("__docs").alias("doc"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("__n"),
+            F.count(F.when(F.col("__df") > max_df, 1)).alias("__hot"),
+        )
+    )
+    sa = sides.select(
+        F.col("doc").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__hot").alias("__hota"),
+    )
+    sb = sides.select(
+        F.col("doc").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__hot").alias("__hotb"),
+    )
+    i_ub = F.least(
+        F.col("__ic") + F.least("__hota", "__hotb"),
+        F.least("__na", "__nb"),
+    )
+    cands = (
+        inter_c.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(i_ub / F.least("__na", "__nb") >= threshold)
+        .select("id_a", "id_b")
+    )
+    cd = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc")
+    ).distinct()
+    arrays = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cd), "doc")
+        .select(
+            "doc",
+            F.filter(
+                F.array_distinct(token_chunks("__t", k)), lambda c: c != ""
+            ).alias("ch"),
+        )
+    )
+    a = arrays.select(F.col("doc").alias("id_a"), F.col("ch").alias("__ca"))
+    b = arrays.select(F.col("doc").alias("id_b"), F.col("ch").alias("__cb"))
+    inter = F.size(F.array_intersect("__ca", "__cb"))
+    cont = inter / F.least(F.size("__ca"), F.size("__cb"))
+    if round_digits is not None:
+        cont = F.round(cont, round_digits)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -708,3 +708,61 @@ def q_dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_id")
     )
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
+_CHUNKS_SQL = f"""
+  SELECT doc, c FROM (
+    SELECT doc_id AS doc, unnest(chunks) AS c FROM (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < {_CHUNK_K}
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(
+                           generate_series(0, len(toks)//{_CHUNK_K} - 1),
+                           i -> array_to_string(
+                                  toks[i*{_CHUNK_K}+1 : i*{_CHUNK_K}+{_CHUNK_K}], ' '))
+               END) AS chunks
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+            FROM documents) t) u) v
+  WHERE c <> ''
+"""
+
+_CONTAIN_MAX_DF = 10
+_CONTAIN_THRESHOLD = 0.6
+
+
+@_q(
+    "q_dedup_chunk_containment",
+    f"""
+    WITH ch AS ({_CHUNKS_SQL}),
+    keep AS (SELECT c FROM ch GROUP BY c
+             HAVING COUNT(*) BETWEEN 2 AND {_CONTAIN_MAX_DF}),
+    cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+             FROM ch a JOIN keep k ON a.c = k.c
+             JOIN ch b ON b.c = a.c AND a.doc < b.doc),
+    cnt AS (SELECT doc, COUNT(*) AS n FROM ch GROUP BY doc),
+    inter AS (
+      SELECT x.id_a, x.id_b, COUNT(*) AS i
+      FROM cand x JOIN ch a ON a.doc = x.id_a
+                  JOIN ch b ON b.doc = x.id_b AND b.c = a.c
+      GROUP BY 1, 2)
+    SELECT i.id_a AS id_a, i.id_b AS id_b,
+           round(i.i * 1.0 / least(ca.n, cb.n), 6) AS containment
+    FROM inter i JOIN cnt ca ON ca.doc = i.id_a JOIN cnt cb ON cb.doc = i.id_b
+    WHERE i.i * 1.0 / least(ca.n, cb.n) >= {_CONTAIN_THRESHOLD}
+    """,
+)
+def q_dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs: |A ∩ B| / min(|A|,|B|) over
+    distinct 8-token chunk sets — catches small-doc-inside-big-doc
+    duplication that Jaccard scores low (quoted articles, boilerplate
+    wrappers). Same df-capped posting-list candidate generation and
+    sound upper-bound prefilter as the jaccard; exact verify re-chunks
+    candidate docs map-side (operators/neardup.py:
+    chunk_containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.chunk_containment_pairs(
+        d, "doc_id", "text", k=_CHUNK_K,
+        threshold=_CONTAIN_THRESHOLD, max_df=_CONTAIN_MAX_DF,
+    )

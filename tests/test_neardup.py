@@ -146,3 +146,25 @@ def test_plan_size_bytes_sane(spark):
     b = neardup._plan_size_bytes(pq)
     # the real file-size estimate (~594 KB), not the huge unknown fallback
     assert 100_000 < b < 10_000_000
+
+
+def test_chunk_containment_asymmetric_semantics(spark):
+    """A small doc fully embedded in a big one: containment 1.0 even
+    though Jaccard is low; unrelated docs produce nothing."""
+    small = "c1 c2 c3 c4 c5 c6 c7 c8"  # one 8-token chunk
+    big = (
+        small
+        + " x1 x2 x3 x4 x5 x6 x7 x8 y1 y2 y3 y4 y5 y6 y7 y8"
+        + " z1 z2 z3 z4 z5 z6 z7 z8"
+    )  # 4 chunks, contains small's chunk
+    other = "o1 o2 o3 o4 o5 o6 o7 o8"
+    df = _docs_df(spark, [(1, small), (2, big), (3, other)])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in neardup.chunk_containment_pairs(
+            df, k=8, threshold=0.6, max_df=10
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    # jaccard over the same chunk-sets would be 1/4 — below any
+    # near-dup threshold; containment is the signal that fires here
