@@ -27,14 +27,16 @@ from pyspark.sql import functions as F
 # (~2 digest calls per shingle over column-compressed text, so one scan
 # byte is many hash bytes): per-task input must stay SMALL or the work
 # serializes — measured at sf0.1, 2 partitions ran the LSH chain 3×
-# slower than 18. The floor exists for the opposite failure: spreading
-# a 65 KB corpus over 32 micro-partitions trades one warm task for
-# dozens of empty scheduler round-trips, a shape that degrades
-# super-linearly when the host is contended (the r3 bench's 10×
-# q_dedup_ngram_jaccard outlier). 32 KB of scan bytes per task keeps
-# tiny inputs narrow while anything ≥ ~1 MB still reaches
-# defaultParallelism (the cap — a real cluster always saturates).
-_TARGET_BYTES_PER_TASK = 32 << 10
+# slower than 18, and 16 KB/task beat 32 KB/task by ~7% for both the
+# LSH and jaccard chains (min-of-3 ×2 rounds). The floor exists for
+# the opposite failure: spreading a tiny corpus into dozens of
+# near-empty micro-partitions trades one warm task for scheduler
+# round-trips, a shape that degrades super-linearly when the host is
+# contended (the r3 bench's 10× q_dedup_ngram_jaccard outlier). 16 KB
+# of scan bytes per task keeps every task carrying real hash work
+# while anything ≥ ~0.5 MB still reaches defaultParallelism (the cap —
+# a real cluster always saturates).
+_TARGET_BYTES_PER_TASK = 16 << 10
 # Note on persist: multi-consumer shingle plans deliberately do NOT
 # cache intermediate relations. Identical subtrees share their shuffle
 # via runtime ReuseExchange, while an eager persist adds a serialized

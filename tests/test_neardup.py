@@ -135,7 +135,8 @@ def test_spread_partitions_size_aware(spark):
     par = spark.sparkContext.defaultParallelism
     tiny = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n_tiny = neardup._spread_partitions(tiny)
-    assert n_tiny == 1  # 65 KB scan << 256 KB/task target
+    # 65 KB scan → a handful of 16 KB tasks, capped at parallelism
+    assert 1 <= n_tiny <= min(par, 5)
 
     unknown = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert neardup._spread_partitions(unknown) == par
