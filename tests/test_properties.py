@@ -224,3 +224,43 @@ def test_epoch_to_iso_property(spark, epochs):
         )
 
     assert got == [ref(v) for v in epochs]
+
+
+# --- token_chunks (round 4) ----------------------------------------------
+
+
+def _py_chunks(v: str | None, k: int) -> list[str]:
+    """Independent reference: non-overlapping k-token chunks of
+    lowercased whitespace-split text; < k tokens → whole join as one
+    chunk; trailing partial dropped; '' sentinel dropped by callers.
+
+    Mirrors SQL semantics exactly: ``trim`` strips SPACES only (both
+    Spark and DuckDB; Python's .strip() would also eat \\r/\\t and
+    diverge), and regex split keeps leading/trailing empty tokens the
+    way Java split(limit=-1) / re.split do."""
+    toks = re.split(r"\s+", (v or "").strip(" ").lower())
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [
+        " ".join(toks[i * k : i * k + k]) for i in range(len(toks) // k)
+    ]
+
+
+@given(vals=st.lists(maybe_text, min_size=1, max_size=150))
+@settings(**SETTINGS)
+def test_token_chunks_property(spark, vals):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import token_chunks
+
+    k = 4
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v string"
+    )
+    rows = df.select("i", token_chunks("v", k).alias("o")).collect()
+    got = [list(r["o"]) for r in sorted(rows, key=lambda r: r["i"])]
+    want = [_py_chunks(v, k) for v in vals]
+    # Spark's split(trim(lower())) and Python's re.split agree except
+    # both produce the '' chunk for empty docs — compare after the same
+    # ''-drop the operators apply
+    got = [[c for c in doc if c != ""] for doc in got]
+    want = [[c for c in doc if c != ""] for doc in want]
+    assert got == want
