@@ -236,9 +236,11 @@ def _py_chunks(v: str | None, k: int) -> list[str]:
 
     Mirrors SQL semantics exactly: ``trim`` strips SPACES only (both
     Spark and DuckDB; Python's .strip() would also eat \\r/\\t and
-    diverge), and regex split keeps leading/trailing empty tokens the
-    way Java split(limit=-1) / re.split do."""
-    toks = re.split(r"\s+", (v or "").strip(" ").lower())
+    diverge), regex split keeps leading/trailing empty tokens the way
+    Java split(limit=-1) / re.split do, and the whitespace class is
+    Java's ASCII-only ``\\s`` — Python's is Unicode-aware and would
+    also split on U+0085/U+00A0-family chars the engines keep."""
+    toks = re.split(r"[ \t\n\x0b\f\r]+", (v or "").strip(" ").lower())
     if len(toks) < k:
         return [" ".join(toks)]
     return [
