@@ -671,7 +671,7 @@ def q_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # section below — can't reference it here at module-exec time)
     """
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
-    FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+    FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
           FROM documents) t
     WHERE tok <> ''
     GROUP BY tok
@@ -1734,7 +1734,7 @@ def q_ref_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = (
     "CASE WHEN trim(lower(coalesce(text,''))) = '' THEN []::VARCHAR[] "
-    "ELSE string_split_regex(trim(lower(coalesce(text,''))), '\\s+') END"
+    "ELSE string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') END"
 )
 
 
@@ -1794,7 +1794,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT doc_id,
-                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
             FROM documents) t
       WHERE tok <> '' GROUP BY doc_id, tok),
     df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
@@ -1935,8 +1935,8 @@ def q_pandas_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, tok, pos FROM (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok,
-               generate_subscripts(string_split_regex(trim(lower(coalesce(text,''))), '\\s+'), 1) AS pos
+               unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok,
+               generate_subscripts(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+'), 1) AS pos
         FROM documents) t
       WHERE tok <> ''),
     vocab AS (
@@ -2085,7 +2085,7 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_doc_fingerprint",
     """
-    SELECT md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))) AS fp,
+    SELECT md5(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp,
            CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
            COUNT(*) AS n_docs
     FROM documents GROUP BY 1
@@ -2107,7 +2107,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_SAMPLE_THRESH = int(0.5 * (1 << 32))
 _STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for')"
-_FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))"
+_FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
 
 
 @_q(

@@ -25,7 +25,7 @@ def _shingles_sql(n: int, pred: str) -> str:
     SELECT doc_id, unnest(list_distinct(list_transform(
       generate_series(0, greatest(len(toks) - {n}, 0)),
       i -> array_to_string(toks[i+1:i+{n}], ' ')))) AS s
-    FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+    FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
           FROM documents WHERE {pred}) t) u
   WHERE s <> ''
 """

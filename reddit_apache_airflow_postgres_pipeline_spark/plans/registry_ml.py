@@ -23,7 +23,7 @@ _SHINGLES_SQL = """
              list_distinct(list_transform(
                generate_series(0, greatest(len(toks) - 3, 0)),
                i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
-      FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+      FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
             FROM documents) t) u) v
   WHERE s <> ''
 """
@@ -221,7 +221,7 @@ def _simhash_sql(bits: int, max_hamming: int) -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id AS doc, unnest(list_distinct(
-               string_split_regex(trim(lower(coalesce(text,''))), '\\s+'))) AS tok
+               string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+'))) AS tok
       FROM documents
       WHERE trim(lower(coalesce(text,''))) <> ''),
     weights AS (
@@ -577,7 +577,7 @@ _CHUNK_K = 8
                                     toks[i*{_CHUNK_K}+1 : i*{_CHUNK_K}+{_CHUNK_K}], ' '))
                  END AS chunks
           FROM (SELECT doc_id,
-                       string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+                       string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
                 FROM documents) t) u) v
       WHERE c <> ''),
     nd AS (SELECT c, COUNT(DISTINCT doc) AS ndocs FROM occ GROUP BY c)
@@ -723,7 +723,7 @@ _CHUNKS_SQL = f"""
                                   toks[i*{_CHUNK_K}+1 : i*{_CHUNK_K}+{_CHUNK_K}], ' '))
                END) AS chunks
       FROM (SELECT doc_id,
-                   string_split_regex(trim(lower(coalesce(text,''))), '\\s+') AS toks
+                   string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
             FROM documents) t) u) v
   WHERE c <> ''
 """

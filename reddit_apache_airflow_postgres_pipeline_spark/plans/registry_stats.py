@@ -169,7 +169,7 @@ _LN2 = 0.6931471805599453  # double nearest ln(2): engines' log(2) may differ 1 
     WITH tc AS (
       SELECT doc_id, tok, COUNT(*) AS c
       FROM (SELECT doc_id,
-                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
             FROM documents) t
       WHERE tok <> '' GROUP BY doc_id, tok),
     agg AS (
@@ -222,7 +222,7 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tf AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
-      FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+      FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
             FROM documents) t
       WHERE tok <> '' GROUP BY tok),
     top AS (
@@ -361,7 +361,7 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH occ AS (
       SELECT doc, tok FROM (
         SELECT doc_id AS doc,
-               unnest(string_split_regex(trim(lower(coalesce(text,''))), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM documents) t
       WHERE tok <> ''),
     v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY tok),

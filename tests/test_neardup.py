@@ -169,3 +169,30 @@ def test_chunk_containment_asymmetric_semantics(spark):
     assert got == {(1, 2): 1.0}
     # jaccard over the same chunk-sets would be 1/4 — below any
     # near-dup threshold; containment is the signal that fires here
+
+
+def test_whitespace_class_cross_engine_vertical_tab(spark):
+    """\\x0B (vertical tab) is whitespace to Java's \\s but NOT to
+    RE2's — a latent oracle divergence while the SQL said '\\s+'. The
+    oracles now spell out Java's class [ \\t\\n\\x0b\\f\\r]+, so both
+    engines must tokenize a \\x0B doc identically: doc 1 (vtab) and
+    doc 2 (space) carry the same token set and pair at hamming 0."""
+    rows = [
+        (1, "alpha\x0bbeta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+    ]
+    df = _docs_df(spark, rows)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in neardup.simhash_near_dups(
+            df, "doc_id", "text", bits=32, max_hamming=0
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        (a, b) for a, b, _h in con.execute(_simhash_sql(32, 0)).fetchall()
+    )
+    assert got == want
+    assert (1, 2) in got
