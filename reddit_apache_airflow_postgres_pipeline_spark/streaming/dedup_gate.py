@@ -80,7 +80,10 @@ def _state_subdirs(state_dir: str) -> list[str]:
 
 
 def compact_state(
-    spark: SparkSession, state_dir: str, exclude_from: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    exclude_from: int | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     """Fold per-batch state directories into one generation dir.
 
@@ -92,8 +95,10 @@ def compact_state(
     change admission decisions — so it only needs superset-monotonic
     steps:
 
-    1. read the whole store, write it (coalesced + distinct) to a tmp
-       dir OUTSIDE the store;
+    1. read the whole store, write it (distinct, hash-partitioned on
+       ``bk`` with normal parallelism — the fold is a full shuffle
+       across the cluster, never a single task) to a tmp dir OUTSIDE
+       the store;
     2. rename tmp into the store as the new generation (duplicate rows
        now exist — harmless);
     3. delete the subsumed per-batch dirs (a crash mid-delete leaves a
@@ -123,13 +128,25 @@ def compact_state(
     next_gen = min(min(ids.values()), 0) - 1
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        _load_state(spark, state_dir, before_batch=exclude_from)
-        .distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    # Hash-partition the fold on the bucket key: every task writes its
+    # own slice of the set (a multi-file generation dir is just as
+    # correct as one file — the state is only ever consumed through
+    # distinct semi-joins), and at a 100 TB accepted corpus the fold is
+    # a cluster-wide shuffle instead of a single-task serialization.
+    # With ``num_partitions=None`` AQE sizes the shuffle by bytes
+    # (locally that may legitimately fold a tiny state into one file;
+    # on a large store it yields thousands of write tasks); an explicit
+    # ``num_partitions`` pins the task count, bypassing AQE coalescing.
+    # repartition on "bk" also pre-clusters the keys for the bucketed-
+    # table layout the module docstring prescribes at scale.
+    folded = _load_state(
+        spark, state_dir, before_batch=exclude_from
+    ).distinct()
+    if num_partitions is not None:
+        folded = folded.repartition(num_partitions, "bk")
+    else:
+        folded = folded.repartition("bk")
+    folded.write.mode("overwrite").parquet(tmp)
     os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)

@@ -135,9 +135,10 @@ def test_state_compaction_preserves_gate_decisions(spark, tmp_path):
     n_dirs = len(dedup_gate._state_subdirs(state_c))
     assert n_dirs <= 2, f"expected folded state, found {n_dirs} dirs"
     # a generation dir (negative batch_id) exists
-    assert any(
-        "batch_id=-" in d for d in dedup_gate._state_subdirs(state_c)
-    )
+    gen_dirs = [
+        d for d in dedup_gate._state_subdirs(state_c) if "batch_id=-" in d
+    ]
+    assert gen_dirs
 
     # gating a fresh batch against compacted vs plain state agrees
     batch = spark.createDataFrame([(100, A), (101, "brand new doc")], SCHEMA)
@@ -178,6 +179,51 @@ def test_compact_state_standalone_and_rerun_safe(spark, tmp_path):
         for r in dedup_gate._load_state(spark, state).collect()
     )
     assert again == after
+
+
+def test_compact_state_multi_file_fold_preserves_decisions(spark, tmp_path):
+    """The generation fold is a parallel write, not a coalesce(1): with
+    an explicit partition count (bypassing AQE's small-data coalescing)
+    the generation dir holds MULTIPLE part files, and gate decisions
+    against the multi-file state are identical to the pre-fold state —
+    the state set is file-layout-blind by construction."""
+    state = str(tmp_path / "state")
+    docs = [(i, f"{t} padded with shared vocabulary tokens {i % 3}")
+            for i, t in enumerate([A, B, C, A + " x", B + " y", C + " z"])]
+    for bid, row in enumerate(docs):
+        _, keys = dedup_gate.gate_batch(
+            spark.createDataFrame([row], SCHEMA),
+            dedup_gate._load_state(spark, state),
+        )
+        keys.write.mode("overwrite").parquet(
+            os.path.join(state, f"batch_id={bid}")
+        )
+
+    probe = spark.createDataFrame(
+        [(100, A), (101, "entirely novel text never seen before now")],
+        SCHEMA,
+    )
+    acc_before, _ = dedup_gate.gate_batch(
+        probe, dedup_gate._load_state(spark, state)
+    )
+    before = sorted(r["doc_id"] for r in acc_before.collect())
+
+    dedup_gate.compact_state(spark, state, num_partitions=8)
+    gen_dirs = [
+        d for d in dedup_gate._state_subdirs(state) if "batch_id=-" in d
+    ]
+    assert len(dedup_gate._state_subdirs(state)) == 1 and gen_dirs
+    part_files = [
+        f for f in os.listdir(gen_dirs[0]) if f.startswith("part-")
+    ]
+    assert len(part_files) > 1, (
+        f"expected a multi-file generation fold, got {part_files}"
+    )
+
+    acc_after, _ = dedup_gate.gate_batch(
+        probe, dedup_gate._load_state(spark, state)
+    )
+    assert sorted(r["doc_id"] for r in acc_after.collect()) == before
 
 
 def test_gate_batch_quality_floor_composes_with_dedup(spark):
