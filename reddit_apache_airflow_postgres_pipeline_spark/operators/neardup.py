@@ -48,7 +48,13 @@ _TARGET_BYTES_PER_TASK = 16 << 10
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate (scan bytes for file
     sources). Unknown stats return a huge default so callers treat the
-    input as big — the safe direction for both knobs above."""
+    input as big — the safe direction for both knobs above.
+
+    PRIVATE-API PIN: the ``_jdf.queryExecution()`` reach-in is the only
+    one outside plan tests; written and tested against PySpark 4.1.x
+    (py4j BigInt marshalling per the isinstance branch below). If a
+    Spark upgrade breaks it, the broad except falls back to "treat as
+    big" — correctness unaffected, only small-corpus spread widens."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         size = stats.sizeInBytes()
@@ -170,6 +176,65 @@ def shingle_table(
     )
 
 
+def _df_capped_candidates(
+    rel: DataFrame, key_col: str, max_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded candidate generation over an exploded ``(doc, key)``
+    relation (keys distinct per doc). Returns ``(inter_c, sides)``:
+
+    * ``inter_c`` — (id_a, id_b, __ic): per-pair count of shared RARE
+      keys (2 ≤ df ≤ max_df), emitted as in-array pairs from per-key
+      posting lists. The df filter runs BEFORE the ``collect_list``
+      aggregate, so a posting list is only ever collected for a rare
+      key and its length is ≤ max_df **by construction** — a corpus-hot
+      key ("the city of rome" across 10⁸ docs) contributes zero rows to
+      the collect and zero candidate pairs, and no O(m) array ever
+      forms anywhere in the plan. This removes the hot-key memory
+      cliff entirely; the worst-case emission is max_df²/2 pairs per
+      rare key at ANY corpus scale.
+    * ``sides`` — (doc, __n, __hot): per-doc exact key count and
+      hot-key count (df > max_df), a count-only aggregate over the
+      df-annotated relation — hot keys reach it as counts, never as
+      lists.
+
+    Cost shape: one groupBy(key) for the df counts, one key-equi-join
+    annotating the relation (both sides hash-partitioned on the key —
+    the aggregate side arrives pre-partitioned from its own groupBy,
+    and the rare-key collect aggregates on the join's output
+    partitioning without a further exchange), then one groupBy(doc)
+    for ``sides``. One more shuffle than a collect-everything
+    single-pass, bought back as a bounded memory profile per task.
+    """
+    dfreq = rel.groupBy(key_col).agg(F.count("*").alias("__df"))
+    ann = rel.join(dfreq, key_col)
+    ds = F.col("__docs")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ds,
+                lambda x: F.transform(
+                    ds, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p.getField("id_a") < p.getField("id_b"),
+    )
+    inter_c = (
+        ann.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .groupBy(key_col)
+        .agg(F.collect_list("doc").alias("__docs"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__ic"))
+    )
+    sides = ann.groupBy("doc").agg(
+        F.count("*").alias("__n"),
+        F.count(F.when(F.col("__df") > max_df, 1)).alias("__hot"),
+    )
+    return inter_c, sides
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -215,64 +280,24 @@ def ngram_jaccard_pairs(
         # in I, so bound < threshold ⇒ exact < threshold — the
         # prefilter drops nothing that qualifies, and survivors are
         # true-pair scale (measured: exactly the 256 finals at sf0.1).
-        # Posting-list form: ONE groupBy(s) turns the shingle relation
-        # into post = (s, df, docs[]); everything derives from it — no
-        # df-annotation join, no exploded self-join:
-        #  * candidate pairs: rare shingles (2 ≤ df ≤ K) emit their
-        #    ≤ K²/2 in-array doc pairs via nested transform — bounded
-        #    per-row codegen work, so a corpus-hot shingle contributes
-        #    NOTHING instead of m² join rows. (Memory note: the hot
-        #    list itself is O(m) per agg key — a far later cliff than
-        #    the self-join's O(m²) rows; for df ≥ ~10⁷ posting lists
-        #    use minhash_lsh_pairs.)
-        #  * per-doc (n, hot) stats: explode docs back out, count-only
-        #    groupBy(doc).
-        #  * exact verify: per-doc shingle ARRAYS come straight from the
-        #    raw docs restricted to candidate ids (broadcast join) —
-        #    map-only, no recompute of the posting-list shuffle and
-        #    never a corpus-wide array materialization.
-        # post feeds exactly TWO subtrees (candidates, per-doc stats),
-        # deliberately NOT persisted: the subtrees are identical up to
-        # the groupBy(s) exchange, so runtime ReuseExchange shares one
-        # shuffle; an explicit persist ADDS a serialized
-        # materialization job and measurably loses (A/B at sf0.1,
-        # min-of-3 ×2 rounds: no-persist 2.77s vs eager-persist 3.96s —
-        # and the same direction held for the LSH chain, 4.75s vs
-        # 8.49s). The r3 contention outlier was the 32-micro-partition
-        # spread (fixed size-aware above), not the recompute.
+        # Candidate + stats generation is the shared df-capped form
+        # (:func:`_df_capped_candidates`): df counts first, then an
+        # annotating key-join, so posting lists are collected ONLY for
+        # rare shingles (≤ K elements by construction) — a corpus-hot
+        # shingle never materializes a list at any corpus size. The
+        # exact verify re-attaches per-doc shingle ARRAYS straight from
+        # the raw docs restricted to candidate ids (broadcast join) —
+        # map-only, never a corpus-wide array materialization.
+        # Deliberately NOT persisted: identical subtrees share their
+        # shuffle via runtime ReuseExchange; an explicit persist ADDS a
+        # serialized materialization job and measurably loses (A/B at
+        # sf0.1, min-of-3 ×2 rounds: no-persist 2.77s vs eager-persist
+        # 3.96s — same direction for the LSH chain, 4.75s vs 8.49s).
+        # The r3 contention outlier was the 32-micro-partition spread
+        # (fixed size-aware above), not the recompute.
         sh = shingle_table(df, id_col, text_col, n)
-        post = sh.groupBy("s").agg(
-            F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
-        )
-        ds = F.col("__docs")
-        pair_structs = F.filter(
-            F.flatten(
-                F.transform(
-                    ds,
-                    lambda x: F.transform(
-                        ds, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                    ),
-                )
-            ),
-            lambda p: p.getField("id_a") < p.getField("id_b"),
-        )
-        inter_c = (
-            post.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("__ic"))
-        )
-        # per-doc: n exact, hot = shingles with df > K. Doc-count sized;
-        # joined plain (AQE broadcasts when small).
-        sides = (
-            post.select("__df", F.explode("__docs").alias("doc"))
-            .groupBy("doc")
-            .agg(
-                F.count("*").alias("__n"),
-                F.count(F.when(F.col("__df") > max_df, 1)).alias("__hot"),
-            )
-        )
+        inter_c, sides = _df_capped_candidates(sh, "s", max_df)
+        # per-doc stats joined plain (AQE broadcasts when small)
         sa = sides.select(
             F.col("doc").alias("id_a"),
             F.col("__n").alias("__na"),
@@ -770,9 +795,13 @@ def chunk_containment_pairs(
     with 2 ≤ df ≤ max_df emit their in-array pairs; a corpus-hot chunk
     emits nothing), with the same sound upper-bound prefilter —
     I_exact ≤ min(ic + min(hot_a, hot_b), na, nb) and containment is
-    increasing in I — so nothing that qualifies is dropped before the
-    exact verify, and the exact verify re-chunks only candidate docs
-    map-side.
+    increasing in I. Recall contract: the prefilter is LOSSLESS over
+    the posting-list candidate universe (no candidate that qualifies
+    is dropped before the exact verify), but a pair whose every shared
+    chunk has df > max_df never enters that universe at all — by
+    design, pairs glued together only by corpus-hot boilerplate are
+    not detected (the oracle applies the same cap, so parity holds).
+    The exact verify re-chunks only candidate docs map-side.
     """
     occ = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
@@ -785,36 +814,7 @@ def chunk_containment_pairs(
         )
         .filter(F.col("c") != "")
     )
-    post = occ.groupBy("c").agg(
-        F.count("*").alias("__df"), F.collect_list("doc").alias("__docs")
-    )
-    ds = F.col("__docs")
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                ds,
-                lambda x: F.transform(
-                    ds, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                ),
-            )
-        ),
-        lambda p: p.getField("id_a") < p.getField("id_b"),
-    )
-    inter_c = (
-        post.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__ic"))
-    )
-    sides = (
-        post.select("__df", F.explode("__docs").alias("doc"))
-        .groupBy("doc")
-        .agg(
-            F.count("*").alias("__n"),
-            F.count(F.when(F.col("__df") > max_df, 1)).alias("__hot"),
-        )
-    )
+    inter_c, sides = _df_capped_candidates(occ, "c", max_df)
     sa = sides.select(
         F.col("doc").alias("id_a"),
         F.col("__n").alias("__na"),
