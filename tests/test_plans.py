@@ -204,3 +204,54 @@ def test_target_mix_map_side_filter(spark):
     plan = _plan(spark, "q_sample_target_mix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# Every BroadcastNestedLoopJoin in the registry must be DECLARED here
+# with the bounded relation it broadcasts. A BNLJ is the right plan
+# exactly when the build side is a scalar (1-row aggregate) or a
+# bounded-small declared relation (query set, centroids, a dim list);
+# a data-sized BNLJ is the quadratic trap the banded near-dup designs
+# exist to avoid. If a future query grows an undeclared BNLJ, this
+# test fails instead of the audit's prose quietly over-claiming.
+BNLJ_ALLOWED = {
+    # 1-row scalar broadcasts (corpus totals / bounds)
+    "q_crosstab_source_lang": "1-row column-total scalar",
+    "q_doc_tfidf_topk": "1-row corpus doc-count scalar",
+    "q_doc_unigram_logprob": "1-row corpus token-total scalar",
+    "q_events_daily_gapfill": "1-row min/max date bounds",
+    "q_sample_target_mix": "1-row per-stratum totals",
+    # bounded-small declared relations
+    "q_fuzzy_brand_match": "fixed brand list (theta join)",
+    "q_join_range_bands": "fixed band-boundary dim",
+    "q_neardup_triangles": "confirmed near-dup pair set",
+    "q_sim_knn_bruteforce": "bounded query set",
+    "q_sim_ivf_knn": "bounded query set + centroids",
+    "q_sim_ivf_recall": "bounded query set + centroids",
+}
+
+
+def test_registry_bnlj_build_sides_are_declared_small(spark):
+    """Registry-wide sweep: any BNLJ outside BNLJ_ALLOWED fails; no
+    query may contain a CartesianProduct at all. Plan-only (sf0.001),
+    nothing executes."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+        queries as all_queries,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    offenders, cartesians = [], []
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, sf)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in plan:
+            cartesians.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders.append(name)
+    assert not cartesians, f"CartesianProduct in: {cartesians}"
+    assert not offenders, (
+        f"undeclared BroadcastNestedLoopJoin in: {offenders} — if the "
+        "build side is genuinely a scalar or bounded-small relation, "
+        "declare it in BNLJ_ALLOWED with its justification"
+    )
