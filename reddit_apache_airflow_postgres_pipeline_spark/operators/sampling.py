@@ -87,6 +87,8 @@ def sample_to_target_mix(
     for N, both broadcast back — then a pure map-side filter over the
     corpus. No corpus shuffle at any scale.
     """
+    if not shares:
+        raise ValueError("shares must be non-empty")
     for s, r in shares.items():
         if r <= 0.0:
             raise ValueError(f"share for stratum {s!r} must be > 0, got {r}")

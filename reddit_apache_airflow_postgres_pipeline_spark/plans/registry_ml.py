@@ -694,9 +694,12 @@ def q_dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal — every doc outside a duplicate cluster, plus each
     cluster's canonical (min doc_id) representative. Detect (MinHash
     LSH) → resolve (connected components — pairwise deletion alone
-    double-deletes transitive chains) → remove (one left-anti-shaped
-    join against the doc-count-sized cluster map, broadcast when
-    small). This is the query a curation pipeline actually ships."""
+    double-deletes transitive chains) → remove (one left-anti join
+    against the drop set; strategy left to AQE, which broadcasts when
+    the set is small and shuffles when a heavily-duplicated corpus
+    makes it a large fraction of the input — no forced broadcast, so
+    no driver OOM risk at scale). This is the query a curation
+    pipeline actually ships."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import connected_components
 
     d = load_table(spark, sf_dir, "documents")
@@ -707,7 +710,7 @@ def q_dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = clusters.filter(F.col("canonical") != F.col("doc")).select(
         F.col("doc").alias("doc_id")
     )
-    return d.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
 _CHUNKS_SQL = f"""

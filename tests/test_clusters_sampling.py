@@ -158,3 +158,5 @@ def test_sample_to_target_mix_rejects_nonpositive_share(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, stratum string")
     with _pytest.raises(ValueError):
         sample_to_target_mix(df, "doc_id", "stratum", {"a": 0.0})
+    with _pytest.raises(ValueError, match="non-empty"):
+        sample_to_target_mix(df, "doc_id", "stratum", {})
