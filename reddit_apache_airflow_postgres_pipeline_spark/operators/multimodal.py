@@ -78,11 +78,29 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(kind: str, payload: bytes, meta: dict):
-    """Real-codec boundary. Container has no media libs; keep the gate."""
+    """Real-codec boundary: returns the decoded uint8 sample vector.
+
+    Images decode through Pillow when it is importable (any PIL-readable
+    container format → grayscale uint8 pixels), so deployments that add
+    Pillow get a real image path with zero plan changes — the swap is
+    exactly the per-batch numpy call, as the module docstring promises.
+    Audio/video stay gated: their codec libs (soundfile / av) are not in
+    any supported container yet."""
+    import numpy as np
+
+    if kind == "image":
+        try:
+            import PIL.Image
+        except ImportError as e:
+            raise NotImplementedError(
+                f"real image decode needs Pillow: {e}"
+            ) from e
+        import io
+
+        with PIL.Image.open(io.BytesIO(payload or b"")) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8).ravel()
     try:
-        if kind == "image":
-            import PIL.Image  # noqa: F401
-        elif kind == "audio":
+        if kind == "audio":
             import soundfile  # noqa: F401
         else:
             import av  # noqa: F401
@@ -105,15 +123,27 @@ DECODE_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_stats(media: DataFrame) -> DataFrame:
-    """Decode each payload (fake codec: bytes = uint8 samples) and emit
-    per-media sample statistics. ``mapInPandas``: one Arrow batch in, one
-    pandas frame out; numpy-vectorized inside the batch."""
+def decode_stats(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode each payload and emit per-media sample statistics.
+    ``mapInPandas``: one Arrow batch in, one pandas frame out;
+    numpy-vectorized inside the batch.
+
+    ``codec="fake"`` (default, always available): payload bytes ARE the
+    uint8 sample grid. ``codec="real"`` routes through
+    :func:`_decode_real` — currently Pillow-backed for images, raising
+    ``NotImplementedError`` where the codec lib is absent. Either way
+    the plan is the same single map stage."""
     import numpy as np
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            arrs = [np.frombuffer(p or b"", dtype=np.uint8) for p in pdf["payload"]]
+            if codec == "real":
+                arrs = [
+                    _decode_real(k, p, m)
+                    for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"])
+                ]
+            else:
+                arrs = [np.frombuffer(p or b"", dtype=np.uint8) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -6,6 +6,13 @@ splitting, partition coalescing), broadcast threshold generous enough to
 keep dimension joins shuffle-free, Arrow enabled for the sanctioned
 pandas_udf extension point, and UTC session time (reference runs Airflow
 with ``default_timezone = utc``, airflow.cfg:43).
+
+VERSION PIN: written and tested against PySpark 4.1.x (the container's
+baked-in build). Known 4.1-sensitive surfaces, each localized with a
+comment at the use site: the ``_jdf`` plan-stats reach-in
+(operators/neardup.py:_plan_size_bytes — guarded, safe fallback) and
+the ``PythonSQLUtils.explainString`` call in the plan tests/audit.
+Everything else is public DataFrame API.
 """
 
 from __future__ import annotations

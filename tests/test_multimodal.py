@@ -103,3 +103,59 @@ def test_payload_fingerprint_dedups_exact_copies(spark, media):
 def test_real_codec_gate_raises():
     with pytest.raises(NotImplementedError):
         MM._decode_real("image", b"x", {})
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_codec_gate_raises_per_kind():
+    # audio/video always gate in this container; image gates only when
+    # Pillow is absent (when present, the image branch is the real path
+    # tested below)
+    with pytest.raises(NotImplementedError):
+        MM._decode_real("audio", b"x", {})
+    with pytest.raises(NotImplementedError):
+        MM._decode_real("video", b"x", {})
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_decode_stats_real_codec_pillow_roundtrip(spark, tmp_path):
+    """codec='real': PNG payloads decode through Pillow inside the same
+    mapInPandas stage, and the stats equal the known pixel values."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    grids = {
+        1: np.arange(16, dtype=np.uint8).reshape(4, 4),
+        2: np.full((2, 3), 200, dtype=np.uint8),
+    }
+    rows = []
+    for mid, g in grids.items():
+        buf = io.BytesIO()
+        PIL.Image.fromarray(g, mode="L").save(buf, format="PNG")
+        rows.append(
+            (
+                mid,
+                "image",
+                bytearray(buf.getvalue()),
+                {"width": g.shape[1], "height": g.shape[0],
+                 "sample_rate": 0, "n_frames": 1, "fmt": "png"},
+            )
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in MM.decode_stats(media, codec="real").collect()
+    }
+    for mid, g in grids.items():
+        r = got[mid]
+        assert r["n_bytes"] == g.size
+        assert r["byte_mean"] == pytest.approx(float(g.mean()))
+        assert (r["byte_min"], r["byte_max"]) == (int(g.min()), int(g.max()))

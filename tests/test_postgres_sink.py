@@ -289,3 +289,93 @@ def test_streaming_combine_into_staged_sql_upsert(spark, dirs, tmp_path):
         ("k3", "t3", 7, "third", "h3"),
     ]
     assert os.listdir(cfg.data_dir) == []  # inbox drained + archived
+
+
+# ---------------------------------------------------------------------------
+# 3. Live-Postgres smoke (env-gated; VERDICT r04 #6)
+# ---------------------------------------------------------------------------
+# Runs ONLY when a real driver + server are reachable: needs psycopg2
+# importable and LIVE_PG=1 in the environment (connection params via the
+# usual PG_* env vars, honored by EngineConfig). In this container
+# psycopg2 is absent, so the test skips cleanly and the DuckDB wire
+# tests above remain the executable contract. The residual risk it
+# covers when it CAN run: PG-specific COPY quoting and ISO-8601-Z →
+# timestamptz coercion (reference README.md:211).
+
+
+def _live_pg_available() -> bool:
+    if os.environ.get("LIVE_PG") != "1":
+        return False
+    try:
+        import psycopg2  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+@pytest.mark.skipif(
+    not _live_pg_available(),
+    reason="live Postgres smoke needs LIVE_PG=1 and psycopg2",
+)
+def test_live_postgres_staged_upsert_roundtrip(tmp_path):
+    import psycopg2
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.postgres import load_csv_to_postgres
+
+    cfg = EngineConfig(
+        gdpr_salt="test-salt",
+        pg_schema="spark_graft_smoke",
+        pg_table="redit_table_smoke",
+    )
+    tgt = f"{q_ident(cfg.pg_schema)}.{q_ident(cfg.pg_table)}"
+
+    def _csv(path, rows):
+        with open(path, "w", newline="", encoding="utf-8") as fh:
+            w = csv.writer(fh)
+            w.writerow(DB_COLUMNS)
+            w.writerows(rows)
+
+    base = ["t3", "id1", "2025-09-09T05:42:43Z", "5", "2",
+            'title, with "comma"', "hash1", "/r/x", "italytravel", ""]
+    p1 = str(tmp_path / "b1.csv")
+    _csv(p1, [["k1", *base], ["k2", "t3", "id2", "2025-09-09T06:00:00Z",
+               "1", "0", "plain", "hash2", "/r/y", "italytravel", "flair"]])
+    p2 = str(tmp_path / "b2.csv")
+    # k1 re-arrives with changed mutables + changed immutables — the
+    # partial-update policy must take the former, keep the latter
+    _csv(p2, [["k1", "t3", "OTHER", "2030-01-01T00:00:00Z", "50", "9",
+               "updated title", "OTHER", "/r/z", "italytravel", "newflair"]])
+
+    conn = psycopg2.connect(
+        host=cfg.pg_host, port=cfg.pg_port, dbname=cfg.pg_db,
+        user=cfg.pg_user, password=cfg.pg_password,
+    )
+    try:
+        with conn.cursor() as cur:
+            cur.execute(f"DROP SCHEMA IF EXISTS {q_ident(cfg.pg_schema)} CASCADE")
+        conn.commit()
+
+        load_csv_to_postgres(p1, cfg)
+        load_csv_to_postgres(p2, cfg)
+
+        with conn.cursor() as cur:
+            cur.execute(
+                f"""SELECT thing_key, id, score, num_comments,
+                           title_sanitized, author_hash,
+                           to_char(created_at AT TIME ZONE 'UTC',
+                                   'YYYY-MM-DD"T"HH24:MI:SS"Z"')
+                    FROM {tgt} ORDER BY thing_key"""
+            )
+            got = cur.fetchall()
+        assert got == [
+            # mutables (score, num_comments, title) updated; immutables
+            # (id, author_hash, created_at) preserved from the first load
+            ("k1", "id1", 50, 9, "updated title", "hash1",
+             "2025-09-09T05:42:43Z"),
+            ("k2", "id2", 1, 0, "plain", "hash2", "2025-09-09T06:00:00Z"),
+        ]
+    finally:
+        with conn.cursor() as cur:
+            cur.execute(f"DROP SCHEMA IF EXISTS {q_ident(cfg.pg_schema)} CASCADE")
+        conn.commit()
+        conn.close()
