@@ -312,11 +312,20 @@ def ngram_jaccard_pairs(
             F.col("__ic") + F.least("__hota", "__hotb"),
             F.least("__na", "__nb"),
         )
+        # cands is TRUE-PAIR scale (skinny id pairs) and consumed three
+        # times downstream (final join + twice via the arrays build).
+        # Unlike the corpus-scale posting-list relation — where the A/B
+        # above shows persist losing — caching this tiny relation
+        # truncates the 3× recompute of the whole candidate chain:
+        # measured at sf0.1 min-of-7, 1.81s persisted vs 3.36s not.
+        # Lazy persist: the first consumer populates the block cache
+        # within the job; no extra materialization action.
         cands = (
             inter_c.join(sa, "id_a")
             .join(sb, "id_b")
             .filter(i_ub / (F.col("__na") + F.col("__nb") - i_ub) >= threshold)
             .select("id_a", "id_b")
+            .persist()
         )
         # full shingle arrays only for candidate docs (true-pair scale):
         # re-shingle the raw candidate docs map-side — cheaper than a
@@ -815,7 +824,7 @@ def chunk_containment_pairs(
         .filter(F.col("c") != "")
     )
     inter_c, sides = _df_capped_candidates(occ, "c", max_df)
-    sa = sides.select(
+    sa = sides.select(  # see ngram_jaccard_pairs: same df-capped shape
         F.col("doc").alias("id_a"),
         F.col("__n").alias("__na"),
         F.col("__hot").alias("__hota"),
@@ -829,11 +838,15 @@ def chunk_containment_pairs(
         F.col("__ic") + F.least("__hota", "__hotb"),
         F.least("__na", "__nb"),
     )
+    # true-pair-scale relation consumed 3×: lazy persist truncates the
+    # candidate-chain recompute (see the measured note in
+    # ngram_jaccard_pairs — same shape, same win)
     cands = (
         inter_c.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(i_ub / F.least("__na", "__nb") >= threshold)
         .select("id_a", "id_b")
+        .persist()
     )
     cd = cands.select(
         F.explode(F.array("id_a", "id_b")).alias("doc")
