@@ -37,6 +37,15 @@ from pyspark.sql import functions as F
 # while anything ≥ ~0.5 MB still reaches defaultParallelism (the cap —
 # a real cluster always saturates).
 _TARGET_BYTES_PER_TASK = 16 << 10
+# Above this many scan bytes, near-dup verifies restrict their
+# shingle-array re-compute to candidate docs instead of re-shingling
+# the whole corpus: the corpus-wide form costs two extra full map
+# passes (prohibitive at 100 TB) but overlaps the candidate chain on
+# an under-utilized small-corpus run (measured A/Bs in
+# minhash_lsh_pairs). 64 MB ≈ where two wholesale re-shingles stop
+# being noise on any real cluster; every driver bench SF stays below
+# it, every production corpus is far above.
+_RESTRICT_VERIFY_BYTES = 64 << 20
 # Note on persist: multi-consumer shingle plans deliberately do NOT
 # cache intermediate relations. Identical subtrees share their shuffle
 # via runtime ReuseExchange, while an eager persist adds a serialized
@@ -235,6 +244,28 @@ def _df_capped_candidates(
     return inter_c, sides
 
 
+def _restricted_shingle_arrays(
+    df: DataFrame, cands: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, sh) shingle arrays for CANDIDATE docs only: the candidate
+    id set (output-sized — broadcastable by definition) semi-restricts
+    the corpus before the re-shingle, so the verify's map work is
+    proportional to matches, not corpus size. Callers pass a persisted
+    ``cands`` so this subtree reads the cached pairs instead of
+    re-running the candidate chain."""
+    cd = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc")
+    ).distinct()
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cd), "doc")
+        .select(
+            "doc",
+            F.filter(word_shingles("__t", n), lambda s: s != "").alias("sh"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -330,19 +361,7 @@ def ngram_jaccard_pairs(
         # full shingle arrays only for candidate docs (true-pair scale):
         # re-shingle the raw candidate docs map-side — cheaper than a
         # third pass over the posting-list shuffle
-        cd = cands.select(
-            F.explode(F.array("id_a", "id_b")).alias("doc")
-        ).distinct()
-        arrays = (
-            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-            .join(F.broadcast(cd), "doc")
-            .select(
-                "doc",
-                F.filter(word_shingles("__t", n), lambda s: s != "").alias(
-                    "sh"
-                ),
-            )
-        )
+        arrays = _restricted_shingle_arrays(df, cands, id_col, text_col, n)
         return exact_jaccard_verify(
             df, cands, id_col, text_col, n, threshold, round_digits,
             arrays=arrays,
@@ -536,15 +555,20 @@ def minhash_lsh_pairs(
     per-doc shingle arrays; the only shuffles are a tiny signature
     repartition (projection barrier, see ``minhash_signature``), ONE
     self-equi-join on (band-key) rows — skinny — plus the candidate
-    distinct. The verify step joins the (small) candidate set back to the
-    shingle arrays and computes ``array_intersect`` sizes per pair: no
-    exploded shingle self-join anywhere. The shingle arrays are
-    recomputed per subtree (cheap map work) rather than persisted —
-    measured A/B at sf0.1: eagerly persisting the candidate set and
-    restricting the verify to candidate docs ran 9s vs 5s for this form,
-    because the independent subtrees' stages overlap across cores while
-    an eager persist serializes the signature chain; caching the shingle
-    relation also churned unrelated queries' cache in shared sessions.
+    distinct. No exploded shingle self-join anywhere.
+
+    Verify-arrays routing is SIZE-AWARE (cold A/B at sf0.1, min-of-5
+    with cache cleared between runs): on a small corpus the verify's
+    full-corpus shingle re-compute is cheap map work whose stages
+    OVERLAP the candidate chain across idle cores — 4.6s vs 5.6s for
+    the restricted form, which serializes the verify behind the
+    candidate set. Past ``_RESTRICT_VERIFY_BYTES`` of scan input the
+    trade inverts decisively: two wholesale corpus re-shingles cost
+    O(corpus) while the restricted form re-shingles only candidate
+    docs (output-sized, broadcast semi-join) — at 100 TB the
+    corpus-wide form is two extra full passes, so the big-corpus path
+    persists the candidate set (lazily — an eager materialize measured
+    9s vs 5s in an earlier round) and restricts.
     """
     banded = minhash_band_keys(df, id_col, text_col, n, num_hashes, bands)
     a = banded.select(F.col("doc").alias("id_a"), "bk")
@@ -555,10 +579,15 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    arrays = None
+    if _plan_size_bytes(df) > _RESTRICT_VERIFY_BYTES:
+        cands = cands.persist()
+        arrays = _restricted_shingle_arrays(df, cands, id_col, text_col, n)
 
     # exact verify on candidates only — no exploded shingle self-join
     return exact_jaccard_verify(
-        df, cands, id_col, text_col, n, threshold, round_digits
+        df, cands, id_col, text_col, n, threshold, round_digits,
+        arrays=arrays,
     )
 
 
@@ -594,12 +623,17 @@ def minhash_estimate_quality(
         ]
     )
     banded = sig.select("doc", F.explode(band_keys).alias("bk"))
+    # output-sized, consumed by BOTH the estimate join and the exact
+    # verify (no overlap to lose — both depend on it), so the lazy
+    # persist is unconditional; the verify arrays route size-aware like
+    # minhash_lsh_pairs
     cands = (
         banded.select(F.col("doc").alias("id_a"), "bk")
         .join(banded.select(F.col("doc").alias("id_b"), "bk"), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
     sa = sig.select(
         F.col("doc").alias("id_a"),
@@ -619,7 +653,12 @@ def minhash_estimate_quality(
         F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
     )
     exact = exact_jaccard_verify(
-        df, cands, id_col, text_col, n, threshold=0.0, round_digits=6
+        df, cands, id_col, text_col, n, threshold=0.0, round_digits=6,
+        arrays=(
+            _restricted_shingle_arrays(df, cands, id_col, text_col, n)
+            if _plan_size_bytes(df) > _RESTRICT_VERIFY_BYTES
+            else None
+        ),
     )
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a",

@@ -196,3 +196,37 @@ def test_whitespace_class_cross_engine_vertical_tab(spark):
     )
     assert got == want
     assert (1, 2) in got
+
+
+def test_verify_routing_branches_agree(spark, monkeypatch):
+    """The size-aware verify routing (corpus-wide arrays below
+    _RESTRICT_VERIFY_BYTES, candidate-restricted above) is a pure
+    execution-strategy choice: both branches must emit identical pairs
+    and scores. Force each branch via the threshold and compare."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the stream"),
+        (3, "entirely different content about parquet footers and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog by the river"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        out = {}
+        for fn, kw in (
+            (neardup.minhash_lsh_pairs, dict(num_hashes=12, bands=4, threshold=0.5)),
+            (neardup.minhash_estimate_quality, dict(num_hashes=12, bands=4)),
+        ):
+            out[fn.__name__] = sorted(
+                tuple(r) for r in fn(df, "doc_id", "text", n=3, **kw).collect()
+            )
+        return out
+
+    monkeypatch.setattr(neardup, "_RESTRICT_VERIFY_BYTES", 1 << 62)
+    corpus_wide = run()
+    spark.catalog.clearCache()
+    monkeypatch.setattr(neardup, "_RESTRICT_VERIFY_BYTES", 0)
+    restricted = run()
+    spark.catalog.clearCache()
+    assert corpus_wide == restricted
+    assert any(corpus_wide.values())  # non-vacuous: some pairs found
