@@ -623,18 +623,24 @@ def minhash_estimate_quality(
         ]
     )
     banded = sig.select("doc", F.explode(band_keys).alias("bk"))
-    # output-sized, consumed by BOTH the estimate join and the exact
-    # verify (no overlap to lose — both depend on it), so the lazy
-    # persist is unconditional; the verify arrays route size-aware like
-    # minhash_lsh_pairs
+    # Same size-aware routing as minhash_lsh_pairs: small corpus keeps
+    # the un-persisted form (ReuseExchange already shares the candidate
+    # exchange between the estimate and verify subtrees — measured cold
+    # at sf0.1: 7.3s vs 9.9s with an unconditional persist, whose
+    # cache-write serialization costs more than the dedup saves); big
+    # corpus persists and restricts the verify arrays, trading that
+    # overhead for two fewer wholesale corpus re-shingles.
     cands = (
         banded.select(F.col("doc").alias("id_a"), "bk")
         .join(banded.select(F.col("doc").alias("id_b"), "bk"), "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
+    arrays = None
+    if _plan_size_bytes(df) > _RESTRICT_VERIFY_BYTES:
+        cands = cands.persist()
+        arrays = _restricted_shingle_arrays(df, cands, id_col, text_col, n)
     sa = sig.select(
         F.col("doc").alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)],
@@ -654,11 +660,7 @@ def minhash_estimate_quality(
     )
     exact = exact_jaccard_verify(
         df, cands, id_col, text_col, n, threshold=0.0, round_digits=6,
-        arrays=(
-            _restricted_shingle_arrays(df, cands, id_col, text_col, n)
-            if _plan_size_bytes(df) > _RESTRICT_VERIFY_BYTES
-            else None
-        ),
+        arrays=arrays,
     )
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a",
