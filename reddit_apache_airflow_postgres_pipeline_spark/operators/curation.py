@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import word_shingles
+from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+    _spread_partitions,
+    token_chunks_with_tail,
+    word_shingles,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count, tokens
 
 
@@ -155,6 +159,71 @@ def contaminated_ids(
         tr.join(F.broadcast(ev), "h", "left_semi")
         .select("doc_id")
         .distinct()
+    )
+
+
+def strip_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Rewrite each document with corpus-duplicated chunks REMOVED — the
+    transform counterpart of :func:`neardup.chunk_dup_stats` (which only
+    measures the boilerplate mass). A ``k``-token chunk is dropped from
+    every doc when it occurs verbatim in ≥ ``min_df`` DISTINCT docs
+    (cookie banners, license headers, navigation wrappers); surviving
+    chunks are re-joined in original order.
+
+    Output: (doc_id, n_chunks, dropped_chunks, text_clean). The clean
+    text is the doc's NORMALIZED token stream (lowercased,
+    single-spaced — chunking tokenizes, so the rewrite is modulo the
+    engine-wide whitespace contract); chunks use the tail-keeping
+    variant (:func:`neardup.token_chunks_with_tail`) so no token is
+    lost to a chunk boundary. Docs whose text yields zero chunks (empty
+    after trim) have no rows here, and a doc that is 100% boilerplate
+    comes back with ``text_clean = ''`` — callers typically follow with
+    a length/quality filter.
+
+    Scale shape: explode to (doc, idx, chunk) — ~n_tokens/k rows per
+    doc; one per-chunk distinct-doc count, one join back on the chunk
+    key (AQE plans it off the agg's partitioning), one per-doc
+    aggregate whose ``array_sort(collect_list(...))`` buffers only the
+    DOC'S OWN chunks (bounded by doc length, never corpus-sized). No
+    self-join; linear in corpus size however duplicated it is.
+    """
+    occ = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .repartition(_spread_partitions(df))
+        .select(
+            "doc_id",
+            F.posexplode(token_chunks_with_tail("__t", k)).alias("idx", "c"),
+        )
+        .filter(F.col("c") != "")
+    )
+    nd = occ.groupBy("c").agg(F.count_distinct("doc_id").alias("__nd"))
+    keep = F.col("__nd") < min_df
+    return (
+        occ.join(nd, "c")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(~keep, 1)).alias("dropped_chunks"),
+            F.array_join(
+                F.transform(
+                    # idx is unique per doc → the struct sort is a total
+                    # order; collect_list drops the NULLs of dropped chunks
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("c")))
+                        )
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
     )
 
 

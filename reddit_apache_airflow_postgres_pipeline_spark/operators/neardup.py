@@ -114,6 +114,27 @@ def token_chunks(col: Column | str, k: int = 8) -> Column:
     )
 
 
+def token_chunks_with_tail(col: Column | str, k: int = 8) -> Column:
+    """Like :func:`token_chunks` but KEEPS the trailing partial chunk —
+    the reassembly variant: concatenating the chunks in order
+    reproduces the doc's full normalized token stream, which is what a
+    rewrite transform (curation.strip_duplicate_chunks) needs. Dedup
+    STATISTICS keep using :func:`token_chunks` (fixed-size units only),
+    so a short tail never pollutates the duplicate-mass signal."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(float(k))).cast("int")
+    return F.when(
+        n < k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",

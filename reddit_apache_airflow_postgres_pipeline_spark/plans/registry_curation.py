@@ -173,3 +173,43 @@ def q_sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("chunk_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_STRIP_K = 8
+
+
+@_q(
+    "q_curation_strip_boilerplate",
+    f"""
+    WITH ch AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < {_STRIP_K} THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(
+                    generate_series(0, CAST(ceil(len(toks) / ({_STRIP_K}*1.0)) AS BIGINT) - 1),
+                    i -> array_to_string(toks[i*{_STRIP_K}+1 : i*{_STRIP_K}+{_STRIP_K}], ' '))
+        END AS chunks
+      FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+            FROM documents) t
+    ), occ AS (
+      SELECT doc_id, s.i AS idx, s.c AS c FROM (
+        SELECT doc_id, unnest(list_transform(chunks, (x, j) -> {{'i': j, 'c': x}})) AS s
+        FROM ch) u
+      WHERE s.c <> ''
+    ), nd AS (SELECT c, count(DISTINCT doc_id) AS nd FROM occ GROUP BY c)
+    SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(CASE WHEN nd.nd >= 2 THEN 1 END) AS BIGINT) AS dropped_chunks,
+           coalesce(string_agg(CASE WHEN nd.nd < 2 THEN occ.c END, ' ' ORDER BY occ.idx), '')
+             AS text_clean
+    FROM occ JOIN nd USING (c) GROUP BY occ.doc_id
+    """,
+)
+def q_curation_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal applied: every 8-token chunk occurring
+    verbatim in ≥2 distinct docs is stripped from all of them and the
+    survivors re-joined in order (curation.strip_duplicate_chunks) —
+    the rewrite counterpart of the q_dedup_chunk_exact statistics.
+    Linear plan: chunk explode, per-chunk distinct-doc count, join
+    back, per-doc ordered reassembly. No self-join at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.strip_duplicate_chunks(d, k=_STRIP_K, min_df=2)

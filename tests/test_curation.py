@@ -127,3 +127,53 @@ def test_unigram_logprob_orders_docs_by_typicality(spark):
     assert all(v[0] == 4 for v in got.values())
     assert all(v[1] < 0 for v in got.values())
     assert got[1][1] > got[2][1] > got[3][1]
+
+
+def test_strip_duplicate_chunks_semantics(spark):
+    """Shared 8-token chunks vanish from EVERY doc; tails and unique
+    chunks survive in order; all-boilerplate docs come back empty;
+    empty-text docs emit no row."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import strip_duplicate_chunks
+
+    # 8 tokens exactly → one shared chunk, no tail inside the boilerplate
+    boiler = "please accept our cookie policy before you continue"
+    rows = [
+        (1, boiler + " actual article content here"),
+        (2, boiler + " different article body text"),
+        (3, "a completely standalone document with its own words only"),
+        (4, boiler),          # 100% boilerplate
+        (5, ""),              # no chunks → no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_duplicate_chunks(df, k=8).collect()}
+
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1/2/4 share the 8-token boilerplate chunk; distinct tails stay
+    assert got[1]["dropped_chunks"] == 1
+    assert got[1]["text_clean"] == "actual article content here"
+    assert got[2]["text_clean"] == "different article body text"
+    # doc 4 is boilerplate-only → rewritten to empty
+    assert got[4]["text_clean"] == ""
+    assert got[4]["dropped_chunks"] == got[4]["n_chunks"] == 1
+    # untouched doc round-trips to its normalized token stream
+    assert got[3]["dropped_chunks"] == 0
+    assert got[3]["text_clean"] == rows[2][1]
+
+
+def test_token_chunks_with_tail_reassembles(spark):
+    """Concatenating tail-keeping chunks reproduces the normalized
+    token stream for every length mod k."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import token_chunks_with_tail
+
+    texts = [
+        (" ".join(f"t{i}" for i in range(n)),) for n in [1, 3, 8, 9, 16, 20]
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    out = df.select(
+        "text",
+        F.array_join(token_chunks_with_tail("text", 8), " ").alias("rejoined"),
+    ).collect()
+    for r in out:
+        assert r["rejoined"] == r["text"]
