@@ -2605,6 +2605,7 @@ def all_specs() -> list[QuerySpec]:
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_stats  # noqa: F401  (registers SPECS)
+    import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_tpch  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ts  # noqa: F401  (registers SPECS)
 
     return list(SPECS)

@@ -220,6 +220,9 @@ BNLJ_ALLOWED = {
     "q_doc_unigram_logprob": "1-row corpus token-total scalar",
     "q_events_daily_gapfill": "1-row min/max date bounds",
     "q_sample_target_mix": "1-row per-stratum totals",
+    "q11_important_stock": "1-row global value-threshold scalar",
+    "q15_top_supplier": "1-row max-revenue scalar",
+    "q22_global_sales_opportunity": "1-row average-balance scalar",
     # bounded-small declared relations
     "q_fuzzy_brand_match": "fixed brand list (theta join)",
     "q_join_range_bands": "fixed band-boundary dim",
