@@ -490,17 +490,30 @@ def minhash_signature(
     ProjectCollapse inlines it), and the k-wide aggregate runs
     interpreted, allocating a k-array per shingle.
 
-    Hash family: for k ≤ 12, ONE ``md5 || sha256`` digest per shingle
-    (96 hex chars) sliced into k independent 8-hex chunks — 2 hash calls
-    per shingle instead of k salted ones (~6× less hashing; both hex
+    Hash family: for k ≤ 24, one concatenated
+    ``md5 || sha256 [|| md5∘reverse || sha256∘reverse]`` digest per
+    shingle sliced into k independent 8-hex chunks — ≤4 hash calls per
+    shingle instead of k salted ones (~4–6× less hashing; both hex
     alphabets are lowercase in Spark and DuckDB so the lexicographic min
-    agrees). Beyond 12, fall back to salted per-function md5.
+    agrees, and DuckDB can replay the identical family — it has no
+    sha512, hence reversed-input digests rather than longer ones).
+    Beyond 24, fall back to salted per-function md5.
     """
     sh = shingle_arrays(df, id_col, text_col, n).select(
         "doc", F.explode("sh").alias("s")
     )
-    if num_hashes <= 12:
-        dg = F.concat(F.md5("s"), F.sha2("s", 256))
+    if num_hashes <= 24:
+        # 32 + 64 (+32 +64 reversed-input) hex chars → up to 24 chunks
+        # from ≤4 hash calls; k ≤ 12 needs only the first two.
+        # md5/sha256 over reverse(s) are the extra digests both engines
+        # share (DuckDB has no sha512) — same cross-engine-lowercase-hex
+        # argument as above.
+        parts = [F.md5("s"), F.sha2("s", 256)]
+        if num_hashes > 12:
+            parts.append(F.md5(F.reverse(F.col("s"))))
+        if num_hashes > 16:
+            parts.append(F.sha2(F.reverse(F.col("s")), 256))
+        dg = F.concat(*parts)
         digs = sh.select(
             "doc",
             *[

@@ -77,9 +77,16 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
     r = num_hashes // bands
     # hash family must mirror operators.neardup.minhash_signature: one
     # md5||sha256 digest sliced into 8-hex chunks for k <= 12
-    if num_hashes <= 12:
+    # mirror operators.neardup.minhash_signature's concatenated digest
+    # family (md5 || sha256 [|| md5∘reverse || sha256∘reverse])
+    if num_hashes <= 24:
+        dg = "md5(s) || sha256(s)"
+        if num_hashes > 12:
+            dg += " || md5(reverse(s))"
+        if num_hashes > 16:
+            dg += " || sha256(reverse(s))"
         mins = ",\n         ".join(
-            f"min(substr(md5(s) || sha256(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            f"min(substr({dg}, {i * 8 + 1}, 8)) AS mh_{i}"
             for i in range(num_hashes)
         )
     else:
@@ -127,9 +134,16 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_quality_sql(num_hashes: int, bands: int) -> str:
     r = num_hashes // bands
-    if num_hashes <= 12:
+    # mirror operators.neardup.minhash_signature's concatenated digest
+    # family (md5 || sha256 [|| md5∘reverse || sha256∘reverse])
+    if num_hashes <= 24:
+        dg = "md5(s) || sha256(s)"
+        if num_hashes > 12:
+            dg += " || md5(reverse(s))"
+        if num_hashes > 16:
+            dg += " || sha256(reverse(s))"
         mins = ",\n         ".join(
-            f"min(substr(md5(s) || sha256(s), {i * 8 + 1}, 8)) AS mh_{i}"
+            f"min(substr({dg}, {i * 8 + 1}, 8)) AS mh_{i}"
             for i in range(num_hashes)
         )
     else:
