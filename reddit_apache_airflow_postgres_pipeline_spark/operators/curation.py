@@ -289,3 +289,91 @@ def pack_chunks(
         )
         .drop("__cum")
     )
+
+
+def _bloom_positions(col: Column | str, k: int, m: int) -> list[Column]:
+    """k bit positions in [0, m) for a shingle — md5 over a per-function
+    salt prefix, first 8 hex chars as an unsigned 32-bit int mod m. The
+    md5-hex construction is the repo's cross-engine hash idiom (DuckDB
+    replays it verbatim: ``('0x'||substr(md5('bf<j>:'||s),1,8))::BIGINT
+    % m``)."""
+    s = F.col(col) if isinstance(col, str) else col
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), s)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m
+        ).cast("int")
+        for j in range(k)
+    ]
+
+
+def bloom_filter_bits(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    k: int = 4,
+    m: int = 8192,
+) -> DataFrame:
+    """Build the Bloom filter of an eval set's word n-grams, as the
+    relation of SET bit positions — one ``pos: int`` column, ≤ m rows.
+
+    This is the piece that makes decontamination scale when the eval
+    universe is NOT tiny (multi-benchmark suites, contamination against
+    held-out corpora): :func:`contaminated_ids` broadcasts every distinct
+    eval n-gram hash — unbounded — while the Bloom relation is capped at
+    ``m`` ints no matter how many n-grams went in. The price is a known
+    false-positive rate (~(1-e^{-kn/m})^k), which for decontamination is
+    the SAFE direction: a false positive only over-quarantines a
+    training doc.
+    """
+    sh = (
+        eval_df.select(F.explode(word_shingles(text_col, n)).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    return (
+        sh.select(F.explode(F.array(*_bloom_positions("s", k, m))).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contaminated_ids(
+    train: DataFrame,
+    bits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    k: int = 4,
+    m: int = 8192,
+) -> DataFrame:
+    """Training docs with ≥1 word n-gram whose k Bloom bits are ALL set.
+
+    A superset of :func:`contaminated_ids`' exact answer (no false
+    negatives — if the exact n-gram is in the eval set, its bits are all
+    set by construction). The probe is map-only: the corpus explodes to
+    (doc, gram, bit) rows — k per gram — inner-joined against the
+    broadcast ≤m-row bit relation; a gram hits iff all k of its rows
+    survive, folded back with one hash aggregate keyed on (doc, gram).
+    Counting matched rows per gram (not distinct positions) keeps
+    within-gram position collisions correct: each of the k rows matches
+    or not independently, and a gram needs exactly k matches.
+    """
+    tr = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, n)).alias("s"),
+        )
+        .filter(F.col("s") != "")
+    )
+    pos = tr.select(
+        "doc_id", "s", F.explode(F.array(*_bloom_positions("s", k, m))).alias("pos")
+    )
+    return (
+        pos.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("__nm"))
+        .filter(F.col("__nm") == k)
+        .select("doc_id")
+        .distinct()
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+from reddit_apache_airflow_postgres_pipeline_spark.operators import chunking, curation
 from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL, _q
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
 
@@ -213,3 +213,100 @@ def q_curation_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, per-doc ordered reassembly. No self-join at any scale."""
     d = load_table(spark, sf_dir, "documents")
     return curation.strip_duplicate_chunks(d, k=_STRIP_K, min_df=2)
+
+
+@_q(
+    "q_doc_chunk_sliding",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+') AS w
+      FROM documents),
+    base AS (SELECT doc_id, w, len(w) AS n FROM toks),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(greatest(n - 8, 1) / 16.0) AS INT) - 1),
+               i -> struct_pack(
+                      chunk_idx := CAST(i AS INT),
+                      start_token := CAST(i * 16 AS INT),
+                      n_tokens := CAST(least(24, n - i * 16) AS INT),
+                      chunk_text := array_to_string(w[i*16+1 : i*16+24], ' ')))) AS c
+      FROM base)
+    SELECT doc_id, c.chunk_idx AS chunk_idx, c.start_token AS start_token,
+           c.n_tokens AS n_tokens, c.chunk_text AS chunk_text
+    FROM ch WHERE c.chunk_text <> ''
+    """,
+)
+def q_doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunker: 24-token windows, 8-token
+    overlap (stride 16). Map-only plan — one scan, one projection, no
+    exchange; the shape that precedes chunk-wise embedding at 100 TB.
+    See operators/chunking.py for the window rule."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunking.sliding_chunks(
+        d, "doc_id", "text", chunk_tokens=24, overlap=8
+    )
+
+
+@_q(
+    "q_decontam_bloom_audit",
+    "WITH sh AS (" + _shingles_sql(4, "TRUE") + "),\n"
+    + """
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT
+               % 65536 AS pos
+      FROM ev, js),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+    trpos AS (
+      SELECT doc_id, s,
+             ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || ':' || s), 1, 8))::BIGINT
+               % 65536 AS pos
+      FROM tr, js),
+    hits AS (SELECT doc_id, s FROM trpos JOIN bits USING (pos)
+             GROUP BY doc_id, s HAVING COUNT(*) = 4),
+    bloom_bad AS (SELECT DISTINCT doc_id FROM hits),
+    exact_bad AS (SELECT DISTINCT t.doc_id FROM tr t JOIN ev e ON e.s = t.s)
+    SELECT d.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(COUNT(bb.doc_id) AS BIGINT) AS n_bloom_flagged,
+           CAST(COUNT(eb.doc_id) AS BIGINT) AS n_exact_flagged
+    FROM documents d
+      LEFT JOIN bloom_bad bb ON bb.doc_id = d.doc_id
+      LEFT JOIN exact_bad eb ON eb.doc_id = d.doc_id
+    WHERE d.doc_id % 20 <> 0
+    GROUP BY d.source
+    """,
+)
+def q_decontam_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination beside the exact answer, per source.
+
+    The Bloom relation caps the broadcast at 65536 ints no matter how
+    large the eval universe grows — the scale path when exact n-gram
+    broadcast (q_decontam_eval_overlap) stops fitting. Flag counts are
+    reported for BOTH so the false-positive overcount is visible data:
+    bloom ⊇ exact always (no false negatives by construction; the
+    oracle replays the identical md5-salted bit positions, so the FP
+    sets agree bit-for-bit too)."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    bits = curation.bloom_filter_bits(ev, n=4, k=4, m=65536)
+    bb = curation.bloom_contaminated_ids(tr, bits, n=4, k=4, m=65536).withColumn(
+        "__b", F.lit(1)
+    )
+    eb = curation.contaminated_ids(tr, ev, n=4).withColumn("__e", F.lit(1))
+    return (
+        tr.select("doc_id", "source")
+        .join(bb, "doc_id", "left")
+        .join(eb, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.count("__b").alias("n_bloom_flagged"),
+            F.count("__e").alias("n_exact_flagged"),
+        )
+    )

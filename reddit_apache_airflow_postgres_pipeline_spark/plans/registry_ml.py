@@ -132,6 +132,20 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_dedup_minhash_k16", _minhash_sql(16, 4, 0.7))
+def q_minhash_k16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16, 4 bands of 4) + LSH, exact-verified at 0.7 — pins the
+    extended reversed-input digest family (k > 12 without salted-md5
+    fallback; see minhash_signature) against the oracle. Same banded
+    single-self-join shape as q_dedup_minhash_lsh; 4-row bands sharpen
+    the s-curve vs 3-row, so the candidate (and output) sets differ —
+    the oracle replays the identical family, so both agree bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+    )
+
+
 def _minhash_quality_sql(num_hashes: int, bands: int) -> str:
     r = num_hashes // bands
     # mirror operators.neardup.minhash_signature's concatenated digest

@@ -177,3 +177,74 @@ def test_token_chunks_with_tail_reassembles(spark):
     ).collect()
     for r in out:
         assert r["rejoined"] == r["text"]
+
+
+def test_sliding_chunks_window_rule(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import chunking
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    d = _docs(
+        spark,
+        [
+            (1, text10, "s"),    # 10 tokens, chunk 4 / overlap 1 → stride 3
+            (2, "a b", "s"),     # shorter than one window → 1 chunk
+            (3, "   ", "s"),     # whitespace-only → no rows
+            (4, "Keep CASE", "s"),
+        ],
+    )
+    out = chunking.sliding_chunks(d, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_text"])
+         for r in out.collect())
+    )
+    # doc 1: ceil((10-1)/3) = 3 chunks at starts 0,3,6
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2], r[3]) for r in d1] == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    assert d1[0][4] == "t0 t1 t2 t3" and d1[2][4] == "t6 t7 t8 t9"
+    # neighbours share exactly `overlap` tokens
+    assert d1[0][4].split()[-1:] == d1[1][4].split()[:1]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 3]
+    assert [r for r in rows if r[0] == 4][0][4] == "Keep CASE"  # case preserved
+
+
+def test_sliding_chunks_rejects_bad_overlap(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import chunking
+
+    try:
+        chunking.sliding_chunks(_docs(spark, [(1, "a", "s")]), chunk_tokens=4, overlap=4)
+    except ValueError as e:
+        assert "overlap" in str(e)
+    else:
+        raise AssertionError("overlap >= chunk_tokens must raise")
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps", "eval")])
+    tr = _docs(
+        spark,
+        [
+            (1, "the quick brown fox sleeps here", "s"),  # shares 4-gram? quick brown fox sleeps no; the quick brown fox YES
+            (2, "completely different words entirely now", "s"),
+            (3, "the quick brown fox jumps again", "s"),
+        ],
+    )
+    exact = {r["doc_id"] for r in curation.contaminated_ids(tr, ev, n=4).collect()}
+    bits = curation.bloom_filter_bits(ev, n=4, k=4, m=4096)
+    bloom = {
+        r["doc_id"]
+        for r in curation.bloom_contaminated_ids(tr, bits, n=4, k=4, m=4096).collect()
+    }
+    assert exact == {1, 3}
+    assert exact <= bloom  # no false negatives, ever
+
+
+def test_bloom_bits_capped_by_m(spark):
+    ev = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(30)), "e") for i in range(40)],
+    )
+    m = 64  # tiny filter, heavily overloaded
+    bits = curation.bloom_filter_bits(ev, n=4, k=4, m=m)
+    vals = [r["pos"] for r in bits.collect()]
+    assert len(vals) <= m and all(0 <= v < m for v in vals)
