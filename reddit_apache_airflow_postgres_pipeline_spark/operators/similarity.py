@@ -170,10 +170,11 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cell, cv): deterministic seed centroids — the ``n_cells`` corpus
-    vectors with the lowest ids. Real IVF would k-means-refine these;
-    refinement is iterative and non-deterministic across engines, so the
-    seeded variant IS the contract (documented, oracle-reproducible).
-    The quantizer quality changes recall, not the operator's shape."""
+    vectors with the lowest ids. :func:`kmeans_refine` Lloyd-refines
+    these under a 6dp rounding contract that keeps the iteration
+    oracle-reproducible across engines; the raw seeds remain the
+    zero-pass option. The quantizer quality changes recall, not the
+    operator's shape."""
     return corpus.orderBy(F.col(id_col)).limit(n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
     )
@@ -186,9 +187,11 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_probe: int = 1,
     out_id: str = "vec_id",
+    keep_score: bool = False,
 ) -> DataFrame:
-    """(out_id, vec, cell): each vector's ``n_probe`` nearest cells by
-    cosine (rounded 6dp; ties broken by cell id — fully deterministic).
+    """(out_id, vec, cell[, score]): each vector's ``n_probe`` nearest
+    cells by cosine (rounded 6dp; ties broken by cell id — fully
+    deterministic). ``keep_score=True`` appends the rounded cosine.
 
     Map-only at any scale: centroids are broadcast, the cross join scores
     ``n_cells`` cells per vector, and the per-vector top-n_probe is a
@@ -201,11 +204,58 @@ def ivf_assign(
         "__cs", F.round(cosine(F.col("__v"), F.col("cv")), 6)
     )
     w = Window.partitionBy(out_id).orderBy(F.desc("__cs"), F.asc("cell"))
+    cols = [out_id, F.col("__v").alias(vec_col), "cell"]
+    if keep_score:
+        cols.append(F.col("__cs").alias("score"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_probe)
-        .select(out_id, F.col("__v").alias(vec_col), "cell")
+        .select(*cols)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, cv): :func:`ivf_centroids` seeds refined by ``iters``
+    deterministic Lloyd steps — assign every vector to its nearest
+    centroid (cosine rounded 6dp, cell-id tie-break), recompute each
+    cell's column-wise mean, round components to 6dp.
+
+    The rounding makes the iteration a cross-engine CONTRACT, not just
+    an algorithm: every assignment compares identical rounded doubles,
+    and every new centroid is a deterministic function of the assigned
+    set, so DuckDB replays the loop bit-for-bit (unrolled CTEs, see
+    plans/registry_ml.py) — upgrading the seeded-only quantizer that
+    ivf_centroids documents as the no-refinement fallback. Cells left
+    empty by an iteration drop out, exactly as in classic Lloyd.
+
+    Shuffle profile per iteration: one broadcast-join map pass for
+    assignment (no shuffle), one hash-agg on (cell, component) — the
+    same partial-combine shape as the label-centroid query — and one
+    tiny agg on cell. ``iters`` is a small constant (1–3 moves seeds
+    most of the way); each round is a full corpus pass, so cost is
+    iters × O(scan), never quadratic."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, out_id="__id")
+        comp = assigned.select(
+            "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        cents = (
+            comp.groupBy("cell", "pos")
+            .agg(F.round(F.sum("col") / F.count("*"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell", F.transform("pm", lambda s: s.getField("m")).alias("cv")
+            )
+        )
+    return cents
 
 
 def ivf_knn(

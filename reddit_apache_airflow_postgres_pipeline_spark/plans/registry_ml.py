@@ -797,3 +797,69 @@ def q_dedup_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=_CHUNK_K,
         threshold=_CONTAIN_THRESHOLD, max_df=_CONTAIN_MAX_DF,
     )
+
+
+def _kmeans_quality_sql(n_cells: int) -> str:
+    """1 Lloyd iteration unrolled as CTEs: seed → assign → mean →
+    re-assign → per-cell stats. Mirrors similarity.kmeans_refine's
+    rounding contract (scores and centroid components at 6dp)."""
+    score = (
+        "round("
+        + _DOT_SQL.format(a="e.embedding", b="c.cv")
+        + " / (" + _NORM_SQL.format(a="e.embedding")
+        + " * " + _NORM_SQL.format(a="c.cv") + "), 6)"
+    )
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT {n_cells}),
+    s1 AS (
+      SELECT e.vec_id, e.embedding, c.cell, {score} AS score
+      FROM embeddings e, c0 c),
+    r1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell) AS rn
+      FROM s1),
+    a1 AS (SELECT vec_id, embedding, cell FROM r1 WHERE rn = 1),
+    ex AS (
+      SELECT cell, unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM a1),
+    cm AS (
+      SELECT cell, pos, round(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS m
+      FROM ex GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY cell),
+    s2 AS (
+      SELECT e.vec_id, c.cell, {score.replace("c.cv", "c.cv")} AS score
+      FROM embeddings e, c1 c),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell) AS rn
+      FROM s2),
+    a2 AS (SELECT vec_id, cell, score FROM r2 WHERE rn = 1)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos
+    FROM a2 GROUP BY cell
+    """
+
+
+@_q("q_sim_kmeans_quality", _kmeans_quality_sql(16))
+def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd refinement of the 16 IVF seed centroids,
+    then per-cell membership and mean cosine — the quantizer-quality
+    report an IVF index build would log. The 6dp rounding contract in
+    kmeans_refine makes the iterative algorithm itself oracle-checkable
+    (the oracle unrolls the loop as CTEs); mean_cos sums rounded scores
+    as DECIMAL(18,6) so the reduction is order-free exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_refine(e, n_cells=16, iters=1)
+    a2 = similarity.ivf_assign(e, cents, keep_score=True)
+    return a2.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos"),
+    )

@@ -160,3 +160,42 @@ def test_sample_to_target_mix_rejects_nonpositive_share(spark):
         sample_to_target_mix(df, "doc_id", "stratum", {"a": 0.0})
     with _pytest.raises(ValueError, match="non-empty"):
         sample_to_target_mix(df, "doc_id", "stratum", {})
+
+
+def test_kmeans_refine_separates_obvious_clusters(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import similarity
+
+    # two tight direction-clusters on the unit circle-ish; seeds are the
+    # two lowest ids, one from each cluster
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.95, 0.05]),
+        (4, [0.1, 0.9]), (5, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_refine(df, n_cells=2, iters=2)
+    out = {r["cell"]: list(r["cv"]) for r in cents.collect()}
+    assert set(out) == {0, 1}
+    # cell 0's centroid points along x, cell 1's along y
+    assert out[0][0] > out[0][1] and out[1][1] > out[1][0]
+    # centroid = rounded mean of its members
+    assert out[0][0] == round((1.0 + 0.9 + 0.95) / 3, 6)
+    # assignment with the refined centroids is stable (a 3rd pass moves nothing)
+    a = similarity.ivf_assign(df, cents, out_id="vec_id")
+    got = {r["vec_id"]: r["cell"] for r in a.collect()}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+
+
+def test_kmeans_refine_drops_emptied_cells(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import similarity
+
+    # seeds 0 and 1 are nearly identical directions: every vector lands
+    # on one of them after refinement and the other cell empties out
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.001]),
+        (2, [1.0, 0.0002]), (3, [1.0, 0.0001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_refine(df, n_cells=2, iters=2)
+    cells = {r["cell"] for r in cents.collect()}
+    assert len(cells) <= 2 and cells  # never invents cells; may drop one
