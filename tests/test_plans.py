@@ -230,6 +230,7 @@ BNLJ_ALLOWED = {
     "q_sim_knn_bruteforce": "bounded query set",
     "q_sim_ivf_knn": "bounded query set + centroids",
     "q_sim_ivf_recall": "bounded query set + centroids",
+    "q_sim_kmeans_quality": "bounded centroid set (n_cells rows)",
 }
 
 
