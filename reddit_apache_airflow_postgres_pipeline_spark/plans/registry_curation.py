@@ -310,3 +310,89 @@ def q_decontam_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__e").alias("n_exact_flagged"),
         )
     )
+
+
+@_q(
+    "q_url_canonicalize",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'HTTPS://WWW.' || source || '.COM:443//a//'
+                           || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'http://' || source || '.org:8080/path/'
+               WHEN 2 THEN 'https://' || source || '.com'
+               WHEN 3 THEN 'http://' || upper(source)
+                           || '.Com:80/x?gclid=123&z=9&y=8&fbclid=a'
+               WHEN 4 THEN 'ftp://files.' || source || '.net//pub/'
+                           || CAST(doc_id AS VARCHAR)
+               ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+             END AS raw_url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, raw_url,
+             lower(coalesce(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+             coalesce(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS auth,
+             coalesce(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
+             coalesce(regexp_extract(raw_url, '\?([^#]*)', 1), '') AS q
+      FROM raw),
+    comp AS (
+      SELECT doc_id, raw_url, scheme,
+             lower(coalesce(regexp_extract(coalesce(regexp_extract(auth, '([^@]*)$', 1), ''), '^([^:]*)', 1), '')) AS host,
+             coalesce(regexp_extract(coalesce(regexp_extract(auth, '([^@]*)$', 1), ''), ':([0-9]+)$', 1), '') AS port,
+             CASE WHEN regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                                      '(.)/$', '\1') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                                      '(.)/$', '\1') END AS path,
+             coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(lower(p),
+                      '^(utm_[a-z0-9_]*|gclid|fbclid)='))), '&'), '') AS qs
+      FROM parts)
+    SELECT doc_id, raw_url,
+           CASE WHEN scheme = '' OR host = '' THEN ''
+                ELSE scheme || '://' || host
+                     || CASE WHEN port = ''
+                               OR (scheme = 'http' AND port = '80')
+                               OR (scheme = 'https' AND port = '443')
+                             THEN '' ELSE ':' || port END
+                     || path
+                     || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+           END AS canon,
+           CASE WHEN scheme = '' THEN '' ELSE host END AS host
+    FROM comp
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization battery (functions/urls.py): six synthesized
+    messy-URL shapes per corpus row — default-port https with tracking
+    params and a fragment, non-default port with trailing slash, bare
+    authority, uppercase host with port 80 and pure-tracking query,
+    non-http scheme, and a non-URL (canonicalizes to '' — the
+    quarantine cue). Map-only codegen expressions; the canonical string
+    is the dedup key a crawl pipeline groups on."""
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import urls
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".COM:443//a//"),
+                        doc_s, F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://"), F.col("source"), F.lit(".org:8080/path/")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://"), F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("http://"), F.upper("source"),
+                       F.lit(".Com:80/x?gclid=123&z=9&y=8&fbclid=a")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("ftp://files."), F.col("source"), F.lit(".net//pub/"), doc_s))
+        .otherwise(F.concat(F.lit("not a url "), doc_s))
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        urls.canonical_url(raw).alias("canon"),
+        urls.url_host(raw).alias("host"),
+    )

@@ -139,3 +139,35 @@ def test_build_url(spark):
     values = ["/r/x/1", "", None]
     got = _run(spark, values, E.build_url)
     assert got == ["https://www.reddit.com/r/x/1", None, None]
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import urls
+
+    cases = [
+        # (raw, expected_canon, expected_host)
+        ("HTTPS://WWW.Ex.COM:443//a//b/?utm_source=x&b=2&a=1#f",
+         "https://www.ex.com/a/b?a=1&b=2", "www.ex.com"),
+        ("http://site.org:8080/path/", "http://site.org:8080/path", "site.org"),
+        ("https://ex.com", "https://ex.com/", "ex.com"),
+        ("http://Ex.Com:80/x?gclid=1&fbclid=2", "http://ex.com/x", "ex.com"),
+        ("ftp://files.net//pub", "ftp://files.net/pub", "files.net"),
+        ("http://user:pw@host.net:9999/p", "http://host.net:9999/p", "host.net"),
+        ("not a url", "", ""),
+        (None, "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i long, u string"
+    )
+    out = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            urls.canonical_url("u").alias("c"),
+            urls.url_host("u").alias("h"),
+        ).collect()
+    }
+    for i, (_, canon, host) in enumerate(cases):
+        assert out[i] == (canon, host), (i, out[i], canon, host)
