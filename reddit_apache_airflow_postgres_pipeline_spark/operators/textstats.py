@@ -283,3 +283,68 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
         .select(F.col("doc").alias("doc_id"), "n_tokens", "avg_logprob")
     )
+
+
+def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean add-one-smoothed bigram conditional
+    log2-probability under the corpus's own bigram LM — the step up
+    from :func:`unigram_logprob` on the perplexity-proxy ladder:
+    word-salad documents whose tokens are individually common but
+    locally incoherent ("the of and the of") score low here while
+    passing the unigram filter.
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), where c(w1·) counts
+    bigram CONTEXTS (bigram-initial occurrences, derived from the
+    bigram relation itself) and V is the corpus vocabulary size —
+    classic Laplace smoothing, so unseen continuations stay finite.
+    Output: (doc_id, n_bigrams, avg_logprob) over the doc's bigram
+    occurrences (multiplicity kept; docs with < 2 tokens produce no
+    bigrams and drop out). Per-bigram logs rounded to 9 dp and summed
+    as DECIMAL — the engine-wide order-free-reduce idiom.
+
+    Scale shape mirrors unigram_logprob: the bigram occurrences come
+    from ONE overlapping-lookahead regex pass (codegen, no HOF — see
+    word_shingles), then a bigram-vocab hash agg, a context agg over
+    that (already tiny), the occurrence⋈counts joins on the bigram
+    key, a 1-row broadcast vocab size, and a per-doc agg. The only
+    corpus-scale shuffle is the bigram join, same as the unigram's.
+    """
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(_col(text_col), F.lit("")))), r"\s+", " "
+    )
+    occ = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(norm, F.lit(r"(?=(\S+ \S+))\S+"), 1)
+        ).alias("bg"),
+    )
+    bgc = occ.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx = (
+        bgc.select(F.substring_index("bg", " ", 1).alias("w1"), "cbg")
+        .groupBy("w1")
+        .agg(F.sum("cbg").cast("long").alias("cctx"))
+    )
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    logp = F.round(
+        F.log2((F.col("cbg") + 1) / (F.col("cctx") + F.col("v"))), 9
+    )
+    return (
+        occ.join(bgc, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(logp.cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "avg_logprob")
+    )

@@ -387,3 +387,46 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob(d, "doc_id", "text")
+
+
+@_q(
+    "q_doc_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS tk
+      FROM documents
+      WHERE trim(lower(coalesce(text,''))) <> ''),
+    occ AS (
+      SELECT doc_id AS doc,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg FROM occ GROUP BY bg),
+    ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                   CAST(SUM(cbg) AS BIGINT) AS cctx
+            FROM bgc GROUP BY 1),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+        SELECT unnest(tk) AS tok FROM toks) u WHERE tok <> '')
+    SELECT o.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(round(log2((b.cbg + 1) * 1.0 / (c.cctx + voc.v)), 9)
+                               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM occ o
+      JOIN bgc b USING (bg)
+      JOIN ctx c ON c.w1 = split_part(o.bg, ' ', 1), voc
+    GROUP BY o.doc
+    """,
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with Laplace smoothing — flags
+    word-salad docs the unigram filter can't see. One regex pass for
+    bigram occurrences, one bigram agg + context agg, broadcast vocab
+    size, per-doc order-free decimal reduce (see
+    operators/textstats.py:bigram_logprob)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id", "text")

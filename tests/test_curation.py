@@ -248,3 +248,25 @@ def test_bloom_bits_capped_by_m(spark):
     bits = curation.bloom_filter_bits(ev, n=4, k=4, m=m)
     vals = [r["pos"] for r in bits.collect()]
     assert len(vals) <= m and all(0 <= v < m for v in vals)
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bigram_logprob
+
+    # coherent docs repeat the same bigrams; the salad doc uses the same
+    # common tokens in never-seen orders
+    d = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat", "s"),
+            (2, "the cat sat on the mat", "s"),
+            (3, "the cat sat on the mat", "s"),
+            (4, "mat the on sat cat the", "s"),  # word salad
+            (5, "solo", "s"),                    # < 2 tokens → no row
+        ],
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(d).collect()}
+    assert 5 not in out
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["avg_logprob"] == out[2]["avg_logprob"]
+    assert out[4]["avg_logprob"] < out[1]["avg_logprob"]
