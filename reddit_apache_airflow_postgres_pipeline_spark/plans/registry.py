@@ -2702,3 +2702,46 @@ def q_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("nmap", "ALGERIA").alias("algeria_customers"),
         F.element_at("nmap", "JAPAN").alias("japan_customers"),
     )
+
+
+def _zorder_sql(bits: int) -> str:
+    """Morton key terms for 2 dims (d1 bit j → pos 2j, d2 → 2j+1),
+    mirroring functions/zorder.zorder_key's shift layout."""
+    terms = " + ".join(
+        f"(((d{i+1} >> {j}) & 1) << {j * 2 + i})"
+        for j in range(bits)
+        for i in range(2)
+    )
+    return f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS d1,
+             greatest(0, least(255,
+               CAST(floor(o_totalprice / 1953.125) AS BIGINT))) AS d2
+      FROM orders)
+    SELECT o_orderkey, d1, d2,
+           CAST({terms} AS BIGINT) AS zkey
+    FROM dims
+    """
+
+
+@_q("q_zorder_layout_key", _zorder_sql(8))
+def q_zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (customer bucket, price bucket)
+    — the clustered-write sort key that makes BOTH dimensions' min/max
+    parquet statistics tight, so either predicate prunes row groups
+    (the OPTIMIZE ZORDER BY technique). Pure codegen bit arithmetic
+    (functions/zorder.py); writing is `df.orderBy(zkey)` into the
+    existing partitioned sink. 1953.125 = 500000/256 — the price range
+    normalized to 8 bucket bits."""
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import zorder
+
+    o = load_table(spark, sf_dir, "orders")
+    d1 = (F.col("o_custkey") % 256).cast("long")
+    d2 = zorder.bucketize("o_totalprice", 0.0, 500000.0, 256)
+    return o.select(
+        "o_orderkey",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        zorder.zorder_key([d1, d2], bits=8).alias("zkey"),
+    )

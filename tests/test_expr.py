@@ -171,3 +171,47 @@ def test_canonical_url_rules(spark):
     }
     for i, (_, canon, host) in enumerate(cases):
         assert out[i] == (canon, host), (i, out[i], canon, host)
+
+
+def test_zorder_key_interleaves_and_validates(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import zorder
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "a long, b long"
+    )
+    got = df.select(zorder.zorder_key(["a", "b"], bits=3).alias("z")).first()["z"]
+    # a bits at even positions, b at odd: a=101, b=011 → z = 0b011011... compute:
+    # pos0=a0=1, pos1=b0=1, pos2=a1=0, pos3=b1=1, pos4=a2=1, pos5=b2=0
+    assert got == 0b011011
+
+    # python-reference cross-check over a grid
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df2 = spark.createDataFrame(rows, "a long, b long")
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df2.select("a", "b", zorder.zorder_key(["a", "b"], 3).alias("z")).collect()
+    }
+    def ref(x, y):
+        z = 0
+        for j in range(3):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+    assert all(out[(x, y)] == ref(x, y) for x, y in rows)
+
+    # guards
+    for bad in (lambda: zorder.zorder_key(["a"], 3),
+                lambda: zorder.zorder_key(["a", "b"], 32)):
+        try:
+            bad()
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError")
+
+    # bucketize clamps
+    df3 = spark.createDataFrame([(-5.0,), (0.0,), (99.9,), (100.0,), (250.0,)], "v double")
+    vals = [r["b"] for r in df3.select(zorder.bucketize("v", 0.0, 100.0, 10).alias("b")).collect()]
+    assert vals == [0, 0, 9, 9, 9]
