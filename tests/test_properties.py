@@ -266,3 +266,108 @@ def test_token_chunks_property(spark, vals):
     got = [[c for c in doc if c != ""] for doc in got]
     want = [[c for c in doc if c != ""] for doc in want]
     assert got == want
+
+
+# --- sliding_chunks: reconstruction + window algebra ----------------------
+
+
+def _py_sliding(text: str | None, chunk: int, overlap: int):
+    import math
+    import re as _re
+
+    # mirror Spark exactly: trim strips ASCII spaces only; split uses
+    # the Java \s class (NOT Python's Unicode whitespace — \x85/\xa0
+    # are tokens chars to Java); leading/trailing empties kept as
+    # split(limit=-1) does
+    raw = (text or "").strip(" ")
+    toks = _re.split("[ \t\n\x0b\f\r]+", raw)
+    stride = chunk - overlap
+    n = len(toks)
+    out = []
+    n_chunks = math.ceil(max(n - overlap, 1) / stride)
+    for i in range(n_chunks):
+        w = toks[i * stride : i * stride + chunk]
+        t = " ".join(w)
+        if t != "":
+            out.append((i, i * stride, len(w), t))
+    return out
+
+
+@given(vals=st.lists(maybe_text, min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_sliding_chunks_property(spark, vals):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.chunking import sliding_chunks
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in sliding_chunks(df, chunk_tokens=5, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_tokens"], r["chunk_text"])
+        )
+    for i, v in enumerate(vals):
+        expect = _py_sliding(v, 5, 2)
+        assert sorted(got.get(i, [])) == sorted(expect), (i, v)
+
+
+# --- canonical_url: python-reference parity over fuzzed URLs --------------
+
+
+def _py_canon(u: str | None) -> str:
+    import re as _re
+
+    u = u or ""
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)", u)
+    if not m:
+        return ""
+    scheme = m.group(1).lower()
+    auth = m.group(2).split("@")[-1]
+    host = auth.split(":")[0].lower()
+    if host == "":
+        return ""
+    pm = _re.search(r":([0-9]+)$", auth)
+    port = pm.group(1) if pm else ""
+    if (scheme == "http" and port == "80") or (scheme == "https" and port == "443"):
+        port = ""
+    path = _re.sub(r"/{2,}", "/", m.group(3))
+    path = _re.sub(r"(.)/$", r"\1", path) or "/"
+    qm = _re.search(r"\?([^#]*)", u)
+    params = [
+        p
+        for p in (qm.group(1).split("&") if qm else [])
+        if p != ""
+        and not _re.match(r"^(utm_[a-z0-9_]*|gclid|fbclid)=", p.lower())
+    ]
+    qs = "&".join(sorted(params))
+    return (
+        f"{scheme}://{host}"
+        + (f":{port}" if port else "")
+        + path
+        + (f"?{qs}" if qs else "")
+    )
+
+
+_url_bits = st.sampled_from(
+    ["http", "HTTPS", "ftp", "ex.com", "WWW.Ex.Org", "a.b", "", "80", "443",
+     "8080", "/x//y/", "/", "", "a=1", "b=2", "utm_source=z", "gclid=1",
+     "#frag", "", "user:pw@"]
+)
+
+
+@given(parts=st.lists(st.tuples(_url_bits, _url_bits, _url_bits, _url_bits,
+                                _url_bits, _url_bits), min_size=1, max_size=80))
+@settings(**SETTINGS)
+def test_canonical_url_property(spark, parts):
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import urls
+
+    vals = [
+        f"{s}://{ui}{h}{':' + p if p in ('80', '443', '8080') else ''}{pa}?{q1}&{q2}#f"
+        for (s, h, p, pa, q1, q2), ui in
+        ((t, t[0] and "user:pw@" or "") for t in parts)
+    ][:80]
+    # also raw junk
+    vals += ["not a url", "", "://x", "http:/oops"]
+    out = _run(spark, vals, urls.canonical_url(F.col("v")))
+    for v, got in zip(vals, out):
+        assert got == _py_canon(v), (v, got, _py_canon(v))
