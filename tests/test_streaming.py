@@ -341,3 +341,30 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_sliding_chunks_stream_equals_batch(spark, tmp_path):
+    """The RAG chunker is stateless map work, so it must run unchanged
+    on a readStream source and produce the batch-identical chunk set —
+    the property that lets one pipeline definition serve both backfill
+    and continuous ingestion."""
+    import shutil as _sh
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.chunking import sliding_chunks
+    from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _sh.copy(f"{SF}/documents.parquet", src / "documents.parquet")
+
+    batch_docs = load_table(spark, SF, "documents")
+    sch = batch_docs.schema
+    stream_docs = spark.readStream.schema(sch).parquet(str(src))
+    stream = sliding_chunks(stream_docs, chunk_tokens=24, overlap=8)
+    run_available_now(stream, str(tmp_path / "ckpt_chunks"), "t_chunks")
+    got = spark.table("t_chunks")
+
+    batch = sliding_chunks(batch_docs, chunk_tokens=24, overlap=8)
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
