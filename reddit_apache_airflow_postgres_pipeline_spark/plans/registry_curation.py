@@ -396,3 +396,137 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls.canonical_url(raw).alias("canon"),
         urls.url_host(raw).alias("host"),
     )
+
+
+@_q(
+    "q_rag_ingest_pipeline",
+    r"""
+    WITH raw AS (
+      SELECT doc_id, text, source,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'HTTPS://WWW.' || source || '.COM:443//a//'
+                           || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag'
+               WHEN 1 THEN 'http://' || source || '.org:8080/path/'
+               WHEN 2 THEN 'https://' || source || '.com'
+               WHEN 3 THEN 'http://' || upper(source)
+                           || '.Com:80/x?gclid=123&z=9&y=8&fbclid=a'
+               WHEN 4 THEN 'ftp://files.' || source || '.net//pub/'
+                           || CAST(doc_id AS VARCHAR)
+               ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+             END AS raw_url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, text, source,
+             lower(coalesce(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+             coalesce(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS auth,
+             coalesce(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS raw_path,
+             coalesce(regexp_extract(raw_url, '\?([^#]*)', 1), '') AS q
+      FROM raw),
+    comp AS (
+      SELECT doc_id, text, source, scheme,
+             lower(coalesce(regexp_extract(coalesce(regexp_extract(auth, '([^@]*)$', 1), ''), '^([^:]*)', 1), '')) AS host,
+             coalesce(regexp_extract(coalesce(regexp_extract(auth, '([^@]*)$', 1), ''), ':([0-9]+)$', 1), '') AS port,
+             CASE WHEN regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                                      '(.)/$', '\1') = ''
+                  THEN '/'
+                  ELSE regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                                      '(.)/$', '\1') END AS path,
+             coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+               p -> p <> '' AND NOT regexp_matches(lower(p),
+                      '^(utm_[a-z0-9_]*|gclid|fbclid)='))), '&'), '') AS qs
+      FROM parts),
+    canon AS (
+      SELECT doc_id, text, source,
+             CASE WHEN scheme = '' OR host = '' THEN ''
+                  ELSE scheme || '://' || host
+                       || CASE WHEN port = ''
+                                 OR (scheme = 'http' AND port = '80')
+                                 OR (scheme = 'https' AND port = '443')
+                               THEN '' ELSE ':' || port END
+                       || path
+                       || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+             END AS cu
+      FROM comp),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM canon WHERE cu <> '' GROUP BY cu),
+    kept AS (SELECT c.doc_id, c.text, c.source FROM canon c JOIN keep k ON c.doc_id = k.doc_id),
+    toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(coalesce(text, '')), '[ \t\n\x0b\f\r]+') AS w
+      FROM kept),
+    base AS (SELECT doc_id, source, w, len(w) AS n FROM toks),
+    ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(greatest(n - 8, 1) / 16.0) AS INT) - 1),
+               i -> struct_pack(
+                      n_tokens := CAST(least(24, n - i * 16) AS INT),
+                      chunk_text := array_to_string(w[i*16+1 : i*16+24], ' ')))) AS c
+      FROM base)
+    SELECT d.source AS source,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs_in,
+           CAST(COUNT(DISTINCT k.doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(COUNT(DISTINCT CASE WHEN ch.c.chunk_text <> ''
+                 THEN CAST(ch.doc_id AS VARCHAR) || ':' || ch.c.chunk_text END)
+                AS BIGINT) AS n_chunk_keys,
+           CAST(SUM(CASE WHEN ch.c.chunk_text <> '' THEN ch.c.n_tokens ELSE 0 END)
+                AS BIGINT) AS sum_chunk_tokens
+    FROM documents d
+      LEFT JOIN keep k ON k.doc_id = d.doc_id
+      LEFT JOIN ch ON ch.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingestion over the round-5 operator set, composed
+    exactly as a user would: synthesize-and-canonicalize URLs
+    (functions/urls.py), first-wins dedup on the canonical key
+    (constant per-source URLs collapse; per-doc URLs survive), then
+    sliding-window chunking (24/8) of the surviving docs, reported per
+    source as docs-in/kept, distinct chunk keys, and total chunk
+    tokens. One broadcast-joined linear plan — the canonical-key dedup
+    is the only corpus shuffle; chunking stays map-side."""
+    from reddit_apache_airflow_postgres_pipeline_spark.functions import urls
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import chunking
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".COM:443//a//"),
+                        doc_s, F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://"), F.col("source"), F.lit(".org:8080/path/")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://"), F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("http://"), F.upper("source"),
+                       F.lit(".Com:80/x?gclid=123&z=9&y=8&fbclid=a")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("ftp://files."), F.col("source"), F.lit(".net//pub/"), doc_s))
+        .otherwise(F.concat(F.lit("not a url "), doc_s))
+    )
+    canon = d.select("doc_id", "text", "source", urls.canonical_url(raw).alias("cu"))
+    keep = (
+        canon.filter(F.col("cu") != "")
+        .groupBy("cu")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = canon.join(keep, "doc_id", "left_semi").select("doc_id", "text", "source")
+    chunks = chunking.sliding_chunks(kept, chunk_tokens=24, overlap=8).select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_text")).alias("ck"),
+        "n_tokens",
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(keep.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .join(chunks, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_in"),
+            F.countDistinct(F.when(F.col("__k") == 1, F.col("doc_id"))).alias("n_docs_kept"),
+            F.countDistinct("ck").alias("n_chunk_keys"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("sum_chunk_tokens"),
+        )
+    )
