@@ -377,3 +377,112 @@ def bloom_contaminated_ids(
         .select("doc_id")
         .distinct()
     )
+
+
+def _dsir_bucket(col: Column | str, m: int) -> Column:
+    """Hashed feature bucket in [0, m) for a word n-gram — the repo's
+    cross-engine md5-hex idiom (DuckDB: ``('0x'||substr(md5('dsir:'||s),
+    1,8))::BIGINT % m``)."""
+    s = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), s)), 1, 8), 16, 10
+        ).cast("bigint")
+        % m
+    ).cast("int")
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    m: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how target-like its hashed
+    n-gram feature distribution is — the data-selection pass that picks
+    which slice of a 100 TB crawl to train on, given a small
+    high-quality target set (Wikipedia, textbooks, a domain corpus).
+
+    Per document::
+
+        logw = Σ_g [ ln p_tgt(b_g) − ln p_raw(b_g) ]
+
+    over the doc's DISTINCT word ``n``-grams g (the engine-wide
+    :func:`neardup.word_shingles` definition the dedup/decontamination
+    family shares), where ``b_g`` is g's hashed bucket in [0, m) and
+    ``p_tgt`` / ``p_raw`` are Laplace-(+1)-smoothed bucket unigram
+    models of the target set / raw corpus. High ``logw`` = target-like;
+    downstream selection keeps top-k or samples ∝ exp(logw) —
+    composable with :func:`sampling.sample_to_target_mix`.
+
+    Output: (doc_id, n_feats, logw) for EVERY corpus doc; zero-feature
+    docs score (0, 0.0). Per-gram log terms are rounded to 9 dp and
+    summed as DECIMAL (the order-free-reduce idiom, cf.
+    :func:`textstats.unigram_logprob`), final logw rounded to 6 dp.
+
+    Scale shape (100 TB): both bucket models aggregate to ≤ ``m`` rows
+    (map-side partial combine → m-bounded output, however big the
+    corpus), so the per-bucket log-ratio table is a guaranteed-small
+    broadcast; scoring is a map-only broadcast join over the exploded
+    gram relation plus one per-doc hash agg. The totals are 1-row
+    broadcast cross joins — never ``collect()``. Nothing quadratic,
+    no corpus-scale shuffle except the per-doc agg, which reuses the
+    explode's doc partitioning.
+    """
+    def occ(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.explode(word_shingles(text_col, n)).alias("s"),
+            )
+            .filter(F.col("s") != "")
+            .select("doc", _dsir_bucket("s", m).alias("b"))
+        )
+
+    raw_occ = occ(corpus)
+    raw_b = raw_occ.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt_b = occ(target).groupBy("b").agg(F.count("*").alias("c_tgt"))
+    tot = raw_b.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        tgt_b.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
+    )
+    w = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_tgt") + F.lit(float(m)))
+                )
+                - F.log(
+                    (F.col("c_raw") + F.lit(1.0))
+                    / (F.col("t_raw") + F.lit(float(m)))
+                ),
+                9,
+            ).alias("w"),
+        )
+    )
+    scored = (
+        raw_occ.join(F.broadcast(w), "b")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("logw"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )

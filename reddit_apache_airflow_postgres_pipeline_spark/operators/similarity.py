@@ -366,3 +366,74 @@ def quantize_audit(
         F.when(zero, F.lit(0)).otherwise(n_sat).cast("long").alias("n_saturated"),
         F.round(F.when(zero, F.lit(0.0)).otherwise(mse), 9).alias("mse"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then threshold
+    pairwise cosine WITHIN clusters only — semantically-redundant
+    documents (paraphrases, re-crawls, templated rewrites) land in the
+    same cell and one representative survives; the quadratic all-pairs
+    comparison is never formed.
+
+    The reference pipeline (dags/Combine_send_to_postgresql.py:154-168)
+    dedups on an exact content key; this is that contract lifted to
+    embedding space, with the same deterministic survivor rule:
+    **lowest-id-wins** — a vector is dropped iff some LOWER-id vector in
+    its cell has cosine ≥ ``threshold`` with it (the first-wins mirror
+    of operators/dedup.py, replayable by a SQL oracle; SemDeDup's
+    keep-farthest-from-centroid variant is one ORDER BY swap away).
+
+    ``centroids`` is any (cell, cv) relation — :func:`ivf_centroids`
+    seeds or :func:`kmeans_refine` output — so the quantizer quality is
+    a knob, not a rewrite.
+
+    Output: (``id_col``, cell, max_dup_cos, keep) for EVERY input
+    vector; ``max_dup_cos`` is the strongest lower-id within-cell
+    similarity (NULL when none ≥ threshold) and ``keep`` is the filter
+    decision.
+
+    Scale shape (100 TB): assignment is map-only (broadcast centroids,
+    cf. ivf_assign); the within-cell pair generation is ONE shuffle on
+    ``cell`` with vectors carried through — unlike the banded LSH
+    family there is exactly one row per vector per side, so skinny-
+    then-reattach would trade one exchange for three pair-sized ones.
+    Cell population is the cost knob: SemDeDup at scale runs with
+    n_cells large enough (10k–100k) that cells stay ~10³–10⁴ vectors,
+    keeping each cell's pairwise work bounded; AQE's skew-join split
+    handles an oversized cell. The dup aggregate is skinny (id, score).
+    """
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=1, out_id=id_col)
+    a = assign.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell"
+    )
+    score = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__s", score)
+        .filter(F.col("__s") >= threshold)
+        .groupBy("id_b")
+        .agg(F.max("__s").alias("max_dup_cos"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        assign.select(F.col(id_col), "cell")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "max_dup_cos",
+            F.col("max_dup_cos").isNull().alias("keep"),
+        )
+    )

@@ -530,3 +530,43 @@ def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("sum_chunk_tokens"),
         )
     )
+
+
+@_q(
+    "q_dsir_importance",
+    "WITH sh AS (" + _shingles_sql(2, "TRUE") + "),\n"
+    + """
+    occ AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5('dsir:' || s), 1, 8))::BIGINT
+                        % 4096 AS INT) AS b
+            FROM sh),
+    tocc AS (SELECT o.b FROM occ o
+             JOIN documents d ON d.doc_id = o.doc_id WHERE d.lang = 'en'),
+    raw AS (SELECT b, COUNT(*) AS c_raw FROM occ GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_tgt FROM tocc GROUP BY b),
+    tot AS (SELECT (SELECT SUM(c_raw) FROM raw) AS t_raw,
+                   (SELECT COALESCE(SUM(c_tgt), 0) FROM tgt) AS t_tgt),
+    w AS (SELECT r.b,
+                 round(ln((COALESCE(t.c_tgt, 0) + 1.0) / (tot.t_tgt + 4096.0))
+                     - ln((r.c_raw + 1.0) / (tot.t_raw + 4096.0)), 9) AS w
+          FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot),
+    sc AS (SELECT o.doc_id, COUNT(*) AS n_feats,
+                  round(CAST(SUM(CAST(w.w AS DECIMAL(28,12))) AS DOUBLE), 6)
+                    AS logw
+           FROM occ o JOIN w ON w.b = o.b GROUP BY o.doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           COALESCE(sc.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (arXiv:2302.03169) hashed-bigram importance weights against
+    an English target slice — the data-selection score a 100 TB crawl
+    pipeline computes before choosing what to train on. Both bucket
+    models are m-bounded (≤4096 rows) so the log-ratio table broadcasts
+    regardless of corpus size; scoring is a map-only broadcast join."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        d, d.filter(F.col("lang") == "en"), n=2, m=4096
+    )

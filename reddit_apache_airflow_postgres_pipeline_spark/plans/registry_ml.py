@@ -863,3 +863,73 @@ def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_cos"),
     )
+
+
+def _semdedup_sql(n_cells: int, threshold: float) -> str:
+    """SemDeDup oracle: the kmeans_refine CTE chain (c0 seeds → one
+    Lloyd iteration → c1 refined centroids, same 6dp rounding contract
+    as _kmeans_quality_sql), then assignment to refined cells and the
+    lowest-id-wins within-cell cosine-threshold rule."""
+    score = (
+        "round("
+        + _DOT_SQL.format(a="e.embedding", b="c.cv")
+        + " / (" + _NORM_SQL.format(a="e.embedding")
+        + " * " + _NORM_SQL.format(a="c.cv") + "), 6)"
+    )
+    pair = (
+        "round("
+        + _DOT_SQL.format(a="a.embedding", b="b.embedding")
+        + " / (" + _NORM_SQL.format(a="a.embedding")
+        + " * " + _NORM_SQL.format(a="b.embedding") + "), 6)"
+    )
+    return f"""
+    WITH c0 AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT {n_cells}),
+    s1 AS (
+      SELECT e.vec_id, e.embedding, c.cell, {score} AS score
+      FROM embeddings e, c0 c),
+    r1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell) AS rn
+      FROM s1),
+    a1 AS (SELECT vec_id, embedding, cell FROM r1 WHERE rn = 1),
+    ex AS (
+      SELECT cell, unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM a1),
+    cm AS (
+      SELECT cell, pos, round(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS m
+      FROM ex GROUP BY cell, pos),
+    c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY cell),
+    s2 AS (
+      SELECT e.vec_id, e.embedding, c.cell, {score} AS score
+      FROM embeddings e, c1 c),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell) AS rn
+      FROM s2),
+    a2 AS (SELECT vec_id, embedding, cell FROM r2 WHERE rn = 1),
+    dup AS (
+      SELECT b.vec_id, MAX({pair}) AS max_dup_cos
+      FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {pair} >= {threshold}
+      GROUP BY b.vec_id)
+    SELECT a2.vec_id AS vec_id, a2.cell AS cell,
+           d.max_dup_cos AS max_dup_cos,
+           d.max_dup_cos IS NULL AS keep
+    FROM a2 LEFT JOIN dup d ON d.vec_id = a2.vec_id
+    """
+
+
+@_q("q_dedup_semantic", _semdedup_sql(16, 0.3))
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: one-iter
+    k-means cells (the oracle-checkable kmeans_refine contract), then
+    within-cell cosine ≥ 0.3 marks the higher-id vector a semantic
+    duplicate — lowest-id-wins, mirroring the exact dedup family's
+    first-wins rule. The quadratic comparison never leaves a cell;
+    at 100 TB n_cells is sized to keep cells ~10³–10⁴ vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_refine(e, n_cells=16, iters=1)
+    return similarity.semantic_dedup(e, cents, threshold=0.3)

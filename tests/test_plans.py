@@ -232,6 +232,8 @@ BNLJ_ALLOWED = {
     "q_sim_ivf_knn": "bounded query set + centroids",
     "q_sim_ivf_recall": "bounded query set + centroids",
     "q_sim_kmeans_quality": "bounded centroid set (n_cells rows)",
+    "q_dedup_semantic": "bounded centroid set (n_cells rows)",
+    "q_dsir_importance": "1-row bucket-model totals scalar",
 }
 
 
