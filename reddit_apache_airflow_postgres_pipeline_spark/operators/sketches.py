@@ -1,0 +1,132 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) as a RELATION — the
+mergeable bounded-size frequency summary that answers "how often does
+this key occur?" over a stream/corpus far too large to hold exact
+counts for.
+
+The sketch is a (row, col, c) relation of at most ``d × w`` rows — like
+the Bloom-filter decontamination relation (operators/curation.py), the
+summary's size is capped by construction no matter how many key
+occurrences went in. Estimates are upper bounds: ``est(k) =
+min_j sketch[j][h_j(k)] ≥ true(k)``, with overestimate bounded by
+``ε·N`` (ε = e/w) at confidence 1−δ (δ = e^−d).
+
+Why a relation and not a UDAF blob: counts stay queryable with plain
+joins/aggregates (no custom serialization), the driver never holds the
+sketch, and MERGE is just union + re-aggregate — the property that
+makes the sketch map-side at 100 TB: every partition/day/shard builds
+its own d×w summary and the combine is a ≤(d×w)-row-per-input
+hash-agg, exactly how partial aggregation already works in Spark.
+
+All hashing is the repo's cross-engine md5-hex idiom, so a DuckDB
+oracle replays the sketch bit-for-bit (plans/registry_stats.py), and
+all arithmetic is integer — no float-order concerns anywhere.
+
+Reference scope: the reference pipeline (dags/
+Combine_send_to_postgresql.py) has no sketches; this extends the
+engine per the build brief's training-data-pipeline mandate (document
+fingerprinting / token counting at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cms_col(key: Column | str, row: int, w: int) -> Column:
+    """Hash row ``row``'s column index in [0, w) for a key — md5 over a
+    per-row salt prefix (DuckDB: ``('0x'||substr(md5('cms<j>:'||k),1,8))
+    ::BIGINT % w``)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), k)), 1, 8), 16, 10
+        ).cast("bigint")
+        % w
+    ).cast("int")
+
+
+def cms_build(
+    occurrences: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Build the sketch relation (row, col, c) from a relation of key
+    OCCURRENCES (one input row = one count increment).
+
+    ≤ ``d × w`` output rows however large the input. Plan: a d-way
+    explode (map-side, d is a small constant) into (row, col)
+    increments, then one hash aggregate with map-side partial combine —
+    the only shuffle, and its key space is the d×w cells, so the
+    exchange carries at most d×w rows per map partition.
+    """
+    cells = occurrences.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_col(key_col, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.row", "cell.col").agg(
+        F.count("*").alias("c")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches built with the SAME (d, w): cell-wise sum.
+
+    This is the distributivity that makes CMS a scale tool — per-shard
+    sketches union into one ≤(d×w × n_shards)-row relation and
+    re-aggregate down to ≤ d×w. Equality with the monolithic build is
+    pinned by tests/test_sketches.py.
+    """
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for every key in ``keys``: (key_col, est).
+
+    ``est = min_j c[j][h_j(key)]`` — never below the true count; keys
+    hashing only to untouched cells (never inserted, no collisions)
+    would find no matching sketch rows and are reported est = 0.
+
+    Plan: d probe rows per key joined against the broadcast ≤(d×w)-row
+    sketch, folded with one min-agg per key. Map-only at any key-set
+    size — the sketch side is bounded by construction, the mirror image
+    of the Bloom-probe shape in curation.bloom_contaminated_ids.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_col(key_col, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est"))
+    )

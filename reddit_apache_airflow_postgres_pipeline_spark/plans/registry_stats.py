@@ -430,3 +430,58 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_logprob(d, "doc_id", "text")
+
+
+@_q(
+    "q_cms_token_freq_audit",
+    """
+    WITH occ AS (
+      SELECT unnest(CASE WHEN trim(lower(coalesce(text,''))) = ''
+                         THEN []::VARCHAR[]
+                         ELSE string_split_regex(trim(lower(coalesce(text,''))),
+                                                 '[ \\t\\n\\x0b\\f\\r]+') END) AS tok
+      FROM documents),
+    cells AS (
+      SELECT j AS row,
+             CAST(('0x' || substr(md5('cms' || j || ':' || tok), 1, 8))::BIGINT
+                  % 256 AS INT) AS col
+      FROM occ CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    cms AS (SELECT row, col, COUNT(*) AS c FROM cells GROUP BY row, col),
+    exact AS (SELECT tok, COUNT(*) AS exact FROM occ GROUP BY tok),
+    probes AS (
+      SELECT e.tok, e.exact, j AS row,
+             CAST(('0x' || substr(md5('cms' || j || ':' || e.tok), 1, 8))::BIGINT
+                  % 256 AS INT) AS col
+      FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    est AS (
+      SELECT p.tok, p.exact, MIN(COALESCE(s.c, 0)) AS est
+      FROM probes p LEFT JOIN cms s ON s.row = p.row AND s.col = p.col
+      GROUP BY p.tok, p.exact)
+    SELECT tok, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+           CAST(est - exact AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_cms_token_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy audit: build a 4×256 CMS over the
+    corpus's token occurrences, point-query every vocabulary token, and
+    report estimate vs exact count — overcount ≥ 0 always (CMS never
+    underestimates), and its distribution is the ε·N error bound made
+    visible, the same audit shape as the MinHash-estimate and IVF-recall
+    queries. The sketch is a ≤1024-row relation whatever the corpus
+    size; per-shard sketches merge by cell-wise sum
+    (operators/sketches.py:cms_merge)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(tokens("text")).alias("tok"))
+    cms = sketches.cms_build(occ, "tok", d=4, w=256)
+    exact = occ.groupBy("tok").agg(F.count("*").alias("exact"))
+    est = sketches.cms_estimate(cms, exact.select("tok"), "tok", d=4, w=256)
+    return exact.join(est, "tok").select(
+        "tok",
+        F.col("exact").cast("bigint").alias("exact"),
+        "est",
+        (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+    )

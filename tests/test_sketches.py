@@ -1,0 +1,54 @@
+"""Count-min sketch properties the oracle gate can't isolate: the
+never-underestimate guarantee, unseen-key zero, bounded relation size,
+and — the scale property — shard-merge equals monolithic build."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+
+def _occ(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+def test_cms_never_underestimates_and_bounds_size(spark):
+    keys = ["a"] * 50 + ["b"] * 7 + ["c"] * 1 + [f"x{i}" for i in range(200)]
+    occ = _occ(spark, keys)
+    cms = sketches.cms_build(occ, "k", d=4, w=16)  # tiny w → forced collisions
+    assert cms.count() <= 4 * 16
+    exact = occ.groupBy("k").agg(F.count("*").alias("exact"))
+    est = sketches.cms_estimate(cms, exact.select("k"), "k", d=4, w=16)
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == len(set(keys))
+    assert all(r["est"] >= r["exact"] for r in joined)
+    # with w=16 and 203 distinct keys, SOME overcount must exist
+    assert any(r["est"] > r["exact"] for r in joined)
+
+
+def test_cms_unseen_key_estimates_zero_or_collision(spark):
+    cms = sketches.cms_build(_occ(spark, ["only"]), "k", d=4, w=256)
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_estimate(
+            cms, _occ(spark, ["only", "never-inserted"]), "k", d=4, w=256
+        ).collect()
+    }
+    assert est["only"] == 1
+    # one insertion into 4×256 cells: an unseen key collides on ALL 4
+    # rows with probability ~ (1/256)^4 — deterministically 0 here
+    assert est["never-inserted"] == 0
+
+
+def test_cms_shard_merge_equals_monolithic_build(spark):
+    all_keys = [f"k{i % 37}" for i in range(500)]
+    shard_a, shard_b = all_keys[:200], all_keys[200:]
+    mono = sketches.cms_build(_occ(spark, all_keys), "k", d=4, w=64)
+    merged = sketches.cms_merge(
+        sketches.cms_build(_occ(spark, shard_a), "k", d=4, w=64),
+        sketches.cms_build(_occ(spark, shard_b), "k", d=4, w=64),
+    )
+    m = {(r["row"], r["col"]): r["c"] for r in mono.collect()}
+    g = {(r["row"], r["col"]): r["c"] for r in merged.collect()}
+    assert m == g
