@@ -130,3 +130,118 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — cardinality, same relation form
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias-correction constant for ``m`` registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_hash(key: Column | str) -> Column:
+    """32-bit hash of the key — the md5-hex idiom (DuckDB:
+    ``('0x'||substr(md5('hll:'||k),1,8))::BIGINT``)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), k.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def hll_build(
+    occurrences: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 5,
+) -> DataFrame:
+    """Per-group HLL sketch relation (group_cols..., register, maxrank):
+    ≤ ``2^p`` rows per group however many key occurrences went in.
+
+    register = low ``p`` hash bits; rank = 1-based position of the
+    first set bit in the remaining ``32-p`` bits (``33-p`` when they're
+    all zero). Rank extraction is integer/string arithmetic only
+    (``shiftright`` + ``bin``/``lpad``/``instr``) so both engines agree
+    bit-for-bit — no float log2 at integer boundaries.
+
+    Completes the sketch-relation family: Bloom (membership,
+    curation.py), CMS (frequency), MinHash (similarity, neardup.py),
+    HLL (cardinality) — all bounded, all mergeable, all oracle-exact.
+
+    Plan: map-side hash/rank derivation, one hash-agg keyed on
+    (group, register) with map-side partial max — the classic
+    "distinct users per segment without shuffling raw user ids" shape:
+    the exchange carries ≤ m rows per group per map partition.
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    suffix_bits = 32 - p
+    h = _hll_hash(key_col)
+    suf = F.shiftright(h, p)
+    rank = F.when(suf == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(suf), suffix_bits, "0"), "1")
+    )
+    return (
+        occurrences.select(
+            *group_cols,
+            (h % m).cast("int").alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches with the same (p, group schema): register-wise
+    max — like cms_merge, the distributivity that lets every shard/day
+    build its own ≤2^p-row summary and combine cheaply."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "maxrank"]
+    return out.groupBy(*keys).agg(F.max("maxrank").alias("maxrank"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(group_cols..., est): the HLL cardinality estimate per group.
+
+    ``raw = α_m · m² / Z`` with ``Z = Σ_j 2^(−M_j)`` over all m
+    registers (absent rows count as M=0 → contribute 1 each); the
+    small-range branch switches to linear counting ``m·ln(m/V)`` when
+    ``raw ≤ 2.5m`` and V (empty registers) > 0. Z is EXACTLY order-free
+    in doubles: every term is a dyadic rational spanning < 53 bits of
+    exponent range, so the reduce needs no decimal detour and the SQL
+    oracle reproduces it bit-for-bit.
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    alpha = hll_alpha(m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__pres"),
+        F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("__zpres"),
+    )
+    z = F.col("__zpres") + (F.lit(m) - F.col("__pres"))
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("__pres")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, round_digits).alias("est")
+    )

@@ -485,3 +485,67 @@ def q_cms_token_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
     )
+
+
+@_q(
+    "q_hll_distinct_users_audit",
+    """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events),
+    rk AS (
+      SELECT event_type, CAST(hv % 32 AS INT) AS register,
+             CASE WHEN (hv >> 5) = 0 THEN 28
+                  ELSE instr(lpad(bin(hv >> 5), 27, '0'), '1') END AS rank
+      FROM h),
+    sk AS (SELECT event_type, register, MAX(rank) AS maxrank
+           FROM rk GROUP BY 1, 2),
+    ag AS (SELECT event_type, COUNT(*) AS pres,
+                  SUM(power(2.0, -maxrank)) AS zpres
+           FROM sk GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             CASE WHEN (0.697 * 32 * 32) / (zpres + (32 - pres)) <= 80.0
+                       AND (32 - pres) > 0
+                  THEN round(32.0 * ln(32.0 / (32 - pres)), 4)
+                  ELSE round((0.697 * 32 * 32) / (zpres + (32 - pres)), 4)
+             END AS est_users
+      FROM ag),
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY 1)
+    SELECT x.event_type AS event_type,
+           CAST(x.exact_users AS BIGINT) AS exact_users,
+           e.est_users AS est_users,
+           round((e.est_users - x.exact_users) / x.exact_users, 4) AS rel_err
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def q_hll_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy audit: per-event-type distinct-user estimate
+    from a 32-register sketch RELATION vs the exact distinct count —
+    the "distinct users per segment" query whose exact form shuffles
+    every raw user id, answered from ≤32 rows per group instead. Rank
+    extraction is pure integer/string arithmetic and Z is an exactly
+    order-free dyadic sum, so the estimate replays bit-for-bit in the
+    oracle — unlike the engine's built-in approx_count_distinct, whose
+    HLL++ internals are not portable (q_approx_count_distinct pins that
+    one by exactness-at-small-n instead)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    sk = sketches.hll_build(e, "user_id", ["event_type"], p=5)
+    est = sketches.hll_estimate(sk, ["event_type"], p=5).withColumnRenamed(
+        "est", "est_users"
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        "est_users",
+        F.round(
+            (F.col("est_users") - F.col("exact_users")) / F.col("exact_users"), 4
+        ).alias("rel_err"),
+    )

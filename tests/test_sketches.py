@@ -52,3 +52,36 @@ def test_cms_shard_merge_equals_monolithic_build(spark):
     m = {(r["row"], r["col"]): r["c"] for r in mono.collect()}
     g = {(r["row"], r["col"]): r["c"] for r in merged.collect()}
     assert m == g
+
+
+def test_hll_merge_equals_monolithic_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    keys = [(f"g{i % 3}", f"u{i % 113}") for i in range(1000)]
+    df = spark.createDataFrame(keys, "g string, k string")
+    mono = sketches.hll_build(df, "k", ["g"], p=5)
+    a, b = df.filter("k < 'u5'"), df.filter("k >= 'u5'")
+    merged = sketches.hll_merge(
+        sketches.hll_build(a, "k", ["g"], p=5),
+        sketches.hll_build(b, "k", ["g"], p=5),
+    )
+    m = {(r["g"], r["register"]): r["maxrank"] for r in mono.collect()}
+    g = {(r["g"], r["register"]): r["maxrank"] for r in merged.collect()}
+    assert m == g
+    # sketch size is bounded per group
+    assert mono.groupBy("g").count().agg(F.max("count")).collect()[0][0] <= 32
+    est = {r["g"]: r["est"] for r in sketches.hll_estimate(mono, ["g"], p=5).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("k").alias("n")).collect()
+    }
+    for grp, ex in exact.items():
+        assert abs(est[grp] - ex) / ex < 0.45  # m=32 → σ ≈ 1.04/√32 ≈ 18%
+
+
+def test_hll_duplicates_do_not_change_the_sketch(spark):
+    one = spark.createDataFrame([("x",)], "k string")
+    many = spark.createDataFrame([("x",)] * 500, "k string")
+    s1 = {(r["register"], r["maxrank"]) for r in sketches.hll_build(one, "k").collect()}
+    s2 = {(r["register"], r["maxrank"]) for r in sketches.hll_build(many, "k").collect()}
+    assert s1 == s2 and len(s1) == 1
