@@ -109,3 +109,76 @@ def canonical_docs(
         .filter(F.col("canonical").isNull() | (F.col("canonical") == docs[id_col]))
         .drop("doc", "canonical")
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_digits: int = 9,
+) -> DataFrame:
+    """PageRank over the undirected near-dup pair graph: (node, rank).
+
+    The centrality read on dedup output — a high-rank node is the hub
+    of a template family (the page every near-copy resembles), a more
+    actionable survivor choice than min-id when clusters are star-
+    shaped. Edges are symmetrized (each pair contributes both
+    directions), so every node has out-degree ≥ 1 and the dangling-mass
+    term vanishes; isolated docs simply don't appear (rank is relative
+    within the pair graph).
+
+    The iteration is a cross-engine CONTRACT like kmeans_refine:
+    per-edge contributions ``rank/deg`` are rounded to ``round_digits``
+    and summed as DECIMAL (order-free), and each round's ranks are
+    rounded again — so DuckDB replays the loop bit-for-bit from
+    unrolled CTEs (plans/registry_stats.py). No fixpoint test: ``iters``
+    is a constant, which also keeps the oracle finite.
+
+    Scale shape: per round, one join of the edge list against the
+    ≤|V|-row rank relation (AQE broadcasts small rank sides; both sides
+    hash on the node key otherwise) and one hash-agg — O(|E|) per
+    round, never quadratic. Like connected_components, each round is
+    localCheckpoint()ed so the plan stays constant-size across
+    iterations (same 2 GiB plan-string trap, same remedy).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), round_digits).alias("rank")
+    )
+    base = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), round_digits).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                F.round(
+                    base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    round_digits,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

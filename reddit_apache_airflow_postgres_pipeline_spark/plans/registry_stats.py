@@ -549,3 +549,49 @@ def q_hll_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_users") - F.col("exact_users")) / F.col("exact_users"), 4
         ).alias("rel_err"),
     )
+
+
+def _pagerank_sql(iters: int, damping: float) -> str:
+    """Unrolled-CTE PageRank oracle over the same MinHash pair miner the
+    triangle census uses; mirrors operators/clusters.py:pagerank's
+    rounding contract (contributions and ranks at 9 dp, DECIMAL sums)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import _minhash_sql
+
+    pairs = _minhash_sql(12, 4, 0.7)
+    sql = f"""
+    WITH p AS ({pairs}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes, nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, round(r.rank / d.deg, 9) AS c
+             FROM edges e JOIN r{i-1} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src),
+    s{i} AS (SELECT node, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS s
+             FROM c{i} GROUP BY node),
+    r{i} AS (SELECT nodes.node, round((1.0 - {damping}) / nn.n
+                    + {damping} * COALESCE(s{i}.s, 0.0), 9) AS rank
+             FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node, nn)"""
+    return sql + f"\n    SELECT node, rank FROM r{iters}"
+
+
+@_q("q_neardup_pagerank", _pagerank_sql(3, 0.85))
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate pair graph (3
+    deterministic rounds, damping 0.85) — surfaces the hub document of
+    each template family, a better canonical-survivor signal than
+    min-id on star-shaped clusters. Second iterative algorithm under
+    the unrolled-CTE oracle discipline (after kmeans_refine); each
+    round is one O(|E|) join + agg, localCheckpoint()ed to keep the
+    plan constant-size."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import clusters, neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
+    ).select("id_a", "id_b")
+    return clusters.pagerank(pairs, iters=3, damping=0.85)

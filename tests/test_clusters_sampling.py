@@ -199,3 +199,29 @@ def test_kmeans_refine_drops_emptied_cells(spark):
     cents = similarity.kmeans_refine(df, n_cells=2, iters=2)
     cells = {r["cell"] for r in cents.collect()}
     assert len(cells) <= 2 and cells  # never invents cells; may drop one
+
+
+def test_pagerank_star_hub_dominates_and_mass_conserves(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import pagerank
+
+    # star: 0 is the hub of a 5-doc template family, plus a detached pair
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], "id_a long, id_b long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
+    assert len(ranks) == 8
+    assert ranks[0] == max(ranks.values())  # the hub
+    assert ranks[1] == ranks[2] == ranks[3] == ranks[4] == ranks[5]  # leaves tie
+    assert ranks[10] == ranks[11]  # symmetric pair ties
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conservation
+
+
+def test_pagerank_iteration_count_is_a_contract(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r1 = {r["node"]: r["rank"] for r in pagerank(pairs, iters=1).collect()}
+    r3 = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
+    assert r1 != r3  # the chain has not converged after one round
+    again = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
+    assert r3 == again  # bit-identical re-runs
