@@ -532,8 +532,11 @@ def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q_dsir_importance",
+# DSIR CTE chain (shingles → hashed buckets → smoothed bucket models →
+# per-doc logw), shared by the raw-weights query and the selection
+# composition below. Ends with the `sc` CTE; `dw` is the full per-doc
+# weight relation (zero-feature docs included at logw 0).
+_DSIR_CTES = (
     "WITH sh AS (" + _shingles_sql(2, "TRUE") + "),\n"
     + """
     occ AS (SELECT doc_id,
@@ -553,11 +556,20 @@ def q_rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc AS (SELECT o.doc_id, COUNT(*) AS n_feats,
                   round(CAST(SUM(CAST(w.w AS DECIMAL(28,12))) AS DOUBLE), 6)
                     AS logw
-           FROM occ o JOIN w ON w.b = o.b GROUP BY o.doc_id)
-    SELECT d.doc_id AS doc_id,
-           CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
-           COALESCE(sc.logw, 0.0) AS logw
-    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+           FROM occ o JOIN w ON w.b = o.b GROUP BY o.doc_id),
+    dw AS (SELECT d.doc_id, d.lang,
+                  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+                  COALESCE(sc.logw, 0.0) AS logw
+           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+"""
+)
+
+
+@_q(
+    "q_dsir_importance",
+    _DSIR_CTES
+    + """
+    SELECT doc_id, n_feats, logw FROM dw
     """,
 )
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,4 +581,45 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return curation.dsir_weights(
         d, d.filter(F.col("lang") == "en"), n=2, m=4096
+    )
+
+
+@_q(
+    "q_dsir_select_stats",
+    _DSIR_CTES
+    + """,
+    thr AS (SELECT round(quantile_cont(logw, 0.5), 4) AS thr FROM dw),
+    sel AS (SELECT dw.* FROM dw CROSS JOIN thr WHERE dw.logw >= thr.thr)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(logw AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_logw
+    FROM sel GROUP BY lang
+    """,
+)
+def q_dsir_select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step, scale-honest: keep every doc scoring at
+    or above the corpus MEDIAN importance weight and report the kept
+    mix per language. The threshold is a 1-row exact-percentile
+    broadcast and the keep decision a map-side filter — deliberately
+    NOT a global top-k sort, which at 100 TB would funnel the corpus
+    through one ordered shuffle; a quantile threshold selects the same
+    fraction with one aggregate plus a scan. The English target slice
+    dominating the kept mix is the designed outcome the per-lang stats
+    make visible."""
+    d = load_table(spark, sf_dir, "documents")
+    w = curation.dsir_weights(d, d.filter(F.col("lang") == "en"), n=2, m=4096)
+    thr = w.agg(F.round(F.percentile("logw", 0.5), 4).alias("thr"))
+    sel = (
+        d.select("doc_id", "lang")
+        .join(w, "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("logw") >= F.col("thr"))
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("logw").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_logw"),
     )
