@@ -595,3 +595,92 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
     ).select("id_a", "id_b")
     return clusters.pagerank(pairs, iters=3, damping=0.85)
+
+
+def _power_iter_sql(iters: int) -> str:
+    """Unrolled power iteration over the symmetrized 8×8 covariance —
+    the third iterative algorithm under the rounding-contract oracle
+    discipline (after Lloyd refinement and PageRank): per-term products
+    round to 9 dp and sum as DECIMAL, each round's vector renormalizes
+    and rounds to 6 dp."""
+    cov = """
+    WITH el AS (
+      SELECT vec_id, g.i AS i, embedding[g.i] AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) g
+      WHERE len(embedding) >= 8),
+    prs AS (
+      SELECT a.i AS dim_i, b.i AS dim_j,
+             CAST(round(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE), 9)
+                  AS DECIMAL(28,12)) AS xy,
+             CAST(round(CAST(a.x AS DOUBLE), 9) AS DECIMAL(28,12)) AS xa,
+             CAST(round(CAST(b.x AS DOUBLE), 9) AS DECIMAL(28,12)) AS xb
+      FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i),
+    cov AS (
+      SELECT dim_i, dim_j,
+             round(CAST(SUM(xy) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(xa) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(xb) AS DOUBLE) / COUNT(*)), 6) AS cov
+      FROM prs GROUP BY dim_i, dim_j),
+    A AS (SELECT dim_i AS i, dim_j AS j, cov AS a FROM cov
+          UNION ALL
+          SELECT dim_j, dim_i, cov FROM cov WHERE dim_i <> dim_j),
+    v0 AS (SELECT unnest(generate_series(1, 8)) AS i, 1.0 AS v)"""
+    for k in range(1, iters + 1):
+        cov += f""",
+    w{k} AS (SELECT A.i,
+                    CAST(SUM(CAST(round(A.a * v.v, 9) AS DECIMAL(28,12)))
+                         AS DOUBLE) AS w
+             FROM A JOIN v{k-1} v ON v.i = A.j GROUP BY A.i),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,12)))
+                              AS DOUBLE)) AS nm FROM w{k}),
+    v{k} AS (SELECT i, round(w / nm, 6) AS v FROM w{k}, n{k})"""
+    return cov + f"""
+    SELECT v{iters}.i AS pos, v{iters}.v AS component,
+           round(n{iters}.nm, 6) AS eigenvalue
+    FROM v{iters}, n{iters}
+    """
+
+
+@_q("q_embedding_principal_component", _power_iter_sql(3))
+def q_embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding covariance by 3 rounds of
+    power iteration — the PCA direction a whitening / de-biasing
+    preprocessing stage removes first. The corpus-scale work is the one
+    Gram pass (same plan as q_embedding_covariance); the iteration then
+    runs on the tiny 8×8 matrix RELATION (join + agg per round — no
+    driver-side numpy), with the rounding contract making all three
+    rounds replay bit-for-bit in the oracle. eigenvalue is the Rayleigh
+    estimate ‖A·v‖ after the final round."""
+    cov = q_embedding_covariance(spark, sf_dir)
+    A = cov.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), F.col("cov").alias("a")
+    ).unionAll(
+        cov.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), F.col("cov").alias("a")
+        )
+    )
+    v = spark.range(1, 9).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0).alias("v")
+    )
+    for _ in range(3):
+        w = (
+            A.join(v.withColumnRenamed("i", "j"), "j")
+            .select("i", F.round(F.col("a") * F.col("v"), 9).alias("t"))
+            .groupBy("i")
+            .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double").alias("w"))
+        )
+        nm = w.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+            ).alias("nm")
+        )
+        v = w.crossJoin(F.broadcast(nm)).select(
+            "i", F.round(F.col("w") / F.col("nm"), 6).alias("v")
+        )
+    return v.crossJoin(F.broadcast(nm)).select(
+        F.col("i").alias("pos"),
+        F.col("v").alias("component"),
+        F.round(F.col("nm"), 6).alias("eigenvalue"),
+    )

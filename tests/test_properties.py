@@ -371,3 +371,68 @@ def test_canonical_url_property(spark, parts):
     out = _run(spark, vals, urls.canonical_url(F.col("v")))
     for v, got in zip(vals, out):
         assert got == _py_canon(v), (v, got, _py_canon(v))
+
+
+# --- sketches: CMS/HLL vs pure-Python references --------------------------
+
+
+def _py_md5_mod(prefix: str, s: str, m: int) -> int:
+    return int(hashlib.md5((prefix + s).encode("utf-8")).hexdigest()[:8], 16) % m
+
+
+@given(keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=300))
+@settings(**SETTINGS)
+def test_cms_property_matches_python_reference(spark, keys):
+    from collections import Counter
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    d, w = 3, 32
+    occ = spark.createDataFrame([(k,) for k in keys], "k string")
+    cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in sketches.cms_build(occ, "k", d=d, w=w).collect()
+    }
+    ref: dict[tuple[int, int], int] = {}
+    for k, n in Counter(keys).items():
+        for j in range(d):
+            cell = (j, _py_md5_mod(f"cms{j}:", k, w))
+            ref[cell] = ref.get(cell, 0) + n
+    assert cms == ref
+    est = {
+        r["k"]: r["est"]
+        for r in sketches.cms_estimate(
+            sketches.cms_build(occ, "k", d=d, w=w),
+            occ.distinct(),
+            "k",
+            d=d,
+            w=w,
+        ).collect()
+    }
+    exact = Counter(keys)
+    for k, n in exact.items():
+        assert est[k] == min(
+            ref[(j, _py_md5_mod(f"cms{j}:", k, w))] for j in range(d)
+        )
+        assert est[k] >= n
+
+
+@given(keys=st.lists(st.text(alphabet="xyz01", min_size=1, max_size=5), min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_hll_registers_match_python_reference(spark, keys):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    p = 5
+    m = 1 << p
+    occ = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = {
+        r["register"]: r["maxrank"]
+        for r in sketches.hll_build(occ, "k", p=p).collect()
+    }
+    ref: dict[int, int] = {}
+    for k in set(keys):
+        h = int(hashlib.md5(("hll:" + k).encode("utf-8")).hexdigest()[:8], 16)
+        reg, suf = h % m, h >> p
+        rank = (32 - p) + 1 if suf == 0 else (32 - p) - suf.bit_length() + 1
+        ref[reg] = max(ref.get(reg, 0), rank)
+    assert sk == ref
