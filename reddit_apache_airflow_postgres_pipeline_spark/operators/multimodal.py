@@ -224,3 +224,44 @@ def payload_fingerprint(col: Column | str) -> Column:
     """64-bit content fingerprint of a binary payload (xxhash64) — exact
     dedup key for media, JVM-side."""
     return F.xxhash64(F.col(col) if isinstance(col, str) else col)
+
+
+FEATURES_SCHEMA = "media_id long, kind string, feat array<double>"
+
+
+def byte_histogram_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Feature-extract each media payload into a 16-dim embedding: the
+    normalized high-nibble byte histogram — the stand-in for a real
+    encoder (CLIP/wav2vec) with the identical Spark plumbing: one
+    Arrow-batched ``mapInPandas`` stage producing an ``array<double>``
+    column that flows straight into the similarity operators
+    (knn_bruteforce / IVF / SRP-LSH all take any id+vector relation).
+
+    Bin fractions are IEEE divisions of exact integer counts — no
+    rounding here, so the SQL oracle reproduces the vectors bit-for-bit
+    (the same raw-double discipline as decode_stats' byte_mean).
+    Zero-byte payloads yield the zero vector; ANN callers should filter
+    them out (cosine is undefined) — the registry query does.
+    """
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(p or b"", dtype=np.uint8)
+                if a.size == 0:
+                    feats.append([0.0] * 16)
+                else:
+                    feats.append(
+                        (np.bincount(a >> 4, minlength=16) / a.size).tolist()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(_batches, FEATURES_SCHEMA)

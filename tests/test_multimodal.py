@@ -159,3 +159,20 @@ def test_decode_stats_real_codec_pillow_roundtrip(spark, tmp_path):
         assert r["n_bytes"] == g.size
         assert r["byte_mean"] == pytest.approx(float(g.mean()))
         assert (r["byte_min"], r["byte_max"]) == (int(g.min()), int(g.max()))
+
+
+def test_byte_histogram_features_match_python(media, docs_rows, spark):
+    feats = {
+        r["media_id"]: r["feat"]
+        for r in MM.byte_histogram_features(media).collect()
+    }
+    assert len(feats) == media.count()
+    for mid, feat in feats.items():
+        payload = (docs_rows[mid] or "").encode("utf-8")
+        a = np.frombuffer(payload, dtype=np.uint8)
+        if a.size == 0:
+            assert feat == [0.0] * 16
+            continue
+        ref = (np.bincount(a >> 4, minlength=16) / a.size).tolist()
+        assert feat == ref  # bit-identical, not approx
+        assert abs(sum(feat) - 1.0) < 1e-12
