@@ -348,3 +348,96 @@ def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
         .select(F.col("doc").alias("doc_id"), "n_bigrams", "avg_logprob")
     )
+
+
+def bpe_learn(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges from the corpus (Sennrich et al.
+    2016) — tokenizer TRAINING, not just token counting: the other half
+    of what a pretraining data pipeline does with text at scale.
+
+    Classic word-level BPE: words split into characters; each round
+    merges the adjacent symbol pair with the highest corpus frequency
+    (weighted by word frequency, ties broken lexicographically — a
+    total order, so the learned merge table is deterministic). Output:
+    (step, l_sym, r_sym, merged, cnt), one row per learned merge.
+
+    Symbol sequences are carried as ``{a}{b}{c}`` strings: the braces
+    make the merge a plain string ``replace`` with no false boundary
+    matches (a pattern ``{a}{b}`` cannot match inside ``{xa}{b}``), and
+    both engines' replace is leftmost non-overlapping, continuing after
+    the replacement — Python ``str.replace`` semantics — so the SQL
+    oracle (registry_stats._bpe_sql) replays every round exactly.
+    The corpus alphabet must not contain ``{`` or ``}`` (asserted
+    nowhere: pick different sentinels for corpora that do).
+
+    Scale shape per round: pair counting is one explode + hash agg over
+    the WORD VOCABULARY (not the corpus — frequencies were folded into
+    ``freq`` by the first agg), the argmax is a vocabulary-of-pairs
+    top-1 (TakeOrderedAndProject, no full sort materialization), and
+    the merge is a map-side replace under a 1-row broadcast. ``k`` is a
+    small constant here; a production trainer with k in the tens of
+    thousands batches non-conflicting merges per round — same plan
+    shape, fewer rounds.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    seqs = words.select(
+        F.regexp_replace("w", "(.)", "{$1}").alias("seq"), "freq"
+    )
+    steps = []
+    for step in range(1, k + 1):
+        syms = F.split(
+            F.regexp_replace("seq", r"^\{|\}$", ""), r"\}\{"
+        )
+        pairs = (
+            seqs.withColumn("__syms", syms)
+            .filter(F.size("__syms") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("__syms", 1, F.size("__syms") - 1),
+                        F.slice("__syms", 2, F.size("__syms") - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("pr"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pr")
+            .agg(F.sum("freq").alias("cnt"))
+            .select(
+                F.split_part(F.col("pr"), F.lit(" "), F.lit(1)).alias("l_sym"),
+                F.split_part(F.col("pr"), F.lit(" "), F.lit(2)).alias("r_sym"),
+                "cnt",
+            )
+            .orderBy(F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym"))
+            .limit(1)
+        )
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "l_sym",
+                "r_sym",
+                F.concat("l_sym", "r_sym").alias("merged"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+        )
+        seqs = seqs.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit("{"), F.col("l_sym"), F.lit("}{"), F.col("r_sym"), F.lit("}")),
+                F.concat(F.lit("{"), F.col("l_sym"), F.col("r_sym"), F.lit("}")),
+            ).alias("seq"),
+            "freq",
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out

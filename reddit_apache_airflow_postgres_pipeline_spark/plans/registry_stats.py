@@ -684,3 +684,56 @@ def q_embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("v").alias("component"),
         F.round(F.col("nm"), 6).alias("eigenvalue"),
     )
+
+
+def _bpe_sql(k: int) -> str:
+    """Unrolled-CTE BPE trainer oracle: per round, pair-count over the
+    brace-delimited symbol sequences, lexicographic-tie-broken argmax,
+    leftmost-non-overlapping replace — mirroring textstats.bpe_learn
+    exactly (both engines' replace shares Python str.replace
+    semantics)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL
+
+    sql = (
+        """
+    WITH w0 AS (
+      SELECT tok AS w, COUNT(*) AS freq
+      FROM (SELECT unnest("""
+        + _TOKENS_SQL
+        + """) AS tok FROM documents) t
+      WHERE tok <> '' GROUP BY tok),
+    s0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS seq, freq FROM w0)"""
+    )
+    for i in range(1, k + 1):
+        sql += f""",
+    p{i} AS (
+      SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                    j -> [syms[j], syms[j+1]])) AS pr, freq
+      FROM (SELECT string_split(trim(seq, '{{}}'), '}}{{') AS syms, freq
+            FROM s{i-1}) t),
+    c{i} AS (SELECT pr[1] AS l_sym, pr[2] AS r_sym, SUM(freq) AS cnt
+             FROM p{i} GROUP BY 1, 2),
+    b{i} AS (SELECT * FROM c{i} ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+    s{i} AS (SELECT replace(seq, '{{' || b.l_sym || '}}{{' || b.r_sym || '}}',
+                            '{{' || b.l_sym || b.r_sym || '}}') AS seq, freq
+             FROM s{i-1}, b{i} b)"""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, l_sym, r_sym, l_sym || r_sym AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + "\n    " + unions
+
+
+@_q("q_bpe_learn_merges", _bpe_sql(3))
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING on the corpus: the first 3 BPE merges learned
+    word-level with frequency weighting and a lexicographic tie-break —
+    the fourth iterative algorithm under the unrolled-CTE oracle
+    discipline. Pair counting runs over the word VOCABULARY (corpus
+    frequencies fold into one agg first), the argmax is a top-1
+    TakeOrderedAndProject, and each merge applies map-side under a
+    1-row broadcast."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
+
+    return bpe_learn(load_table(spark, sf_dir, "documents"), k=3)

@@ -85,3 +85,35 @@ def test_hll_duplicates_do_not_change_the_sketch(spark):
     s1 = {(r["register"], r["maxrank"]) for r in sketches.hll_build(one, "k").collect()}
     s2 = {(r["register"], r["maxrank"]) for r in sketches.hll_build(many, "k").collect()}
     assert s1 == s2 and len(s1) == 1
+
+
+def test_bpe_learn_hand_checked_merges(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ac")], "doc_id long, text string"
+    )
+    rows = {
+        r["step"]: (r["l_sym"], r["r_sym"], r["merged"], r["cnt"])
+        for r in bpe_learn(docs, k=3).collect()
+    }
+    # 'abab' x2: (a,b) appears twice per word -> 4; then (ab,ab) -> 2;
+    # then only (a,c) remains -> 1
+    assert rows[1] == ("a", "b", "ab", 4)
+    assert rows[2] == ("ab", "ab", "abab", 2)
+    assert rows[3] == ("a", "c", "ac", 1)
+
+
+def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
+
+    # 'aaa': pair (a,a) counts both positions (2), but applying the
+    # merge is leftmost non-overlapping: {a}{a}{a} -> {aa}{a}, so round
+    # 2 sees the (aa, a) pair — classic BPE count-vs-apply semantics
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    rows = {
+        r["step"]: (r["l_sym"], r["r_sym"], r["cnt"])
+        for r in bpe_learn(docs, k=2).collect()
+    }
+    assert rows[1] == ("a", "a", 2)
+    assert rows[2] == ("aa", "a", 1)
