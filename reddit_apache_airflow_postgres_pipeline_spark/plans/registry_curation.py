@@ -623,3 +623,52 @@ def q_dsir_select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_logw"),
     )
+
+
+@_q(
+    "q_corpus_psi_drift",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    r AS (SELECT bin, COUNT(*) AS n_ref FROM t WHERE doc_id % 2 = 0 GROUP BY bin),
+    c AS (SELECT bin, COUNT(*) AS n_cur FROM t WHERE doc_id % 2 = 1 GROUP BY bin),
+    tot AS (SELECT (SELECT COUNT(*) FROM t WHERE doc_id % 2 = 0) AS tr,
+                   (SELECT COUNT(*) FROM t WHERE doc_id % 2 = 1) AS tc),
+    p AS (
+      SELECT b.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             round((COALESCE(r.n_ref, 0) + 1.0) / (tot.tr + 10.0), 6) AS p_ref,
+             round((COALESCE(c.n_cur, 0) + 1.0) / (tot.tc + 10.0), 6) AS p_cur
+      FROM bins b LEFT JOIN r ON r.bin = b.bin
+                  LEFT JOIN c ON c.bin = b.bin
+      CROSS JOIN tot)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           p_ref, p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+)
+def q_corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the token-length distribution between the even-id
+    snapshot (reference) and the odd-id snapshot (current) — the
+    monitor that gates a crawl batch into training. Integer fixed-width
+    bins (20 tokens wide, capped at 9) sidestep float boundary
+    sensitivity entirely; smoothing, rounding, and the per-bin term are
+    the psi_drift operator contract. Σ psi_term is the alerting
+    metric."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        F.least(
+            (token_count("text") / 20).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    return curation.psi_drift(
+        binned.filter(F.col("doc_id") % 2 == 0),
+        binned.filter(F.col("doc_id") % 2 == 1),
+        bins=10,
+    )

@@ -270,3 +270,24 @@ def test_bigram_logprob_flags_word_salad(spark):
     assert out[1]["n_bigrams"] == 5
     assert out[1]["avg_logprob"] == out[2]["avg_logprob"]
     assert out[4]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+def test_psi_drift_identical_snapshots_zero_and_empty_bins_finite(spark):
+    from pyspark.sql import functions as F
+
+    binned = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "doc_id long, bin int"
+    )
+    same = curation.psi_drift(binned, binned, bins=5)
+    rows = {r["bin"]: r for r in same.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}  # spine includes empty bins
+    for r in rows.values():
+        assert r["psi_term"] == 0.0  # identical dists -> zero drift
+        assert r["p_ref"] == r["p_cur"] > 0  # smoothing keeps them finite
+
+    shifted = spark.createDataFrame(
+        [(i, 4) for i in range(60)], "doc_id long, bin int"
+    )
+    drift = curation.psi_drift(binned, shifted, bins=5)
+    total = drift.agg(F.sum("psi_term")).collect()[0][0]
+    assert total > 0.25  # full redistribution = major drift
