@@ -381,6 +381,16 @@ def bpe_learn(
     thousands batches non-conflicting merges per round — same plan
     shape, fewer rounds.
     """
+    steps, _ = _bpe_rounds(docs, text_col, k)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def _bpe_rounds(docs: DataFrame, text_col: str, k: int):
+    """The shared trainer loop: returns (per-step merge DataFrames, the
+    final symbol-sequence relation (w, seq, freq) after all k merges)."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w") != "")
@@ -388,7 +398,7 @@ def bpe_learn(
         .agg(F.count("*").alias("freq"))
     )
     seqs = words.select(
-        F.regexp_replace("w", "(.)", "{$1}").alias("seq"), "freq"
+        "w", F.regexp_replace("w", "(.)", "{$1}").alias("seq"), "freq"
     )
     steps = []
     for step in range(1, k + 1):
@@ -430,6 +440,7 @@ def bpe_learn(
             )
         )
         seqs = seqs.crossJoin(F.broadcast(best)).select(
+            "w",
             F.replace(
                 F.col("seq"),
                 F.concat(F.lit("{"), F.col("l_sym"), F.lit("}{"), F.col("r_sym"), F.lit("}")),
@@ -437,7 +448,46 @@ def bpe_learn(
             ).alias("seq"),
             "freq",
         )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionAll(s)
-    return out
+    return steps, seqs
+
+
+def bpe_compression_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Train the first ``k`` BPE merges, APPLY them, and report the
+    number a tokenizer trainer actually optimizes — symbols per token:
+
+        (vocab_size, total_tokens, syms_per_token_initial,
+         syms_per_token_merged, compression)
+
+    one row, token-frequency-weighted means (initial = characters per
+    token), compression = initial / merged. All ratios are divisions of
+    exact integer sums rounded at 6 dp, so the oracle (which replays
+    the identical unrolled merge rounds) matches exactly. Same plan
+    shape as :func:`bpe_learn` plus one bounded vocabulary aggregate.
+    """
+    _, seqs = _bpe_rounds(docs, text_col, k)
+    n_syms = F.size(
+        F.split(F.regexp_replace("seq", r"^\{|\}$", ""), r"\}\{")
+    )
+    agg = seqs.select(
+        "freq",
+        (F.length("w") * F.col("freq")).alias("__chars"),
+        (n_syms * F.col("freq")).alias("__syms"),
+    ).agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum("__chars").alias("__tc"),
+        F.sum("__syms").alias("__ts"),
+    )
+    return agg.select(
+        "vocab_size",
+        "total_tokens",
+        F.round(F.col("__tc") / F.col("total_tokens"), 6).alias(
+            "syms_per_token_initial"
+        ),
+        F.round(F.col("__ts") / F.col("total_tokens"), 6).alias(
+            "syms_per_token_merged"
+        ),
+        F.round(F.col("__tc") / F.col("__ts"), 6).alias("compression"),
+    )

@@ -686,12 +686,10 @@ def q_embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _bpe_sql(k: int) -> str:
-    """Unrolled-CTE BPE trainer oracle: per round, pair-count over the
-    brace-delimited symbol sequences, lexicographic-tie-broken argmax,
-    leftmost-non-overlapping replace — mirroring textstats.bpe_learn
-    exactly (both engines' replace shares Python str.replace
-    semantics)."""
+def _bpe_ctes(k: int) -> str:
+    """The shared unrolled trainer CTE chain (w0 vocabulary -> s0 char
+    sequences -> k rounds of pair-count/argmax/replace), with the word
+    carried through every s-CTE so apply-side stats can join back."""
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL
 
     sql = (
@@ -702,7 +700,7 @@ def _bpe_sql(k: int) -> str:
         + _TOKENS_SQL
         + """) AS tok FROM documents) t
       WHERE tok <> '' GROUP BY tok),
-    s0 AS (SELECT regexp_replace(w, '(.)', '{\\1}', 'g') AS seq, freq FROM w0)"""
+    s0 AS (SELECT w, regexp_replace(w, '(.)', '{\\1}', 'g') AS seq, freq FROM w0)"""
     )
     for i in range(1, k + 1):
         sql += f""",
@@ -714,9 +712,19 @@ def _bpe_sql(k: int) -> str:
     c{i} AS (SELECT pr[1] AS l_sym, pr[2] AS r_sym, SUM(freq) AS cnt
              FROM p{i} GROUP BY 1, 2),
     b{i} AS (SELECT * FROM c{i} ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
-    s{i} AS (SELECT replace(seq, '{{' || b.l_sym || '}}{{' || b.r_sym || '}}',
+    s{i} AS (SELECT w, replace(seq, '{{' || b.l_sym || '}}{{' || b.r_sym || '}}',
                             '{{' || b.l_sym || b.r_sym || '}}') AS seq, freq
              FROM s{i-1}, b{i} b)"""
+    return sql
+
+
+def _bpe_sql(k: int) -> str:
+    """Unrolled-CTE BPE trainer oracle: per round, pair-count over the
+    brace-delimited symbol sequences, lexicographic-tie-broken argmax,
+    leftmost-non-overlapping replace — mirroring textstats.bpe_learn
+    exactly (both engines' replace shares Python str.replace
+    semantics)."""
+    sql = _bpe_ctes(k)
     unions = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, l_sym, r_sym, l_sym || r_sym AS merged,"
         f" CAST(cnt AS BIGINT) AS cnt FROM b{i}"
@@ -737,3 +745,32 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
 
     return bpe_learn(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "q_bpe_compression",
+    _bpe_ctes(3)
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           round(SUM(length(w) * freq) * 1.0 / SUM(freq), 6)
+             AS syms_per_token_initial,
+           round(SUM(len(string_split(trim(seq, '{}'), '}{')) * freq) * 1.0
+                 / SUM(freq), 6) AS syms_per_token_merged,
+           round(SUM(length(w) * freq) * 1.0
+                 / SUM(len(string_split(trim(seq, '{}'), '}{')) * freq), 6)
+             AS compression
+    FROM s3
+    """,
+)
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: the 3 learned BPE merges applied back to the
+    vocabulary, reporting token-frequency-weighted symbols-per-token
+    before/after and the compression ratio — the objective a tokenizer
+    trainer maximizes. Exact integer sums, one bounded vocabulary
+    aggregate on top of the trainer plan."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        bpe_compression_stats,
+    )
+
+    return bpe_compression_stats(load_table(spark, sf_dir, "documents"), k=3)

@@ -239,6 +239,7 @@ BNLJ_ALLOWED = {
     "q_media_embed_ann": "bounded query set (8 media feature vectors)",
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
+    "q_bpe_compression": "1-row argmax merge broadcast per round",
 }
 
 
