@@ -94,3 +94,38 @@ def query_ivf_index(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted index — the operational
+    path a served 100 TB index needs: a daily embedding delta cannot
+    afford a full rebuild, and the FROZEN centroids make the append
+    exactly equivalent to having built with the union corpus from the
+    start (``tests/test_vector_index.py`` pins that equality).
+
+    The delta is assigned against the index's own persisted centroids
+    (broadcast, map-only) and appended into the cell-partitioned
+    postings — Spark's dynamic partition append touches only the cells
+    the delta lands in. Quantizer drift is the accepted trade (same as
+    FAISS's ``add`` after ``train``): as the corpus distribution moves,
+    recall decays until the next scheduled rebuild; the
+    :func:`reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml.q_ivf_recall`-style
+    audit is the signal for when.
+
+    Caller contract: delta ids must be disjoint from the indexed ids
+    (dedup upstream — the engine's first-wins family — or the reader
+    sees duplicates, exactly as with any append-only store).
+    """
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(new_vectors, cents, id_col, vec_col, out_id="neighbor_id")
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/postings")
+    )
