@@ -437,3 +437,56 @@ def semantic_dedup(
             F.col("max_dup_cos").isNull().alias("keep"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dup_pairs: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Contrastive-training hard negatives: each query's top-``k`` most
+    similar corpus vectors that are NOT in ``dup_pairs`` — easy
+    negatives teach an embedding model nothing, and near-duplicates
+    would poison the loss as false negatives, so the miner wants the
+    similarity frontier minus the duplicate set.
+
+    ``dup_pairs`` is any (id_a, id_b) relation (e.g.
+    :func:`embedding_near_dups`); both orientations are excluded with
+    one skinny anti-join on (query, neighbor) before the per-query
+    top-k window. Scoring is the map-only corpus × broadcast(queries)
+    pass; at scale swap it for the IVF probe exactly as with kNN.
+    Output: (query_id, neighbor_id, score).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", F.round(cosine(F.col("__cv"), F.col("__qv")), round_digits)
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    both = dup_pairs.select(
+        F.col("id_a").alias("x"), F.col("id_b").alias("y")
+    ).unionAll(dup_pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+    filt = scored.join(
+        both,
+        (scored.query_id == both.x) & (scored.neighbor_id == both.y),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )

@@ -933,3 +933,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_refine(e, n_cells=16, iters=1)
     return similarity.semantic_dedup(e, cents, threshold=0.3)
+
+
+def _hard_negatives_sql(k: int, nd_threshold: float) -> str:
+    """Hard-negative miner oracle: the brute-force scored relation minus
+    near-duplicate pairs (SRP miner, both orientations), re-ranked."""
+    nd = _srp_near_dup_sql(nd_threshold, 4, 4, 42, 64)
+    return f"""
+    WITH nd AS (SELECT * FROM ({nd}) t0),
+    np AS (SELECT id_a AS x, id_b AS y FROM nd
+           UNION ALL SELECT id_b, id_a FROM nd),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='c.embedding', b='q.qv')}
+               / ({_NORM_SQL.format(a='c.embedding')} * {_NORM_SQL.format(a='q.qv')}), 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    filt AS (
+      SELECT s.* FROM scored s
+      WHERE NOT EXISTS (SELECT 1 FROM np p
+                        WHERE p.x = s.query_id AND p.y = s.neighbor_id)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rn
+      FROM filt)
+    SELECT query_id, neighbor_id, score FROM ranked WHERE rn <= {k}
+    """
+
+
+@_q("q_mine_hard_negatives", _hard_negatives_sql(3, 0.4))
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative mining: each query's top-3 MOST
+    similar vectors that are NOT near-duplicates — the "hard negatives"
+    an embedding trainer pairs with anchors (easy negatives teach
+    nothing; near-dups would poison the loss as false negatives). The
+    dup set comes from the same banded SRP miner the dedup ladder uses,
+    excluded with one skinny anti-join on (query, neighbor) before the
+    per-query top-k window; the scoring pass is the map-only
+    corpus × broadcast(queries) shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nd = similarity.embedding_near_dups(
+        e, threshold=0.4, bits_per_band=4, bands=4, seed=42, dim=64
+    )
+    return similarity.mine_hard_negatives(
+        e, e.filter(F.col("vec_id") < 8), nd, k=3
+    )

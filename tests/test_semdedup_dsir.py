@@ -116,3 +116,25 @@ def test_dsir_empty_target_penalizes_common_buckets_only_via_raw(spark):
         for r in curation.dsir_weights(corpus, target, n=2, m=4096).collect()
     }
     assert out[4] > out[1] == out[2] == out[3]
+
+
+def test_hard_negative_miner_excludes_planted_duplicates(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    vecs = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),   # near-copy of 0 — a false negative
+            (2, [0.9, 0.4]),     # similar but legitimately different
+            (3, [0.0, 1.0]),     # easy negative
+        ],
+    )
+    dups = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = mine_hard_negatives(
+        vecs, vecs.filter(F.col("vec_id") == 0), dups, k=2
+    ).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: -r["score"])]
+    assert got == [2, 3]  # 1 is excluded despite being the most similar
