@@ -380,16 +380,12 @@ def bloom_contaminated_ids(
 
 
 def _dsir_bucket(col: Column | str, m: int) -> Column:
-    """Hashed feature bucket in [0, m) for a word n-gram — the repo's
-    cross-engine md5-hex idiom (DuckDB: ``('0x'||substr(md5('dsir:'||s),
-    1,8))::BIGINT % m``)."""
-    s = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("dsir:"), s)), 1, 8), 16, 10
-        ).cast("bigint")
-        % m
-    ).cast("int")
+    """Hashed feature bucket in [0, m) for a word n-gram — the engine's
+    one md5-prefix hash idiom (sampling.hash_bucket), 'dsir:'-salted
+    (DuckDB: ``('0x'||substr(md5('dsir:'||s),1,8))::BIGINT % m``)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+
+    return (hash_bucket(col, "dsir:") % m).cast("int")
 
 
 def dsir_weights(

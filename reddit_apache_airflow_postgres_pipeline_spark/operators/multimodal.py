@@ -236,6 +236,9 @@ def byte_histogram_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     Arrow-batched ``mapInPandas`` stage producing an ``array<double>``
     column that flows straight into the similarity operators
     (knn_bruteforce / IVF / SRP-LSH all take any id+vector relation).
+    ``codec`` dispatches exactly like :func:`decode_stats`: the default
+    fake codec histograms the raw payload bytes; ``codec="real"``
+    decodes first (raising where the codec lib is absent).
 
     Bin fractions are IEEE divisions of exact integer counts — no
     rounding here, so the SQL oracle reproduces the vectors bit-for-bit
@@ -247,15 +250,30 @@ def byte_histogram_features(media: DataFrame, codec: str = "fake") -> DataFrame:
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for p in pdf["payload"]:
-                a = np.frombuffer(p or b"", dtype=np.uint8)
-                if a.size == 0:
-                    feats.append([0.0] * 16)
-                else:
-                    feats.append(
-                        (np.bincount(a >> 4, minlength=16) / a.size).tolist()
+            if codec == "real":
+                # same dispatch contract as decode_stats: real decode
+                # first (Pillow-backed for images, NotImplementedError
+                # where the codec lib is absent), histogram the decoded
+                # samples quantized back to uint8
+                arrs = [
+                    np.asarray(
+                        _decode_real(k, p, m), dtype=np.uint8
+                    ).ravel()
+                    for k, p, m in zip(
+                        pdf["kind"], pdf["payload"], pdf["meta"]
                     )
+                ]
+            else:
+                arrs = [
+                    np.frombuffer(p or b"", dtype=np.uint8)
+                    for p in pdf["payload"]
+                ]
+            feats = [
+                [0.0] * 16
+                if a.size == 0
+                else (np.bincount(a >> 4, minlength=16) / a.size).tolist()
+                for a in arrs
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

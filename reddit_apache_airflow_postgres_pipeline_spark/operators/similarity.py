@@ -410,7 +410,14 @@ def semantic_dedup(
     keeping each cell's pairwise work bounded; AQE's skew-join split
     handles an oversized cell. The dup aggregate is skinny (id, score).
     """
-    assign = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=1, out_id=id_col)
+    # the assignment feeds three consumers (both self-join sides + the
+    # keep-side spine); localCheckpoint materializes the broadcast-
+    # scored pass once instead of recomputing it per consumer — at
+    # cluster scale this is where the assignment would be written out
+    # as a table anyway (cf. sinks/vector_index.py postings)
+    assign = ivf_assign(
+        vectors, centroids, id_col, vec_col, n_probe=1, out_id=id_col
+    ).localCheckpoint()
     a = assign.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
     )

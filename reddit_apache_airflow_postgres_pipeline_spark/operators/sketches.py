@@ -34,16 +34,13 @@ from pyspark.sql import functions as F
 
 
 def _cms_col(key: Column | str, row: int, w: int) -> Column:
-    """Hash row ``row``'s column index in [0, w) for a key — md5 over a
-    per-row salt prefix (DuckDB: ``('0x'||substr(md5('cms<j>:'||k),1,8))
+    """Hash row ``row``'s column index in [0, w) for a key — the
+    engine's one md5-prefix hash idiom (sampling.hash_bucket) under a
+    per-row salt (DuckDB: ``('0x'||substr(md5('cms<j>:'||k),1,8))
     ::BIGINT % w``)."""
-    k = F.col(key) if isinstance(key, str) else key
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), k)), 1, 8), 16, 10
-        ).cast("bigint")
-        % w
-    ).cast("int")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+
+    return (hash_bucket(key, f"cms{row}:") % w).cast("int")
 
 
 def cms_build(
@@ -53,7 +50,9 @@ def cms_build(
     w: int = 256,
 ) -> DataFrame:
     """Build the sketch relation (row, col, c) from a relation of key
-    OCCURRENCES (one input row = one count increment).
+    OCCURRENCES (one input row = one count increment). NULL keys are
+    excluded — matching COUNT(<key>) semantics; without the guard a
+    NULL hash would add a (NULL, NULL) cell outside the d×w bound.
 
     ≤ ``d × w`` output rows however large the input. Plan: a d-way
     explode (map-side, d is a small constant) into (row, col)
@@ -61,7 +60,7 @@ def cms_build(
     the only shuffle, and its key space is the d×w cells, so the
     exchange carries at most d×w rows per map partition.
     """
-    cells = occurrences.select(
+    cells = occurrences.filter(F.col(key_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -149,14 +148,12 @@ def hll_alpha(m: int) -> float:
 
 
 def _hll_hash(key: Column | str) -> Column:
-    """32-bit hash of the key — the md5-hex idiom (DuckDB:
+    """32-bit hash of the key — the engine's one md5-prefix hash idiom
+    (sampling.hash_bucket), 'hll:'-salted (DuckDB:
     ``('0x'||substr(md5('hll:'||k),1,8))::BIGINT``)."""
-    k = F.col(key) if isinstance(key, str) else key
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit("hll:"), k.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(key, "hll:")
 
 
 def hll_build(
@@ -192,7 +189,10 @@ def hll_build(
         F.instr(F.lpad(F.bin(suf), suffix_bits, "0"), "1")
     )
     return (
-        occurrences.select(
+        # NULL keys excluded (COUNT(DISTINCT <key>) ignores them too);
+        # a NULL hash would otherwise create a (NULL, NULL) register
+        # that inflates __pres without contributing to __zpres
+        occurrences.filter(F.col(key_col).isNotNull()).select(
             *group_cols,
             (h % m).cast("int").alias("register"),
             rank.cast("int").alias("rank"),

@@ -393,7 +393,15 @@ def _bpe_rounds(docs: DataFrame, text_col: str, k: int):
     final symbol-sequence relation (w, seq, freq) after all k merges)."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
-        .filter(F.col("w") != "")
+        # brace-bearing tokens are EXCLUDED from training (mirrored in
+        # the SQL oracle): they would collide with the {…} sentinel and
+        # silently corrupt merges — in both engines identically, which
+        # is exactly the failure the oracle gate cannot see
+        .filter(
+            (F.col("w") != "")
+            & ~F.col("w").contains("{")
+            & ~F.col("w").contains("}")
+        )
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )

@@ -607,7 +607,13 @@ def q_dsir_select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominating the kept mix is the designed outcome the per-lang stats
     make visible."""
     d = load_table(spark, sf_dir, "documents")
-    w = curation.dsir_weights(d, d.filter(F.col("lang") == "en"), n=2, m=4096)
+    # the DSIR lineage (shingle explode, bucket models, per-doc scoring)
+    # feeds BOTH the threshold aggregate and the selection join —
+    # localCheckpoint materializes it once instead of running the
+    # corpus-scale pipeline twice (the triangles/pagerank reuse idiom)
+    w = curation.dsir_weights(
+        d, d.filter(F.col("lang") == "en"), n=2, m=4096
+    ).localCheckpoint()
     thr = w.agg(F.round(F.percentile("logw", 0.5), 4).alias("thr"))
     sel = (
         d.select("doc_id", "lang")

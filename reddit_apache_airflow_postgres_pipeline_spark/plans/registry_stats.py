@@ -699,7 +699,8 @@ def _bpe_ctes(k: int) -> str:
       FROM (SELECT unnest("""
         + _TOKENS_SQL
         + """) AS tok FROM documents) t
-      WHERE tok <> '' GROUP BY tok),
+      WHERE tok <> '' AND tok NOT LIKE '%{%' AND tok NOT LIKE '%}%'
+      GROUP BY tok),
     s0 AS (SELECT w, regexp_replace(w, '(.)', '{\\1}', 'g') AS seq, freq FROM w0)"""
     )
     for i in range(1, k + 1):

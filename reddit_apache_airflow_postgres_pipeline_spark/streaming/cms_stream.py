@@ -113,11 +113,17 @@ def compact_state(
     """
     dirs = _state_subdirs(state_dir)
     prior_subsumed = _subsumed_ids(state_dir)
+    # finish any interrupted GC first: dirs already named by the newest
+    # manifest are invisible to readers, so deleting them here is safe
+    # and keeps the listing bounded across crash-restart cycles
+    for p, i in list(dirs.items()):
+        if i in prior_subsumed:
+            shutil.rmtree(p, ignore_errors=True)
+            del dirs[p]
     fold_ids = {
         i
         for i in dirs.values()
-        if i not in prior_subsumed
-        and (i < 0 or exclude_from is None or i < exclude_from)
+        if i < 0 or exclude_from is None or i < exclude_from
     }
     if len(fold_ids) < 2:
         return

@@ -120,10 +120,13 @@ def test_compaction_preserves_estimates_even_mid_crash(spark, tmp_path):
     shutil.copytree(keep_copy, os.path.join(state, "batch_id=0"))
     assert _cells(cms_stream.read_sketch(spark, state)) == expect
 
-    # next compaction finishes the GC and folds nothing new (the
-    # lingering dir is already subsumed; a single live gen stays put)
+    # next compaction finishes the GC: the lingering subsumed dir is
+    # DELETED (not just filtered on every read), and with a single
+    # live generation left there is nothing to fold
     cms_stream.compact_state(spark, state)
     assert _cells(cms_stream.read_sketch(spark, state)) == expect
+    assert set(cms_stream._state_subdirs(state).values()) == {-1}
+    assert not os.path.isdir(os.path.join(state, "batch_id=0"))
 
 
 def test_second_generation_manifest_is_transitive(spark, tmp_path):
