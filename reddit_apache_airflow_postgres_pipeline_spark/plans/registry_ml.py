@@ -979,3 +979,73 @@ def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mine_hard_negatives(
         e, e.filter(F.col("vec_id") < 8), nd, k=3
     )
+
+
+def _minhash_sweep_sql(thresholds: list[float]) -> str:
+    eq = _minhash_quality_sql(12, 4)
+    vals = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+    WITH eq AS (SELECT * FROM ({eq}) t0),
+    th AS (SELECT * FROM (VALUES {vals}) v(threshold))
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN est_jaccard >= threshold
+                          AND exact_jaccard >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN est_jaccard >= threshold
+                          AND exact_jaccard < threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN est_jaccard < threshold
+                          AND exact_jaccard >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           round(CASE WHEN SUM(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END) > 0
+                 THEN SUM(CASE WHEN est_jaccard >= threshold
+                                AND exact_jaccard >= threshold THEN 1 ELSE 0 END) * 1.0
+                      / SUM(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END) END, 6)
+             AS precision,
+           round(CASE WHEN SUM(CASE WHEN exact_jaccard >= threshold THEN 1 ELSE 0 END) > 0
+                 THEN SUM(CASE WHEN est_jaccard >= threshold
+                                AND exact_jaccard >= threshold THEN 1 ELSE 0 END) * 1.0
+                      / SUM(CASE WHEN exact_jaccard >= threshold THEN 1 ELSE 0 END) END, 6)
+             AS recall
+    FROM eq CROSS JOIN th
+    GROUP BY th.threshold
+    """
+
+
+@_q("q_dedup_minhash_threshold_sweep", _minhash_sweep_sql([0.5, 0.6, 0.7, 0.8, 0.9]))
+def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration sweep for the MinHash dedup knob: at each candidate
+    threshold, precision/recall of the sketch ESTIMATE against exact
+    Jaccard over the LSH candidate universe — the curve you read before
+    choosing the production threshold (and the k-vs-error trade beside
+    q_dedup_minhash_estimate_quality's per-pair view). Recall is
+    within-candidate by design: pairs the banding already split are the
+    s-curve's job, measured separately. One 5-row broadcast over the
+    estimate relation, one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    eq = neardup.minhash_estimate_quality(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4
+    )
+    th = F.array(*[F.lit(t) for t in [0.5, 0.6, 0.7, 0.8, 0.9]])
+    x = eq.select("est_jaccard", "exact_jaccard", F.explode(th).alias("threshold"))
+    est_hit = (F.col("est_jaccard") >= F.col("threshold")).cast("int")
+    ex_hit = (F.col("exact_jaccard") >= F.col("threshold")).cast("int")
+    agg = x.groupBy("threshold").agg(
+        F.sum(est_hit * ex_hit).cast("bigint").alias("tp"),
+        F.sum(est_hit * (1 - ex_hit)).cast("bigint").alias("fp"),
+        F.sum((1 - est_hit) * ex_hit).cast("bigint").alias("fn"),
+        F.sum(est_hit).alias("__pe"),
+        F.sum(ex_hit).alias("__px"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(F.col("__pe") > 0, F.col("tp") / F.col("__pe")), 6
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("__px") > 0, F.col("tp") / F.col("__px")), 6
+        ).alias("recall"),
+    )
