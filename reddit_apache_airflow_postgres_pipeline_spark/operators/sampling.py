@@ -125,3 +125,22 @@ def sample_to_target_mix(
         )
         .drop("__rate")
     )
+
+
+def sample_weighted_by_hash(
+    df: DataFrame, key_col: str, rate_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-ROW deterministic Bernoulli sampling: keep a row iff
+    ``hash(salt ‖ key) < floor(rate · 2³²)``, where ``rate`` is a
+    column in [0, 1] (clamped). The weighted generalization of
+    :func:`sample_by_hash` — importance sampling ∝ a per-doc score
+    (e.g. ``exp(dsir_logw − max)``), still content-addressed: no RNG,
+    stable across engines/partitionings/reruns, and monotone in the
+    rate (raising a doc's rate can only add it, never drop it — the
+    property that makes re-weighted re-runs incremental). Map-side
+    only."""
+    r = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(rate_col)))
+    return df.filter(
+        hash_bucket(key_col, salt)
+        < F.floor(r * F.lit(float(_BUCKETS))).cast("long")
+    )

@@ -678,3 +678,53 @@ def q_corpus_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.filter(F.col("doc_id") % 2 == 1),
         bins=10,
     )
+
+
+@_q(
+    "q_dsir_weighted_sample",
+    _DSIR_CTES
+    + """,
+    mx AS (SELECT MAX(logw) AS mx FROM dw),
+    rated AS (SELECT dw.*, round(exp(dw.logw - mx.mx), 6) AS rate
+              FROM dw CROSS JOIN mx),
+    kept AS (SELECT * FROM rated
+             WHERE ('0x' || substr(md5('dsirw:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < floor(rate * 4294967296.0))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(rate AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_rate
+    FROM kept GROUP BY lang
+    """,
+)
+def q_dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection mechanism: sample documents with
+    probability ∝ exp(logw) (normalized by the corpus max so rates land
+    in (0, 1]) via content-addressed weighted Bernoulli — no RNG, no
+    global sort, one 1-row max broadcast and a map-side filter. The
+    kept mix per language shows target-likeness translating into
+    inclusion probability; compare q_dsir_select_stats' hard-threshold
+    variant."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_weighted_by_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = curation.dsir_weights(
+        d, d.filter(F.col("lang") == "en"), n=2, m=4096
+    ).localCheckpoint()
+    mx = w.agg(F.max("logw").alias("__mx"))
+    rated = (
+        d.select("doc_id", "lang")
+        .join(w, "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("rate", F.round(F.exp(F.col("logw") - F.col("__mx")), 6))
+    )
+    kept = sample_weighted_by_hash(rated, "doc_id", "rate", salt="dsirw:")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("rate").cast("decimal(18,8)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_rate"),
+    )

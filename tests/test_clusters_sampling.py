@@ -225,3 +225,33 @@ def test_pagerank_iteration_count_is_a_contract(spark):
     assert r1 != r3  # the chain has not converged after one round
     again = {r["node"]: r["rank"] for r in pagerank(pairs, iters=3).collect()}
     assert r3 == again  # bit-identical re-runs
+
+
+def test_weighted_sample_monotone_and_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_weighted_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 3 == 0 else (1.0 if i % 3 == 1 else 0.5)) for i in range(300)],
+        "doc_id long, rate double",
+    )
+    kept = sample_weighted_by_hash(df, "doc_id", "rate").collect()
+    by_rate = {}
+    for r in kept:
+        by_rate.setdefault(r["rate"], []).append(r["doc_id"])
+    assert 0.0 not in by_rate                      # rate 0 keeps nothing
+    assert len(by_rate[1.0]) == 100                # rate 1 keeps all
+    assert 20 < len(by_rate[0.5]) < 80             # rate .5 keeps ~half
+    # monotone: raising every rate to 1.0 keeps a superset
+    all_kept = sample_weighted_by_hash(
+        df.withColumn("rate", F.lit(1.0)), "doc_id", "rate"
+    ).collect()
+    assert {r["doc_id"] for r in kept} <= {r["doc_id"] for r in all_kept}
+    # out-of-range rates are clamped, not errors
+    clamped = sample_weighted_by_hash(
+        df.withColumn("rate", F.col("rate") * 3 - 1), "doc_id", "rate"
+    )
+    assert clamped.count() > 0

@@ -241,6 +241,7 @@ BNLJ_ALLOWED = {
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
     "q_bpe_compression": "1-row argmax merge broadcast per round",
     "q_mine_hard_negatives": "bounded query set (8 anchors)",
+    "q_dsir_weighted_sample": "1-row max-logw scalar",
 }
 
 
