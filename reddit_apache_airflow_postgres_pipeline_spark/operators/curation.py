@@ -493,12 +493,17 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bins: int = 10) -> DataFrame:
 
         (bin, n_ref, n_cur, p_ref, p_cur, psi_term)
 
-    with additive (+1) smoothing so empty bins contribute finite terms
-    (``p = (n+1)/(N+bins)``), probabilities rounded to 6 dp and
-    ``psi_term = (p_cur − p_ref)·ln(p_cur/p_ref)`` computed FROM the
-    rounded probabilities, keeping the whole relation a cross-engine
-    contract. Total PSI = Σ psi_term (alert thresholds: 0.1 moderate,
-    0.25 major — the industry convention).
+    with epsilon-PROBABILITY smoothing (``p = max(n/N, 1e-4)``) so empty
+    bins contribute finite terms. Epsilon on the probability — not +1 on
+    the count — keeps PSI size-invariant: a 20-row batch against a
+    100k-row reference with IDENTICAL proportions scores exactly 0,
+    where count-additive smoothing inflates every empty bin by the
+    sample-size ratio and false-alarms on small batches (the gate's
+    whole use case). Probabilities round to 6 dp and ``psi_term =
+    (p_cur − p_ref)·ln(p_cur/p_ref)`` is computed FROM the rounded
+    probabilities, keeping the relation a cross-engine contract. Total
+    PSI = Σ psi_term (alert thresholds: 0.1 moderate, 0.25 major — the
+    industry convention).
 
     Scale shape: two bounded hash-aggs (≤ bins rows out however large
     the snapshots), 1-row total broadcasts, and a ``bins``-row spine
@@ -511,16 +516,19 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bins: int = 10) -> DataFrame:
     tot = r.agg(F.coalesce(F.sum("n_ref"), F.lit(0)).alias("tr")).crossJoin(
         c.agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("tc"))
     )
-    p_ref = F.round(
-        (F.coalesce(F.col("n_ref"), F.lit(0)) + F.lit(1.0))
-        / (F.col("tr") + F.lit(float(bins))),
-        6,
-    )
-    p_cur = F.round(
-        (F.coalesce(F.col("n_cur"), F.lit(0)) + F.lit(1.0))
-        / (F.col("tc") + F.lit(float(bins))),
-        6,
-    )
+    eps = F.lit(1e-4)
+
+    def _p(n: str, total: str) -> Column:
+        # an EMPTY snapshot (total 0) floors every bin at eps — "no
+        # evidence", PSI 0 against anything equally floored; the
+        # division is gated so ANSI mode never sees n/0
+        frac = F.when(
+            F.col(total) > 0, F.coalesce(F.col(n), F.lit(0)) / F.col(total)
+        ).otherwise(F.lit(0.0))
+        return F.round(F.greatest(frac, eps), 6)
+
+    p_ref = _p("n_ref", "tr")
+    p_cur = _p("n_cur", "tc")
     return (
         spine.join(r, "bin", "left")
         .join(c, "bin", "left")

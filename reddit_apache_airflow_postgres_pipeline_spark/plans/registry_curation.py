@@ -645,8 +645,12 @@ def q_dsir_select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT b.bin,
              COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
-             round((COALESCE(r.n_ref, 0) + 1.0) / (tot.tr + 10.0), 6) AS p_ref,
-             round((COALESCE(c.n_cur, 0) + 1.0) / (tot.tc + 10.0), 6) AS p_cur
+             round(greatest(CASE WHEN tot.tr > 0
+                            THEN COALESCE(r.n_ref, 0) * 1.0 / tot.tr
+                            ELSE 0.0 END, 0.0001), 6) AS p_ref,
+             round(greatest(CASE WHEN tot.tc > 0
+                            THEN COALESCE(c.n_cur, 0) * 1.0 / tot.tc
+                            ELSE 0.0 END, 0.0001), 6) AS p_cur
       FROM bins b LEFT JOIN r ON r.bin = b.bin
                   LEFT JOIN c ON c.bin = b.bin
       CROSS JOIN tot)

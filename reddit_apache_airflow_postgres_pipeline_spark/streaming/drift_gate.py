@@ -1,0 +1,136 @@
+"""Streaming distribution-drift admission gate: PSI-gate every incoming
+micro-batch against a frozen reference snapshot before it may join the
+training corpus.
+
+The third ingest monitor beside the content gate (dedup_gate.py — "have
+we seen this document?") and the count sketch (cms_stream.py — "how
+often does this key occur?"): this one asks "does this BATCH still look
+like the corpus we validated?" — the guard that catches a broken
+crawler, a feed switched to another language, or a spam flood, none of
+which per-document filters see because every individual document looks
+fine.
+
+Mechanics: the reference is a persisted relation of (bin) rows (built
+once from a validated snapshot with the same binning expression); each
+micro-batch bins its docs, runs :func:`curation.psi_drift` against the
+reference, and admits the batch iff total PSI ≤ ``threshold`` (the
+industry 0.1/0.25 convention — 0.25 here, the "major drift" line).
+Admitted batches land under ``out_dir/admitted/batch_id=<i>``,
+quarantined ones under ``out_dir/quarantined/batch_id=<i>`` (kept, not
+dropped — drift is a signal to INSPECT, not silently discard), and
+every decision appends a (batch_id, psi, admitted, n_docs) row to
+``out_dir/decisions`` for the monitoring dashboard. Per-batch-dir
+overwrite + the checkpoint give the same exactly-once/retry contract as
+the sibling gates.
+
+The one driver-side value is the scalar PSI total per batch (a 1-row
+aggregate collected to make the admit/quarantine control-flow decision
+— decision-sized, like the file-name lists in combine_stream.py; the
+binning and PSI math run distributed). At 100 TB/day the reference is
+≤ bins rows and every batch reduces to ≤ bins rows before the compare —
+nothing corpus-scale crosses the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import psi_drift
+from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+_PSI_THRESHOLD = 0.25  # the "major drift" alerting line
+
+
+def token_length_bins(
+    df: DataFrame, text_col: str = "text", bin_width: int = 20, bins: int = 10
+) -> DataFrame:
+    """The gate's default binning: integer fixed-width token-length bins
+    (the float-boundary-free contract q_corpus_psi_drift uses)."""
+    return df.select(
+        F.least(
+            (token_count(text_col) / bin_width).cast("int"), F.lit(bins - 1)
+        ).alias("bin")
+    )
+
+
+def write_reference(
+    df: DataFrame,
+    ref_path: str,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> None:
+    """Freeze a validated snapshot's binned distribution as the gate's
+    reference relation."""
+    token_length_bins(df, text_col, bin_width, bins).write.mode(
+        "overwrite"
+    ).parquet(ref_path)
+
+
+def batch_psi(
+    batch_df: DataFrame,
+    ref_bins: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> float:
+    """Total PSI of one batch against the reference — the scalar the
+    admission decision turns on. Pure function of two relations, so the
+    batch path is unit-testable without a stream."""
+    cur = token_length_bins(batch_df, text_col, bin_width, bins)
+    row = (
+        psi_drift(ref_bins, cur, bins=bins)
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        .collect()[0]
+    )
+    return float(row["psi"])
+
+
+def run_drift_gate_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    ref_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+    threshold: float = _PSI_THRESHOLD,
+) -> None:
+    """Drain ``input_dir`` (parquet files) through the gate with an
+    availableNow trigger; see the module docstring for the layout."""
+    ref_bins = spark.read.parquet(ref_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        psi = batch_psi(batch_df, ref_bins, text_col, bin_width, bins)
+        admitted = psi <= threshold
+        dest = "admitted" if admitted else "quarantined"
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, dest, f"batch_id={batch_id}")
+        )
+        n = batch_df.count()
+        # batch_id lives in the partition dir name — readers of the
+        # decisions log get it back as the inferred partition column
+        batch_df.sparkSession.createDataFrame(
+            [(psi, admitted, n)],
+            "psi double, admitted boolean, n_docs long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
+        )
+
+    (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
