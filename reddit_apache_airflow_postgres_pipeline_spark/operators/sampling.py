@@ -23,11 +23,18 @@ from pyspark.sql import functions as F
 _BUCKETS = 1 << 32
 
 
-def hash_bucket(col: Column | str, salt: str = "") -> Column:
-    """Uniform 32-bit bucket of ``salt ‖ key`` via the md5 prefix."""
+def hash_bucket(col: Column | str, salt: str = "", hex_chars: int = 8) -> Column:
+    """Uniform bucket of ``salt ‖ key`` via the md5 prefix — 32-bit by
+    default; ``hex_chars=15`` gives a 60-bit hash, the widest prefix
+    that stays inside a signed BIGINT in both engines (DuckDB:
+    ``('0x'||substr(md5(salt||k),1,hex_chars))::BIGINT``)."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError(f"hex_chars must be in [1, 15], got {hex_chars}")
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, hex_chars),
+        16,
+        10,
     ).cast("long")
 
 

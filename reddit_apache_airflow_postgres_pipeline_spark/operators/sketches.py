@@ -78,17 +78,40 @@ def cms_build(
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def _cms_check_extents(sketch: DataFrame, d: int, w: int) -> DataFrame:
+    """Runtime guard: every sketch cell must fall inside the declared
+    ``d × w`` grid, else the caller is probing/merging with parameters
+    the sketch was not built with — which silently mis-estimates (the
+    failure ADVICE r5 flagged). Evaluated as a filter over the bounded
+    ≤(d×w)-row relation, so the cost is nil; raises at action time.
+    Note the check is one-sided: a sketch built SMALLER than the
+    declared grid cannot be distinguished from a sparsely-touched one.
+    """
+    ok = (F.col("row") < d) & (F.col("col") < w)
+    msg = F.lit(
+        f"CMS cell outside the declared d={d}, w={w} grid — "
+        "sketch was built with different parameters"
+    )
+    return sketch.where(F.assert_true(ok, msg).isNull())
+
+
+def cms_merge(
+    *sketches: DataFrame, d: int | None = None, w: int | None = None
+) -> DataFrame:
     """Combine sketches built with the SAME (d, w): cell-wise sum.
 
     This is the distributivity that makes CMS a scale tool — per-shard
     sketches union into one ≤(d×w × n_shards)-row relation and
     re-aggregate down to ≤ d×w. Equality with the monolithic build is
-    pinned by tests/test_sketches.py.
+    pinned by tests/test_sketches.py. Pass ``d``/``w`` to assert at
+    runtime that every input's cells fit the declared grid (mismatched
+    builds otherwise merge silently into garbage).
     """
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
+    if d is not None and w is not None:
+        out = _cms_check_extents(out, d, w)
     return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
 
 
@@ -109,7 +132,11 @@ def cms_estimate(
     sketch, folded with one min-agg per key. Map-only at any key-set
     size — the sketch side is bounded by construction, the mirror image
     of the Bloom-probe shape in curation.bloom_contaminated_ids.
+    The sketch's cell extents are runtime-asserted against the passed
+    (d, w): probing with parameters the sketch was not built with
+    raises instead of silently mis-estimating.
     """
+    sketch = _cms_check_extents(sketch, d, w)
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -147,13 +174,21 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+#: HLL hash width in bits: a 15-hex-char md5 prefix (60 bits), the
+#: widest that stays inside a signed BIGINT in both engines. A 32-bit
+#: hash saturates (hash collisions dominate) in the hundreds of
+#: millions of distinct keys; 60 bits pushes the ceiling to ~2^60 —
+#: no large-range correction needed at any realistic corpus scale.
+_HLL_BITS = 60
+
+
 def _hll_hash(key: Column | str) -> Column:
-    """32-bit hash of the key — the engine's one md5-prefix hash idiom
-    (sampling.hash_bucket), 'hll:'-salted (DuckDB:
-    ``('0x'||substr(md5('hll:'||k),1,8))::BIGINT``)."""
+    """60-bit hash of the key — the engine's one md5-prefix hash idiom
+    (sampling.hash_bucket, hex_chars=15), 'hll:'-salted (DuckDB:
+    ``('0x'||substr(md5('hll:'||k),1,15))::BIGINT``)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
 
-    return hash_bucket(key, "hll:")
+    return hash_bucket(key, "hll:", hex_chars=_HLL_BITS // 4)
 
 
 def hll_build(
@@ -166,10 +201,11 @@ def hll_build(
     ≤ ``2^p`` rows per group however many key occurrences went in.
 
     register = low ``p`` hash bits; rank = 1-based position of the
-    first set bit in the remaining ``32-p`` bits (``33-p`` when they're
-    all zero). Rank extraction is integer/string arithmetic only
-    (``shiftright`` + ``bin``/``lpad``/``instr``) so both engines agree
-    bit-for-bit — no float log2 at integer boundaries.
+    first set bit in the remaining ``60-p`` bits (``61-p`` when they're
+    all zero; 60-bit hash — see ``_HLL_BITS``). Rank extraction is
+    integer/string arithmetic only (``shiftright`` +
+    ``bin``/``lpad``/``instr``) so both engines agree bit-for-bit — no
+    float log2 at integer boundaries.
 
     Completes the sketch-relation family: Bloom (membership,
     curation.py), CMS (frequency), MinHash (similarity, neardup.py),
@@ -182,7 +218,7 @@ def hll_build(
     """
     group_cols = group_cols or []
     m = 1 << p
-    suffix_bits = 32 - p
+    suffix_bits = _HLL_BITS - p
     h = _hll_hash(key_col)
     suf = F.shiftright(h, p)
     rank = F.when(suf == 0, F.lit(suffix_bits + 1)).otherwise(
@@ -224,20 +260,26 @@ def hll_estimate(
     ``raw = α_m · m² / Z`` with ``Z = Σ_j 2^(−M_j)`` over all m
     registers (absent rows count as M=0 → contribute 1 each); the
     small-range branch switches to linear counting ``m·ln(m/V)`` when
-    ``raw ≤ 2.5m`` and V (empty registers) > 0. Z is EXACTLY order-free
-    in doubles: every term is a dyadic rational spanning < 53 bits of
-    exponent range, so the reduce needs no decimal detour and the SQL
-    oracle reproduces it bit-for-bit.
+    ``raw ≤ 2.5m`` and V (empty registers) > 0. With the 60-bit hash
+    the dyadic terms span > 53 bits of exponent range, so a float Z is
+    NOT order-free; instead Z is summed exactly as the scaled BIGINT
+    ``Z·2^(61−p)`` (present registers contribute ``2^(61−p−M)``,
+    absent ones ``2^(61−p)``; total < 2^62, no overflow) and the one
+    double division at the end is correctly rounded — bit-for-bit in
+    the SQL oracle regardless of reduce order.
     """
     group_cols = group_cols or []
     m = 1 << p
     alpha = hll_alpha(m)
+    rank_max = _HLL_BITS - p + 1  # maxrank ∈ [1, rank_max]
     agg = sketch.groupBy(*group_cols).agg(
         F.count("*").alias("__pres"),
-        F.sum(F.pow(F.lit(2.0), -F.col("maxrank"))).alias("__zpres"),
+        F.sum(F.expr(f"shiftleft(1L, {rank_max} - maxrank)")).alias("__zp"),
     )
-    z = F.col("__zpres") + (F.lit(m) - F.col("__pres"))
-    raw = F.lit(alpha * m * m) / z
+    z_scaled = F.col("__zp") + (F.lit(m) - F.col("__pres")) * F.lit(
+        1 << rank_max
+    ).cast("long")
+    raw = F.lit(alpha * m * m * float(1 << rank_max)) / z_scaled
     v = F.lit(m) - F.col("__pres")
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)

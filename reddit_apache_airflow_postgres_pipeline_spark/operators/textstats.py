@@ -362,6 +362,10 @@ def bpe_learn(
     (weighted by word frequency, ties broken lexicographically — a
     total order, so the learned merge table is deterministic). Output:
     (step, l_sym, r_sym, merged, cnt), one row per learned merge.
+    If the corpus exhausts its merges before round ``k`` (all surviving
+    words single-symbol), the remaining rounds are no-ops and the
+    output has FEWER than ``k`` rows — never an annihilated relation
+    (a cnt=0 sentinel keeps the per-round argmax non-empty).
 
     Symbol sequences are carried as ``{a}{b}{c}`` strings: the braces
     make the merge a plain string ``replace`` with no false boundary
@@ -404,9 +408,27 @@ def _bpe_rounds(docs: DataFrame, text_col: str, k: int):
         )
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
+        # the one corpus-scale pass (token explode + agg); checkpointed
+        # so the k unrolled rounds and the step union all read one
+        # materialized vocabulary instead of re-deriving the corpus
+        # subtree per consumer (triangles/pagerank idiom)
+        .localCheckpoint()
     )
     seqs = words.select(
         "w", F.regexp_replace("w", "(.)", "{$1}").alias("seq"), "freq"
+    )
+    # no-op fallback merge: if a round finds NO adjacent pair (all
+    # surviving words single-symbol, or k exceeds available merges) the
+    # bare top-1 is EMPTY and a crossJoin would annihilate seqs — every
+    # later round silently returning 0 rows. Union a cnt=0 sentinel
+    # ('','') whose replace pattern '{}{}' can never match (symbols are
+    # never empty) so the argmax is always 1 row; real pairs (cnt >= 1)
+    # always outrank it. Steps with cnt=0 are filtered out, so
+    # bpe_learn may return FEWER than k steps on degenerate corpora.
+    noop = docs.sparkSession.range(1).select(
+        F.lit("").alias("l_sym"),
+        F.lit("").alias("r_sym"),
+        F.lit(0).cast("bigint").alias("cnt"),
     )
     steps = []
     for step in range(1, k + 1):
@@ -435,11 +457,12 @@ def _bpe_rounds(docs: DataFrame, text_col: str, k: int):
                 F.split_part(F.col("pr"), F.lit(" "), F.lit(2)).alias("r_sym"),
                 "cnt",
             )
+            .unionAll(noop)
             .orderBy(F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym"))
             .limit(1)
         )
         steps.append(
-            best.select(
+            best.filter(F.col("cnt") > 0).select(
                 F.lit(step).alias("step"),
                 "l_sym",
                 "r_sym",

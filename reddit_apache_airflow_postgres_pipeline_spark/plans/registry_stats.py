@@ -492,24 +492,26 @@ def q_cms_token_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH h AS (
       SELECT event_type,
-             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
       FROM events),
     rk AS (
       SELECT event_type, CAST(hv % 32 AS INT) AS register,
-             CASE WHEN (hv >> 5) = 0 THEN 28
-                  ELSE instr(lpad(bin(hv >> 5), 27, '0'), '1') END AS rank
+             CASE WHEN (hv >> 5) = 0 THEN 56
+                  ELSE instr(lpad(bin(hv >> 5), 55, '0'), '1') END AS rank
       FROM h),
     sk AS (SELECT event_type, register, MAX(rank) AS maxrank
            FROM rk GROUP BY 1, 2),
     ag AS (SELECT event_type, COUNT(*) AS pres,
-                  SUM(power(2.0, -maxrank)) AS zpres
+                  SUM(1::BIGINT << (56 - maxrank)) AS zp
            FROM sk GROUP BY event_type),
     est AS (
       SELECT event_type,
-             CASE WHEN (0.697 * 32 * 32) / (zpres + (32 - pres)) <= 80.0
+             CASE WHEN 5.142952247750223e+19
+                       / (zp + (32 - pres) * (1::BIGINT << 56)) <= 80.0
                        AND (32 - pres) > 0
                   THEN round(32.0 * ln(32.0 / (32 - pres)), 4)
-                  ELSE round((0.697 * 32 * 32) / (zpres + (32 - pres)), 4)
+                  ELSE round(5.142952247750223e+19
+                             / (zp + (32 - pres) * (1::BIGINT << 56)), 4)
              END AS est_users
       FROM ag),
     exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
@@ -526,8 +528,9 @@ def q_hll_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a 32-register sketch RELATION vs the exact distinct count —
     the "distinct users per segment" query whose exact form shuffles
     every raw user id, answered from ≤32 rows per group instead. Rank
-    extraction is pure integer/string arithmetic and Z is an exactly
-    order-free dyadic sum, so the estimate replays bit-for-bit in the
+    extraction is pure integer/string arithmetic (60-bit hash) and Z is
+    summed exactly as a scaled BIGINT, so the estimate replays
+    bit-for-bit in the
     oracle — unlike the engine's built-in approx_count_distinct, whose
     HLL++ internals are not portable (q_approx_count_distinct pins that
     one by exactness-at-small-n instead)."""
@@ -650,8 +653,12 @@ def q_embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFra
     runs on the tiny 8×8 matrix RELATION (join + agg per round — no
     driver-side numpy), with the rounding contract making all three
     rounds replay bit-for-bit in the oracle. eigenvalue is the Rayleigh
-    estimate ‖A·v‖ after the final round."""
-    cov = q_embedding_covariance(spark, sf_dir)
+    estimate ‖A·v‖ after the final round. The cov relation is
+    localCheckpoint()ed (the triangles/pagerank idiom) so the
+    corpus-scale Gram pass appears exactly once: without it the static
+    plan re-derives cov inside every unrolled round (148 exchanges,
+    r5 verdict) and leans on AQE ReuseExchange to dedup at runtime."""
+    cov = q_embedding_covariance(spark, sf_dir).localCheckpoint()
     A = cov.select(
         F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), F.col("cov").alias("a")
     ).unionAll(
@@ -663,11 +670,15 @@ def q_embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("id").cast("int").alias("i"), F.lit(1.0).alias("v")
     )
     for _ in range(3):
+        # w is 8 rows; checkpointing it per round keeps the plan
+        # constant-size (nm and v both read the same materialized leaf
+        # instead of duplicating the whole prior-round subtree)
         w = (
             A.join(v.withColumnRenamed("i", "j"), "j")
             .select("i", F.round(F.col("a") * F.col("v"), 9).alias("t"))
             .groupBy("i")
             .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double").alias("w"))
+            .localCheckpoint()
         )
         nm = w.agg(
             F.sqrt(
@@ -712,7 +723,9 @@ def _bpe_ctes(k: int) -> str:
             FROM s{i-1}) t),
     c{i} AS (SELECT pr[1] AS l_sym, pr[2] AS r_sym, SUM(freq) AS cnt
              FROM p{i} GROUP BY 1, 2),
-    b{i} AS (SELECT * FROM c{i} ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+    b{i} AS (SELECT * FROM (SELECT l_sym, r_sym, cnt FROM c{i}
+                            UNION ALL SELECT '', '', 0)
+             ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
     s{i} AS (SELECT w, replace(seq, '{{' || b.l_sym || '}}{{' || b.r_sym || '}}',
                             '{{' || b.l_sym || b.r_sym || '}}') AS seq, freq
              FROM s{i-1}, b{i} b)"""
@@ -728,7 +741,7 @@ def _bpe_sql(k: int) -> str:
     sql = _bpe_ctes(k)
     unions = "\n    UNION ALL ".join(
         f"SELECT {i} AS step, l_sym, r_sym, l_sym || r_sym AS merged,"
-        f" CAST(cnt AS BIGINT) AS cnt FROM b{i}"
+        f" CAST(cnt AS BIGINT) AS cnt FROM b{i} WHERE cnt > 0"
         for i in range(1, k + 1)
     )
     return sql + "\n    " + unions

@@ -431,8 +431,9 @@ def test_hll_registers_match_python_reference(spark, keys):
     }
     ref: dict[int, int] = {}
     for k in set(keys):
-        h = int(hashlib.md5(("hll:" + k).encode("utf-8")).hexdigest()[:8], 16)
+        # 60-bit md5-prefix hash (15 hex chars) — see sketches._HLL_BITS
+        h = int(hashlib.md5(("hll:" + k).encode("utf-8")).hexdigest()[:15], 16)
         reg, suf = h % m, h >> p
-        rank = (32 - p) + 1 if suf == 0 else (32 - p) - suf.bit_length() + 1
+        rank = (60 - p) + 1 if suf == 0 else (60 - p) - suf.bit_length() + 1
         ref[reg] = max(ref.get(reg, 0), rank)
     assert sk == ref

@@ -54,6 +54,33 @@ def test_cms_shard_merge_equals_monolithic_build(spark):
     assert m == g
 
 
+def test_cms_estimate_rejects_mismatched_grid(spark):
+    import pytest
+
+    occ = _occ(spark, [f"k{i}" for i in range(300)])
+    cms = sketches.cms_build(occ, "k", d=4, w=256)
+    # probing a 4×256 sketch as if it were 4×64 must raise, not
+    # silently mis-estimate (ADVICE r5); with 300 keys some col ≥ 64
+    # exists with near-certainty
+    bad = sketches.cms_estimate(cms, _occ(spark, ["k0"]), "k", d=4, w=64)
+    with pytest.raises(Exception, match="different parameters"):
+        bad.collect()
+    # declaring the true grid still works
+    ok = sketches.cms_estimate(cms, _occ(spark, ["k0"]), "k", d=4, w=256)
+    assert ok.collect()[0]["est"] >= 1
+
+
+def test_cms_merge_validates_declared_grid(spark):
+    import pytest
+
+    a = sketches.cms_build(_occ(spark, [f"a{i}" for i in range(200)]), "k", d=4, w=256)
+    b = sketches.cms_build(_occ(spark, [f"b{i}" for i in range(200)]), "k", d=2, w=64)
+    with pytest.raises(Exception, match="different parameters"):
+        sketches.cms_merge(a, b, d=2, w=64).collect()
+    # without a declared grid the merge is unchecked (back-compat)
+    assert sketches.cms_merge(a, b).count() <= 4 * 256 + 2 * 64
+
+
 def test_hll_merge_equals_monolithic_and_accuracy(spark):
     from pyspark.sql import functions as F
 
@@ -102,6 +129,33 @@ def test_bpe_learn_hand_checked_merges(spark):
     assert rows[1] == ("a", "b", "ab", 4)
     assert rows[2] == ("ab", "ab", "abab", 2)
     assert rows[3] == ("a", "c", "ac", 1)
+
+
+def test_bpe_degenerate_corpus_stops_short_not_empty(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        bpe_compression_stats,
+        bpe_learn,
+    )
+
+    # single-char words exhaust after 0 merges; k=3 must NOT annihilate
+    # the sequence relation via an empty-argmax crossJoin (ADVICE r5):
+    # bpe_learn returns fewer than k steps, compression stats still
+    # cover the whole vocabulary
+    docs = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    assert bpe_learn(docs, k=3).collect() == []
+    stats = bpe_compression_stats(docs, k=3).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    assert r["vocab_size"] == 3 and r["total_tokens"] == 4
+    assert r["compression"] == 1.0
+
+    # merges exhaust mid-run: 'aa aa' learns (a,a) then nothing —
+    # exactly 1 step out of k=3, later rounds are no-ops
+    docs2 = spark.createDataFrame([(1, "aa aa")], "doc_id long, text string")
+    rows = bpe_learn(docs2, k=3).collect()
+    assert [(r["step"], r["merged"], r["cnt"]) for r in rows] == [(1, "aa", 2)]
+    st2 = bpe_compression_stats(docs2, k=3).collect()[0]
+    assert st2["vocab_size"] == 1 and st2["syms_per_token_merged"] == 1.0
 
 
 def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
