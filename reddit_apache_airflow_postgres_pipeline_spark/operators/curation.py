@@ -509,10 +509,28 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bins: int = 10) -> DataFrame:
     the snapshots), 1-row total broadcasts, and a ``bins``-row spine
     join — nothing corpus-sized survives the first aggregate.
     """
-    spark = ref.sparkSession
+    return psi_drift_counts(
+        ref.groupBy("bin").agg(F.count("*").alias("n")),
+        cur.groupBy("bin").agg(F.count("*").alias("n")),
+        bins=bins,
+    )
+
+
+def psi_drift_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, bins: int = 10
+) -> DataFrame:
+    """:func:`psi_drift` over PRE-AGGREGATED ``(bin, n)`` count
+    relations — the form a persisted reference snapshot should take
+    (≤ bins rows on disk instead of one row per document, so a gate
+    decision never re-scans the validated corpus; ADVICE r5). Same
+    output contract as psi_drift.
+    """
+    spark = ref_counts.sparkSession
     spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
-    r = ref.groupBy("bin").agg(F.count("*").alias("n_ref"))
-    c = cur.groupBy("bin").agg(F.count("*").alias("n_cur"))
+    # re-aggregate defensively: shard-merged count relations may carry
+    # the same bin more than once; the fold is over ≤ bins·shards rows
+    r = ref_counts.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = cur_counts.groupBy("bin").agg(F.sum("n").alias("n_cur"))
     tot = r.agg(F.coalesce(F.sum("n_ref"), F.lit(0)).alias("tr")).crossJoin(
         c.agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("tc"))
     )

@@ -10,10 +10,12 @@ crawler, a feed switched to another language, or a spam flood, none of
 which per-document filters see because every individual document looks
 fine.
 
-Mechanics: the reference is a persisted relation of (bin) rows (built
-once from a validated snapshot with the same binning expression); each
-micro-batch bins its docs, runs :func:`curation.psi_drift` against the
-reference, and admits the batch iff total PSI ≤ ``threshold`` (the
+Mechanics: the reference is a persisted PRE-AGGREGATED ``(bin, n)``
+count relation of ≤ ``bins`` rows (built once from a validated snapshot
+with the same binning expression — never one row per document, so a
+batch decision never re-scans the validated corpus); each micro-batch
+bins its docs, runs :func:`curation.psi_drift_counts` against it, and
+admits the batch iff total PSI ≤ ``threshold`` (the
 industry 0.1/0.25 convention — 0.25 here, the "major drift" line).
 Admitted batches land under ``out_dir/admitted/batch_id=<i>``,
 quarantined ones under ``out_dir/quarantined/batch_id=<i>`` (kept, not
@@ -23,12 +25,15 @@ every decision appends a (batch_id, psi, admitted, n_docs) row to
 overwrite + the checkpoint give the same exactly-once/retry contract as
 the sibling gates.
 
-The one driver-side value is the scalar PSI total per batch (a 1-row
+The one driver-side value is the (psi, n_docs) pair per batch (a 1-row
 aggregate collected to make the admit/quarantine control-flow decision
 — decision-sized, like the file-name lists in combine_stream.py; the
-binning and PSI math run distributed). At 100 TB/day the reference is
-≤ bins rows and every batch reduces to ≤ bins rows before the compare —
-nothing corpus-scale crosses the driver.
+binning and PSI math run distributed). At 100 TB/day the reference IS
+≤ bins rows on disk and every batch reduces to ≤ bins rows before the
+compare — nothing corpus-scale crosses the driver. Each micro-batch is
+persisted at gate entry, so its source files are scanned exactly once:
+the decision aggregate populates the cache and the admit/quarantine
+write replays from it (the r5 three-pass shape is gone).
 """
 
 from __future__ import annotations
@@ -38,7 +43,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import psi_drift
+from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+    psi_drift_counts,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
 
 _PSI_THRESHOLD = 0.25  # the "major drift" alerting line
@@ -48,11 +55,23 @@ def token_length_bins(
     df: DataFrame, text_col: str = "text", bin_width: int = 20, bins: int = 10
 ) -> DataFrame:
     """The gate's default binning: integer fixed-width token-length bins
-    (the float-boundary-free contract q_corpus_psi_drift uses)."""
+    (the float-boundary-free contract q_corpus_psi_drift uses). Every
+    document lands in a bin in [0, bins) — token_count is never NULL —
+    so Σ bin-counts = document count."""
     return df.select(
         F.least(
             (token_count(text_col) / bin_width).cast("int"), F.lit(bins - 1)
         ).alias("bin")
+    )
+
+
+def reference_counts(
+    df: DataFrame, text_col: str = "text", bin_width: int = 20, bins: int = 10
+) -> DataFrame:
+    """A snapshot's binned distribution as a ≤ ``bins``-row ``(bin, n)``
+    count relation — the gate's persisted-reference form."""
+    return token_length_bins(df, text_col, bin_width, bins).groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n")
     )
 
 
@@ -64,29 +83,46 @@ def write_reference(
     bins: int = 10,
 ) -> None:
     """Freeze a validated snapshot's binned distribution as the gate's
-    reference relation."""
-    token_length_bins(df, text_col, bin_width, bins).write.mode(
+    ≤ ``bins``-row pre-aggregated reference relation."""
+    reference_counts(df, text_col, bin_width, bins).write.mode(
         "overwrite"
     ).parquet(ref_path)
 
 
+def batch_psi_stats(
+    batch_df: DataFrame,
+    ref_counts: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> tuple[float, int]:
+    """(total PSI, document count) of one batch against the reference
+    ``(bin, n)`` counts — ONE aggregate job yields both the admission
+    scalar and the decision-log count (every doc lands in a spine bin,
+    so Σ n_cur is the batch size). Pure function of two relations, so
+    the batch path is unit-testable without a stream."""
+    cur = reference_counts(batch_df, text_col, bin_width, bins)
+    row = (
+        psi_drift_counts(ref_counts, cur, bins=bins)
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.sum("n_cur").cast("bigint").alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    return float(row["psi"]), int(row["n_docs"])
+
+
 def batch_psi(
     batch_df: DataFrame,
-    ref_bins: DataFrame,
+    ref_counts: DataFrame,
     text_col: str = "text",
     bin_width: int = 20,
     bins: int = 10,
 ) -> float:
-    """Total PSI of one batch against the reference — the scalar the
-    admission decision turns on. Pure function of two relations, so the
-    batch path is unit-testable without a stream."""
-    cur = token_length_bins(batch_df, text_col, bin_width, bins)
-    row = (
-        psi_drift(ref_bins, cur, bins=bins)
-        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
-        .collect()[0]
-    )
-    return float(row["psi"])
+    """Total PSI of one batch against the reference counts — the scalar
+    the admission decision turns on."""
+    return batch_psi_stats(batch_df, ref_counts, text_col, bin_width, bins)[0]
 
 
 def run_drift_gate_available_now(
@@ -103,7 +139,7 @@ def run_drift_gate_available_now(
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger; see the module docstring for the layout."""
-    ref_bins = spark.read.parquet(ref_path)
+    ref_counts = spark.read.parquet(ref_path)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -111,21 +147,29 @@ def run_drift_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        psi = batch_psi(batch_df, ref_bins, text_col, bin_width, bins)
-        admitted = psi <= threshold
-        dest = "admitted" if admitted else "quarantined"
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out_dir, dest, f"batch_id={batch_id}")
-        )
-        n = batch_df.count()
-        # batch_id lives in the partition dir name — readers of the
-        # decisions log get it back as the inferred partition column
-        batch_df.sparkSession.createDataFrame(
-            [(psi, admitted, n)],
-            "psi double, admitted boolean, n_docs long",
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
-        )
+        # persist: the decision aggregate populates the cache and the
+        # admit/quarantine write replays from it — ONE scan of the
+        # batch's source files instead of three (ADVICE r5)
+        batch_df.persist()
+        try:
+            psi, n = batch_psi_stats(
+                batch_df, ref_counts, text_col, bin_width, bins
+            )
+            admitted = psi <= threshold
+            dest = "admitted" if admitted else "quarantined"
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, dest, f"batch_id={batch_id}")
+            )
+            # batch_id lives in the partition dir name — readers of the
+            # decisions log get it back as the inferred partition column
+            batch_df.sparkSession.createDataFrame(
+                [(psi, admitted, n)],
+                "psi double, admitted boolean, n_docs long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     (
         stream.writeStream.foreachBatch(_gate)

@@ -34,10 +34,28 @@ def _write(path, rows):
 
 def test_batch_psi_zero_on_identical_distribution(spark):
     ref_df = spark.createDataFrame([(i, NORMAL) for i in range(50)], SCHEMA)
-    ref = drift_gate.token_length_bins(ref_df)
-    assert drift_gate.batch_psi(ref_df, ref) == 0.0
+    ref = drift_gate.reference_counts(ref_df)
+    psi, n = drift_gate.batch_psi_stats(ref_df, ref)
+    assert psi == 0.0 and n == 50
     drifted = spark.createDataFrame([(i, SHORT) for i in range(50)], SCHEMA)
     assert drift_gate.batch_psi(drifted, ref) > 0.25
+
+
+def test_write_reference_roundtrip_is_bounded_and_psi_zero(spark, tmp_path):
+    # the persisted reference must be the PRE-AGGREGATED (bin, n) form
+    # (<= bins rows however large the snapshot) and round-trip through
+    # batch_psi as exactly 0.0 on the same data (VERDICT r5 #3)
+    ref_path = str(tmp_path / "ref")
+    snap = spark.createDataFrame(
+        [(i, NORMAL) for i in range(80)] + [(100 + i, SHORT) for i in range(20)],
+        SCHEMA,
+    )
+    drift_gate.write_reference(snap, ref_path, bins=10)
+    persisted = spark.read.parquet(ref_path)
+    assert persisted.count() <= 10
+    assert sorted(persisted.columns) == ["bin", "n"]
+    assert persisted.agg(F.sum("n")).collect()[0][0] == 100
+    assert drift_gate.batch_psi(snap, persisted) == 0.0
 
 
 def test_gate_admits_normal_quarantines_drifted_and_logs(spark, tmp_path):
