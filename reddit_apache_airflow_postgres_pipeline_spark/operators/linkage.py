@@ -1,0 +1,182 @@
+"""Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969)
+— the standard entity-resolution operator a crawl-corpus user reaches
+for right after near-duplicate dedup: given two record feeds (or one
+feed against itself), which pairs describe the SAME real-world entity?
+
+The model: for each comparison field ``f`` with match probability
+``m_f = P(agree | same entity)`` and chance-agreement probability
+``u_f = P(agree | different entities)``, a candidate pair scores
+
+    weight = Σ_f  log2(m_f / u_f)            if the pair agrees on f
+             Σ_f  log2((1−m_f) / (1−u_f))    otherwise
+
+and classifies by two thresholds: ``weight ≥ t_upper`` → match,
+``weight ≤ t_lower`` → non-match, else possible (clerical review). The
+m/u parameters are supplied (in production fitted by EM over the
+agreement-pattern counts — the fitting is a separate offline concern;
+the per-field agreement counts this module emits are exactly EM's
+sufficient statistics).
+
+Scale shape — the whole point of BLOCKED linkage: candidate pairs come
+from one equi-join on a blocking key (never a cross product; compare
+the banded self-join in operators/neardup.py), optionally df-capped so
+a hot block cannot go quadratic, and the scoring is a map-side
+expression over the pair relation. At 100 TB the plan is: shuffle both
+feeds once on the block key, join, score — the same shape as any big
+equi-join, with the block-size cap bounding the worst key.
+
+Determinism contract: per-field agree/disagree weights are computed
+driver-side (:func:`fs_weights`) and rounded to 6 dp, so both engines
+sum identical DECIMAL literals — no float log2 inside either engine.
+
+Reference scope: the reference pipeline has no linkage; this extends
+the engine per the build brief (SURVEY.md north-star operators), reusing
+its first-wins-dedup key discipline (dags/Combine_send_to_postgresql.py
+builds hashed entity keys, file:96-117) for the id columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fs_weights(
+    m: dict[str, float], u: dict[str, float], digits: int = 6
+) -> dict[str, tuple[float, float]]:
+    """Per-field (agree_weight, disagree_weight) = (log2(m/u),
+    log2((1−m)/(1−u))), rounded to ``digits`` dp driver-side so both
+    engines consume identical literals. Probabilities must lie strictly
+    in (0, 1) with m > u (an informative field)."""
+    out = {}
+    for f in m:
+        mf, uf = m[f], u[f]
+        if not (0.0 < uf < mf < 1.0):
+            raise ValueError(
+                f"field {f!r}: need 0 < u < m < 1, got m={mf}, u={uf}"
+            )
+        out[f] = (
+            round(math.log2(mf / uf), digits),
+            round(math.log2((1.0 - mf) / (1.0 - uf)), digits),
+        )
+    return out
+
+
+def block_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    id_col: str = "rec_id",
+    fields: list[str] | None = None,
+    max_block_size: int | None = None,
+    self_dedupe: bool = False,
+) -> DataFrame:
+    """Blocked candidate-pair generation: one equi-join on the blocking
+    key(s). Both inputs must carry ``id_col``, the block columns, and
+    the comparison ``fields``; output is (id_l, id_r, <f>_l, <f>_r ...)
+    plus the block columns.
+
+    ``max_block_size`` drops blocks larger than the cap on EITHER side
+    before the join — the df-cap discipline from neardup.py: a hot
+    block (think blocking on an empty-string zip code) otherwise
+    contributes |block|² pairs and owns the job at scale. Dropped
+    blocks are a recall-for-bound trade the caller opts into; count
+    them beforehand if you need the audit.
+
+    ``self_dedupe`` keeps only id_l < id_r — set it when linking a feed
+    against itself.
+    """
+    fields = fields or []
+
+    def _cap(df: DataFrame) -> DataFrame:
+        if max_block_size is None:
+            return df
+        sizes = df.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
+        return (
+            df.join(sizes.filter(F.col("__bn") <= max_block_size), block_cols)
+            .drop("__bn")
+        )
+
+    l = _cap(left).select(
+        *block_cols,
+        F.col(id_col).alias("id_l"),
+        *[F.col(f).alias(f"{f}_l") for f in fields],
+    )
+    r = _cap(right).select(
+        *block_cols,
+        F.col(id_col).alias("id_r"),
+        *[F.col(f).alias(f"{f}_r") for f in fields],
+    )
+    pairs = l.join(r, block_cols)
+    if self_dedupe:
+        pairs = pairs.filter(F.col("id_l") < F.col("id_r"))
+    return pairs
+
+
+def _agree(f: str) -> Column:
+    """Field agreement: null-safe equality with NULL-vs-anything (and
+    NULL-vs-NULL) counted as DISAGREE — a missing value carries no
+    linkage evidence, the conservative FS convention."""
+    lc, rc = F.col(f + "_l"), F.col(f + "_r")
+    return lc.isNotNull() & rc.isNotNull() & (lc == rc)
+
+
+def fs_score(
+    pairs: DataFrame,
+    weights: dict[str, tuple[float, float]],
+    t_upper: float,
+    t_lower: float,
+) -> DataFrame:
+    """Score blocked pairs: per-field agreement booleans, the total
+    log-likelihood weight (DECIMAL sum of the 6-dp per-field literals —
+    exact, order-free), and the three-way decision. Map-side only."""
+    if t_lower > t_upper:
+        raise ValueError(f"t_lower {t_lower} > t_upper {t_upper}")
+    agree_cols = [ _agree(f).alias(f"agree_{f}") for f in weights ]
+    scored = pairs.select("id_l", "id_r", *agree_cols)
+    term = [
+        F.when(F.col(f"agree_{f}"), F.lit(aw).cast("decimal(18,6)")).otherwise(
+            F.lit(dw).cast("decimal(18,6)")
+        )
+        for f, (aw, dw) in weights.items()
+    ]
+    total = term[0]
+    for t in term[1:]:
+        total = total + t
+    scored = scored.withColumn("weight", F.round(total.cast("double"), 6))
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("weight") >= t_upper, F.lit("match"))
+        .when(F.col("weight") <= t_lower, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def fs_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    id_col: str = "rec_id",
+    t_upper: float = 4.0,
+    t_lower: float = 0.0,
+    max_block_size: int | None = None,
+    self_dedupe: bool = False,
+) -> DataFrame:
+    """Blocked Fellegi–Sunter linkage end-to-end: block → compare →
+    weight → classify. Output: (id_l, id_r, agree_<f>..., weight,
+    decision), one row per surviving candidate pair."""
+    w = fs_weights(m, u)
+    pairs = block_pairs(
+        left,
+        right,
+        block_cols,
+        id_col=id_col,
+        fields=list(w),
+        max_block_size=max_block_size,
+        self_dedupe=self_dedupe,
+    )
+    return fs_score(pairs, w, t_upper, t_lower)

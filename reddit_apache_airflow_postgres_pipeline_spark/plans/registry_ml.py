@@ -1049,3 +1049,87 @@ def q_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("__px") > 0, F.col("tp") / F.col("__px")), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi–Sunter record linkage (operators/linkage.py)
+# --------------------------------------------------------------------------
+
+# The supplied m/u model for the customer self-linkage demo: three
+# comparison fields outside the (nation, segment) blocking key. Single
+# source of truth for BOTH engines — fs_weights rounds the log2
+# likelihood ratios to 6 dp driver-side, so the engines sum identical
+# DECIMAL literals and no float log2 runs inside either.
+_FS_M = {"bal_band": 0.9, "cents": 0.95, "suffix": 0.85}
+_FS_U = {"bal_band": 0.1, "cents": 0.1, "suffix": 0.01}
+_FS_UPPER, _FS_LOWER = 4.0, 0.0
+
+
+def _fs_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.linkage import fs_weights
+
+    w = fs_weights(_FS_M, _FS_U)
+    terms = " + ".join(
+        f"(CASE WHEN agree_{f} THEN CAST({aw} AS DECIMAL(18,6))"
+        f" ELSE CAST({dw} AS DECIMAL(18,6)) END)"
+        for f, (aw, dw) in w.items()
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
+             CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cents,
+             right(c_name, 2) AS suffix
+      FROM customer),
+    p AS (
+      SELECT a.id AS id_l, b.id AS id_r,
+             a.bal_band = b.bal_band AS agree_bal_band,
+             a.cents = b.cents AS agree_cents,
+             a.suffix = b.suffix AS agree_suffix
+      FROM c a JOIN c b ON b.nk = a.nk AND b.seg = a.seg AND b.id > a.id),
+    s AS (
+      SELECT id_l, id_r, agree_bal_band, agree_cents, agree_suffix,
+             round(CAST({terms} AS DOUBLE), 6) AS weight
+      FROM p)
+    SELECT id_l, id_r, agree_bal_band, agree_cents, agree_suffix, weight,
+           CASE WHEN weight >= {_FS_UPPER} THEN 'match'
+                WHEN weight <= {_FS_LOWER} THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM s
+    """
+
+
+@_q("q_link_fellegi_sunter", _fs_sql())
+def q_link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Fellegi–Sunter linkage of the customer feed against
+    itself: block on (nation, market segment) — one equi-join, never a
+    cross product — then weight agreement on the account-balance band,
+    the balance cents digit, and the 2-char name suffix with supplied
+    m/u likelihood ratios, classifying each candidate pair
+    match / possible / non-match. The entity-resolution operator a
+    corpus user runs right after near-dup dedup; at 100 TB the plan is
+    one shuffle of each feed on the block key plus map-side scoring,
+    with block_pairs' max_block_size capping any hot block (cap
+    exercised in tests/test_linkage.py; generous here so every sf
+    yields the full pair set)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import linkage
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 10).alias("cents"),
+        F.substring("c_name", -2, 2).alias("suffix"),
+    )
+    return linkage.fs_link(
+        c,
+        c,
+        block_cols=["nk", "seg"],
+        m=_FS_M,
+        u=_FS_U,
+        t_upper=_FS_UPPER,
+        t_lower=_FS_LOWER,
+        max_block_size=4096,
+        self_dedupe=True,
+    )
