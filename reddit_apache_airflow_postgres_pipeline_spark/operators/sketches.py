@@ -287,3 +287,114 @@ def hll_estimate(
     return agg.select(
         *group_cols, F.round(est, round_digits).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch — order-insensitive, mergeable, oracle-exact
+# ---------------------------------------------------------------------------
+#
+# KLL / t-digest were evaluated and REJECTED for this engine: their
+# summaries depend on insertion order (compaction decisions differ per
+# permutation), so no cross-engine oracle can pin them. This is the
+# oracle-stable alternative: fixed-range equi-width binning with exact
+# per-bin counts and linear interpolation inside the bracket bin — the
+# histogram_numeric idea with a deterministic contract. Error is
+# bounded by the bin width (range/bins), the relation is ≤ bins rows
+# however large the input, and the merge is a cell-wise sum exactly
+# like the CMS grid. Caller supplies [lo, hi); out-of-range values
+# clamp into the edge bins (documented distortion — widen the range or
+# raise ``bins`` if the tails matter).
+
+
+def qsketch_build(
+    values: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., bin, n): exact counts over ``bins`` equi-width
+    bins of [lo, hi). NULL values are excluded (no evidence). One
+    map-side bin expression + one hash-agg keyed on ≤ bins cells per
+    group — the same bounded-exchange shape as cms_build."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    group_cols = group_cols or []
+    width = (hi - lo) / bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - lo) / width).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        values.filter(x.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine sketches built with the SAME (lo, hi, bins): bin-wise
+    sum, the CMS-style distributivity that lets every shard/day keep a
+    ≤ bins-row summary."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(q, est): interpolated quantile estimates from the global
+    ``(bin, n)`` sketch. For each q, target rank = q·N (floored at a
+    tiny epsilon so q=0 lands in the first non-empty bin), the bracket
+    bin is the first with cumulative count ≥ target, and the estimate
+    interpolates linearly inside it. Everything runs on the ≤ bins-row
+    relation: one single-partition window cumsum (bounded, like the
+    PSI spine), a |qs|-row broadcast, one bracket join."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        "bin",
+        "n",
+        F.sum("n").over(Window.orderBy("bin")).alias("cum"),
+    )
+    total = sketch.agg(F.sum("n").alias("__N"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = qdf.crossJoin(F.broadcast(total)).select(
+        "q", F.greatest(F.col("q") * F.col("__N"), F.lit(1e-12)).alias("__target")
+    )
+    bracket = (
+        targets.join(cum, cum["cum"] >= F.col("__target"))
+        .groupBy("q", "__target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        bracket.join(cum, "bin")
+        .select(
+            "q",
+            F.round(
+                F.lit(lo)
+                + (
+                    F.col("bin")
+                    + (F.col("__target") - (F.col("cum") - F.col("n")))
+                    / F.col("n")
+                )
+                * F.lit(width),
+                round_digits,
+            ).alias("est"),
+        )
+    )

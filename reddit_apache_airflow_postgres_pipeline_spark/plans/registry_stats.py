@@ -788,3 +788,97 @@ def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_compression_stats(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# --------------------------------------------------------------------------
+# Binned quantile sketch (operators/sketches.py) — paired audit
+# --------------------------------------------------------------------------
+
+_QSK_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QSK_LO, _QSK_HI, _QSK_BINS = 0.0, 500000.0, 256
+# width 500000/256 = 1953.125 — an exact binary fraction, so the bin
+# expression has no representation slack between the engines
+
+
+def _qsketch_sql() -> str:
+    width = (_QSK_HI - _QSK_LO) / _QSK_BINS
+    qlist = ", ".join(repr(q) for q in _QSK_QS)
+    return f"""
+    WITH v AS (SELECT o_totalprice AS x FROM orders),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    b AS (SELECT LEAST(GREATEST(CAST(floor((x - {_QSK_LO!r}) / {width!r}) AS INT), 0),
+                       {_QSK_BINS - 1}) AS bin,
+                 COUNT(*) AS cnt
+          FROM v GROUP BY 1),
+    c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+    qs AS (SELECT unnest([{qlist}]::DOUBLE[]) AS q),
+    t AS (SELECT q, GREATEST(q * n.n, 1e-12) AS target FROM qs, n),
+    br AS (SELECT t.q, t.target, MIN(c.bin) AS bin
+           FROM t JOIN c ON CAST(c.cum AS DOUBLE) >= t.target GROUP BY 1, 2),
+    est AS (SELECT br.q AS q,
+                   round({_QSK_LO!r} + (br.bin + (br.target - (c.cum - c.cnt)) / c.cnt)
+                         * {width!r}, 4) AS est
+            FROM br JOIN c ON c.bin = br.bin),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS rk FROM v),
+    t2 AS (SELECT q, q * (n.n - 1) AS pos FROM qs, n),
+    ex AS (SELECT t2.q AS q,
+                  round(lo_.x + (hi_.x - lo_.x) * (t2.pos - floor(t2.pos)), 4)
+                    AS exact
+           FROM t2
+           JOIN r lo_ ON lo_.rk = CAST(floor(t2.pos) AS BIGINT)
+           JOIN r hi_ ON hi_.rk = CAST(ceil(t2.pos) AS BIGINT))
+    SELECT e.q AS q, e.est AS est, x.exact AS exact,
+           round(abs(e.est - x.exact), 4) AS abs_err
+    FROM est e JOIN ex x ON x.q = e.q
+    """
+
+
+@_q("q_quantile_sketch_audit", _qsketch_sql())
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive quantile sketch, audited: interpolated
+    quantiles of o_totalprice from a 256-bin exact-count sketch
+    (qsketch_build — ≤ 256 rows however large the table, mergeable by
+    bin-wise sum like CMS/HLL; KLL/t-digest were rejected as
+    insertion-order-dependent and hence un-oracle-able) vs the EXACT
+    sort-based quantiles, computed with a pinned interpolation formula
+    (rank join on row_number, lo + (hi−lo)·frac) so both engines
+    replay it bit-for-bit rather than trusting builtin percentile
+    internals. The exact side's global sort is the audit's cost — at
+    100 TB only the sketch path runs; error is bounded by the bin
+    width (~1953 here)."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x")
+    )
+    sk = sketches.qsketch_build(v, "x", _QSK_LO, _QSK_HI, _QSK_BINS)
+    est = sketches.qsketch_quantiles(sk, _QSK_QS, _QSK_LO, _QSK_HI, _QSK_BINS)
+    n = v.agg(F.count("*").alias("__N"))
+    r = v.select(
+        "x", (F.row_number().over(Window.orderBy("x")) - 1).alias("rk")
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in _QSK_QS], "q double")
+    t2 = qdf.crossJoin(F.broadcast(n)).select(
+        "q", (F.col("q") * (F.col("__N") - 1)).alias("pos")
+    )
+    lo_ = r.select(F.col("rk").alias("__rlo"), F.col("x").alias("__xlo"))
+    hi_ = r.select(F.col("rk").alias("__rhi"), F.col("x").alias("__xhi"))
+    frac = F.col("pos") - F.floor("pos")
+    ex = (
+        t2.join(lo_, F.floor("pos").cast("long") == F.col("__rlo"))
+        .join(hi_, F.ceil("pos").cast("long") == F.col("__rhi"))
+        .select(
+            "q",
+            F.round(
+                F.col("__xlo") + (F.col("__xhi") - F.col("__xlo")) * frac, 4
+            ).alias("exact"),
+        )
+    )
+    return est.join(ex, "q").select(
+        "q",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+    )

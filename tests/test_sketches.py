@@ -114,6 +114,42 @@ def test_hll_duplicates_do_not_change_the_sketch(spark):
     assert s1 == s2 and len(s1) == 1
 
 
+def test_qsketch_bounds_merge_and_clamping(spark):
+    import pytest
+
+    vals = [float(v) for v in range(100)] + [-5.0, 1e9]  # out-of-range tails
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    sk = sketches.qsketch_build(df, "x", 0.0, 100.0, bins=10)
+    rows = {r["bin"]: r["n"] for r in sk.collect()}
+    assert set(rows) <= set(range(10))  # clamped into the grid
+    assert sum(rows.values()) == len(vals)
+    assert rows[0] == 11 and rows[9] == 11  # 10 in-range + 1 clamped tail each
+    # shard-merge equals monolithic
+    a = spark.createDataFrame([(v,) for v in vals[:50]], "x double")
+    b = spark.createDataFrame([(v,) for v in vals[50:]], "x double")
+    merged = sketches.qsketch_merge(
+        sketches.qsketch_build(a, "x", 0.0, 100.0, bins=10),
+        sketches.qsketch_build(b, "x", 0.0, 100.0, bins=10),
+    )
+    assert {r["bin"]: r["n"] for r in merged.collect()} == rows
+    with pytest.raises(ValueError, match="lo < hi"):
+        sketches.qsketch_build(df, "x", 5.0, 5.0, bins=10)
+
+
+def test_qsketch_quantiles_interpolate_within_bin_width(spark):
+    # uniform 0..999: every quantile estimate must sit within one bin
+    # width (100) of the true value, and the q=0 / q=1 edges must not
+    # fall outside the data's bin range
+    df = spark.createDataFrame([(float(v),) for v in range(1000)], "x double")
+    sk = sketches.qsketch_build(df, "x", 0.0, 1000.0, bins=10)
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    est = {r["q"]: r["est"] for r in sketches.qsketch_quantiles(sk, qs, 0.0, 1000.0, 10).collect()}
+    for q in qs:
+        true = q * 999
+        assert abs(est[q] - true) <= 100.0, (q, est[q], true)
+    assert est[0.0] >= 0.0 and est[1.0] <= 1000.0
+
+
 def test_bpe_learn_hand_checked_merges(spark):
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
 
