@@ -227,6 +227,88 @@ def strip_duplicate_chunks(
     )
 
 
+def line_norm(col: Column | str) -> Column:
+    """CCNet-style line normalization for duplicate counting: lowercase,
+    digits/punctuation → space, whitespace collapsed, trimmed. Pinned as
+    ``[^a-z ]`` after lowering so both engines agree byte-for-byte
+    (DuckDB: the same two regexp_replace calls with the 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "[^a-z ]", " "),
+            " +",
+            " ",
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+    split_re: str = "\n",
+    join_with: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020): drop every
+    line whose NORMALIZED form (:func:`line_norm`) occurs ≥
+    ``min_occurrences`` times across the whole corpus — counting
+    OCCURRENCES, not distinct documents, which is the semantic
+    difference from :func:`strip_duplicate_chunks` (a doc repeating its
+    own nav header 5 times counts 5). Lines whose normalization is
+    empty (blank / pure punctuation) carry no signal and are always
+    KEPT, preserving document structure.
+
+    Output: (doc_id, n_lines, dropped_lines, text_clean) with the
+    surviving ORIGINAL lines re-joined in order by ``join_with`` —
+    unlike the chunk rewrite, the original byte content of kept lines
+    is preserved (only the counting key is normalized).
+
+    Scale shape: explode to (doc, idx, line), one per-normalized-line
+    count, one equi-join back (AQE skew-handles a hot banner line), one
+    per-doc ordered reassembly bounded by doc length. Linear in corpus
+    size; no self-join.
+    """
+    lines = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .repartition(_spread_partitions(df))
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.coalesce("__t", F.lit("")), split_re)).alias(
+                "idx", "line"
+            ),
+        )
+        .select("doc_id", "idx", "line", line_norm("line").alias("__nrm"))
+    )
+    counts = (
+        lines.filter(F.col("__nrm") != "")
+        .groupBy("__nrm")
+        .agg(F.count("*").alias("__occ"))
+    )
+    keep = (F.col("__nrm") == "") | (
+        F.coalesce(F.col("__occ"), F.lit(0)) < min_occurrences
+    )
+    return (
+        lines.join(counts, "__nrm", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(~keep, 1)).alias("dropped_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("idx"), F.col("line")))
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                join_with,
+            ).alias("text_clean"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

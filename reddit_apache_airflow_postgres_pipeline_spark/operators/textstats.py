@@ -522,3 +522,69 @@ def bpe_compression_stats(
         ),
         F.round(F.col("__tc") / F.col("__ts"), 6).alias("compression"),
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned merge table to the corpus — the tokenizer-run
+    counterpart of :func:`bpe_learn` (learn → apply → ship shards):
+    (doc_id, pos, w, syms), one row per word occurrence in document
+    order, ``syms`` the word's symbol sequence after the first ``k``
+    merges in learned order.
+
+    ``merges`` is bpe_learn's output relation; ``k`` tells the plan how
+    many replace stages to build (the caller trained with it — a
+    relation can't size a static plan). Steps missing from the table
+    (degenerate corpora learn fewer than k) fall back to a no-op
+    sentinel, mirroring the trainer. Words carrying the ``{``/``}``
+    sentinel chars are excluded exactly as they were from training.
+
+    Scale shape: the merge chain runs over the DISTINCT-WORD vocabulary
+    (each replace a map-side pass under a 1-row broadcast), then one
+    equi-join puts per-word symbol arrays back on the corpus word
+    stream — tokenize-once-per-type, the only sane shape at 100 TB.
+    """
+    spark = docs.sparkSession
+    noop = spark.range(1).select(
+        F.lit(0).alias("__real"), F.lit("").alias("l_sym"), F.lit("").alias("r_sym")
+    )
+    word_stream = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "w"),
+        )
+        .filter(
+            (F.col("w") != "")
+            & ~F.col("w").contains("{")
+            & ~F.col("w").contains("}")
+        )
+    )
+    seqs = word_stream.select("w").distinct().select(
+        "w", F.regexp_replace("w", "(.)", "{$1}").alias("seq")
+    )
+    for step in range(1, k + 1):
+        m = (
+            merges.filter(F.col("step") == step)
+            .select(F.lit(1).alias("__real"), "l_sym", "r_sym")
+            .unionAll(noop)
+            .orderBy(F.desc("__real"))
+            .limit(1)
+        )
+        seqs = seqs.crossJoin(F.broadcast(m)).select(
+            "w",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit("{"), F.col("l_sym"), F.lit("}{"), F.col("r_sym"), F.lit("}")),
+                F.concat(F.lit("{"), F.col("l_sym"), F.col("r_sym"), F.lit("}")),
+            ).alias("seq"),
+        )
+    syms = seqs.select(
+        "w",
+        F.split(F.regexp_replace("seq", r"^\{|\}$", ""), r"\}\{").alias("syms"),
+    )
+    return word_stream.join(syms, "w").select("doc_id", "pos", "w", "syms")

@@ -732,3 +732,67 @@ def q_dsir_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style line-level dedup (operators/curation.dedup_lines)
+# --------------------------------------------------------------------------
+
+_LINE_K = 4  # tokens per constructed line (corpus has no newlines)
+_LINE_MIN_OCC = 3
+
+
+@_q(
+    "q_dedup_lines_ccnet",
+    f"""
+    WITH ch AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < {_LINE_K} THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(
+                    generate_series(0, CAST(ceil(len(toks) / {_LINE_K}.0) AS BIGINT) - 1),
+                    i -> array_to_string(toks[i*{_LINE_K}+1 : i*{_LINE_K}+{_LINE_K}], ' '))
+        END AS lines
+      FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+            FROM documents) t),
+    ln AS (
+      SELECT doc_id, s.i AS idx, s.l AS line,
+             trim(regexp_replace(regexp_replace(lower(s.l), '[^a-z ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS nrm
+      FROM (SELECT doc_id,
+                   unnest(list_transform(lines, (x, j) -> {{'i': j, 'l': x}})) AS s
+            FROM ch) u),
+    cnt AS (SELECT nrm, COUNT(*) AS occ FROM ln WHERE nrm <> '' GROUP BY nrm)
+    SELECT ln.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN ln.nrm <> '' AND cnt.occ >= {_LINE_MIN_OCC}
+                           THEN 1 END) AS BIGINT) AS dropped_lines,
+           coalesce(string_agg(
+             CASE WHEN ln.nrm = '' OR coalesce(cnt.occ, 0) < {_LINE_MIN_OCC}
+                  THEN ln.line END, chr(10) ORDER BY ln.idx), '') AS text_clean
+    FROM ln LEFT JOIN cnt ON cnt.nrm = ln.nrm
+    GROUP BY ln.doc_id
+    """,
+)
+def q_dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup applied to the corpus: every line
+    whose NORMALIZED form occurs >= 3 times corpus-wide (occurrence
+    count, not distinct docs — a doc repeating its own banner counts
+    every repeat) is dropped; survivors re-join in order with original
+    bytes preserved. The synthetic corpus has no newlines, so the
+    query first constructs a lined form deterministically (4-token
+    chunks joined with newline) and then runs the REAL dedup_lines path
+    over it — the oracle replays both stages. Same linear shape as the
+    chunk rewrite: explode, one count, one join back, ordered per-doc
+    reassembly; no self-join at any scale."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        token_chunks_with_tail,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.array_join(token_chunks_with_tail("text", _LINE_K), "\n").alias("text"),
+    )
+    return curation.dedup_lines(
+        lined, min_occurrences=_LINE_MIN_OCC, split_re="\n", join_with="\n"
+    )

@@ -882,3 +882,64 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
     )
+
+
+def _bpe_tokenize_sql(k: int) -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL
+
+    return (
+        _bpe_ctes(k)
+        + f""",
+    wd AS (
+      SELECT doc_id, s.i AS pos, s.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, j) -> {{'i': j, 'w': x}})) AS s
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents) t) u
+      WHERE s.w <> '' AND s.w NOT LIKE '%{{%' AND s.w NOT LIKE '%}}%'),
+    sy AS (SELECT w, string_split(trim(seq, '{{}}'), '}}{{') AS syms FROM s{k})
+    SELECT wd.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(sy.syms)) AS BIGINT) AS n_syms,
+           string_agg(array_to_string(sy.syms, ' '), ' | ' ORDER BY wd.pos)
+             AS tokenized
+    FROM wd JOIN sy ON sy.w = wd.w
+    GROUP BY wd.doc_id
+    """
+    )
+
+
+@_q("q_bpe_tokenize", _bpe_tokenize_sql(3))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-then-TOKENIZE: the 3 learned BPE merges applied back to
+    every word occurrence in the corpus (textstats.bpe_apply),
+    aggregated per document — word count, post-merge symbol count, and
+    the full tokenized string ('sym sym | sym ...', words joined in
+    document order). Completes the tokenizer family: learn (merge
+    table), compression stats (the objective), apply (the artifact a
+    training pipeline actually ships). The merge chain runs on the
+    distinct-word vocabulary and one equi-join fans symbols back onto
+    the word stream — tokenize-once-per-type at any corpus scale."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        bpe_apply,
+        bpe_learn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    applied = bpe_apply(d, bpe_learn(d, k=3), k=3)
+    return applied.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.size("syms")).cast("bigint").alias("n_syms"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"), F.array_join("syms", " ").alias("s")
+                        )
+                    )
+                ),
+                lambda x: x.getField("s"),
+            ),
+            " | ",
+        ).alias("tokenized"),
+    )

@@ -291,3 +291,55 @@ def test_psi_drift_identical_snapshots_zero_and_empty_bins_finite(spark):
     drift = curation.psi_drift(binned, shifted, bins=5)
     total = drift.agg(F.sum("psi_term")).collect()[0][0]
     assert total > 0.25  # full redistribution = major drift
+
+
+def test_dedup_lines_counts_occurrences_not_docs(spark):
+    # the CCNet distinction: a doc repeating its OWN line 3 times trips
+    # min_occurrences=3 even though only one document carries it
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nnav bar\nnav bar\nreal content"),
+            (2, "other text\nmore text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.dedup_lines(docs, min_occurrences=3).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dropped_lines"] == 3
+    assert out[1]["text_clean"] == "real content"
+    assert out[2]["dropped_lines"] == 0
+    # strip_duplicate_chunks' distinct-doc counting would NOT have
+    # dropped it: 1 distinct doc < min_df
+
+
+def test_dedup_lines_normalized_key_but_original_bytes(spark):
+    # 'Cookie NOTICE!' and 'cookie notice' share a normalized key; both
+    # occurrences count toward the threshold, and the KEPT lines retain
+    # their original bytes
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie NOTICE!\nKeep Me #1"),
+            (2, "cookie notice\nKeep Me #2"),
+            (3, "COOKIE notice?\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.dedup_lines(docs, min_occurrences=3).collect()}
+    assert [out[i]["dropped_lines"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[1]["text_clean"] == "Keep Me #1"  # original case/punct kept
+    assert out[3]["text_clean"] == "unique tail"
+
+
+def test_dedup_lines_blank_lines_always_kept(spark):
+    # blank / punctuation-only lines normalize to '' and are structure,
+    # not boilerplate evidence — kept in every doc no matter how common
+    docs = spark.createDataFrame(
+        # tails differ in LETTERS (digits would normalize away and
+        # correctly become duplicates themselves)
+        [(i, "a b c\n\n---\nuniq" + "x" * i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = curation.dedup_lines(docs, min_occurrences=2).collect()
+    for r in out:
+        assert r["n_lines"] == 4
+        assert r["dropped_lines"] == 1  # only the 'a b c' banner
+        assert r["text_clean"].startswith("\n---\n")  # blanks survive

@@ -242,6 +242,11 @@ BNLJ_ALLOWED = {
     "q_bpe_compression": "1-row argmax merge broadcast per round",
     "q_mine_hard_negatives": "bounded query set (8 anchors)",
     "q_dsir_weighted_sample": "1-row max-logw scalar",
+    "q_bpe_tokenize": "1-row argmax merge broadcast per round",
+    "q_quantile_sketch_audit": (
+        "1-row total scalar + |qs|-row target set bracket-joined "
+        "against the <=bins-row cumsum"
+    ),
 }
 
 

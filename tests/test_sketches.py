@@ -194,6 +194,34 @@ def test_bpe_degenerate_corpus_stops_short_not_empty(spark):
     assert st2["vocab_size"] == 1 and st2["syms_per_token_merged"] == 1.0
 
 
+def test_bpe_apply_tokenizes_with_learned_merges(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        bpe_apply,
+        bpe_learn,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abab abab ac")], "doc_id long, text string"
+    )
+    merges = bpe_learn(train, k=3)  # (a,b)->ab, (ab,ab)->abab, (a,c)->ac
+    # apply to UNSEEN text: learned merges generalize per-word
+    docs = spark.createDataFrame([(7, "abc abab zq")], "doc_id long, text string")
+    out = {
+        r["w"]: list(r["syms"])
+        for r in bpe_apply(docs, merges, k=3).collect()
+    }
+    assert out["abc"] == ["ab", "c"]  # merge 1 applies, no (ab,c) merge learned
+    assert out["abab"] == ["abab"]  # merges 1 then 2 cascade
+    assert out["zq"] == ["z", "q"]  # untouched by any merge
+    # k beyond the learned table: missing steps are no-ops, not
+    # annihilation
+    out5 = {
+        r["w"]: list(r["syms"])
+        for r in bpe_apply(docs, merges, k=5).collect()
+    }
+    assert out5 == out
+
+
 def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bpe_learn
 
