@@ -151,3 +151,77 @@ def sample_weighted_by_hash(
         hash_bucket(key_col, salt)
         < F.floor(r * F.lit(float(_BUCKETS))).cast("long")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    shares: dict[str, float],
+    budget_tokens: float,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to an ABSOLUTE token budget with target stratum
+    shares — the data-mixing step a pretraining run actually performs:
+    "2T tokens total: 50% web, 20% code, …" measured in TOKENS (the
+    unit the loss sees), not documents. ``weight_col`` is the per-row
+    token count (callers compute it with textstats.token_count so the
+    counting contract stays theirs).
+
+    Stratum ``s`` targets ``share_s · budget`` tokens against its
+    available mass ``A_s = Σ weight``; its keep rate is
+    ``min(1, share_s·budget / A_s)`` — under-filled strata keep
+    everything (never upsampled; the audit query surfaces the
+    shortfall). Selection is content-addressed per document
+    (:func:`hash_bucket`), so expected kept tokens ≈ the target and
+    the kept SET is deterministic across engines/reruns. Strata absent
+    from ``shares`` are dropped.
+
+    Scale shape: one |strata|-row weight agg broadcast back, then a
+    pure map-side filter — no corpus shuffle, same as
+    :func:`sample_to_target_mix`.
+    """
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    for s, r in shares.items():
+        if r <= 0.0:
+            raise ValueError(f"share for stratum {s!r} must be > 0, got {r}")
+    share_expr = None
+    for s, r in shares.items():
+        cond = F.col(stratum_col) == s
+        val = F.lit(float(r))
+        share_expr = (
+            F.when(cond, val) if share_expr is None else share_expr.when(cond, val)
+        )
+    per = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(F.col(weight_col)).alias("__avail"))
+        .withColumn("__share", share_expr)
+        .filter(F.col("__share").isNotNull())
+    )
+    # evaluation order pinned as (share * budget) / avail; the zero-
+    # avail guard keeps ANSI mode off a 0-division (empty strata)
+    rates = per.select(
+        stratum_col,
+        F.when(
+            F.col("__avail") > 0,
+            F.least(
+                F.lit(1.0),
+                (F.col("__share") * F.lit(float(budget_tokens)))
+                / F.col("__avail").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(
+            hash_bucket(key_col, salt)
+            < F.floor(F.col("__rate") * F.lit(float(_BUCKETS))).cast("long")
+        )
+        .drop("__rate")
+    )

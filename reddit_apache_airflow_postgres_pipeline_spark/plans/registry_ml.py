@@ -1133,3 +1133,99 @@ def q_link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_size=4096,
         self_dedupe=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget data mixing (operators/sampling.sample_to_token_budget)
+# --------------------------------------------------------------------------
+
+_BUDGET_SHARES = {"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.1}
+_BUDGET_TOKENS = 8000.0
+_BUDGET_VALUES = ", ".join(
+    f"('{s}', CAST({r} AS DOUBLE))" for s, r in _BUDGET_SHARES.items()
+)
+
+
+def _token_budget_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL
+
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, len({_TOKENS_SQL}) AS nt FROM documents),
+    a AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS avail FROM tok GROUP BY lang),
+    w(lang, share) AS (VALUES {_BUDGET_VALUES}),
+    r AS (SELECT a.lang, a.avail, w.share,
+                 CASE WHEN a.avail > 0
+                      THEN least(CAST(1.0 AS DOUBLE),
+                                 (w.share * {_BUDGET_TOKENS!r}) / CAST(a.avail AS DOUBLE))
+                      ELSE 0.0 END AS rate
+          FROM a JOIN w USING (lang)),
+    k AS (SELECT t.lang, COUNT(*) AS kept_docs,
+                 CAST(SUM(t.nt) AS BIGINT) AS kept_tokens
+          FROM tok t JOIN r USING (lang)
+          WHERE ('0x' || substr(md5('budget1' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+          GROUP BY t.lang)
+    SELECT r.lang AS lang,
+           round(r.share * {_BUDGET_TOKENS!r}, 6) AS target_tokens,
+           r.avail AS avail_tokens,
+           round(r.rate, 6) AS rate,
+           CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM r LEFT JOIN k USING (lang)
+    """
+
+
+@_q("q_sample_token_budget", _token_budget_sql())
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing, audited per stratum: sample the corpus
+    to an absolute 8000-token budget at 50/20/20/10 en/de/zh/fr (es
+    dropped — share 0), reporting target vs available token mass, the
+    derived keep rate, and what the content-addressed Bernoulli filter
+    actually kept. Strata whose available mass is below target clamp to
+    rate 1 (kept whole, shortfall visible in the audit) — at sf0.001
+    several strata clamp, at sf0.01 none do, so both branches are
+    oracle-exercised. Map-side-only corpus plan; see
+    sampling.sample_to_token_budget."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "nt", token_count("text")
+    )
+    kept = sample_to_token_budget(
+        d, "doc_id", "lang", _BUDGET_SHARES, _BUDGET_TOKENS, "nt", salt="budget1"
+    )
+    avail = d.groupBy("lang").agg(F.sum("nt").cast("bigint").alias("avail_tokens"))
+    share_expr = None
+    for s, r in _BUDGET_SHARES.items():
+        c = F.col("lang") == s
+        share_expr = (
+            F.when(c, F.lit(float(r)))
+            if share_expr is None
+            else share_expr.when(c, F.lit(float(r)))
+        )
+    r = avail.withColumn("__share", share_expr).filter(
+        F.col("__share").isNotNull()
+    )
+    rate = F.when(
+        F.col("avail_tokens") > 0,
+        F.least(
+            F.lit(1.0),
+            (F.col("__share") * F.lit(_BUDGET_TOKENS))
+            / F.col("avail_tokens").cast("double"),
+        ),
+    ).otherwise(F.lit(0.0))
+    kstats = kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("__kd"),
+        F.sum("nt").cast("bigint").alias("__kt"),
+    )
+    return r.join(kstats, "lang", "left").select(
+        "lang",
+        F.round(F.col("__share") * F.lit(_BUDGET_TOKENS), 6).alias("target_tokens"),
+        "avail_tokens",
+        F.round(rate, 6).alias("rate"),
+        F.coalesce(F.col("__kd"), F.lit(0)).cast("bigint").alias("kept_docs"),
+        F.coalesce(F.col("__kt"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )

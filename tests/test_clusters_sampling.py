@@ -255,3 +255,40 @@ def test_weighted_sample_monotone_and_extremes(spark):
         df.withColumn("rate", F.col("rate") * 3 - 1), "doc_id", "rate"
     )
     assert clamped.count() > 0
+
+
+def test_token_budget_rates_and_clamping(spark):
+    import pytest
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_to_token_budget,
+    )
+
+    # stratum a: 1000 tokens available, targets 200 -> rate .2
+    # stratum b: 50 available, targets 200 -> clamps to 1.0 (kept whole)
+    # stratum c: not in shares -> dropped entirely
+    rows = (
+        [(i, "a", 10) for i in range(100)]
+        + [(1000 + i, "b", 10) for i in range(5)]
+        + [(2000 + i, "c", 10) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, nt long")
+    kept = sample_to_token_budget(
+        df, "doc_id", "stratum", {"a": 0.5, "b": 0.5}, 400.0, "nt"
+    ).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["stratum"], []).append(r["doc_id"])
+    assert "c" not in by
+    assert sorted(by["b"]) == [1000, 1001, 1002, 1003, 1004]  # clamped: all kept
+    # rate 0.2 over 100 docs: expected ~20 kept, deterministic exact set
+    assert 5 < len(by["a"]) < 50
+    again = sample_to_token_budget(
+        df, "doc_id", "stratum", {"a": 0.5, "b": 0.5}, 400.0, "nt"
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sample_to_token_budget(df, "doc_id", "stratum", {"a": 1.0}, 0.0, "nt")
+    with pytest.raises(ValueError, match="share"):
+        sample_to_token_budget(df, "doc_id", "stratum", {"a": -0.1}, 10.0, "nt")
