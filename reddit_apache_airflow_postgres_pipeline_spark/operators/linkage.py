@@ -50,6 +50,11 @@ def fs_weights(
     log2((1−m)/(1−u))), rounded to ``digits`` dp driver-side so both
     engines consume identical literals. Probabilities must lie strictly
     in (0, 1) with m > u (an informative field)."""
+    if set(m) != set(u):
+        raise ValueError(
+            f"m and u must cover the same fields: m has {sorted(m)}, "
+            f"u has {sorted(u)}"
+        )
     out = {}
     for f in m:
         mf, uf = m[f], u[f]
@@ -90,14 +95,21 @@ def block_pairs(
     """
     fields = fields or []
 
+    # on self-linkage (left IS right) compute the block-size aggregate
+    # once and reuse it for both sides — a second corpus-wide count
+    # pass would be pure waste at scale
+    cap_cache: dict[int, DataFrame] = {}
+
     def _cap(df: DataFrame) -> DataFrame:
         if max_block_size is None:
             return df
-        sizes = df.groupBy(*block_cols).agg(F.count("*").alias("__bn"))
-        return (
-            df.join(sizes.filter(F.col("__bn") <= max_block_size), block_cols)
-            .drop("__bn")
-        )
+        if id(df) not in cap_cache:
+            cap_cache[id(df)] = (
+                df.groupBy(*block_cols)
+                .agg(F.count("*").alias("__bn"))
+                .filter(F.col("__bn") <= max_block_size)
+            )
+        return df.join(cap_cache[id(df)], block_cols).drop("__bn")
 
     l = _cap(left).select(
         *block_cols,

@@ -182,6 +182,31 @@ def sample_to_token_budget(
     pure map-side filter — no corpus shuffle, same as
     :func:`sample_to_target_mix`.
     """
+    rates = token_budget_rates(
+        df, stratum_col, shares, budget_tokens, weight_col
+    ).select(stratum_col, "__rate")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(
+            hash_bucket(key_col, salt)
+            < F.floor(F.col("__rate") * F.lit(float(_BUCKETS))).cast("long")
+        )
+        .drop("__rate")
+    )
+
+
+def token_budget_rates(
+    df: DataFrame,
+    stratum_col: str,
+    shares: dict[str, float],
+    budget_tokens: float,
+    weight_col: str,
+) -> DataFrame:
+    """The per-stratum rate relation behind
+    :func:`sample_to_token_budget`: (stratum, __avail, __share, __rate)
+    — exposed so audit queries report the EXACT rate the filter
+    applies (one formula, one evaluation order) instead of
+    re-deriving it."""
     if not shares:
         raise ValueError("shares must be non-empty")
     if budget_tokens <= 0:
@@ -204,8 +229,10 @@ def sample_to_token_budget(
     )
     # evaluation order pinned as (share * budget) / avail; the zero-
     # avail guard keeps ANSI mode off a 0-division (empty strata)
-    rates = per.select(
+    return per.select(
         stratum_col,
+        "__avail",
+        "__share",
         F.when(
             F.col("__avail") > 0,
             F.least(
@@ -216,12 +243,4 @@ def sample_to_token_budget(
         )
         .otherwise(F.lit(0.0))
         .alias("__rate"),
-    )
-    return (
-        df.join(F.broadcast(rates), stratum_col)
-        .filter(
-            hash_bucket(key_col, salt)
-            < F.floor(F.col("__rate") * F.lit(float(_BUCKETS))).cast("long")
-        )
-        .drop("__rate")
     )

@@ -238,13 +238,38 @@ def hll_build(
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def _hll_check(sketch: DataFrame, p: int) -> DataFrame:
+    """Runtime guard: every register must be < 2^p and every maxrank
+    ≤ the 60-bit rank ceiling — the HLL analog of _cms_check_extents.
+    A sketch built with larger p probed as p would drive (m − pres)
+    negative; maxrank beyond the ceiling would shift by a negative
+    amount — both silent garbage without this. One-sided like the CMS
+    check: a sketch built with SMALLER p passes undetected.
+
+    PERSISTED-STATE COMPATIBILITY: sketches persisted by the pre-60-bit
+    code (32-bit hash, max rank 33−p) pass this guard but hash keys to
+    DIFFERENT registers/ranks — never merge old and new relations;
+    rebuild persisted sketches after the hash-width change."""
+    ok = (F.col("register") < (1 << p)) & (
+        F.col("maxrank") <= _HLL_BITS - p + 1
+    )
+    msg = F.lit(
+        f"HLL register/rank outside the declared p={p} geometry — "
+        "sketch was built with different parameters"
+    )
+    return sketch.where(F.assert_true(ok, msg).isNull())
+
+
+def hll_merge(*sketches: DataFrame, p: int | None = None) -> DataFrame:
     """Combine sketches with the same (p, group schema): register-wise
     max — like cms_merge, the distributivity that lets every shard/day
-    build its own ≤2^p-row summary and combine cheaply."""
+    build its own ≤2^p-row summary and combine cheaply. Pass ``p`` to
+    runtime-assert every input fits the declared geometry."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
+    if p is not None:
+        out = _hll_check(out, p)
     keys = [c for c in out.columns if c != "maxrank"]
     return out.groupBy(*keys).agg(F.max("maxrank").alias("maxrank"))
 
@@ -272,6 +297,9 @@ def hll_estimate(
     m = 1 << p
     alpha = hll_alpha(m)
     rank_max = _HLL_BITS - p + 1  # maxrank ∈ [1, rank_max]
+    # geometry guard: estimating with a different p than the build's
+    # silently mis-estimates otherwise (see _hll_check)
+    sketch = _hll_check(sketch, p)
     agg = sketch.groupBy(*group_cols).agg(
         F.count("*").alias("__pres"),
         F.sum(F.expr(f"shiftleft(1L, {rank_max} - maxrank)")).alias("__zp"),
@@ -325,10 +353,13 @@ def qsketch_build(
     group_cols = group_cols or []
     width = (hi - lo) / bins
     x = F.col(value_col).cast("double")
-    b = F.least(
-        F.greatest(F.floor((x - lo) / width).cast("int"), F.lit(0)),
-        F.lit(bins - 1),
-    )
+    # clamp the DOUBLE before floor/cast: a single wild outlier
+    # ((x-lo)/width >= 2^31, or even beyond long range) would otherwise
+    # CAST_OVERFLOW under ANSI mode and kill the whole corpus pass
+    # instead of landing in the edge bin
+    b = F.floor(
+        F.least(F.greatest((x - lo) / width, F.lit(0.0)), F.lit(float(bins - 1)))
+    ).cast("int")
     return (
         values.filter(x.isNotNull())
         .select(*group_cols, b.alias("bin"))

@@ -1108,10 +1108,12 @@ def q_link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     m/u likelihood ratios, classifying each candidate pair
     match / possible / non-match. The entity-resolution operator a
     corpus user runs right after near-dup dedup; at 100 TB the plan is
-    one shuffle of each feed on the block key plus map-side scoring,
-    with block_pairs' max_block_size capping any hot block (cap
-    exercised in tests/test_linkage.py; generous here so every sf
-    yields the full pair set)."""
+    one shuffle of each feed on the block key plus map-side scoring.
+    NO max_block_size here: the oracle SQL carries no cap, so a cap on
+    only the Spark side would silently diverge once blocks outgrow it
+    (they would at sf ≳ 3); production callers blocking on low-
+    cardinality keys should pass one (cap semantics pinned in
+    tests/test_linkage.py)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators import linkage
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -1130,7 +1132,6 @@ def q_link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         u=_FS_U,
         t_upper=_FS_UPPER,
         t_lower=_FS_LOWER,
-        max_block_size=4096,
         self_dedupe=True,
     )
 
@@ -1188,6 +1189,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling.sample_to_token_budget."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
         sample_to_token_budget,
+        token_budget_rates,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
 
@@ -1197,26 +1199,9 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = sample_to_token_budget(
         d, "doc_id", "lang", _BUDGET_SHARES, _BUDGET_TOKENS, "nt", salt="budget1"
     )
-    avail = d.groupBy("lang").agg(F.sum("nt").cast("bigint").alias("avail_tokens"))
-    share_expr = None
-    for s, r in _BUDGET_SHARES.items():
-        c = F.col("lang") == s
-        share_expr = (
-            F.when(c, F.lit(float(r)))
-            if share_expr is None
-            else share_expr.when(c, F.lit(float(r)))
-        )
-    r = avail.withColumn("__share", share_expr).filter(
-        F.col("__share").isNotNull()
-    )
-    rate = F.when(
-        F.col("avail_tokens") > 0,
-        F.least(
-            F.lit(1.0),
-            (F.col("__share") * F.lit(_BUDGET_TOKENS))
-            / F.col("avail_tokens").cast("double"),
-        ),
-    ).otherwise(F.lit(0.0))
+    # the SAME rates relation the filter consumed — the audit cannot
+    # drift from the applied rate (review r6)
+    r = token_budget_rates(d, "lang", _BUDGET_SHARES, _BUDGET_TOKENS, "nt")
     kstats = kept.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("__kd"),
         F.sum("nt").cast("bigint").alias("__kt"),
@@ -1224,8 +1209,8 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(kstats, "lang", "left").select(
         "lang",
         F.round(F.col("__share") * F.lit(_BUDGET_TOKENS), 6).alias("target_tokens"),
-        "avail_tokens",
-        F.round(rate, 6).alias("rate"),
+        F.col("__avail").cast("bigint").alias("avail_tokens"),
+        F.round(F.col("__rate"), 6).alias("rate"),
         F.coalesce(F.col("__kd"), F.lit(0)).cast("bigint").alias("kept_docs"),
         F.coalesce(F.col("__kt"), F.lit(0)).cast("bigint").alias("kept_tokens"),
     )

@@ -806,8 +806,8 @@ def _qsketch_sql() -> str:
     return f"""
     WITH v AS (SELECT o_totalprice AS x FROM orders),
     n AS (SELECT COUNT(*) AS n FROM v),
-    b AS (SELECT LEAST(GREATEST(CAST(floor((x - {_QSK_LO!r}) / {width!r}) AS INT), 0),
-                       {_QSK_BINS - 1}) AS bin,
+    b AS (SELECT CAST(floor(LEAST(GREATEST((x - {_QSK_LO!r}) / {width!r}, 0.0),
+                                  {float(_QSK_BINS - 1)!r})) AS INT) AS bin,
                  COUNT(*) AS cnt
           FROM v GROUP BY 1),
     c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),

@@ -140,6 +140,15 @@ def run_drift_gate_available_now(
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger; see the module docstring for the layout."""
     ref_counts = spark.read.parquet(ref_path)
+    if "n" not in ref_counts.columns:
+        # the r5 format persisted one (bin) row per DOCUMENT; rather
+        # than crash opaquely on every micro-batch, say what to do
+        raise ValueError(
+            f"reference at {ref_path!r} has columns "
+            f"{ref_counts.columns} — expected the pre-aggregated "
+            "(bin, n) counts form. Rebuild it once with "
+            "write_reference() on the validated snapshot."
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

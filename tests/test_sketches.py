@@ -235,3 +235,30 @@ def test_bpe_merge_application_is_leftmost_nonoverlapping(spark):
     }
     assert rows[1] == ("a", "a", 2)
     assert rows[2] == ("aa", "a", 1)
+
+
+def test_hll_estimate_rejects_mismatched_geometry(spark):
+    import pytest
+
+    occ = _occ(spark, [f"k{i}" for i in range(200)])
+    big = sketches.hll_build(occ, "k", p=6)  # 64 registers
+    # estimating a p=6 sketch as p=5 must raise, not silently garbage
+    with pytest.raises(Exception, match="different parameters"):
+        sketches.hll_estimate(big, p=5).collect()
+    with pytest.raises(Exception, match="different parameters"):
+        sketches.hll_merge(big, big, p=5).collect()
+    # declared correctly it works
+    assert sketches.hll_estimate(big, p=6).collect()[0]["est"] > 0
+
+
+def test_qsketch_wild_outlier_clamps_instead_of_crashing(spark):
+    # a single corrupt value >= bins * 2^31 * width used to
+    # CAST_OVERFLOW under ANSI mode and kill the whole pass
+    df = spark.createDataFrame(
+        [(0.5,), (1.6e7,), (1e300,), (-1e300,)], "x double"
+    )
+    rows = {r["bin"]: r["n"] for r in
+            sketches.qsketch_build(df, "x", 0.0, 1.0, bins=256).collect()}
+    assert rows[128] == 1   # the sane value
+    assert rows[255] == 2   # both wild highs clamp to the top bin
+    assert rows[0] == 1     # wild low clamps to bin 0
