@@ -588,3 +588,74 @@ def bpe_apply(
         F.split(F.regexp_replace("seq", r"^\{|\}$", ""), r"\}\{").alias("syms"),
     )
     return word_stream.join(syms, "w").select("doc_id", "pos", "w", "syms")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the lexical half of a hybrid retrieval stack (the
+    embedding kNN in operators/similarity.py is the dense half):
+    (doc_id, n_matched, score), one row per document matching ≥ 1 term.
+
+    Lucene's always-positive idf variant:
+    ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``; per (doc, term)
+    ``idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))``, rounded to
+    9 dp and summed as DECIMAL so the per-doc reduce is order-free
+    (the engine-wide determinism recipe); the SQL oracle replays the
+    identical expression shape.
+
+    Scale shape: token explode filtered to the |Q| query terms BEFORE
+    the (doc, term) aggregate — the exchange carries only matching
+    tokens; doc lengths are a second slim aggregate joined back; N,
+    avgdl, and the per-term idf table are 1-row / |Q|-row broadcasts.
+    One corpus scan dominates at any size.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("__t")).alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = d.select("doc_id", token_count("__t").alias("dl"))
+    totals = d.agg(
+        F.count("*").alias("__N"),
+        F.sum(token_count("__t")).alias("__toks"),
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dft.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("__N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        (F.col("__toks").cast("double") / F.col("__N")).alias("avgdl"),
+    )
+    term_score = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+        ),
+        9,
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", term_score.cast("decimal(28,12)").alias("__s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.round(F.sum("__s").cast("double"), 6).alias("score"),
+        )
+    )

@@ -2745,3 +2745,47 @@ def q_zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.alias("d2"),
         zorder.zorder_key([d1, d2], bits=8).alias("zkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (operators/textstats.bm25_scores)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window", "stream"]
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    tot AS (SELECT COUNT(*) AS n, SUM(len({_TOKENS_SQL})) AS tk FROM documents),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+                   CAST(tk AS DOUBLE) / n AS avgdl
+            FROM dft, tot),
+    s AS (SELECT tf.doc_id AS doc_id,
+                 CAST(round((idf.idf * (tf.tf * 2.2))
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / idf.avgdl))),
+                            9) AS DECIMAL(28,12)) AS s
+          FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           round(CAST(SUM(s) AS DOUBLE), 6) AS score
+    FROM s GROUP BY doc_id
+    """
+
+
+@_q("q_text_bm25", _bm25_sql())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed 4-term
+    query — the lexical retrieval scorer beside the dense kNN family
+    (hybrid RAG stacks run both and fuse). Lucene's always-positive
+    idf; per-term scores round to 9 dp and DECIMAL-sum per doc so the
+    reduce is order-free. Corpus scan is filtered to matching tokens
+    before the only data-sized exchange; idf/avgdl are broadcast
+    scalars. See textstats.bm25_scores."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)

@@ -1214,3 +1214,111 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__kd"), F.lit(0)).cast("bigint").alias("kept_docs"),
         F.coalesce(F.col("__kt"), F.lit(0)).cast("bigint").alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 × dense kNN fused with reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPN = 20  # per-ranking candidate depth
+_RRF_OUT = 10
+
+
+def _rrf_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _bm25_sql
+
+    dense = f"""
+      SELECT c.vec_id AS doc_id,
+             round({_DOT_SQL.format(a='c.embedding', b='q.qv')}
+               / ({_NORM_SQL.format(a='c.embedding')} * {_NORM_SQL.format(a='q.qv')}), 6) AS score
+      FROM embeddings c,
+           (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE c.vec_id <> 0"""
+    return f"""
+    WITH lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM ({_bm25_sql()})),
+    lex_top AS (SELECT * FROM lex WHERE lex_rank <= {_RRF_TOPN}),
+    den AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS dense_rank
+      FROM ({dense})),
+    den_top AS (SELECT * FROM den WHERE dense_rank <= {_RRF_TOPN}),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             CAST(l.lex_rank AS BIGINT) AS lex_rank,
+             CAST(d.dense_rank AS BIGINT) AS dense_rank,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank), 0.0),
+                   6) AS rrf
+      FROM lex_top l FULL JOIN den_top d ON d.doc_id = l.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+    WHERE rn <= {_RRF_OUT}
+    """
+
+
+@_q("q_hybrid_rrf_retrieval", _rrf_sql())
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-stack composition: the top-20 BM25
+    lexical ranking (4-term query) and the top-20 dense cosine ranking
+    (query = embedding 0) fused by reciprocal-rank fusion
+    (Σ 1/(60+rank), the Cormack et al. constant), top 10 out. Ranks
+    are deterministic (rounded score desc, id asc); a doc present in
+    only one ranking contributes a single term — the full-outer-join
+    semantics every hybrid search engine implements. Both legs are
+    existing bounded plans (BM25 broadcasts idf/avgdl; kNN broadcasts
+    the 1-vector query); the fusion itself is a 40-row join."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bm25_scores
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _BM25_TERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_scores(d, _BM25_TERMS)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+        .select("doc_id", "lex_rank")
+    )
+    den = (
+        similarity.knn_bruteforce(e, e.filter(F.col("vec_id") == 0), k=_RRF_TOPN)
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("neighbor_id"))
+            ).cast("bigint"),
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), "dense_rank")
+    )
+    fused = (
+        lex.join(den, "doc_id", "full")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "__rn",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .filter(F.col("__rn") <= _RRF_OUT)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf")
+    )

@@ -243,6 +243,10 @@ BNLJ_ALLOWED = {
     "q_mine_hard_negatives": "bounded query set (8 anchors)",
     "q_dsir_weighted_sample": "1-row max-logw scalar",
     "q_bpe_tokenize": "1-row argmax merge broadcast per round",
+    "q_text_bm25": "1-row corpus N/avgdl scalar",
+    "q_hybrid_rrf_retrieval": (
+        "1-row corpus scalars (BM25 leg) + 1-vector query (dense leg)"
+    ),
     "q_quantile_sketch_audit": (
         "1-row total scalar + |qs|-row target set bracket-joined "
         "against the <=bins-row cumsum"
