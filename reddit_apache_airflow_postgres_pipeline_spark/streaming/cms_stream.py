@@ -13,14 +13,10 @@ because its state is a SET consumed through distinct semi-joins —
 duplicate rows never change a decision, so "write generation, then
 delete subsumed dirs" tolerates a crash between the two steps. A
 counting state has no such absorption: a generation PLUS a lingering
-subsumed dir double-counts. So every generation commits with a
-``_subsumed.json`` manifest (atomic with the generation itself — one
-directory rename) listing every batch/generation id it folded,
-transitively; readers take the NEWEST generation's manifest as the
-exclusion set, which makes the subsequent deletes pure GC: a crash
-anywhere between rename and the last delete leaves estimates exactly
-unchanged. (Spark's parquet reader skips ``_``-prefixed files, so the
-manifest can live inside the generation dir.)
+subsumed dir double-counts. The manifest machinery handling that lives
+in streaming/counting_state.py (shared with the quantile-sketch
+stream); this module supplies the CMS cell schema and the per-batch
+sketch builder.
 
 At 100 TB/day the same layout holds: each micro-batch contributes a
 ≤(d×w)-row sketch (the batch's own aggregation is the only shuffle,
@@ -32,112 +28,47 @@ streaming or sketches; this extends the engine per the build brief.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import cms_build
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 
 _CELLS = "row int, col int, c long"
-_MANIFEST = "_subsumed.json"
+_KEYS = ["row", "col"]
+_MANIFEST = _cs.MANIFEST
 
 # Compact once the store accumulates this many batch_id=* dirs (same
 # listing-cliff rationale as dedup_gate._COMPACT_AFTER_DIRS).
 _COMPACT_AFTER_DIRS = 16
 
-
-def _state_subdirs(state_dir: str) -> dict[str, int]:
-    """{path: batch_id} for every ``batch_id=*`` dir in the store."""
-    if not os.path.isdir(state_dir):
-        return {}
-    out = {}
-    for d in os.listdir(state_dir):
-        p = os.path.join(state_dir, d)
-        if d.startswith("batch_id=") and os.path.isdir(p):
-            out[p] = int(d.split("=", 1)[1])
-    return out
-
-
-def _subsumed_ids(state_dir: str) -> set[int]:
-    """Exclusion set = the NEWEST (most negative id) generation's
-    manifest. Older generations are in that manifest by construction,
-    so one file answers for the whole history; no generations → empty.
-    Driver-side and file-count sized, like the gate's dir listing."""
-    gens = {p: i for p, i in _state_subdirs(state_dir).items() if i < 0}
-    if not gens:
-        return set()
-    newest = min(gens, key=gens.get)
-    with open(os.path.join(newest, _MANIFEST)) as f:
-        return set(json.load(f))
+# thin aliases: tests and callers address the store through this module
+_state_subdirs = _cs.state_subdirs
+_subsumed_ids = _cs.subsumed_ids
 
 
 def read_sketch(
     spark: SparkSession, state_dir: str, before_batch: int | None = None
 ) -> DataFrame:
     """The current corpus sketch: cell-wise sum over every live state
-    dir — live = not named by the newest generation's manifest (folded
-    dirs awaiting GC must not count twice) and, when ``before_batch``
-    is given (the in-flight batch id on the retry path), not written by
-    batch ids ≥ it. Generations (negative ids) always pass the retry
-    filter, as in dedup_gate._load_state."""
-    try:
-        df = spark.read.schema(_CELLS + ", batch_id long").parquet(state_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], _CELLS)
-    subsumed = _subsumed_ids(state_dir)
-    if subsumed:
-        df = df.filter(~F.col("batch_id").isin([int(i) for i in subsumed]))
-    if before_batch is not None:
-        df = df.filter(F.col("batch_id") < before_batch)
-    return df.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    dir — see counting_state.read_counts for the liveness/retry
+    contract."""
+    return _cs.read_counts(
+        spark, state_dir, _CELLS, _KEYS, "c", before_batch=before_batch
+    )
 
 
 def compact_state(
     spark: SparkSession, state_dir: str, exclude_from: int | None = None
 ) -> None:
-    """Fold live dirs (and prior generations) into one new generation.
-
-    1. sum the live cells (excluding the in-flight batch via
-       ``exclude_from``, so its dir survives for retry exclusion) into
-       a tmp dir OUTSIDE the store;
-    2. drop the transitive subsumed-id manifest into the tmp dir;
-    3. rename tmp into the store as ``batch_id=<next_gen>`` — the
-       manifest and the folded counts become visible atomically;
-    4. delete the subsumed dirs. Pure GC: a crash anywhere after (3)
-       changes nothing a reader computes, because (3)'s manifest
-       already excludes every subsumed dir.
-    """
-    dirs = _state_subdirs(state_dir)
-    prior_subsumed = _subsumed_ids(state_dir)
-    # finish any interrupted GC first: dirs already named by the newest
-    # manifest are invisible to readers, so deleting them here is safe
-    # and keeps the listing bounded across crash-restart cycles
-    for p, i in list(dirs.items()):
-        if i in prior_subsumed:
-            shutil.rmtree(p, ignore_errors=True)
-            del dirs[p]
-    fold_ids = {
-        i
-        for i in dirs.values()
-        if i < 0 or exclude_from is None or i < exclude_from
-    }
-    if len(fold_ids) < 2:
-        return
-    next_gen = min(min(dirs.values()), 0) - 1
-    folded = read_sketch(spark, state_dir, before_batch=exclude_from)
-    tmp = state_dir.rstrip("/") + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.repartition("row", "col").write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _MANIFEST), "w") as f:
-        json.dump(sorted(prior_subsumed | fold_ids), f)
-    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
-    for p, i in dirs.items():
-        if i in fold_ids:
-            shutil.rmtree(p, ignore_errors=True)
+    """Fold live dirs (and prior generations) into one new generation
+    with a transitive ``_subsumed.json`` manifest; see
+    counting_state.compact_counts for the crash-safety argument."""
+    _cs.compact_counts(
+        spark, state_dir, _CELLS, _KEYS, "c", exclude_from=exclude_from
+    )
 
 
 def run_cms_available_now(
@@ -176,11 +107,7 @@ def run_cms_available_now(
         cms_build(occ, key_col, d=d, w=w).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
-        subsumed = _subsumed_ids(state_dir)
-        live = sum(
-            1 for i in _state_subdirs(state_dir).values() if i not in subsumed
-        )
-        if live > compact_after_dirs:
+        if _cs.live_dir_count(state_dir) > compact_after_dirs:
             compact_state(
                 batch_df.sparkSession, state_dir, exclude_from=batch_id
             )

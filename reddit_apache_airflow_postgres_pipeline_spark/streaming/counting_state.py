@@ -1,0 +1,141 @@
+"""Shared crash-safe COUNTING-state store for streaming sketches —
+the generation-folding layout behind the CMS stream (cms_stream.py)
+and the quantile-sketch stream (qsketch_stream.py), generalized over
+the cell key columns.
+
+Layout contract (identical to the dedup gate's, plus the manifest):
+per-micro-batch parquet dirs under ``state_dir/batch_id=<i>`` with
+idempotent overwrite; compaction folds live dirs into a new generation
+dir (negative batch_id). Because SUM-merged counting state has no
+duplicate absorption (a generation PLUS a lingering folded dir
+double-counts — unlike the HLL stream's max-merge), every generation
+commits with a ``_subsumed.json`` manifest atomic with the generation
+rename; readers take the NEWEST generation's manifest as the exclusion
+set, making post-rename deletes pure GC. Spark's parquet reader skips
+``_``-prefixed files, so the manifest lives inside the generation dir.
+
+At 100 TB/day: each batch contributes one bounded dir (the batch's own
+aggregation is the only shuffle), and compaction is a key-wise sum over
+≤(dirs × cells) rows — trivially parallel, no single-task fold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+MANIFEST = "_subsumed.json"
+
+
+def state_subdirs(state_dir: str) -> dict[str, int]:
+    """{path: batch_id} for every ``batch_id=*`` dir in the store."""
+    if not os.path.isdir(state_dir):
+        return {}
+    out = {}
+    for d in os.listdir(state_dir):
+        p = os.path.join(state_dir, d)
+        if d.startswith("batch_id=") and os.path.isdir(p):
+            out[p] = int(d.split("=", 1)[1])
+    return out
+
+
+def subsumed_ids(state_dir: str) -> set[int]:
+    """Exclusion set = the NEWEST (most negative id) generation's
+    manifest. Older generations are in that manifest by construction,
+    so one file answers for the whole history; no generations → empty.
+    Driver-side and file-count sized, like the dedup gate's listing."""
+    gens = {p: i for p, i in state_subdirs(state_dir).items() if i < 0}
+    if not gens:
+        return set()
+    newest = min(gens, key=gens.get)
+    with open(os.path.join(newest, MANIFEST)) as f:
+        return set(json.load(f))
+
+
+def read_counts(
+    spark: SparkSession,
+    state_dir: str,
+    cell_schema: str,
+    key_cols: list[str],
+    value_col: str,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """The current folded state: key-wise SUM over every live dir —
+    live = not named by the newest generation's manifest, and (on the
+    retry path) not written by batch ids ≥ ``before_batch``;
+    generations (negative ids) always pass the retry filter."""
+    try:
+        df = spark.read.schema(cell_schema + ", batch_id long").parquet(
+            state_dir
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], cell_schema)
+    excluded = subsumed_ids(state_dir)
+    if excluded:
+        df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col))
+
+
+def compact_counts(
+    spark: SparkSession,
+    state_dir: str,
+    cell_schema: str,
+    key_cols: list[str],
+    value_col: str,
+    exclude_from: int | None = None,
+) -> None:
+    """Fold live dirs (and prior generations) into one new generation.
+
+    1. finish any interrupted GC (dirs already named by the newest
+       manifest are invisible to readers — deleting them is safe and
+       keeps the listing bounded across crash-restart cycles);
+    2. sum the live cells (excluding the in-flight batch via
+       ``exclude_from`` so its dir survives for retry exclusion) into
+       a tmp dir OUTSIDE the store;
+    3. drop the transitive subsumed-id manifest into the tmp dir;
+    4. rename tmp into the store as ``batch_id=<next_gen>`` — manifest
+       and folded counts become visible atomically;
+    5. delete the subsumed dirs — pure GC: a crash anywhere after (4)
+       changes nothing a reader computes.
+    """
+    dirs = state_subdirs(state_dir)
+    prior = subsumed_ids(state_dir)
+    for p, i in list(dirs.items()):
+        if i in prior:
+            shutil.rmtree(p, ignore_errors=True)
+            del dirs[p]
+    fold_ids = {
+        i
+        for i in dirs.values()
+        if i < 0 or exclude_from is None or i < exclude_from
+    }
+    if len(fold_ids) < 2:
+        return
+    next_gen = min(min(dirs.values()), 0) - 1
+    folded = read_counts(
+        spark, state_dir, cell_schema, key_cols, value_col,
+        before_batch=exclude_from,
+    )
+    tmp = state_dir.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.repartition(*key_cols).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(sorted(prior | fold_ids), f)
+    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
+    for p, i in dirs.items():
+        if i in fold_ids:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def live_dir_count(state_dir: str) -> int:
+    """Number of dirs a reader would actually fold — the compaction
+    trigger metric."""
+    excluded = subsumed_ids(state_dir)
+    return sum(1 for i in state_subdirs(state_dir).values() if i not in excluded)
