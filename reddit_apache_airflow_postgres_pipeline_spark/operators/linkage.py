@@ -12,10 +12,10 @@ The model: for each comparison field ``f`` with match probability
 
 and classifies by two thresholds: ``weight ≥ t_upper`` → match,
 ``weight ≤ t_lower`` → non-match, else possible (clerical review). The
-m/u parameters are supplied (in production fitted by EM over the
-agreement-pattern counts — the fitting is a separate offline concern;
-the per-field agreement counts this module emits are exactly EM's
-sufficient statistics).
+m/u parameters are either supplied or fitted unsupervised by
+:func:`fs_fit_em` over the agreement-pattern counts (Winkler's EM
+workflow — the pattern relation this module emits is exactly EM's
+sufficient statistics, at most 2^|fields| rows).
 
 Scale shape — the whole point of BLOCKED linkage: candidate pairs come
 from one equi-join on a blocking key (never a cross product; compare
@@ -192,3 +192,119 @@ def fs_link(
         self_dedupe=self_dedupe,
     )
     return fs_score(pairs, w, t_upper, t_lower)
+
+
+def fs_fit_em(
+    scored_pairs: DataFrame,
+    fields: list[str],
+    p0: float = 0.1,
+    m0: float = 0.8,
+    u0: float = 0.2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fit the Fellegi–Sunter m/u parameters by EM (Winkler 1988) —
+    the step production linkage runs BEFORE :func:`fs_score`: given the
+    per-pair agreement vectors (any relation with boolean
+    ``agree_<f>`` columns, e.g. fs_score output), learn
+    ``m_f = P(agree|match)``, ``u_f = P(agree|non-match)`` and the
+    match proportion ``p``. Output: (field, m, u, p_match), one row
+    per field, after ``rounds`` EM rounds from the (p0, m0, u0) start.
+
+    The sufficient statistics are the agreement-PATTERN counts — at
+    most 2^|fields| rows — so EM iterates on a tiny relation: one
+    corpus-scale aggregate (localCheckpoint'ed, the engine's iterative
+    idiom), then constant-round E/M steps whose per-round arithmetic
+    rounds (w at 9 dp, params at 6 dp, DECIMAL pattern sums) replay
+    bit-for-bit in the unrolled-CTE oracle — the fifth iterative
+    algorithm under that discipline (kmeans, PageRank, power-iteration
+    PCA, BPE, EM).
+
+    Conditional-independence caveat (inherent to FS-EM): correlated
+    fields bias m/u; the round count is a fixed contract, not a
+    convergence test.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    acols = [f"agree_{f}" for f in fields]
+    counts = (
+        scored_pairs.groupBy(*acols)
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    tot = counts.agg(F.sum("n").alias("__N"))
+    spark = scored_pairs.sparkSession
+    params = spark.range(1).select(
+        F.lit(float(p0)).alias("p"),
+        *[F.lit(float(m0)).alias(f"m_{f}") for f in fields],
+        *[F.lit(float(u0)).alias(f"u_{f}") for f in fields],
+    )
+    dec = "decimal(28,12)"
+    for _ in range(rounds):
+        j = counts.crossJoin(F.broadcast(params))
+        num_m = F.col("p")
+        num_u = F.lit(1.0) - F.col("p")
+        for f in fields:
+            num_m = num_m * F.when(
+                F.col(f"agree_{f}"), F.col(f"m_{f}")
+            ).otherwise(F.lit(1.0) - F.col(f"m_{f}"))
+            num_u = num_u * F.when(
+                F.col(f"agree_{f}"), F.col(f"u_{f}")
+            ).otherwise(F.lit(1.0) - F.col(f"u_{f}"))
+        w = F.round(num_m / (num_m + num_u), 9)
+        e = j.select(
+            *acols,
+            "n",
+            F.round(F.col("n") * w, 9).alias("__nw"),
+            F.round(F.col("n") * (F.lit(1.0) - w), 9).alias("__nv"),
+        )
+        aggs = [
+            F.sum(F.col("__nw").cast(dec)).cast("double").alias("__sw"),
+            F.sum(F.col("__nv").cast(dec)).cast("double").alias("__sv"),
+        ]
+        for f in fields:
+            aggs.append(
+                F.sum(
+                    F.when(F.col(f"agree_{f}"), F.col("__nw"))
+                    .otherwise(F.lit(0.0))
+                    .cast(dec)
+                )
+                .cast("double")
+                .alias(f"__swg_{f}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(f"agree_{f}"), F.col("__nv"))
+                    .otherwise(F.lit(0.0))
+                    .cast(dec)
+                )
+                .cast("double")
+                .alias(f"__svg_{f}")
+            )
+        s = e.agg(*aggs).crossJoin(F.broadcast(tot))
+        out = [
+            F.round(F.col("__sw") / F.col("__N"), 6).alias("p"),
+        ]
+        for f in fields:
+            out.append(
+                F.when(
+                    F.col("__sw") > 0,
+                    F.round(F.col(f"__swg_{f}") / F.col("__sw"), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"m_{f}")
+            )
+            out.append(
+                F.when(
+                    F.col("__sv") > 0,
+                    F.round(F.col(f"__svg_{f}") / F.col("__sv"), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"u_{f}")
+            )
+        # 1-row relation; checkpoint keeps the unrolled plan constant
+        params = s.select(*out).localCheckpoint()
+    stack = ", ".join(f"'{f}', m_{f}, u_{f}" for f in fields)
+    return params.select(
+        F.expr(f"stack({len(fields)}, {stack}) AS (field, m, u)"),
+        F.col("p").alias("p_match"),
+    )

@@ -1065,17 +1065,9 @@ _FS_U = {"bal_band": 0.1, "cents": 0.1, "suffix": 0.01}
 _FS_UPPER, _FS_LOWER = 4.0, 0.0
 
 
-def _fs_sql() -> str:
-    from reddit_apache_airflow_postgres_pipeline_spark.operators.linkage import fs_weights
-
-    w = fs_weights(_FS_M, _FS_U)
-    terms = " + ".join(
-        f"(CASE WHEN agree_{f} THEN CAST({aw} AS DECIMAL(18,6))"
-        f" ELSE CAST({dw} AS DECIMAL(18,6)) END)"
-        for f, (aw, dw) in w.items()
-    )
-    return f"""
-    WITH c AS (
+# The customer-pair agreement relation, shared by the scoring oracle
+# (_fs_sql) and the EM-fitting oracle (_fs_em_sql)
+_FS_PAIRS_CTE = """c AS (
       SELECT c_custkey AS id, c_nationkey AS nk, c_mktsegment AS seg,
              CAST(floor(c_acctbal / 1000) AS INT) AS bal_band,
              CAST(round(c_acctbal * 100) AS BIGINT) % 10 AS cents,
@@ -1086,7 +1078,20 @@ def _fs_sql() -> str:
              a.bal_band = b.bal_band AS agree_bal_band,
              a.cents = b.cents AS agree_cents,
              a.suffix = b.suffix AS agree_suffix
-      FROM c a JOIN c b ON b.nk = a.nk AND b.seg = a.seg AND b.id > a.id),
+      FROM c a JOIN c b ON b.nk = a.nk AND b.seg = a.seg AND b.id > a.id)"""
+
+
+def _fs_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.linkage import fs_weights
+
+    w = fs_weights(_FS_M, _FS_U)
+    terms = " + ".join(
+        f"(CASE WHEN agree_{f} THEN CAST({aw} AS DECIMAL(18,6))"
+        f" ELSE CAST({dw} AS DECIMAL(18,6)) END)"
+        for f, (aw, dw) in w.items()
+    )
+    return f"""
+    WITH {_FS_PAIRS_CTE},
     s AS (
       SELECT id_l, id_r, agree_bal_band, agree_cents, agree_suffix,
              round(CAST({terms} AS DOUBLE), 6) AS weight
@@ -1321,4 +1326,105 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__rn") <= _RRF_OUT)
         .select("doc_id", "lex_rank", "dense_rank", "rrf")
+    )
+
+
+_EM_FIELDS = ["bal_band", "cents", "suffix"]
+_EM_P0, _EM_M0, _EM_U0, _EM_ROUNDS = 0.1, 0.8, 0.2, 3
+
+
+def _fs_em_sql() -> str:
+    fs = _EM_FIELDS
+    n = len(fs)
+    dec = "DECIMAL(28,12)"
+    a = {f: f"a{i+1}" for i, f in enumerate(fs)}
+    g_cols = ", ".join(f"agree_{f} AS {a[f]}" for f in fs)
+    e0 = ", ".join(
+        [f"CAST({_EM_P0!r} AS DOUBLE) AS p"]
+        + [f"CAST({_EM_M0!r} AS DOUBLE) AS m{i+1}" for i in range(n)]
+        + [f"CAST({_EM_U0!r} AS DOUBLE) AS u{i+1}" for i in range(n)]
+    )
+    sql = f"""
+    WITH {_FS_PAIRS_CTE},
+    g0 AS (SELECT {g_cols}, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p GROUP BY {", ".join(str(i+1) for i in range(n))}),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM g0),
+    e0 AS (SELECT {e0})"""
+    for r in range(1, _EM_ROUNDS + 1):
+        num = "e.p"
+        den = "(1.0 - e.p)"
+        for i in range(n):
+            num += (
+                f" * (CASE WHEN g.a{i+1} THEN e.m{i+1}"
+                f" ELSE 1.0 - e.m{i+1} END)"
+            )
+            den += (
+                f" * (CASE WHEN g.a{i+1} THEN e.u{i+1}"
+                f" ELSE 1.0 - e.u{i+1} END)"
+            )
+        w = f"round(({num}) / (({num}) + ({den})), 9)"
+        acols = ", ".join(f"g.a{i+1}" for i in range(n))
+        sw = f"CAST(SUM(CAST(nw AS {dec})) AS DOUBLE)"
+        sv = f"CAST(SUM(CAST(nv AS {dec})) AS DOUBLE)"
+        parts = [f"round({sw} / t.N, 6) AS p"]
+        for i in range(n):
+            swg = (
+                f"CAST(SUM(CASE WHEN a{i+1} THEN CAST(nw AS {dec})"
+                f" ELSE CAST(0.0 AS {dec}) END) AS DOUBLE)"
+            )
+            svg = (
+                f"CAST(SUM(CASE WHEN a{i+1} THEN CAST(nv AS {dec})"
+                f" ELSE CAST(0.0 AS {dec}) END) AS DOUBLE)"
+            )
+            parts.append(
+                f"CASE WHEN {sw} > 0 THEN round({swg} / {sw}, 6)"
+                f" ELSE 0.0 END AS m{i+1}"
+            )
+            parts.append(
+                f"CASE WHEN {sv} > 0 THEN round({svg} / {sv}, 6)"
+                f" ELSE 0.0 END AS u{i+1}"
+            )
+        sql += f""",
+    w{r} AS (
+      SELECT {acols}, g.n,
+             round(g.n * {w}, 9) AS nw,
+             round(g.n * (1.0 - {w}), 9) AS nv
+      FROM g0 g, e{r-1} e),
+    e{r} AS (SELECT {", ".join(parts)} FROM w{r}, tot t GROUP BY t.N)"""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT '{f}' AS field, m{i+1} AS m, u{i+1} AS u, p AS p_match"
+        f" FROM e{_EM_ROUNDS}"
+        for i, f in enumerate(fs)
+    )
+    return sql + "\n    " + unions
+
+
+@_q("q_link_em_fit", _fs_em_sql())
+def q_link_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM fitting of the Fellegi–Sunter m/u/p parameters on the
+    customer self-linkage pairs — the learning step production linkage
+    runs before scoring (Winkler's unsupervised workflow). The
+    sufficient statistics are the ≤2^3-row agreement-PATTERN counts,
+    so after ONE corpus-scale pass the three EM rounds iterate on a
+    tiny checkpointed relation — the fifth iterative algorithm under
+    the unrolled-CTE rounding-contract oracle (after kmeans, PageRank,
+    power-iteration PCA, and BPE). Output: (field, m, u, p_match)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import linkage
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 10).alias("cents"),
+        F.substring("c_name", -2, 2).alias("suffix"),
+    )
+    pairs = linkage.block_pairs(
+        c, c, ["nk", "seg"], fields=_EM_FIELDS, self_dedupe=True
+    )
+    scored = pairs.select(
+        *[linkage._agree(f).alias(f"agree_{f}") for f in _EM_FIELDS]
+    )
+    return linkage.fs_fit_em(
+        scored, _EM_FIELDS, p0=_EM_P0, m0=_EM_M0, u0=_EM_U0, rounds=_EM_ROUNDS
     )

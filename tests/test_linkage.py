@@ -80,3 +80,40 @@ def test_threshold_order_validated(spark):
     feed = _feed(spark, [(1, "b", "rome", 1990)])
     with pytest.raises(ValueError, match="t_lower"):
         linkage.fs_link(feed, feed, ["blk"], M, U, t_upper=0.0, t_lower=4.0)
+
+
+def test_fs_fit_em_separates_planted_matches(spark):
+    # planted structure: 50 "match" pairs agree on both fields, 450
+    # "non-match" pairs agree on nothing -> EM must push m up, u down,
+    # and p toward 0.1 from the (0.1, 0.8, 0.2) start
+    rows = [(True, True)] * 50 + [(False, False)] * 450
+    scored = spark.createDataFrame(rows, "agree_city boolean, agree_year boolean")
+    out = linkage.fs_fit_em(scored, ["city", "year"], rounds=3).collect()
+    by = {r["field"]: r for r in out}
+    assert set(by) == {"city", "year"}
+    for f in by.values():
+        assert f["m"] > 0.9        # matches agree almost surely
+        assert f["u"] < 0.1        # chance agreement rare
+        assert 0.05 < f["p_match"] < 0.2
+    # deterministic: re-running yields identical parameters
+    again = {r["field"]: r for r in linkage.fs_fit_em(
+        scored, ["city", "year"], rounds=3).collect()}
+    assert {k: (v["m"], v["u"], v["p_match"]) for k, v in by.items()} == {
+        k: (v["m"], v["u"], v["p_match"]) for k, v in again.items()
+    }
+
+
+def test_fs_fit_em_degenerate_single_pattern(spark):
+    # all pairs share one agreement pattern: EM has nothing to separate
+    # and must return finite parameters (guarded divisions), not NaN/err
+    scored = spark.createDataFrame(
+        [(True, False)] * 20, "agree_city boolean, agree_year boolean"
+    )
+    out = {r["field"]: r for r in linkage.fs_fit_em(scored, ["city", "year"]).collect()}
+    for f in out.values():
+        assert f["m"] is not None and f["u"] is not None
+        assert 0.0 <= f["m"] <= 1.0 and 0.0 <= f["u"] <= 1.0
+
+    import pytest
+    with pytest.raises(ValueError, match="fields"):
+        linkage.fs_fit_em(scored, [])

@@ -244,6 +244,7 @@ BNLJ_ALLOWED = {
     "q_dsir_weighted_sample": "1-row max-logw scalar",
     "q_bpe_tokenize": "1-row argmax merge broadcast per round",
     "q_text_bm25": "1-row corpus N/avgdl scalar",
+    "q_link_em_fit": "1-row EM parameter relation broadcast per round",
     "q_hybrid_rrf_retrieval": (
         "1-row corpus scalars (BM25 leg) + 1-vector query (dense leg)"
     ),
