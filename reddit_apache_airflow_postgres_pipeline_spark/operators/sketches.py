@@ -386,36 +386,55 @@ def qsketch_quantiles(
     hi: float,
     bins: int = 256,
     round_digits: int = 4,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(q, est): interpolated quantile estimates from the global
-    ``(bin, n)`` sketch. For each q, target rank = q·N (floored at a
-    tiny epsilon so q=0 lands in the first non-empty bin), the bracket
-    bin is the first with cumulative count ≥ target, and the estimate
-    interpolates linearly inside it. Everything runs on the ≤ bins-row
-    relation: one single-partition window cumsum (bounded, like the
-    PSI spine), a |qs|-row broadcast, one bracket join."""
+    """(group_cols..., q, est): interpolated quantile estimates from
+    the ``(group..., bin, n)`` sketch. For each q, target rank = q·N
+    (floored at a tiny epsilon so q=0 lands in the first non-empty
+    bin), the bracket bin is the first with cumulative count ≥ target,
+    and the estimate interpolates linearly inside it. Everything runs
+    on the ≤ (groups × bins)-row relation: one per-group window cumsum
+    (single-partition only in the global case — grouped cumsums
+    partition by group), a |qs|-row broadcast, one bracket join."""
     from pyspark.sql import Window
 
+    group_cols = group_cols or []
     width = (hi - lo) / bins
     spark = sketch.sparkSession
-    cum = sketch.select(
-        "bin",
-        "n",
-        F.sum("n").over(Window.orderBy("bin")).alias("cum"),
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.orderBy("bin")
     )
-    total = sketch.agg(F.sum("n").alias("__N"))
+    cum = sketch.select(
+        *group_cols, "bin", "n", F.sum("n").over(w).alias("cum")
+    )
+    total = sketch.groupBy(*group_cols).agg(F.sum("n").alias("__N"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     targets = qdf.crossJoin(F.broadcast(total)).select(
-        "q", F.greatest(F.col("q") * F.col("__N"), F.lit(1e-12)).alias("__target")
+        *group_cols,
+        "q",
+        F.greatest(F.col("q") * F.col("__N"), F.lit(1e-12)).alias("__target"),
     )
     bracket = (
-        targets.join(cum, cum["cum"] >= F.col("__target"))
-        .groupBy("q", "__target")
+        targets.join(
+            cum.select(
+                *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+                F.col("bin"),
+                F.col("cum"),
+            ),
+            [F.col(g) == F.col(f"__g_{g}") for g in group_cols]
+            + [F.col("cum") >= F.col("__target")]
+            if group_cols
+            else F.col("cum") >= F.col("__target"),
+        )
+        .groupBy(*group_cols, "q", "__target")
         .agg(F.min("bin").alias("bin"))
     )
     return (
-        bracket.join(cum, "bin")
+        bracket.join(cum, [*group_cols, "bin"])
         .select(
+            *group_cols,
             "q",
             F.round(
                 F.lit(lo)

@@ -943,3 +943,144 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " | ",
         ).alias("tokenized"),
     )
+
+
+_LQ_QS = [0.25, 0.5, 0.9]
+_LQ_LO, _LQ_HI, _LQ_BINS = 0.0, 128.0, 32  # width 4: exact binary fraction
+
+
+def _lang_quantiles_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL
+
+    width = (_LQ_HI - _LQ_LO) / _LQ_BINS
+    qlist = ", ".join(repr(q) for q in _LQ_QS)
+    return f"""
+    WITH v AS (SELECT lang, CAST(len({_TOKENS_SQL}) AS DOUBLE) AS x FROM documents),
+    b AS (SELECT lang,
+                 CAST(floor(LEAST(GREATEST((x - {_LQ_LO!r}) / {width!r}, 0.0),
+                                  {float(_LQ_BINS - 1)!r})) AS INT) AS bin,
+                 COUNT(*) AS cnt
+          FROM v GROUP BY 1, 2),
+    c AS (SELECT lang, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM b),
+    n AS (SELECT lang, SUM(cnt) AS N FROM b GROUP BY lang),
+    qs AS (SELECT unnest([{qlist}]::DOUBLE[]) AS q),
+    t AS (SELECT n.lang, q, GREATEST(q * n.N, 1e-12) AS target FROM qs, n),
+    br AS (SELECT t.lang, t.q, t.target, MIN(c.bin) AS bin
+           FROM t JOIN c ON c.lang = t.lang AND CAST(c.cum AS DOUBLE) >= t.target
+           GROUP BY 1, 2, 3)
+    SELECT br.lang AS lang, br.q AS q,
+           round({_LQ_LO!r} + (br.bin + (br.target - (c.cum - c.cnt)) / c.cnt)
+                 * {width!r}, 4) AS est
+    FROM br JOIN c ON c.lang = br.lang AND c.bin = br.bin
+    """
+
+
+@_q("q_doc_length_quantiles_by_lang", _lang_quantiles_sql())
+def q_doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length quantiles (P25/P50/P90) from GROUPED
+    quantile sketches — the per-stratum distribution profile a data
+    mixer reads before setting per-language sequence lengths, answered
+    from ≤ (langs × 32) sketch rows instead of per-group sorts. The
+    grouped variant partitions the cumsum window by language, so no
+    single-partition bottleneck appears at any group count. See
+    sketches.qsketch_build/qsketch_quantiles(group_cols=...)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("double").alias("x")
+    )
+    sk = sketches.qsketch_build(d, "x", _LQ_LO, _LQ_HI, _LQ_BINS, ["lang"])
+    return sketches.qsketch_quantiles(
+        sk, _LQ_QS, _LQ_LO, _LQ_HI, _LQ_BINS, group_cols=["lang"]
+    )
+
+
+@_q(
+    "q_embedding_debias",
+    f"""
+    WITH pc AS (SELECT * FROM ({_power_iter_sql(3)})),
+    el AS (
+      SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) g
+      WHERE len(embedding) >= 8),
+    cf AS (
+      SELECT el.vec_id,
+             CAST(SUM(CAST(round(el.x * pc.component, 9) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS coeff
+      FROM el JOIN pc ON pc.pos = el.i GROUP BY el.vec_id),
+    res AS (
+      SELECT el.vec_id,
+             sqrt(CAST(SUM(CAST(round(
+                    (el.x - cf.coeff * pc.component)
+                    * (el.x - cf.coeff * pc.component), 9)
+                  AS DECIMAL(28,12))) AS DOUBLE)) AS rn
+      FROM el JOIN pc ON pc.pos = el.i JOIN cf ON cf.vec_id = el.vec_id
+      GROUP BY el.vec_id)
+    SELECT cf.vec_id AS vec_id, round(cf.coeff, 6) AS coeff,
+           round(res.rn, 6) AS residual_norm
+    FROM cf JOIN res ON res.vec_id = cf.vec_id
+    """,
+)
+def q_embedding_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening APPLIED: every embedding's projection onto the learned
+    dominant principal direction (q_embedding_principal_component) and
+    the norm of what remains after subtracting it — the all-but-the-top
+    debiasing step (Mu & Viswanath 2018) a retrieval stack runs so one
+    dominant direction can't swamp cosine similarity. The 8-row
+    component relation broadcasts onto the exploded corpus twice
+    (coefficient pass, residual pass — AQE reuses the explode);
+    per-term products round at 9 dp into DECIMAL sums, so the oracle
+    replays the projection bit-for-bit. Map-scale at any corpus size;
+    the only corpus-scale work beyond the scan is two bounded
+    hash-aggs keyed on vec_id."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_stats import (
+        q_embedding_principal_component,
+    )
+
+    pc = q_embedding_principal_component(spark, sf_dir).select(
+        F.col("pos"), F.col("component")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    el = (
+        em.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).alias("i"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .filter(F.col("i") <= 8)
+    )
+    cf = (
+        el.join(F.broadcast(pc), el["i"] == pc["pos"])
+        .select(
+            "vec_id",
+            F.round(F.col("x") * F.col("component"), 9)
+            .cast("decimal(28,12)")
+            .alias("__t"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("__t").cast("double").alias("coeff"))
+    )
+    resid = (
+        el.join(F.broadcast(pc), el["i"] == pc["pos"])
+        .join(cf, "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                (F.col("x") - F.col("coeff") * F.col("component"))
+                * (F.col("x") - F.col("coeff") * F.col("component")),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("__r"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("__r").cast("double")).alias("rn"))
+    )
+    return cf.join(resid, "vec_id").select(
+        "vec_id",
+        F.round(F.col("coeff"), 6).alias("coeff"),
+        F.round(F.col("rn"), 6).alias("residual_norm"),
+    )

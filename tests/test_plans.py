@@ -245,12 +245,20 @@ BNLJ_ALLOWED = {
     "q_bpe_tokenize": "1-row argmax merge broadcast per round",
     "q_text_bm25": "1-row corpus N/avgdl scalar",
     "q_link_em_fit": "1-row EM parameter relation broadcast per round",
+    "q_embedding_debias": (
+        "1-row norm scalar per power-iteration round (inherited from "
+        "the principal-component subplan)"
+    ),
     "q_hybrid_rrf_retrieval": (
         "1-row corpus scalars (BM25 leg) + 1-vector query (dense leg)"
     ),
     "q_quantile_sketch_audit": (
         "1-row total scalar + |qs|-row target set bracket-joined "
         "against the <=bins-row cumsum"
+    ),
+    "q_doc_length_quantiles_by_lang": (
+        "|qs|-row quantile list x |langs|-row totals (bounded target "
+        "set), bracket-joined against the <=langs*bins-row cumsum"
     ),
 }
 

@@ -262,3 +262,21 @@ def test_qsketch_wild_outlier_clamps_instead_of_crashing(spark):
     assert rows[128] == 1   # the sane value
     assert rows[255] == 2   # both wild highs clamp to the top bin
     assert rows[0] == 1     # wild low clamps to bin 0
+
+
+def test_qsketch_grouped_quantiles_partition_independently(spark):
+    # group a: uniform 0..99; group b: uniform 100..199 — grouped
+    # medians must reflect each group's own distribution
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(100 + v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    sk = sketches.qsketch_build(df, "x", 0.0, 200.0, bins=20, group_cols=["g"])
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in sketches.qsketch_quantiles(
+            sk, [0.5], 0.0, 200.0, 20, group_cols=["g"]
+        ).collect()
+    }
+    assert abs(est[("a", 0.5)] - 50.0) <= 10.0
+    assert abs(est[("b", 0.5)] - 150.0) <= 10.0
