@@ -1084,3 +1084,99 @@ def q_embedding_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("coeff"), 6).alias("coeff"),
         F.round(F.col("rn"), 6).alias("residual_norm"),
     )
+
+
+_WZ_LO, _WZ_HI, _WZ_BINS = 0.0, 512.0, 128  # width 4: exact binary fraction
+_WZ_QLO, _WZ_QHI = 0.01, 0.99
+
+
+def _winsorize_sketch_sql() -> str:
+    width = (_WZ_HI - _WZ_LO) / _WZ_BINS
+    return f"""
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    b AS (SELECT CAST(floor(LEAST(GREATEST((x - {_WZ_LO!r}) / {width!r}, 0.0),
+                                  {float(_WZ_BINS - 1)!r})) AS INT) AS bin,
+                 COUNT(*) AS cnt
+          FROM v GROUP BY 1),
+    c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+    n AS (SELECT SUM(cnt) AS N FROM b),
+    qs AS (SELECT unnest([{_WZ_QLO!r}, {_WZ_QHI!r}]::DOUBLE[]) AS q),
+    t AS (SELECT q, GREATEST(q * n.N, 1e-12) AS target FROM qs, n),
+    br AS (SELECT t.q, t.target, MIN(c.bin) AS bin
+           FROM t JOIN c ON CAST(c.cum AS DOUBLE) >= t.target GROUP BY 1, 2),
+    est AS (SELECT br.q AS q,
+                   round({_WZ_LO!r} + (br.bin + (br.target - (c.cum - c.cnt)) / c.cnt)
+                         * {width!r}, 4) AS est
+            FROM br JOIN c ON c.bin = br.bin),
+    th AS (SELECT MIN(CASE WHEN q = {_WZ_QLO!r} THEN est END) AS lo_clip,
+                  MIN(CASE WHEN q = {_WZ_QHI!r} THEN est END) AS hi_clip
+           FROM est)
+    SELECT th.lo_clip AS lo_clip, th.hi_clip AS hi_clip,
+           CAST(COUNT(CASE WHEN x < th.lo_clip THEN 1 END) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(CASE WHEN x > th.hi_clip THEN 1 END) AS BIGINT) AS n_clipped_high,
+           round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_before,
+           round(CAST(SUM(CAST(round(
+                   CASE WHEN x < th.lo_clip THEN th.lo_clip
+                        WHEN x > th.hi_clip THEN th.hi_clip
+                        ELSE x END, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_after
+    FROM v, th GROUP BY th.lo_clip, th.hi_clip
+    """
+
+
+@_q("q_winsorize_by_sketch", _winsorize_sketch_sql())
+def q_winsorize_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization driven by the QUANTILE SKETCH instead of exact
+    percentiles — the 100 TB path (q_events_winsorize_clip's exact
+    thresholds need a sort; these come from the ≤128-row sketch, error
+    bounded by the bin width): clip event values at the sketch P1/P99
+    and report the clip counts and before/after means. The threshold
+    relation is a 1-row broadcast onto the value scan; means are 9-dp
+    DECIMAL-summed so the reduce is order-free."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("x")
+    )
+    sk = sketches.qsketch_build(v, "x", _WZ_LO, _WZ_HI, _WZ_BINS)
+    est = sketches.qsketch_quantiles(
+        sk, [_WZ_QLO, _WZ_QHI], _WZ_LO, _WZ_HI, _WZ_BINS
+    )
+    th = est.agg(
+        F.min(F.when(F.col("q") == _WZ_QLO, F.col("est"))).alias("lo_clip"),
+        F.min(F.when(F.col("q") == _WZ_QHI, F.col("est"))).alias("hi_clip"),
+    )
+    clipped = F.when(F.col("x") < F.col("lo_clip"), F.col("lo_clip")).when(
+        F.col("x") > F.col("hi_clip"), F.col("hi_clip")
+    ).otherwise(F.col("x"))
+    return (
+        v.crossJoin(F.broadcast(th))
+        .groupBy("lo_clip", "hi_clip")
+        .agg(
+            F.count(F.when(F.col("x") < F.col("lo_clip"), 1))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.count(F.when(F.col("x") > F.col("hi_clip"), 1))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum(F.round(F.col("x"), 9).cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                F.sum(F.round(clipped, 9).cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_after"),
+        )
+        .select(
+            "lo_clip",
+            "hi_clip",
+            "n_clipped_low",
+            "n_clipped_high",
+            "mean_before",
+            "mean_after",
+        )
+    )

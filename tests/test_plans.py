@@ -256,6 +256,9 @@ BNLJ_ALLOWED = {
         "1-row total scalar + |qs|-row target set bracket-joined "
         "against the <=bins-row cumsum"
     ),
+    "q_winsorize_by_sketch": (
+        "1-row clip-threshold scalars from the <=128-row sketch"
+    ),
     "q_doc_length_quantiles_by_lang": (
         "|qs|-row quantile list x |langs|-row totals (bounded target "
         "set), bracket-joined against the <=langs*bins-row cumsum"

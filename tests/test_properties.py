@@ -437,3 +437,84 @@ def test_hll_registers_match_python_reference(spark, keys):
         rank = (60 - p) + 1 if suf == 0 else (60 - p) - suf.bit_length() + 1
         ref[reg] = max(ref.get(reg, 0), rank)
     assert sk == ref
+
+
+# --- qsketch binning vs Python reference ----------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(**SETTINGS)
+def test_qsketch_bins_match_python_reference(spark, vals):
+    import math
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    lo, hi, bins = 0.0, 100.0, 16
+    width = (hi - lo) / bins
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["bin"]: r["n"]
+        for r in sketches.qsketch_build(df, "x", lo, hi, bins).collect()
+    }
+    ref: dict[int, int] = {}
+    for v in vals:
+        b = int(math.floor(min(max((v - lo) / width, 0.0), float(bins - 1))))
+        ref[b] = ref.get(b, 0) + 1
+    assert got == ref
+
+
+# --- BM25 vs Python reference ---------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["cat", "dog", "ox", "emu"]), max_size=12),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    import math
+    from decimal import Decimal
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bm25_scores
+
+    terms = ["cat", "dog"]
+    k1, b = 1.2, 0.75
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in bm25_scores(df, terms).collect()
+    }
+    n_docs = len(docs)
+    total = sum(len(ws) for ws in docs)
+    avgdl = total / n_docs
+    dfreq = {
+        t: sum(1 for ws in docs if t in ws) for t in terms
+    }
+    ref = {}
+    for i, ws in enumerate(docs):
+        dl = len(ws)
+        s = Decimal(0)
+        matched = 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            term = (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            )
+            s += Decimal(repr(round(term, 9)))
+        if matched:
+            ref[i] = (matched, round(float(s), 6))
+    assert got == ref
