@@ -1180,3 +1180,83 @@ def q_winsorize_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+_HH_PHI = 0.025  # heavy-hitter share threshold
+_HH_D, _HH_W = 4, 256
+
+
+@_q(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH s AS (SELECT lower(coalesce(text, '')) AS t FROM documents),
+    occ AS (
+      SELECT substr(t, i, 2) AS b
+      FROM s, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i) g
+      WHERE substr(t, i, 2) NOT LIKE '% %' AND length(t) >= 2),
+    cells AS (
+      SELECT j AS row,
+             CAST(('0x' || substr(md5('cms' || j || ':' || b), 1, 8))::BIGINT
+                  % {_HH_W} AS INT) AS col
+      FROM occ CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    cms AS (SELECT row, col, COUNT(*) AS c FROM cells GROUP BY row, col),
+    exact AS (SELECT b, COUNT(*) AS exact FROM occ GROUP BY b),
+    n AS (SELECT CAST(SUM(exact) AS BIGINT) AS N FROM exact),
+    probes AS (
+      SELECT e.b, e.exact, j AS row,
+             CAST(('0x' || substr(md5('cms' || j || ':' || e.b), 1, 8))::BIGINT
+                  % {_HH_W} AS INT) AS col
+      FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    est AS (
+      SELECT p.b, p.exact, MIN(COALESCE(s2.c, 0)) AS est
+      FROM probes p LEFT JOIN cms s2 ON s2.row = p.row AND s2.col = p.col
+      GROUP BY p.b, p.exact)
+    SELECT b AS bigram, CAST(est.est AS BIGINT) AS est,
+           CAST(est.exact AS BIGINT) AS exact,
+           CAST(est.est AS DOUBLE) >= {_HH_PHI!r} * n.N AS hh_est,
+           CAST(est.exact AS DOUBLE) >= {_HH_PHI!r} * n.N AS hh_exact
+    FROM est, n
+    WHERE CAST(est.est AS DOUBLE) >= {_HH_PHI!r} * n.N
+       OR CAST(est.exact AS DOUBLE) >= {_HH_PHI!r} * n.N
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection from the count-min sketch: character
+    bigrams whose ESTIMATED share exceeds φ=2.5% of the stream, next to
+    the exact answer — hh_est true with hh_exact false is exactly a CMS
+    false positive (overestimates only: CMS can never MISS a true heavy
+    hitter, the one-sided guarantee this audit makes visible). The
+    candidate set is the distinct-key relation (bounded by the bigram
+    alphabet); at stream scale candidates come from each batch and the
+    sketch answers the rest — the classic CMS+candidates HH design."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    occ = (
+        d.select(t.alias("t"))
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+            ).alias("b")
+        )
+        .filter(~F.col("b").contains(" "))
+    )
+    cms = sketches.cms_build(occ, "b", d=_HH_D, w=_HH_W)
+    exact = occ.groupBy("b").agg(F.count("*").alias("exact"))
+    n = exact.agg(F.sum("exact").cast("bigint").alias("N"))
+    est = sketches.cms_estimate(cms, exact.select("b"), "b", d=_HH_D, w=_HH_W)
+    thresh = F.lit(_HH_PHI) * F.col("N")
+    return (
+        exact.join(est, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("est").cast("bigint").alias("est"),
+            F.col("exact").cast("bigint").alias("exact"),
+            (F.col("est").cast("double") >= thresh).alias("hh_est"),
+            (F.col("exact").cast("double") >= thresh).alias("hh_exact"),
+        )
+        .filter(F.col("hh_est") | F.col("hh_exact"))
+    )

@@ -256,6 +256,7 @@ BNLJ_ALLOWED = {
         "1-row total scalar + |qs|-row target set bracket-joined "
         "against the <=bins-row cumsum"
     ),
+    "q_cms_heavy_hitters": "1-row stream-total scalar",
     "q_winsorize_by_sketch": (
         "1-row clip-threshold scalars from the <=128-row sketch"
     ),
