@@ -1260,3 +1260,65 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hh_est") | F.col("hh_exact"))
     )
+
+
+@_q(
+    "q_cms_join_size_audit",
+    f"""
+    WITH ko AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+    kl AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+    ca AS (SELECT j AS row,
+                  CAST(('0x' || substr(md5('cms' || j || ':' || k), 1, 8))::BIGINT
+                       % 4096 AS INT) AS col,
+                  COUNT(*) AS c
+           FROM ko CROSS JOIN (VALUES (0), (1), (2), (3)) r(j) GROUP BY 1, 2),
+    cb AS (SELECT j AS row,
+                  CAST(('0x' || substr(md5('cms' || j || ':' || k), 1, 8))::BIGINT
+                       % 4096 AS INT) AS col,
+                  COUNT(*) AS c
+           FROM kl CROSS JOIN (VALUES (0), (1), (2), (3)) r(j) GROUP BY 1, 2),
+    dots AS (SELECT ca.row, SUM(ca.c * cb.c) AS dot
+             FROM ca JOIN cb ON cb.row = ca.row AND cb.col = ca.col
+             GROUP BY ca.row),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est FROM dots),
+    exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    SELECT est.est AS est, exact.exact AS exact,
+           CAST(est.est - exact.exact AS BIGINT) AS overcount
+    FROM est, exact
+    """,
+)
+def q_cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches: |orders ⋈ lineitem|
+    estimated by the CMS inner product (min over rows of the cell-wise
+    dot product — AMS/CM, the statistic a cost-based planner wants
+    before committing to a shuffle join), next to the exact join count.
+    Overcount ≥ 0 always (one-sided collisions, error ≈ ε·|A|·|B| —
+    the 4×4096 grid keeps it a small multiple of the true size here);
+    both sketches are ≤16384-row relations however large the tables, so the estimate
+    costs milliseconds at 100 TB where the exact count costs the join
+    itself. See sketches.cms_inner_product."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    ca = sketches.cms_build(o, "k", w=4096)
+    cb = sketches.cms_build(li, "k", w=4096)
+    est = sketches.cms_inner_product(ca, cb, w=4096)
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.count("*").cast("bigint").alias("exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+    )

@@ -280,3 +280,24 @@ def test_qsketch_grouped_quantiles_partition_independently(spark):
     }
     assert abs(est[("a", 0.5)] - 50.0) <= 10.0
     assert abs(est[("b", 0.5)] - 150.0) <= 10.0
+
+
+def test_cms_inner_product_never_underestimates_join_size(spark):
+    import pytest
+
+    a_keys = [f"k{i % 20}" for i in range(300)]
+    b_keys = [f"k{i % 35}" for i in range(200)]
+    a = sketches.cms_build(_occ(spark, a_keys), "k", d=4, w=64)
+    b = sketches.cms_build(_occ(spark, b_keys), "k", d=4, w=64)
+    est = sketches.cms_inner_product(a, b, d=4, w=64).collect()[0]["est"]
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    assert est >= exact
+    # with 35 distinct keys in a 4x64 grid the estimate is tight-ish
+    assert est <= exact * 2
+    # mismatched grids raise instead of silently mis-estimating
+    small = sketches.cms_build(_occ(spark, a_keys), "k", d=4, w=256)
+    with pytest.raises(Exception, match="different parameters"):
+        sketches.cms_inner_product(small, b, d=4, w=64).collect()
