@@ -283,3 +283,68 @@ def byte_histogram_features(media: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(_batches, FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+
+def ahash_signatures(
+    media: DataFrame, n: int = 60, codec: str = "fake"
+) -> DataFrame:
+    """Perceptual average-hash of each media payload: the first ``n``
+    decoded samples (zero-padded when shorter) threshold against their
+    own mean into an ``n``-bit packed-long signature — the classic
+    aHash image near-dup key, here over the codec boundary exactly like
+    :func:`byte_histogram_features` (fake codec: payload bytes ARE the
+    samples; ``codec="real"`` decodes first). ``n`` ≤ 60 keeps the
+    packed signature positive in a signed BIGINT for both engines
+    (the HLL 60-bit convention). Bit i (MSB-first) is 1 iff
+    sample_i > mean — the mean is a float division of an exact integer
+    sum, so the SQL oracle replays every bit.
+
+    Feed the output to neardup.signature_near_dups for banded
+    Hamming-distance pairs: near-duplicate IMAGES at corpus scale with
+    the same pigeonhole plan SimHash text dedup uses — never quadratic.
+    """
+    if not 1 <= n <= 60:
+        raise ValueError(f"n must be in [1, 60], got {n}")
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if codec == "real":
+                arrs = [
+                    np.asarray(_decode_real(k, p, m), dtype=np.uint8).ravel()
+                    for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"])
+                ]
+            else:
+                arrs = [
+                    np.frombuffer(p or b"", dtype=np.uint8)
+                    for p in pdf["payload"]
+                ]
+            sigs = []
+            for a in arrs:
+                b = np.zeros(n, dtype=np.int64)
+                k = min(n, a.size)
+                b[:k] = a[:k]
+                mean = b.sum() / float(n)
+                sig = 0
+                for i in range(n):
+                    if b[i] > mean:
+                        sig |= 1 << (n - 1 - i)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, AHASH_SCHEMA)

@@ -830,9 +830,23 @@ def simhash_near_dups(
     Hamming distance — same ban d trick as MinHash LSH, so no quadratic
     cross join. Output (id_a, id_b, hamming).
     """
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    return signature_near_dups(sig, bits, max_hamming)
+
+
+def signature_near_dups(
+    sig: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """Band-and-verify near-dup pairs over ANY packed-long ``(doc,
+    sig)`` signature relation — the pigeonhole machinery SimHash uses,
+    factored out so other bit-signature families (e.g. the multimodal
+    aHash) reuse it: distance ≤ d ⇒ at least one of d+1 bands is
+    identical, so candidates come from one banded self-equi-join and
+    the exact Hamming popcount only runs on the thinned pair set.
+    Output (id_a, id_b, hamming).
+    """
     nbands = max_hamming + 1
     width = bits // nbands
-    sig = simhash_signatures(df, id_col, text_col, bits)
     # one (doc, band-key) row per band, single self-join (cf. minhash LSH).
     # Band b covers string-bits [b·width, b·width+w) = long bits
     # [bits-b·width-w, bits-b·width); key = (sig >> shift) & mask, tagged

@@ -189,3 +189,46 @@ def q_media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="media_id",
         vec_col="feat",
     )
+
+
+_AHASH_N, _AHASH_MAXHAM = 60, 5
+
+
+@_q(
+    "q_media_ahash_neardup",
+    "WITH media AS (" + _MEDIA_SQL + f"""),
+    b AS (SELECT media_id,
+             list_transform(generate_series(1, {_AHASH_N}),
+               i -> CASE WHEN i <= octet_length(payload)
+                         THEN ('0x' || substr(hex(payload), i*2-1, 2))::BIGINT
+                         ELSE 0 END) AS b60
+          FROM media),
+    s AS (SELECT media_id,
+             list_sum(list_transform(generate_series(1, {_AHASH_N}),
+               i -> CASE WHEN b60[i] > list_sum(b60) / {float(_AHASH_N)!r}
+                         THEN (1::BIGINT << ({_AHASH_N} - i)) ELSE 0 END)) AS sig
+          FROM b)
+    SELECT a.media_id AS id_a, c.media_id AS id_b,
+           CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s c ON c.media_id > a.media_id
+    WHERE bit_count(xor(a.sig, c.sig)) <= {_AHASH_MAXHAM}
+    """,
+)
+def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate MEDIA detection: 60-bit aHash
+    signatures (first 60 decoded samples mean-thresholded, through the
+    real mapInPandas codec stage) fed into the same pigeonhole
+    band-and-verify machinery SimHash text dedup uses
+    (neardup.signature_near_dups) — image near-dup at corpus scale
+    with one banded self-equi-join, never a cross join. The banding is
+    LOSSLESS for Hamming ≤ 5 (6 bands of 10 bits), so the oracle's
+    direct quadratic filter defines the exact same pair set."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_near_dups,
+    )
+
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    sig = MM.ahash_signatures(media, n=_AHASH_N).select(
+        F.col("media_id").alias("doc"), "sig"
+    )
+    return signature_near_dups(sig, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM)

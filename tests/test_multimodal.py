@@ -176,3 +176,60 @@ def test_byte_histogram_features_match_python(media, docs_rows, spark):
         ref = (np.bincount(a >> 4, minlength=16) / a.size).tolist()
         assert feat == ref  # bit-identical, not approx
         assert abs(sum(feat) - 1.0) < 1e-12
+
+
+def test_ahash_signatures_match_python_reference(spark):
+    import numpy as np
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "abcabcabc"), (1, ""), (2, "zzzzzz aaaaaa " + "q" * 80)],
+        "doc_id long, text string",
+    )
+    media = MM.media_from_documents(docs)
+    got = {r["media_id"]: r["sig"] for r in MM.ahash_signatures(media, n=60).collect()}
+    for mid, text in [(0, "abcabcabc"), (1, ""), (2, "zzzzzz aaaaaa " + "q" * 80)]:
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        b = np.zeros(60, dtype=np.int64)
+        b[: min(60, raw.size)] = raw[:60]
+        mean = b.sum() / 60.0
+        sig = 0
+        for i in range(60):
+            if b[i] > mean:
+                sig |= 1 << (59 - i)
+        assert got[mid] == sig, mid
+    assert got[1] == 0  # empty payload: all-zero samples, no bit set
+
+
+def test_ahash_near_dups_band_equals_quadratic(spark):
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as MM
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_near_dups,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over it"),
+        (1, "the quick brown fox jumps over at"),  # 1-char twiddle
+        (2, "completely different payload text here with words"),
+        (3, "the quick brown fox jumps over it"),  # exact dup of 0
+    ]
+    media = MM.media_from_documents(
+        spark.createDataFrame(texts, "doc_id long, text string")
+    )
+    sig = MM.ahash_signatures(media).select(F.col("media_id").alias("doc"), "sig")
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in signature_near_dups(sig, 60, 5).collect()
+    }
+    rows = {r["doc"]: r["sig"] for r in sig.collect()}
+    quad = {
+        (a, b): bin(rows[a] ^ rows[b]).count("1")
+        for a in rows
+        for b in rows
+        if a < b and bin(rows[a] ^ rows[b]).count("1") <= 5
+    }
+    assert banded == quad
+    assert banded[(0, 3)] == 0  # exact dup found at distance 0
