@@ -266,3 +266,61 @@ def q_crosstab_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@_q(
+    "q_events_decayed_trending",
+    """
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS mu FROM events),
+    aged AS (
+      SELECT event_type,
+             CAST(floor(floor((mx.mu - epoch_us(ts)) / 86400000000.0) / 7.0)
+                  AS INT) AS age_weeks
+      FROM events, mx),
+    sc AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             SUM(power(2.0, -age_weeks)) AS decayed
+      FROM aged GROUP BY event_type)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           round(decayed, 6) AS decayed_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY decayed DESC, event_type)
+                AS BIGINT) AS trend_rank
+    FROM sc
+    """,
+)
+def q_events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per event type — the
+    trending/recency ranking a feed or monitoring surface computes,
+    with a determinism twist: decay is 2^(−age_weeks) with an INTEGER
+    exponent, so every weight is an exact dyadic rational and the
+    per-type sum is order-free in doubles with no DECIMAL detour
+    (the weekly bucket bounds the exponent range well inside 53 bits —
+    contrast the HLL Z-sum, which outgrew that budget and went
+    integer). Ages anchor on max(ts) so the query is deterministic on
+    static data; one scan, one bounded agg, a |types|-row window."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("mu"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.floor(
+            F.floor((F.col("mu") - F.unix_micros("ts")) / F.lit(86400000000.0))
+            / F.lit(7.0)
+        )
+        .cast("int")
+        .alias("age_weeks"),
+    )
+    sc = aged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.pow(F.lit(2.0), -F.col("age_weeks"))).alias("decayed"),
+    )
+    from pyspark.sql import Window
+
+    return sc.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("decayed"), 6).alias("decayed_score"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("decayed"), F.asc("event_type")))
+        .cast("bigint")
+        .alias("trend_rank"),
+    )
