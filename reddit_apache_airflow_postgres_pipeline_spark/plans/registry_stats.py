@@ -1322,3 +1322,114 @@ def q_cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
         (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
     )
+
+
+def _hll_reg_sql(pred: str) -> str:
+    """Register CTE body for users matching ``pred`` (p=5, 60-bit)."""
+    return f"""
+      SELECT CAST(hv % 32 AS INT) AS register,
+             CASE WHEN (hv >> 5) = 0 THEN 56
+                  ELSE instr(lpad(bin(hv >> 5), 55, '0'), '1') END AS maxrank0
+      FROM (SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+            FROM events WHERE {pred})"""
+
+
+_HLL_EST_SQL = (
+    "CASE WHEN 5.142952247750223e+19"
+    " / (zp + (32 - pres) * (1::BIGINT << 56)) <= 80.0"
+    " AND (32 - pres) > 0"
+    " THEN round(32.0 * ln(32.0 / (32 - pres)), 4)"
+    " ELSE round(5.142952247750223e+19"
+    " / (zp + (32 - pres) * (1::BIGINT << 56)), 4) END"
+)
+
+
+@_q(
+    "q_hll_set_algebra",
+    f"""
+    WITH ska AS (SELECT register, MAX(maxrank0) AS maxrank
+                 FROM ({_hll_reg_sql("event_type = 'click'")}) GROUP BY 1),
+    skb AS (SELECT register, MAX(maxrank0) AS maxrank
+            FROM ({_hll_reg_sql("event_type = 'purchase'")}) GROUP BY 1),
+    sku AS (SELECT register, MAX(maxrank) AS maxrank
+            FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb) GROUP BY 1),
+    ea AS (SELECT {_HLL_EST_SQL} AS est FROM (
+             SELECT COUNT(*) AS pres, SUM(1::BIGINT << (56 - maxrank)) AS zp
+             FROM ska)),
+    eb AS (SELECT {_HLL_EST_SQL} AS est FROM (
+             SELECT COUNT(*) AS pres, SUM(1::BIGINT << (56 - maxrank)) AS zp
+             FROM skb)),
+    eu AS (SELECT {_HLL_EST_SQL} AS est FROM (
+             SELECT COUNT(*) AS pres, SUM(1::BIGINT << (56 - maxrank)) AS zp
+             FROM sku)),
+    ex AS (SELECT
+             (SELECT COUNT(DISTINCT user_id) FROM events
+              WHERE event_type = 'click') AS exact_a,
+             (SELECT COUNT(DISTINCT user_id) FROM events
+              WHERE event_type = 'purchase') AS exact_b,
+             (SELECT COUNT(DISTINCT user_id) FROM events
+              WHERE event_type IN ('click', 'purchase')) AS exact_union)
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           round(ea.est + eb.est - eu.est, 4) AS est_intersection,
+           CAST(ex.exact_a AS BIGINT) AS exact_a,
+           CAST(ex.exact_b AS BIGINT) AS exact_b,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+             AS exact_intersection
+    FROM ea, eb, eu, ex
+    """,
+)
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on HLL sketches: distinct clickers, distinct
+    purchasers, their UNION (register-wise max merge — the estimate the
+    sketches answer natively) and their INTERSECTION by
+    inclusion-exclusion (the standard HLL derivation; error compounds,
+    which is why the exact values sit beside it) — all from two
+    ≤32-row relations, vs the exact distinct counts. The audience-
+    overlap question every analytics stack answers without ever
+    shuffling raw user ids."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    ska = sketches.hll_build(e.filter(F.col("event_type") == "click"), "user_id", p=5)
+    skb = sketches.hll_build(
+        e.filter(F.col("event_type") == "purchase"), "user_id", p=5
+    )
+    sku = sketches.hll_merge(ska, skb, p=5)
+
+    def est(sk, name):
+        return sketches.hll_estimate(sk, p=5).select(F.col("est").alias(name))
+
+    ex = e.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).cast("bigint").alias("exact_b"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).cast("bigint").alias("exact_union"),
+    )
+    return (
+        est(ska, "est_a")
+        .crossJoin(F.broadcast(est(skb, "est_b")))
+        .crossJoin(F.broadcast(est(sku, "est_union")))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )

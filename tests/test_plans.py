@@ -259,6 +259,7 @@ BNLJ_ALLOWED = {
     "q_cms_heavy_hitters": "1-row stream-total scalar",
     "q_cms_join_size_audit": "1-row estimate x 1-row exact-count scalars",
     "q_events_decayed_trending": "1-row max-timestamp anchor scalar",
+    "q_hll_set_algebra": "1-row estimate scalars (A, B, union, exact)",
     "q_winsorize_by_sketch": (
         "1-row clip-threshold scalars from the <=128-row sketch"
     ),
