@@ -1428,3 +1428,66 @@ def q_link_em_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fs_fit_em(
         scored, _EM_FIELDS, p0=_EM_P0, m0=_EM_M0, u0=_EM_U0, rounds=_EM_ROUNDS
     )
+
+
+@_q(
+    "q_link_entity_clusters",
+    f"""
+    SELECT doc AS rec_id, canonical,
+           CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+             AS cluster_size
+    FROM ({_clusters_sql(
+        "SELECT id_l AS id_a, id_r AS id_b FROM ("
+        + _fs_sql()
+        + ") fs WHERE decision = 'match'"
+    )}) cc
+    """,
+)
+def q_link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: Fellegi–Sunter match pairs →
+    connected components → canonical entity per record with its cluster
+    size — the full composition a master-data pipeline runs (pairwise
+    links alone over-merge transitive chains; the component pass makes
+    dedup deletion-safe, same ladder as the near-dup family). Reuses
+    the blocked pair plan and the iterative min-label propagation
+    (localCheckpoint per round); the recursive-CTE oracle replays the
+    fixpoint."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import linkage
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 10).alias("cents"),
+        F.substring("c_name", -2, 2).alias("suffix"),
+    )
+    pairs = (
+        linkage.fs_link(
+            c,
+            c,
+            block_cols=["nk", "seg"],
+            m=_FS_M,
+            u=_FS_U,
+            t_upper=_FS_UPPER,
+            t_lower=_FS_LOWER,
+            self_dedupe=True,
+        )
+        .filter(F.col("decision") == "match")
+        .select("id_l", "id_r")
+        .withColumnsRenamed({"id_l": "id_a", "id_r": "id_b"})
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("doc").alias("rec_id"),
+        "canonical",
+        F.count("*")
+        .over(Window.partitionBy("canonical"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
