@@ -324,3 +324,72 @@ def q_events_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("trend_rank"),
     )
+
+
+def _skew_profile_sql(key_col: str, table: str) -> str:
+    return f"""
+    SELECT '{key_col}' AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_share,
+           round(CAST(SUM(CASE WHEN rnk_desc <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS top10_share,
+           round(2.0 * SUM(i * c) / (COUNT(*) * CAST(SUM(c) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c, k) AS i,
+             ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rnk_desc
+      FROM (SELECT {key_col} AS k, COUNT(*) AS c FROM {table} GROUP BY 1))
+    """
+
+
+@_q(
+    "q_join_key_skew_profile",
+    _skew_profile_sql("l_suppkey", "lineitem")
+    + "\n    UNION ALL\n"
+    + _skew_profile_sql("l_orderkey", "lineitem"),
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the profile you read BEFORE deciding
+    to salt or skew-hint a 100 TB join: per candidate key, distinct-key
+    count, hottest-key share, top-10 share, and the Gini coefficient of
+    the key-count distribution (0 = uniform, →1 = one key owns the
+    table), all exact-integer arithmetic until the final divisions.
+    The rank windows run over the |keys|-row COUNT relation, not the
+    table — the honest cost of an order statistic; at extreme key
+    cardinality profile a hash-sample of keys instead."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(key_col: str) -> DataFrame:
+        counts = li.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        ranked = counts.select(
+            "c",
+            F.row_number().over(Window.orderBy(F.asc("c"), F.asc("k"))).alias("i"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("k")))
+            .alias("rnk_desc"),
+        )
+        return ranked.agg(
+            F.lit(key_col).alias("key_col"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("max_share"),
+            F.round(
+                F.sum(F.when(F.col("rnk_desc") <= 10, F.col("c")).otherwise(0))
+                .cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("c"))
+                / (F.count("*") * F.sum("c").cast("double"))
+                - (F.count("*") + F.lit(1.0)) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+    return profile("l_suppkey").unionAll(profile("l_orderkey"))

@@ -1,0 +1,78 @@
+"""Direct contract tests for the shared counting-state store
+(streaming/counting_state.py) with a synthetic cell schema unlike
+either production client (CMS grid / qsketch bins) — pinning the
+abstraction itself: liveness under the manifest, retry exclusion,
+transitive generations, and interrupted-GC completion."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+SCHEMA = "k string, v long"
+KEYS = ["k"]
+
+
+def _write(spark, state, bid, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(state, f"batch_id={bid}")
+    )
+
+
+def _read(spark, state, before=None):
+    return {
+        r["k"]: r["v"]
+        for r in cs.read_counts(
+            spark, state, SCHEMA, KEYS, "v", before_batch=before
+        ).collect()
+    }
+
+
+def test_read_fold_retry_and_empty(spark, tmp_path):
+    state = str(tmp_path / "st")
+    assert _read(spark, state) == {}  # missing store: empty relation
+    _write(spark, state, 0, [("a", 2), ("b", 1)])
+    _write(spark, state, 1, [("a", 3), ("c", 5)])
+    assert _read(spark, state) == {"a": 5, "b": 1, "c": 5}
+    # retry of batch 1 must not see its own failed attempt
+    assert _read(spark, state, before=1) == {"a": 2, "b": 1}
+
+
+def test_compaction_transitive_manifest_and_gc(spark, tmp_path):
+    state = str(tmp_path / "st")
+    for bid, rows in enumerate([[("a", 1)], [("a", 2), ("b", 4)], [("b", 8)]]):
+        _write(spark, state, bid, rows)
+    expect = {"a": 3, "b": 12}
+    keep = str(tmp_path / "copy1")
+    shutil.copytree(os.path.join(state, "batch_id=1"), keep)
+
+    cs.compact_counts(spark, state, SCHEMA, KEYS, "v")
+    assert set(cs.state_subdirs(state).values()) == {-1}
+    assert cs.subsumed_ids(state) == {0, 1, 2}
+    assert _read(spark, state) == expect
+
+    # crash-before-GC leftover must not double-count
+    shutil.copytree(keep, os.path.join(state, "batch_id=1"))
+    assert _read(spark, state) == expect
+
+    # second-generation manifest is transitive over the first
+    _write(spark, state, 3, [("c", 7)])
+    cs.compact_counts(spark, state, SCHEMA, KEYS, "v")
+    assert cs.subsumed_ids(state) == {-1, 0, 1, 2, 3}
+    assert _read(spark, state) == {"a": 3, "b": 12, "c": 7}
+    assert not os.path.isdir(os.path.join(state, "batch_id=1"))
+    assert cs.live_dir_count(state) == 1
+
+
+def test_compaction_excludes_in_flight_batch(spark, tmp_path):
+    state = str(tmp_path / "st")
+    for bid in range(3):
+        _write(spark, state, bid, [("x", 1)])
+    cs.compact_counts(spark, state, SCHEMA, KEYS, "v", exclude_from=2)
+    # batch 2's dir survives the fold so its retry path still works
+    ids = set(cs.state_subdirs(state).values())
+    assert 2 in ids and -1 in ids and 0 not in ids
+    assert _read(spark, state) == {"x": 3}
+    assert _read(spark, state, before=2) == {"x": 2}
