@@ -1433,3 +1433,83 @@ def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersection"),
         )
     )
+
+
+def _clustering_coef_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import _minhash_sql
+
+    pairs = _minhash_sql(12, 4, 0.7)
+    return f"""
+    WITH p AS (SELECT id_a, id_b FROM ({pairs}) mh),
+    sym AS (SELECT id_a AS u, id_b AS v FROM p
+            UNION SELECT id_b, id_a FROM p),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    wedge AS (
+      SELECT a.u, a.v AS x, b.v AS y
+      FROM sym a JOIN sym b ON b.u = a.u AND b.v > a.v),
+    closed AS (
+      SELECT w.u, COUNT(*) AS tri
+      FROM wedge w JOIN sym e ON e.u = w.x AND e.v = w.y
+      GROUP BY w.u)
+    SELECT d.u AS doc, d.deg AS degree,
+           CAST(coalesce(c.tri, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg >= 2
+                THEN round(2.0 * coalesce(c.tri, 0) / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN closed c ON c.u = d.u
+    """
+
+
+@_q("q_neardup_clustering_coef", _clustering_coef_sql())
+def q_neardup_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup graph —
+    2·T(v)/(deg·(deg−1)), T(v) the closed wedges centered at v:
+    coefficient ≈ 1 marks a tight template family, ≈ 0 a chain-like
+    (possibly spurious) link path — the per-node refinement of the
+    q_neardup_triangles census. Wedge generation is the symmetric-edge
+    self-join bounded by Σ deg² (sparse near-dup graphs keep it tiny);
+    the close check is one more equi-join; degree-0/1 nodes get 0 by
+    the guarded CASE, keeping ANSI off a 0-division. The edge list is
+    localCheckpoint'ed so wedges, closes, and degrees share one
+    materialization."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import neardup
+
+    d = load_table(spark, sf_dir, "documents")
+    p = neardup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=12, bands=4, threshold=0.7
+    ).select("id_a", "id_b")
+    sym = (
+        p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(p.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    a, b = sym.alias("a"), sym.alias("b")
+    wedge = a.join(
+        b,
+        (F.col("b.u") == F.col("a.u")) & (F.col("b.v") > F.col("a.v")),
+    ).select(F.col("a.u").alias("u"), F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    e = sym.select(F.col("u").alias("__eu"), F.col("v").alias("__ev"))
+    closed = (
+        wedge.join(
+            e, (F.col("__eu") == F.col("x")) & (F.col("__ev") == F.col("y"))
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("tri"))
+    )
+    return deg.join(closed, "u", "left").select(
+        F.col("u").alias("doc"),
+        F.col("deg").alias("degree"),
+        F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coef"),
+    )
