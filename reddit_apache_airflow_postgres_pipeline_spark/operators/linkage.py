@@ -303,8 +303,22 @@ def fs_fit_em(
             )
         # 1-row relation; checkpoint keeps the unrolled plan constant
         params = s.select(*out).localCheckpoint()
-    stack = ", ".join(f"'{f}', m_{f}, u_{f}" for f in fields)
-    return params.select(
-        F.expr(f"stack({len(fields)}, {stack}) AS (field, m, u)"),
-        F.col("p").alias("p_match"),
-    )
+    # EMPTY pair relation → p is NULL (sum over nothing / N) — emit 0
+    # rows, matching the SQL oracle's empty aggregate, instead of a
+    # garbage parameter row. Output built per-field with unionByName
+    # (never an expr/stack string round-trip: field names are data,
+    # not SQL identifiers — 'bal-band' would mis-parse as subtraction).
+    params = params.filter(F.col("p").isNotNull())
+    out_rows = [
+        params.select(
+            F.lit(f).alias("field"),
+            F.col(f"m_{f}").alias("m"),
+            F.col(f"u_{f}").alias("u"),
+            F.col("p").alias("p_match"),
+        )
+        for f in fields
+    ]
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result

@@ -845,6 +845,14 @@ def signature_near_dups(
     the exact Hamming popcount only runs on the thinned pair set.
     Output (id_a, id_b, hamming).
     """
+    if not 0 <= max_hamming < bits:
+        # max_hamming >= bits makes every band zero-width: all docs
+        # share every band key and the "banded" join degenerates into
+        # the full quadratic cross product this design exists to avoid
+        raise ValueError(
+            f"need 0 <= max_hamming < bits, got max_hamming={max_hamming}, "
+            f"bits={bits}"
+        )
     nbands = max_hamming + 1
     width = bits // nbands
     # one (doc, band-key) row per band, single self-join (cf. minhash LSH).

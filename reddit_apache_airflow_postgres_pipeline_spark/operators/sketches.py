@@ -468,4 +468,16 @@ def cms_inner_product(a: DataFrame, b: DataFrame, d: int = 4, w: int = 256) -> D
         .groupBy("row")
         .agg(F.sum(F.col("c") * F.col("__cb")).alias("__dot"))
     )
-    return per_row.agg(F.min("__dot").cast("bigint").alias("est"))
+    # every hash row must enter the min — a row whose sketches share NO
+    # cell has true dot 0 and must clamp the estimate to 0 (disjoint
+    # key sets), not vanish from the aggregate (which returned NULL or
+    # an inflated min before the spine join; review r6)
+    spine = a.sparkSession.range(d).select(F.col("id").cast("int").alias("row"))
+    return (
+        spine.join(per_row, "row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("__dot"), F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+    )

@@ -1281,15 +1281,20 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
+    # bound FIRST: orderBy+limit plans as TakeOrderedAndProject (a
+    # distributed top-k, no single-partition corpus sort), then the
+    # rank window runs over the surviving <=TOPN rows — same
+    # deterministic ranks, bounded plan (review r6)
     lex = (
         bm25_scores(d, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_TOPN)
         .withColumn(
             "lex_rank",
             F.row_number().over(
                 Window.orderBy(F.desc("score"), F.asc("doc_id"))
             ).cast("bigint"),
         )
-        .filter(F.col("lex_rank") <= _RRF_TOPN)
         .select("doc_id", "lex_rank")
     )
     den = (

@@ -130,7 +130,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dim cap keeps the demo output small; lift it for the full 64×64
     matrix (2080 upper-triangle cells)."""
     em = load_table(spark, sf_dir, "embeddings")
-    el = em.select(
+    el = em.filter(F.size("embedding") >= 8).select(
         "vec_id", F.posexplode("embedding").alias("p", "x")
     ).select(
         "vec_id", (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x")
@@ -1044,7 +1044,8 @@ def q_embedding_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     em = load_table(spark, sf_dir, "embeddings")
     el = (
-        em.select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        em.filter(F.size("embedding") >= 8)
+        .select("vec_id", F.posexplode("embedding").alias("p", "x"))
         .select(
             "vec_id",
             (F.col("p") + 1).alias("i"),
@@ -1244,7 +1245,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("b").contains(" "))
     )
     cms = sketches.cms_build(occ, "b", d=_HH_D, w=_HH_W)
-    exact = occ.groupBy("b").agg(F.count("*").alias("exact"))
+    # exact feeds three consumers (probe keys, totals, final join);
+    # checkpointing the bounded <=|alphabet^2|-row aggregate pins the
+    # corpus-scale explode to the two genuine passes (cms + exact)
+    # instead of leaning on AQE reuse (review r6)
+    exact = occ.groupBy("b").agg(F.count("*").alias("exact")).localCheckpoint()
     n = exact.agg(F.sum("exact").cast("bigint").alias("N"))
     est = sketches.cms_estimate(cms, exact.select("b"), "b", d=_HH_D, w=_HH_W)
     thresh = F.lit(_HH_PHI) * F.col("N")
@@ -1280,7 +1285,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (SELECT ca.row, SUM(ca.c * cb.c) AS dot
              FROM ca JOIN cb ON cb.row = ca.row AND cb.col = ca.col
              GROUP BY ca.row),
-    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est FROM dots),
+    est AS (SELECT CAST(MIN(COALESCE(dots.dot, 0)) AS BIGINT) AS est
+            FROM (VALUES (0), (1), (2), (3)) sp(row)
+            LEFT JOIN dots ON dots.row = sp.row),
     exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact
               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
     SELECT est.est AS est, exact.exact AS exact,

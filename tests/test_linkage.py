@@ -117,3 +117,22 @@ def test_fs_fit_em_degenerate_single_pattern(spark):
     import pytest
     with pytest.raises(ValueError, match="fields"):
         linkage.fs_fit_em(scored, [])
+
+
+def test_fs_fit_em_empty_pairs_yields_empty_output(spark):
+    scored = spark.createDataFrame(
+        [], "agree_city boolean, agree_year boolean"
+    )
+    # no candidate pairs: no parameters to learn — 0 rows, matching the
+    # SQL oracle's empty aggregate (review r6)
+    assert linkage.fs_fit_em(scored, ["city", "year"]).collect() == []
+
+
+def test_fs_fit_em_field_names_are_data_not_identifiers(spark):
+    # a field name that is not a bare SQL identifier must work: output
+    # is built relationally, never through an expr/stack string
+    scored = spark.createDataFrame(
+        [(True,)] * 5 + [(False,)] * 45, "`agree_bal-band` boolean"
+    )
+    out = linkage.fs_fit_em(scored, ["bal-band"], rounds=2).collect()
+    assert len(out) == 1 and out[0]["field"] == "bal-band"

@@ -230,3 +230,22 @@ def test_verify_routing_branches_agree(spark, monkeypatch):
     spark.catalog.clearCache()
     assert corpus_wide == restricted
     assert any(corpus_wide.values())  # non-vacuous: some pairs found
+
+
+def test_signature_near_dups_rejects_degenerate_banding(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_near_dups,
+    )
+
+    sig = spark.createDataFrame([(1, 5), (2, 7)], "doc long, sig long")
+    # max_hamming >= bits would zero the band width and degenerate the
+    # banded join into a full cross product (review r6)
+    with pytest.raises(ValueError, match="max_hamming"):
+        signature_near_dups(sig, bits=60, max_hamming=60)
+    with pytest.raises(ValueError, match="max_hamming"):
+        signature_near_dups(sig, bits=8, max_hamming=-1)
+    ok = signature_near_dups(sig.withColumn("sig", F.col("sig")), 8, 2)
+    assert ok.collect()[0]["hamming"] == 1  # 5 xor 7 = 2 -> popcount 1

@@ -301,3 +301,13 @@ def test_cms_inner_product_never_underestimates_join_size(spark):
     small = sketches.cms_build(_occ(spark, a_keys), "k", d=4, w=256)
     with pytest.raises(Exception, match="different parameters"):
         sketches.cms_inner_product(small, b, d=4, w=64).collect()
+
+
+def test_cms_inner_product_disjoint_keys_estimates_zero(spark):
+    # disjoint key sets with a wide grid: some hash row shares no cell,
+    # whose true dot 0 must clamp the min — not vanish into NULL or an
+    # inflated positive estimate (review r6)
+    a = sketches.cms_build(_occ(spark, ["only-a"]), "k", d=4, w=4096)
+    b = sketches.cms_build(_occ(spark, ["only-b"]), "k", d=4, w=4096)
+    est = sketches.cms_inner_product(a, b, d=4, w=4096).collect()[0]["est"]
+    assert est == 0
