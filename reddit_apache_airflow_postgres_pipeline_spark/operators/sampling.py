@@ -244,3 +244,81 @@ def token_budget_rates(
         .otherwise(F.lit(0.0))
         .alias("__rate"),
     )
+
+
+def sample_negatives_ring(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    anchor_col: str = "doc_id",
+    n_buckets_bits: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform-ish NEGATIVE sampling for contrastive
+    training: for each anchor, ``k`` pseudo-random corpus docs chosen
+    by consistent-hash-ring lookup — (anchor, neg_rank, neg_id), no
+    RNG, stable across engines/reruns/partitionings, and incremental
+    (adding corpus docs only moves the negatives that land next to
+    them on the ring, the consistent-hashing property).
+
+    Mechanics: every corpus doc takes a ring position (32-bit md5
+    bucket, uniquified by a low-bit id tie term — ids must fit 20
+    bits); probe ``i`` of an anchor hashes to a position and matches
+    the first doc clockwise (smallest position ≥ probe). The ring is
+    split into ``2^n_buckets_bits`` hash-prefix buckets, each its own
+    ring with internal wrap-around, so matching is a per-bucket
+    BACKWARD as-of join on negated positions (operators/asof.py) —
+    fully parallel, no global sort; raise the bucket count with corpus
+    size. Draws are with replacement (two probes may hit the same
+    doc); self-matches are filtered (an anchor occasionally gets
+    k−1 negatives), both standard for negative sampling.
+    """
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    shift = 32 - n_buckets_bits
+    tie = 1 << 20
+    h = hash_bucket(id_col, f"ring:{salt}")
+    ring = corpus.select(
+        F.col(id_col).alias("__neg"),
+        F.shiftright(h, shift).alias("__bucket"),
+        (h * tie + F.col(id_col).cast("long") % tie).alias("__pos"),
+    ).withColumn("__negpos", -F.col("__pos"))
+    ph = hash_bucket(
+        F.concat(F.col("__anchor").cast("string"), F.lit(":"), F.col("__i")),
+        f"probe:{salt}",
+    )
+    probes = (
+        anchors.select(F.col(anchor_col).alias("__anchor"))
+        .select("__anchor", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"))
+        .select(
+            "__anchor",
+            "__i",
+            F.shiftright(ph, shift).alias("__bucket"),
+            (-(ph * tie)).alias("__negpos"),
+        )
+    )
+    matched = asof_join(
+        probes,
+        ring.select("__bucket", "__negpos", "__neg"),
+        on="__bucket",
+        left_ts="__negpos",
+        right_ts="__negpos",
+        right_cols=["__neg"],
+    )
+    # wrap-around: a probe past its bucket's last doc takes the
+    # bucket's FIRST doc (min position) — a <=2^bits-row broadcast
+    fall = ring.groupBy("__bucket").agg(
+        F.min_by("__neg", "__pos").alias("__fallback")
+    )
+    return (
+        matched.join(F.broadcast(fall), "__bucket", "left")
+        .select(
+            F.col("__anchor").alias("anchor"),
+            F.col("__i").alias("neg_rank"),
+            F.coalesce(F.col("__neg_asof"), F.col("__fallback")).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor"))
+    )

@@ -1496,3 +1496,58 @@ def q_link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cluster_size"),
     )
+
+
+_NEG_K, _NEG_BBITS = 4, 4
+
+
+@_q(
+    "q_sample_negatives_ring",
+    f"""
+    WITH ring AS (
+      SELECT doc_id AS neg, h >> {32 - _NEG_BBITS} AS bucket,
+             h * 1048576 + doc_id % 1048576 AS pos
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5('ring:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM documents)),
+    pr AS (
+      SELECT anchor, i, ph >> {32 - _NEG_BBITS} AS bucket, ph * 1048576 AS pos
+      FROM (SELECT a.doc_id AS anchor, g.i AS i,
+                   ('0x' || substr(md5('probe:' || CAST(a.doc_id AS VARCHAR) || ':' || g.i), 1, 8))::BIGINT AS ph
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 8) a
+            CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS i) g)),
+    m AS (SELECT p.anchor, p.i, p.bucket,
+                 (SELECT MIN(r.pos) FROM ring r
+                  WHERE r.bucket = p.bucket AND r.pos >= p.pos) AS mpos
+          FROM pr p),
+    fall AS (SELECT bucket, MIN(pos) AS fpos FROM ring GROUP BY bucket),
+    sel AS (SELECT m.anchor, m.i, m.bucket, COALESCE(m.mpos, f.fpos) AS spos
+            FROM m JOIN fall f ON f.bucket = m.bucket)
+    SELECT s.anchor AS anchor, CAST(s.i AS INT) AS neg_rank, r.neg AS neg_id
+    FROM sel s JOIN ring r ON r.bucket = s.bucket AND r.pos = s.spos
+    WHERE r.neg <> s.anchor
+    """,
+)
+def q_sample_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling by consistent-hash
+    ring: 4 pseudo-random corpus negatives per anchor (docs 0-7),
+    chosen by clockwise ring lookup over hash-prefix buckets — no RNG,
+    stable under repartitioning/reruns, incremental under corpus
+    growth (the consistent-hashing property), and matched with a
+    per-bucket backward as-of join rather than any corpus-scale sort.
+    The oracle replays the ring with a correlated MIN (exactness over
+    efficiency). See sampling.sample_negatives_ring."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_negatives_ring,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sample_negatives_ring(
+        d,
+        d.filter(F.col("doc_id") < 8),
+        k=_NEG_K,
+        n_buckets_bits=_NEG_BBITS,
+    )
+    return out.select(
+        "anchor", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id"
+    )

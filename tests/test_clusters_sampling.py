@@ -292,3 +292,42 @@ def test_token_budget_rates_and_clamping(spark):
         sample_to_token_budget(df, "doc_id", "stratum", {"a": 1.0}, 0.0, "nt")
     with pytest.raises(ValueError, match="share"):
         sample_to_token_budget(df, "doc_id", "stratum", {"a": -0.1}, 10.0, "nt")
+
+
+def test_negative_ring_sampling_properties(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_negatives_ring,
+    )
+
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    anchors = docs.filter("doc_id < 10")
+    out = sample_negatives_ring(docs, anchors, k=5).collect()
+    rows = {(r["anchor"], r["neg_rank"]): r["neg_id"] for r in out}
+    # every anchor gets k draws minus the occasional filtered self-hit
+    per_anchor = {}
+    for (a, _), n in rows.items():
+        assert n != a  # no self-negatives
+        per_anchor.setdefault(a, 0)
+        per_anchor[a] += 1
+    assert set(per_anchor) == set(range(10))
+    assert all(4 <= c <= 5 for c in per_anchor.values())
+    # negatives spread across the corpus, not one hot doc
+    assert len(set(rows.values())) > 10
+    # consistent-hashing: growing the corpus preserves most assignments
+    grown = {
+        (r["anchor"], r["neg_rank"]): r["neg_id"]
+        for r in sample_negatives_ring(
+            docs.unionAll(
+                spark.range(300, 330).select(F.col("id").alias("doc_id"))
+            ),
+            anchors,
+            k=5,
+        ).collect()
+    }
+    same = sum(1 for k_ in rows if grown.get(k_) == rows[k_])
+    assert same >= len(rows) * 0.7  # only ring-adjacent probes moved
+    with pytest.raises(ValueError, match="k must be"):
+        sample_negatives_ring(docs, anchors, k=0)
