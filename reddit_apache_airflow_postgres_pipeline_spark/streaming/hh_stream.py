@@ -1,0 +1,181 @@
+"""Streaming heavy-hitter tracking over an unbounded key stream — the
+classic CMS + candidate-set design (Cormode & Muthukrishnan): the
+count-min stream answers "how often?", the candidate set remembers
+WHICH keys ever looked heavy, and the query re-probes so stale
+candidates fall away as the stream total grows.
+
+State = two stores under one root:
+
+* ``cms/``   — the counting state (per-batch ≤(d×w)-row sketch dirs,
+  manifest-guarded generation folds; exactly cms_stream's layout via
+  streaming/counting_state.py). The stream TOTAL needs no separate
+  counter: every increment lands once per hash row, so
+  ``N = Σ_col c[row=0][col]``.
+* ``cands/`` — per-batch relations of keys whose estimate met the
+  ``φ·N`` bar when the batch ran. SET semantics (read = distinct
+  union), so like the dedup gate — and unlike the CMS cells — it needs
+  no subsumption manifest: duplicate dirs are absorbed by distinct.
+
+Guarantee (one-sided, inherited from CMS): a TRUE heavy hitter is
+never missed — when key k last appears, est(k) ≥ true_now(k) ≥ φ·N_now
+≥ φ·N_then, so k was flagged then; and every reported key genuinely
+has est ≥ φ·N at query time (over-reports are possible — CMS
+overestimates — never misses). Keys flagged early that fall below the
+bar as N grows are filtered at query time by the re-probe.
+
+At 100 TB/day nothing here is corpus-sized: each batch contributes one
+bounded sketch dir and one ≤|batch-vocabulary|-row candidate dir, and
+the query runs over bounded relations only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import cms_stream
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
+
+_COMPACT_AFTER_DIRS = 16
+_CAND_SCHEMA = "key string"
+
+
+def _cms_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "cms")
+
+
+def _cand_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "cands")
+
+
+def read_candidates(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The distinct candidate keys — set semantics, manifest-free."""
+    try:
+        df = spark.read.schema(_CAND_SCHEMA + ", batch_id long").parquet(
+            _cand_dir(state_dir)
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], _CAND_SCHEMA)
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.select("key").distinct()
+
+
+def compact_candidates(spark: SparkSession, state_dir: str) -> None:
+    """Fold candidate dirs into one generation; crash-safe without a
+    manifest exactly like the HLL stream (distinct absorbs leftovers)."""
+    cd = _cand_dir(state_dir)
+    dirs = _cs.state_subdirs(cd)
+    if len(dirs) < 2:
+        return
+    next_gen = min(min(dirs.values()), 0) - 1
+    folded = read_candidates(spark, state_dir)
+    tmp = cd.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(cd, f"batch_id={next_gen}"))
+    for p in dirs:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def stream_total(sketch: DataFrame) -> DataFrame:
+    """1-row (N): total increments, read off hash row 0 of the folded
+    sketch — each occurrence lands exactly once per row."""
+    return sketch.filter(F.col("row") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("N")
+    )
+
+
+def heavy_hitters(
+    spark: SparkSession,
+    state_dir: str,
+    phi: float,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """(key, est, n_total): every candidate whose CURRENT estimate
+    meets φ·N — the re-probe that ages out keys the growing stream left
+    behind. All inputs are bounded relations."""
+    sketch = cms_stream.read_sketch(spark, _cms_dir(state_dir))
+    cands = read_candidates(spark, state_dir)
+    est = cms_estimate(sketch, cands, "key", d=d, w=w)
+    n = stream_total(sketch)
+    return (
+        est.crossJoin(F.broadcast(n))
+        .filter(F.col("est").cast("double") >= F.lit(phi) * F.col("N"))
+        .select("key", "est", F.col("N").alias("n_total"))
+    )
+
+
+def run_hh_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    phi: float,
+    key_col: str = "tok",
+    text_col: str | None = None,
+    d: int = 4,
+    w: int = 256,
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain ``input_dir`` (parquet files) through the tracker with an
+    availableNow trigger: per batch, fold the batch's sketch into the
+    CMS store, then flag every DISTINCT batch key whose estimate
+    against the up-to-date sketch meets φ·N. Per-batch overwrite of
+    both dirs + the checkpoint give exactly-once behavior; a retried
+    batch's reads exclude its own failed attempt in BOTH stores."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        if text_col is not None:
+            from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+            occ = batch_df.select(F.explode(tokens(text_col)).alias("key"))
+        else:
+            occ = batch_df.select(F.col(key_col).alias("key"))
+        cmsd = _cms_dir(state_dir)
+        cms_build(occ, "key", d=d, w=w).write.mode("overwrite").parquet(
+            os.path.join(cmsd, f"batch_id={batch_id}")
+        )
+        # probe against the sketch INCLUDING this batch (its own dir
+        # just landed); on retry the overwrite makes this idempotent
+        sketch = cms_stream.read_sketch(
+            spark, cmsd, before_batch=batch_id + 1
+        ).localCheckpoint()
+        est = cms_estimate(sketch, occ.distinct(), "key", d=d, w=w)
+        flagged = (
+            est.crossJoin(F.broadcast(stream_total(sketch)))
+            .filter(F.col("est").cast("double") >= F.lit(phi) * F.col("N"))
+            .select("key")
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(_cand_dir(state_dir), f"batch_id={batch_id}")
+        )
+        if _cs.live_dir_count(cmsd) > compact_after_dirs:
+            cms_stream.compact_state(spark, cmsd, exclude_from=batch_id)
+        if len(_cs.state_subdirs(_cand_dir(state_dir))) > compact_after_dirs:
+            compact_candidates(spark, state_dir)
+
+    (
+        stream.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
