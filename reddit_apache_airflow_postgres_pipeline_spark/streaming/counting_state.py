@@ -48,12 +48,18 @@ def subsumed_ids(state_dir: str) -> set[int]:
     """Exclusion set = the NEWEST (most negative id) generation's
     manifest. Older generations are in that manifest by construction,
     so one file answers for the whole history; no generations → empty.
-    Driver-side and file-count sized, like the dedup gate's listing."""
+    Driver-side and file-count sized, like the dedup gate's listing.
+    Generations written by a manifest-FREE store (absorbing merges —
+    max/distinct — tolerate duplicate dirs) carry no manifest file and
+    exclude nothing."""
     gens = {p: i for p, i in state_subdirs(state_dir).items() if i < 0}
     if not gens:
         return set()
     newest = min(gens, key=gens.get)
-    with open(os.path.join(newest, MANIFEST)) as f:
+    path = os.path.join(newest, MANIFEST)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
         return set(json.load(f))
 
 
@@ -64,11 +70,15 @@ def read_counts(
     key_cols: list[str],
     value_col: str,
     before_batch: int | None = None,
+    agg: str = "sum",
 ) -> DataFrame:
-    """The current folded state: key-wise SUM over every live dir —
+    """The current folded state: key-wise fold over every live dir —
     live = not named by the newest generation's manifest, and (on the
     retry path) not written by batch ids ≥ ``before_batch``;
-    generations (negative ids) always pass the retry filter."""
+    generations (negative ids) always pass the retry filter.
+    ``agg``: "sum" (counting state — needs the manifest) or "max"
+    (absorbing state, e.g. HLL registers — manifest-free)."""
+    fold = {"sum": F.sum, "max": F.max}[agg]
     try:
         df = spark.read.schema(cell_schema + ", batch_id long").parquet(
             state_dir
@@ -80,7 +90,7 @@ def read_counts(
         df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < before_batch)
-    return df.groupBy(*key_cols).agg(F.sum(value_col).alias(value_col))
+    return df.groupBy(*key_cols).agg(fold(value_col).alias(value_col))
 
 
 def compact_counts(
@@ -90,6 +100,7 @@ def compact_counts(
     key_cols: list[str],
     value_col: str,
     exclude_from: int | None = None,
+    agg: str = "sum",
 ) -> None:
     """Fold live dirs (and prior generations) into one new generation.
 
@@ -104,6 +115,10 @@ def compact_counts(
        and folded counts become visible atomically;
     5. delete the subsumed dirs — pure GC: a crash anywhere after (4)
        changes nothing a reader computes.
+
+    With ``agg="max"`` (absorbing state) the manifest is SKIPPED
+    entirely: a folded dir surviving beside its generation cannot
+    change a max, so the deletes are crash-safe without it.
     """
     dirs = state_subdirs(state_dir)
     prior = subsumed_ids(state_dir)
@@ -121,13 +136,14 @@ def compact_counts(
     next_gen = min(min(dirs.values()), 0) - 1
     folded = read_counts(
         spark, state_dir, cell_schema, key_cols, value_col,
-        before_batch=exclude_from,
+        before_batch=exclude_from, agg=agg,
     )
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     folded.repartition(*key_cols).write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, MANIFEST), "w") as f:
-        json.dump(sorted(prior | fold_ids), f)
+    if agg == "sum":
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump(sorted(prior | fold_ids), f)
     os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
     for p, i in dirs.items():
         if i in fold_ids:

@@ -34,13 +34,12 @@ extends the engine per the build brief.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import hll_build
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 
 # Compact once the store accumulates this many batch_id=* dirs (same
 # listing-cliff rationale as cms_stream._COMPACT_AFTER_DIRS).
@@ -55,16 +54,8 @@ def _registers_schema(group_cols: list[str] | None) -> str:
     return cols + "register int, maxrank int"
 
 
-def _state_subdirs(state_dir: str) -> dict[str, int]:
-    """{path: batch_id} for every ``batch_id=*`` dir in the store."""
-    if not os.path.isdir(state_dir):
-        return {}
-    out = {}
-    for d in os.listdir(state_dir):
-        p = os.path.join(state_dir, d)
-        if d.startswith("batch_id=") and os.path.isdir(p):
-            out[p] = int(d.split("=", 1)[1])
-    return out
+# thin aliases: tests and callers address the store through this module
+_state_subdirs = _cs.state_subdirs
 
 
 def read_sketch(
@@ -74,21 +65,20 @@ def read_sketch(
     before_batch: int | None = None,
 ) -> DataFrame:
     """The current stream sketch: register-wise max over every state dir
-    — no manifest/exclusion bookkeeping because max absorbs duplicate
-    dirs (see module docstring). ``before_batch`` (the in-flight batch
-    id on the retry path) excludes the failed attempt's own dir;
-    generations (negative ids) always pass, as in cms_stream."""
+    — delegated to counting_state.read_counts(agg="max"), which skips
+    manifest bookkeeping because max absorbs duplicate dirs (see module
+    docstring). ``before_batch`` (the in-flight batch id on the retry
+    path) excludes the failed attempt's own dir; generations (negative
+    ids) always pass, as in cms_stream."""
     group_cols = group_cols or []
-    try:
-        df = spark.read.schema(
-            _registers_schema(group_cols) + ", batch_id long"
-        ).parquet(state_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], _registers_schema(group_cols))
-    if before_batch is not None:
-        df = df.filter(F.col("batch_id") < before_batch)
-    return df.groupBy(*group_cols, "register").agg(
-        F.max("maxrank").alias("maxrank")
+    return _cs.read_counts(
+        spark,
+        state_dir,
+        _registers_schema(group_cols),
+        [*group_cols, "register"],
+        "maxrank",
+        before_batch=before_batch,
+        agg="max",
     )
 
 
@@ -99,31 +89,23 @@ def compact_state(
     exclude_from: int | None = None,
 ) -> None:
     """Fold every foldable dir (prior generations included) into one new
-    generation, then delete the folded dirs. No manifest: a crash
+    generation, then delete the folded dirs — counting_state.
+    compact_counts(agg="max"), which writes NO manifest: a crash
     between the rename and any delete leaves folded dirs beside the
     generation, and register-wise max over both is identical to either
     alone — the absorption the CMS stream's counting state lacks.
     ``exclude_from`` keeps the in-flight batch's dir out of the fold so
     it survives for retry exclusion."""
-    dirs = _state_subdirs(state_dir)
-    fold_ids = {
-        i
-        for i in dirs.values()
-        if i < 0 or exclude_from is None or i < exclude_from
-    }
-    if len(fold_ids) < 2:
-        return
-    next_gen = min(min(dirs.values()), 0) - 1
-    folded = read_sketch(
-        spark, state_dir, group_cols, before_batch=exclude_from
+    group_cols = group_cols or []
+    _cs.compact_counts(
+        spark,
+        state_dir,
+        _registers_schema(group_cols),
+        [*group_cols, "register"],
+        "maxrank",
+        exclude_from=exclude_from,
+        agg="max",
     )
-    tmp = state_dir.rstrip("/") + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.repartition("register").write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
-    for p, i in dirs.items():
-        if i in fold_ids:
-            shutil.rmtree(p, ignore_errors=True)
 
 
 def run_hll_available_now(
