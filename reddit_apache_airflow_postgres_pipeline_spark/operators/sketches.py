@@ -416,12 +416,18 @@ def qsketch_quantiles(
         "q",
         F.greatest(F.col("q") * F.col("__N"), F.lit(1e-12)).alias("__target"),
     )
+    # the cumsum side is bounded (≤ groups × bins rows) — broadcast it
+    # explicitly so the theta bracket join is always a BNLJ with a
+    # declared-small build side, never a CartesianProduct fallback when
+    # deep lineage hides the size from the planner
     bracket = (
         targets.join(
-            cum.select(
-                *[F.col(g).alias(f"__g_{g}") for g in group_cols],
-                F.col("bin"),
-                F.col("cum"),
+            F.broadcast(
+                cum.select(
+                    *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+                    F.col("bin"),
+                    F.col("cum"),
+                )
             ),
             [F.col(g) == F.col(f"__g_{g}") for g in group_cols]
             + [F.col("cum") >= F.col("__target")]

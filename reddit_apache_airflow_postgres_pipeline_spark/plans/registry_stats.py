@@ -1520,3 +1520,88 @@ def q_neardup_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coef"),
     )
+
+
+_RB_LO, _RB_HI, _RB_BINS = 0.0, 512.0, 128
+_RB_K = 4.4478  # 3 sigma * 1.4826 (the MAD-to-sigma consistency constant)
+
+
+def _robust_outliers_sql() -> str:
+    width = (_RB_HI - _RB_LO) / _RB_BINS
+    bin_of = (
+        lambda x: f"CAST(floor(LEAST(GREATEST(({x} - {_RB_LO!r}) / {width!r}, 0.0),"
+        f" {float(_RB_BINS - 1)!r})) AS INT)"
+    )
+    med_of = f"""
+      SELECT round({_RB_LO!r} + (br.bin + (br.target - (c.cum - c.cnt)) / c.cnt)
+                   * {width!r}, 4) AS est
+      FROM (SELECT t.target, MIN(c2.bin) AS bin
+            FROM (SELECT GREATEST(0.5 * (SELECT SUM(cnt) FROM {{b}}), 1e-12) AS target) t
+            JOIN (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM {{b}}) c2
+              ON CAST(c2.cum AS DOUBLE) >= t.target
+            GROUP BY t.target) br
+      JOIN (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM {{b}}) c
+        ON c.bin = br.bin"""
+    return f"""
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    b1 AS (SELECT {bin_of('x')} AS bin, COUNT(*) AS cnt FROM v GROUP BY 1),
+    med AS ({med_of.format(b='b1')}),
+    d AS (SELECT abs(v.x - med.est) AS x, v.x AS raw FROM v, med),
+    b2 AS (SELECT {bin_of('x')} AS bin, COUNT(*) AS cnt FROM d GROUP BY 1),
+    mad AS ({med_of.format(b='b2')})
+    SELECT med.est AS median_est, mad.est AS mad_est,
+           round({_RB_K!r} * mad.est, 4) AS threshold,
+           CAST(COUNT(CASE WHEN d.x > round({_RB_K!r} * mad.est, 4)
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           round(COUNT(CASE WHEN d.x > round({_RB_K!r} * mad.est, 4)
+                            THEN 1 END) * 1.0 / COUNT(*), 6) AS outlier_frac
+    FROM d, med, mad
+    GROUP BY med.est, mad.est
+    """
+
+
+@_q("q_outliers_by_sketch", _robust_outliers_sql())
+def q_outliers_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection at sketch cost: median and MAD both
+    estimated from ≤128-row quantile sketches (two passes — MAD's
+    deviations need the median first, the inherent minimum), then the
+    classic |x − med| > 3·1.4826·MAD flag. Mean/stddev z-scores break
+    down when the outliers THEMSELVES inflate the scale; median/MAD
+    resist 50% contamination — and at 100 TB neither needs the sort an
+    exact median costs. Scalars broadcast; error bounded by bin
+    width."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+
+    v = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("x")
+    )
+    sk1 = sketches.qsketch_build(v, "x", _RB_LO, _RB_HI, _RB_BINS)
+    med = sketches.qsketch_quantiles(sk1, [0.5], _RB_LO, _RB_HI, _RB_BINS).select(
+        F.col("est").alias("median_est")
+    )
+    d = v.crossJoin(F.broadcast(med)).select(
+        "median_est", F.abs(F.col("x") - F.col("median_est")).alias("x")
+    )
+    sk2 = sketches.qsketch_build(d, "x", _RB_LO, _RB_HI, _RB_BINS)
+    mad = sketches.qsketch_quantiles(sk2, [0.5], _RB_LO, _RB_HI, _RB_BINS).select(
+        F.col("est").alias("mad_est")
+    )
+    thr = F.round(F.lit(_RB_K) * F.col("mad_est"), 4)
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .groupBy("median_est", "mad_est")
+        .agg(
+            F.count(F.when(F.col("x") > thr, 1)).cast("bigint").alias("n_outliers"),
+            F.round(
+                F.count(F.when(F.col("x") > thr, 1)) * F.lit(1.0) / F.count("*"),
+                6,
+            ).alias("outlier_frac"),
+        )
+        .select(
+            "median_est",
+            "mad_est",
+            F.round(F.lit(_RB_K) * F.col("mad_est"), 4).alias("threshold"),
+            "n_outliers",
+            "outlier_frac",
+        )
+    )

@@ -260,6 +260,7 @@ BNLJ_ALLOWED = {
     "q_cms_join_size_audit": "1-row estimate x 1-row exact-count scalars",
     "q_events_decayed_trending": "1-row max-timestamp anchor scalar",
     "q_hll_set_algebra": "1-row estimate scalars (A, B, union, exact)",
+    "q_outliers_by_sketch": "1-row median/MAD scalars from the sketches",
     "q_winsorize_by_sketch": (
         "1-row clip-threshold scalars from the <=128-row sketch"
     ),
