@@ -1,0 +1,109 @@
+"""The full streaming ingest stack, composed: distribution gate →
+content gate → sketch maintenance — the pipeline a production
+training-data ingest actually runs, wired from the engine's existing
+monitors by DIRECTORY CHAINING (each stage is an availableNow drain
+with its own checkpoint, reading the previous stage's output dirs):
+
+1. **drift gate** (streaming/drift_gate.py): PSI-gates every batch
+   against the frozen reference — drifted batches quarantined with a
+   decisions log, never silently dropped;
+2. **dedup gate** (streaming/dedup_gate.py): MinHash-LSH admission on
+   the admitted docs — near-duplicates of the accepted corpus (or of
+   earlier docs in the same drain) rejected exactly-once;
+3. **sketch maintenance** (cms_stream + hll_stream): token frequencies
+   and distinct-token cardinality over the SURVIVING corpus, kept
+   queryable in bounded state.
+
+Each stage's checkpoint makes the whole chain restartable at any
+point: re-running the pipeline drains only files the respective stage
+has not seen — the composition inherits exactly-once end-to-end from
+its parts. Directory chaining (not one mega-stream) is deliberate:
+every intermediate corpus stays inspectable on disk, stages can be
+re-run or backfilled independently, and each keeps its own bounded
+state — how multi-stage ingest is actually operated at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    cms_stream,
+    dedup_gate,
+    drift_gate,
+    hll_stream,
+)
+
+
+def _has_batches(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        d.startswith("batch_id=") for d in os.listdir(path)
+    )
+
+
+def run_ingest_pipeline_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_threshold: float = 0.25,
+) -> dict[str, str]:
+    """Drain ``input_dir`` through drift gate → dedup gate → sketches.
+
+    Layout under ``work_dir``: ``drift/{admitted,quarantined,
+    decisions}``, ``accepted/`` (the surviving corpus), ``dedup_state``,
+    ``cms``, ``hll`` + one checkpoint dir per stage. Returns the path
+    map. Later stages are skipped cleanly when an earlier gate admitted
+    nothing yet (their input dir has no batches)."""
+    p = {
+        name: os.path.join(work_dir, name)
+        for name in (
+            "drift",
+            "accepted",
+            "dedup_state",
+            "cms",
+            "hll",
+            "ckpt_drift",
+            "ckpt_dedup",
+            "ckpt_cms",
+            "ckpt_hll",
+        )
+    }
+    drift_gate.run_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        ref_path,
+        p["ckpt_drift"],
+        text_col=text_col,
+        threshold=psi_threshold,
+    )
+    admitted = os.path.join(p["drift"], "admitted")
+    if _has_batches(admitted):
+        dedup_gate.run_gate_available_now(
+            spark,
+            os.path.join(admitted, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["dedup_state"],
+            p["ckpt_dedup"],
+            id_col=id_col,
+            text_col=text_col,
+        )
+    if _has_batches(p["accepted"]):
+        corpus_glob = os.path.join(p["accepted"], "batch_id=*")
+        cms_stream.run_cms_available_now(
+            spark, corpus_glob, schema, p["cms"], p["ckpt_cms"],
+            text_col=text_col,
+        )
+        hll_stream.run_hll_available_now(
+            spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
+            text_col=text_col,
+        )
+    return p
