@@ -272,12 +272,20 @@ def sample_negatives_ring(
     fully parallel, no global sort; raise the bucket count with corpus
     size. Draws are with replacement (two probes may hit the same
     doc); self-matches are filtered (an anchor occasionally gets
-    k−1 negatives), both standard for negative sampling.
+    k−1 negatives), both standard for negative sampling. A probe
+    landing in a bucket holding NO corpus docs is dropped too — a
+    tiny-corpus artifact (with corpus ≫ 2^n_buckets_bits the
+    probability vanishes); lower ``n_buckets_bits`` if anchors come
+    up short.
     """
     from reddit_apache_airflow_postgres_pipeline_spark.operators.asof import asof_join
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= n_buckets_bits <= 16:
+        raise ValueError(
+            f"n_buckets_bits must be in [0, 16], got {n_buckets_bits}"
+        )
     shift = 32 - n_buckets_bits
     tie = 1 << 20
     h = hash_bucket(id_col, f"ring:{salt}")

@@ -416,19 +416,23 @@ def qsketch_quantiles(
         "q",
         F.greatest(F.col("q") * F.col("__N"), F.lit(1e-12)).alias("__target"),
     )
-    # the cumsum side is bounded (≤ groups × bins rows) — broadcast it
+    # GLOBAL case: the cumsum side is ≤ bins rows — broadcast it
     # explicitly so the theta bracket join is always a BNLJ with a
     # declared-small build side, never a CartesianProduct fallback when
-    # deep lineage hides the size from the planner
+    # deep lineage hides the size from the planner. GROUPED case: the
+    # group count is data-dependent (could be millions), so the plain
+    # equi-join on the group columns stays and the planner picks the
+    # join — never a forced broadcast of an unbounded relation.
+    cum_side = cum.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        F.col("bin"),
+        F.col("cum"),
+    )
+    if not group_cols:
+        cum_side = F.broadcast(cum_side)
     bracket = (
         targets.join(
-            F.broadcast(
-                cum.select(
-                    *[F.col(g).alias(f"__g_{g}") for g in group_cols],
-                    F.col("bin"),
-                    F.col("cum"),
-                )
-            ),
+            cum_side,
             [F.col(g) == F.col(f"__g_{g}") for g in group_cols]
             + [F.col("cum") >= F.col("__target")]
             if group_cols

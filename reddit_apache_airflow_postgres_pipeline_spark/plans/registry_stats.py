@@ -804,7 +804,8 @@ def _qsketch_sql() -> str:
     width = (_QSK_HI - _QSK_LO) / _QSK_BINS
     qlist = ", ".join(repr(q) for q in _QSK_QS)
     return f"""
-    WITH v AS (SELECT o_totalprice AS x FROM orders),
+    WITH v AS (SELECT o_totalprice AS x FROM orders
+               WHERE o_totalprice IS NOT NULL),
     n AS (SELECT COUNT(*) AS n FROM v),
     b AS (SELECT CAST(floor(LEAST(GREATEST((x - {_QSK_LO!r}) / {width!r}, 0.0),
                                   {float(_QSK_BINS - 1)!r})) AS INT) AS bin,
@@ -850,8 +851,10 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
 
-    v = load_table(spark, sf_dir, "orders").select(
-        F.col("o_totalprice").cast("double").alias("x")
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.col("o_totalprice").cast("double").alias("x"))
     )
     sk = sketches.qsketch_build(v, "x", _QSK_LO, _QSK_HI, _QSK_BINS)
     est = sketches.qsketch_quantiles(sk, _QSK_QS, _QSK_LO, _QSK_HI, _QSK_BINS)
@@ -1094,7 +1097,8 @@ _WZ_QLO, _WZ_QHI = 0.01, 0.99
 def _winsorize_sketch_sql() -> str:
     width = (_WZ_HI - _WZ_LO) / _WZ_BINS
     return f"""
-    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL),
     b AS (SELECT CAST(floor(LEAST(GREATEST((x - {_WZ_LO!r}) / {width!r}, 0.0),
                                   {float(_WZ_BINS - 1)!r})) AS INT) AS bin,
                  COUNT(*) AS cnt
@@ -1137,8 +1141,10 @@ def q_winsorize_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-summed so the reduce is order-free."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
 
-    v = load_table(spark, sf_dir, "events").select(
-        F.col("value").cast("double").alias("x")
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("double").alias("x"))
     )
     sk = sketches.qsketch_build(v, "x", _WZ_LO, _WZ_HI, _WZ_BINS)
     est = sketches.qsketch_quantiles(
@@ -1543,7 +1549,8 @@ def _robust_outliers_sql() -> str:
       JOIN (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM {{b}}) c
         ON c.bin = br.bin"""
     return f"""
-    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL),
     b1 AS (SELECT {bin_of('x')} AS bin, COUNT(*) AS cnt FROM v GROUP BY 1),
     med AS ({med_of.format(b='b1')}),
     d AS (SELECT abs(v.x - med.est) AS x, v.x AS raw FROM v, med),
@@ -1572,8 +1579,10 @@ def q_outliers_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     width."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
 
-    v = load_table(spark, sf_dir, "events").select(
-        F.col("value").cast("double").alias("x")
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("double").alias("x"))
     )
     sk1 = sketches.qsketch_build(v, "x", _RB_LO, _RB_HI, _RB_BINS)
     med = sketches.qsketch_quantiles(sk1, [0.5], _RB_LO, _RB_HI, _RB_BINS).select(

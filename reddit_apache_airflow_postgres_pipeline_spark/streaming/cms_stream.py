@@ -49,6 +49,21 @@ _state_subdirs = _cs.state_subdirs
 _subsumed_ids = _cs.subsumed_ids
 
 
+def occurrences_from_batch(
+    batch_df: DataFrame, key_col: str, text_col: str | None
+) -> DataFrame:
+    """The engine-wide streaming occurrence contract, shared by every
+    sketch-maintenance stream (CMS, HH): tokenize ``text_col`` under
+    the whitespace contract when given (each token = one occurrence),
+    else one occurrence per row of ``key_col``. Output column name =
+    ``key_col``."""
+    if text_col is not None:
+        from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+        return batch_df.select(F.explode(tokens(text_col)).alias(key_col))
+    return batch_df.select(F.col(key_col))
+
+
 def read_sketch(
     spark: SparkSession, state_dir: str, before_batch: int | None = None
 ) -> DataFrame:
@@ -96,14 +111,7 @@ def run_cms_available_now(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        if text_col is not None:
-            from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
-
-            occ = batch_df.select(
-                F.explode(tokens(text_col)).alias(key_col)
-            )
-        else:
-            occ = batch_df.select(key_col)
+        occ = occurrences_from_batch(batch_df, key_col, text_col)
         cms_build(occ, key_col, d=d, w=w).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )

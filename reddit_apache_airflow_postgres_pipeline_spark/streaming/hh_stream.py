@@ -71,21 +71,32 @@ def read_candidates(
     return df.select("key").distinct()
 
 
-def compact_candidates(spark: SparkSession, state_dir: str) -> None:
+def compact_candidates(
+    spark: SparkSession, state_dir: str, exclude_from: int | None = None
+) -> None:
     """Fold candidate dirs into one generation; crash-safe without a
-    manifest exactly like the HLL stream (distinct absorbs leftovers)."""
+    manifest exactly like the HLL stream (distinct absorbs leftovers).
+    ``exclude_from`` keeps the in-flight batch's dir out of the fold so
+    read_candidates' retry exclusion keeps working — same contract as
+    the sibling compactors."""
     cd = _cand_dir(state_dir)
     dirs = _cs.state_subdirs(cd)
-    if len(dirs) < 2:
+    fold_ids = {
+        i
+        for i in dirs.values()
+        if i < 0 or exclude_from is None or i < exclude_from
+    }
+    if len(fold_ids) < 2:
         return
     next_gen = min(min(dirs.values()), 0) - 1
-    folded = read_candidates(spark, state_dir)
+    folded = read_candidates(spark, state_dir, before_batch=exclude_from)
     tmp = cd.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     folded.write.mode("overwrite").parquet(tmp)
     os.replace(tmp, os.path.join(cd, f"batch_id={next_gen}"))
-    for p in dirs:
-        shutil.rmtree(p, ignore_errors=True)
+    for p, i in dirs.items():
+        if i in fold_ids:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def stream_total(sketch: DataFrame) -> DataFrame:
@@ -94,6 +105,20 @@ def stream_total(sketch: DataFrame) -> DataFrame:
     return sketch.filter(F.col("row") == 0).agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("N")
     )
+
+
+def _meets_bar(est_col, n_col, phi: float):
+    """``est ≥ φ·N`` evaluated EXACTLY: φ quantizes to K/2³² (floor)
+    and the comparison runs in DECIMAL integer arithmetic —
+    ``est·2³² ≥ K·N``. A float ``phi*N`` can exceed the true product
+    by an ulp (0.1·30 → 3.0000000000000004) and silently drop a key
+    whose count equals the bar exactly, violating the no-miss
+    guarantee (review r6)."""
+    k = int(phi * (1 << 32))
+    dec = "decimal(38,0)"
+    return est_col.cast(dec) * F.lit(1 << 32).cast(dec) >= F.lit(k).cast(
+        dec
+    ) * n_col.cast(dec)
 
 
 def heavy_hitters(
@@ -112,7 +137,7 @@ def heavy_hitters(
     n = stream_total(sketch)
     return (
         est.crossJoin(F.broadcast(n))
-        .filter(F.col("est").cast("double") >= F.lit(phi) * F.col("N"))
+        .filter(_meets_bar(F.col("est"), F.col("N"), phi))
         .select("key", "est", F.col("N").alias("n_total"))
     )
 
@@ -143,34 +168,41 @@ def run_hh_available_now(
     )
 
     def _update(batch_df: DataFrame, batch_id: int) -> None:
-        if text_col is not None:
-            from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
-
-            occ = batch_df.select(F.explode(tokens(text_col)).alias("key"))
-        else:
-            occ = batch_df.select(F.col(key_col).alias("key"))
-        cmsd = _cms_dir(state_dir)
-        cms_build(occ, "key", d=d, w=w).write.mode("overwrite").parquet(
-            os.path.join(cmsd, f"batch_id={batch_id}")
-        )
-        # probe against the sketch INCLUDING this batch (its own dir
-        # just landed); on retry the overwrite makes this idempotent
-        sketch = cms_stream.read_sketch(
-            spark, cmsd, before_batch=batch_id + 1
-        ).localCheckpoint()
-        est = cms_estimate(sketch, occ.distinct(), "key", d=d, w=w)
-        flagged = (
-            est.crossJoin(F.broadcast(stream_total(sketch)))
-            .filter(F.col("est").cast("double") >= F.lit(phi) * F.col("N"))
-            .select("key")
-        )
-        flagged.write.mode("overwrite").parquet(
-            os.path.join(_cand_dir(state_dir), f"batch_id={batch_id}")
-        )
+        # persist: the sketch write and the candidate flagging both
+        # derive from the token explode — one source scan per batch,
+        # not two (the drift gate's ADVICE-r5 pattern)
+        occ = cms_stream.occurrences_from_batch(
+            batch_df.withColumnRenamed(key_col, "key")
+            if text_col is None
+            else batch_df,
+            "key",
+            text_col,
+        ).persist()
+        try:
+            cmsd = _cms_dir(state_dir)
+            cms_build(occ, "key", d=d, w=w).write.mode("overwrite").parquet(
+                os.path.join(cmsd, f"batch_id={batch_id}")
+            )
+            # probe against the sketch INCLUDING this batch (its own dir
+            # just landed); on retry the overwrite makes this idempotent
+            sketch = cms_stream.read_sketch(
+                spark, cmsd, before_batch=batch_id + 1
+            ).localCheckpoint()
+            est = cms_estimate(sketch, occ.distinct(), "key", d=d, w=w)
+            flagged = (
+                est.crossJoin(F.broadcast(stream_total(sketch)))
+                .filter(_meets_bar(F.col("est"), F.col("N"), phi))
+                .select("key")
+            )
+            flagged.write.mode("overwrite").parquet(
+                os.path.join(_cand_dir(state_dir), f"batch_id={batch_id}")
+            )
+        finally:
+            occ.unpersist()
         if _cs.live_dir_count(cmsd) > compact_after_dirs:
             cms_stream.compact_state(spark, cmsd, exclude_from=batch_id)
         if len(_cs.state_subdirs(_cand_dir(state_dir))) > compact_after_dirs:
-            compact_candidates(spark, state_dir)
+            compact_candidates(spark, state_dir, exclude_from=batch_id)
 
     (
         stream.writeStream.foreachBatch(_update)
