@@ -286,6 +286,16 @@ def sample_negatives_ring(
         raise ValueError(
             f"n_buckets_bits must be in [0, 16], got {n_buckets_bits}"
         )
+    # the ring tie term needs an integral id: a non-numeric id column
+    # would cast('long') to NULL, silently dropping those docs from the
+    # ring (and shrinking every anchor's negative set) instead of
+    # failing — validate the precondition up front (ADVICE r6)
+    id_type = corpus.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"sample_negatives_ring needs an integral id column; "
+            f"{id_col!r} is {id_type}"
+        )
     shift = 32 - n_buckets_bits
     tie = 1 << 20
     h = hash_bucket(id_col, f"ring:{salt}")
@@ -294,6 +304,14 @@ def sample_negatives_ring(
         F.shiftright(h, shift).alias("__bucket"),
         (h * tie + F.col(id_col).cast("long") % tie).alias("__pos"),
     ).withColumn("__negpos", -F.col("__pos"))
+    # NULL ids hash to a NULL position — surface them as an error
+    # rather than a quietly smaller ring
+    ring = ring.where(
+        F.assert_true(
+            F.col("__pos").isNotNull(),
+            F.lit(f"sample_negatives_ring: NULL {id_col} in corpus"),
+        ).isNull()
+    )
     ph = hash_bucket(
         F.concat(F.col("__anchor").cast("string"), F.lit(":"), F.col("__i")),
         f"probe:{salt}",

@@ -343,7 +343,9 @@ def qsketch_build(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """(group_cols..., bin, n): exact counts over ``bins`` equi-width
-    bins of [lo, hi). NULL values are excluded (no evidence). One
+    bins of [lo, hi). NULL and NaN values are excluded (no evidence —
+    without the NaN filter the least/greatest clamp would route NaN
+    into the top edge bin and silently inflate upper quantiles). One
     map-side bin expression + one hash-agg keyed on ≤ bins cells per
     group — the same bounded-exchange shape as cms_build."""
     if not lo < hi:
@@ -361,7 +363,7 @@ def qsketch_build(
         F.least(F.greatest((x - lo) / width, F.lit(0.0)), F.lit(float(bins - 1)))
     ).cast("int")
     return (
-        values.filter(x.isNotNull())
+        values.filter(x.isNotNull() & ~F.isnan(x))
         .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count("*").cast("bigint").alias("n"))

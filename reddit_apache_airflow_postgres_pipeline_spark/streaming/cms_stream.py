@@ -64,12 +64,31 @@ def occurrences_from_batch(
     return batch_df.select(F.col(key_col))
 
 
+def _meta(d: int | None = None, w: int | None = None) -> dict:
+    """Store format marker (counting_state.stamp_meta): geometry is
+    part of the cell semantics — summing stores built under different
+    (d, w) is silent garbage the one-sided runtime extent guard cannot
+    always catch."""
+    m: dict = {"format": "cms-cells"}
+    if d is not None:
+        m["d"] = d
+    if w is not None:
+        m["w"] = w
+    return m
+
+
 def read_sketch(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    d: int | None = None,
+    w: int | None = None,
 ) -> DataFrame:
     """The current corpus sketch: cell-wise sum over every live state
     dir — see counting_state.read_counts for the liveness/retry
-    contract."""
+    contract. Pass ``d``/``w`` to reject a store stamped with a
+    different geometry."""
+    _cs.check_meta(state_dir, _meta(d, w))
     return _cs.read_counts(
         spark, state_dir, _CELLS, _KEYS, "c", before_batch=before_batch
     )
@@ -104,6 +123,7 @@ def run_cms_available_now(
     one count increment; otherwise each input row is one occurrence of
     its ``key_col`` value. Per-batch overwrite + the checkpoint give
     exactly-once counting across restarts and retries."""
+    _cs.stamp_meta(state_dir, _meta(d, w))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

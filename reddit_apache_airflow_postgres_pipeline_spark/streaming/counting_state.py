@@ -30,6 +30,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 MANIFEST = "_subsumed.json"
+META = "_meta.json"
+
+
+def stamp_meta(state_dir: str, meta: dict) -> None:
+    """Write the store's format marker (atomic tmp→rename) on first
+    write; on later writes verify it. Guards against silently merging
+    state persisted under a different geometry/hash format — e.g. an
+    HLL store written by the pre-60-bit hash code passes the runtime
+    register/rank guard but hashes keys to different registers, so the
+    mismatch must be caught HERE, at the store boundary (ADVICE r6)."""
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, META)
+    if os.path.exists(path):
+        check_meta(state_dir, meta)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def check_meta(state_dir: str, expected: dict) -> None:
+    """Reject a store whose marker disagrees with ``expected`` on any
+    shared key. A store with NO marker passes (pre-marker stores and
+    empty dirs) — the writer stamps on every run, so any store this
+    code ever wrote carries one."""
+    path = os.path.join(state_dir, META)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        found = json.load(f)
+    bad = {
+        k: (found.get(k), v)
+        for k, v in expected.items()
+        if k in found and found[k] != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: store has {a!r}, caller expects {b!r}"
+            for k, (a, b) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"state store {state_dir} format mismatch ({detail}) — "
+            "rebuild the store instead of merging incompatible state"
+        )
 
 
 def state_subdirs(state_dir: str) -> dict[str, int]:

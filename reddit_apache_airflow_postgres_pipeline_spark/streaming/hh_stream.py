@@ -52,6 +52,13 @@ def _cms_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "cms")
 
 
+def _cand_meta(phi: float) -> dict:
+    """Candidate-store marker: φ is stamped in its quantized K/2³²
+    form (the exact value _meets_bar compares with) so two floats that
+    quantize identically are the same bar."""
+    return {"format": "hh-candidates", "phi_k": int(phi * (1 << 32))}
+
+
 def _cand_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "cands")
 
@@ -130,8 +137,13 @@ def heavy_hitters(
 ) -> DataFrame:
     """(key, est, n_total): every candidate whose CURRENT estimate
     meets φ·N — the re-probe that ages out keys the growing stream left
-    behind. All inputs are bounded relations."""
-    sketch = cms_stream.read_sketch(spark, _cms_dir(state_dir))
+    behind. All inputs are bounded relations. The store markers reject
+    a CMS substore stamped with a different (d, w) and a candidate
+    store built under a DIFFERENT φ (a lowered φ breaks the no-miss
+    argument for keys that met the new bar before the change but were
+    never flagged)."""
+    _cs.check_meta(_cand_dir(state_dir), _cand_meta(phi))
+    sketch = cms_stream.read_sketch(spark, _cms_dir(state_dir), d=d, w=w)
     cands = read_candidates(spark, state_dir)
     est = cms_estimate(sketch, cands, "key", d=d, w=w)
     n = stream_total(sketch)
@@ -161,6 +173,8 @@ def run_hh_available_now(
     against the up-to-date sketch meets φ·N. Per-batch overwrite of
     both dirs + the checkpoint give exactly-once behavior; a retried
     batch's reads exclude its own failed attempt in BOTH stores."""
+    _cs.stamp_meta(_cms_dir(state_dir), cms_stream._meta(d, w))
+    _cs.stamp_meta(_cand_dir(state_dir), _cand_meta(phi))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import hll_build
+from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import _HLL_BITS, hll_build
 from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 
 # Compact once the store accumulates this many batch_id=* dirs (same
@@ -58,19 +58,33 @@ def _registers_schema(group_cols: list[str] | None) -> str:
 _state_subdirs = _cs.state_subdirs
 
 
+def _meta(p: int | None = None) -> dict:
+    """Store format marker: the 32→60-bit hash change keeps old
+    sketches INSIDE the runtime register/rank guard (32-bit geometry is
+    a subset) while hashing keys to different registers — only this
+    marker catches a stale pre-change store (ADVICE r6)."""
+    m = {"format": "hll-registers", "hash_bits": _HLL_BITS}
+    if p is not None:
+        m["p"] = p
+    return m
+
+
 def read_sketch(
     spark: SparkSession,
     state_dir: str,
     group_cols: list[str] | None = None,
     before_batch: int | None = None,
+    p: int | None = None,
 ) -> DataFrame:
     """The current stream sketch: register-wise max over every state dir
     — delegated to counting_state.read_counts(agg="max"), which skips
     manifest bookkeeping because max absorbs duplicate dirs (see module
     docstring). ``before_batch`` (the in-flight batch id on the retry
     path) excludes the failed attempt's own dir; generations (negative
-    ids) always pass, as in cms_stream."""
+    ids) always pass, as in cms_stream. Pass ``p`` to also reject a
+    store stamped with a different precision."""
     group_cols = group_cols or []
+    _cs.check_meta(state_dir, _meta(p))
     return _cs.read_counts(
         spark,
         state_dir,
@@ -128,6 +142,7 @@ def run_hll_available_now(
     exactly-once semantics across restarts and retries — and max-merge
     would forgive even a double-applied batch."""
     group_cols = group_cols or []
+    _cs.stamp_meta(state_dir, _meta(p))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

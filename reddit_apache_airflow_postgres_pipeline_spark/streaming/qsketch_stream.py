@@ -35,11 +35,35 @@ _state_subdirs = _cs.state_subdirs
 _subsumed_ids = _cs.subsumed_ids
 
 
+def _meta(
+    lo: float | None = None, hi: float | None = None, bins: int | None = None
+) -> dict:
+    """Store format marker (counting_state.stamp_meta): bin counts are
+    meaningless outside their (lo, hi, bins) geometry, and NOTHING in
+    the (bin, n) rows themselves reveals a mismatch — only the marker
+    does."""
+    m: dict = {"format": "qsketch-bins"}
+    if lo is not None:
+        m["lo"] = float(lo)
+    if hi is not None:
+        m["hi"] = float(hi)
+    if bins is not None:
+        m["bins"] = bins
+    return m
+
+
 def read_sketch(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    before_batch: int | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    bins: int | None = None,
 ) -> DataFrame:
     """The current stream sketch as the standard (bin, n) relation —
-    drop-in input for sketches.qsketch_quantiles/qsketch_merge."""
+    drop-in input for sketches.qsketch_quantiles/qsketch_merge. Pass
+    the geometry to reject a store stamped with a different one."""
+    _cs.check_meta(state_dir, _meta(lo, hi, bins))
     return _cs.read_counts(
         spark, state_dir, _CELLS, _KEYS, "n", before_batch=before_batch
     )
@@ -72,6 +96,7 @@ def run_qsketch_available_now(
     bins clamp outliers) and land as one ≤ bins-row dir. Per-batch
     overwrite + the checkpoint give exactly-once counting across
     restarts and retries."""
+    _cs.stamp_meta(state_dir, _meta(lo, hi, bins))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

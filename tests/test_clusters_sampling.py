@@ -331,3 +331,20 @@ def test_negative_ring_sampling_properties(spark):
     assert same >= len(rows) * 0.7  # only ring-adjacent probes moved
     with pytest.raises(ValueError, match="k must be"):
         sample_negatives_ring(docs, anchors, k=0)
+
+
+def test_negative_ring_sampling_rejects_non_integral_ids(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_negatives_ring,
+    )
+
+    # a string id column would cast('long') to NULL ring positions and
+    # silently drop docs; the precondition is now validated (ADVICE r6)
+    docs = spark.range(20).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id")
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        sample_negatives_ring(docs, docs.limit(2), k=2)

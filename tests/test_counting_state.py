@@ -76,3 +76,28 @@ def test_compaction_excludes_in_flight_batch(spark, tmp_path):
     assert 2 in ids and -1 in ids and 0 not in ids
     assert _read(spark, state) == {"x": 3}
     assert _read(spark, state, before=2) == {"x": 2}
+
+
+def test_meta_marker_stamp_and_mismatch_rejection(spark, tmp_path):
+    state = str(tmp_path / "st")
+    meta = {"format": "test-cells", "width": 8}
+    cs.stamp_meta(state, meta)
+    # idempotent re-stamp with the same values
+    cs.stamp_meta(state, meta)
+    # matching / subset / missing-store checks all pass
+    cs.check_meta(state, meta)
+    cs.check_meta(state, {"format": "test-cells"})
+    cs.check_meta(str(tmp_path / "absent"), meta)
+    # pre-marker store (dirs, no _meta.json) passes: nothing to verify
+    legacy = str(tmp_path / "legacy")
+    _write(spark, legacy, 0, [("a", 1)])
+    cs.check_meta(legacy, meta)
+    # any shared-key disagreement is rejected, stamp or check
+    import pytest
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        cs.check_meta(state, {"format": "test-cells", "width": 16})
+    with pytest.raises(ValueError, match="format mismatch"):
+        cs.stamp_meta(state, {"format": "other"})
+    # keys the caller doesn't constrain are ignored
+    cs.check_meta(state, {"width": 8, "unrelated_hint": True})

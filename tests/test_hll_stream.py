@@ -188,3 +188,32 @@ def test_streaming_compaction_threshold(spark, tmp_path):
     assert _regs(hll_stream.read_sketch(spark, state)) == _regs(
         _batch_sketch(spark, rows)
     )
+
+
+def test_stale_hash_width_store_is_rejected(spark, tmp_path):
+    # a store persisted by the pre-60-bit code passes the runtime
+    # register/rank guard (32-bit geometry is a subset) but hashes keys
+    # to different registers — only the _meta.json marker catches it
+    import json
+
+    import pytest
+
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+    state = str(tmp_path / "state")
+    _batch_sketch(spark, _all_rows()).write.mode("overwrite").parquet(
+        os.path.join(state, "batch_id=0")
+    )
+    with open(os.path.join(state, "_meta.json"), "w") as f:
+        json.dump({"format": "hll-registers", "hash_bits": 32, "p": 5}, f)
+    with pytest.raises(ValueError, match="format mismatch"):
+        hll_stream.read_sketch(spark, state, p=5)
+    # and a fresh writer refuses to extend it
+    with pytest.raises(ValueError, match="format mismatch"):
+        cs.stamp_meta(state, hll_stream._meta(5))
+    # matching marker reads fine
+    with open(os.path.join(state, "_meta.json"), "w") as f:
+        json.dump(hll_stream._meta(5), f)
+    assert _regs(hll_stream.read_sketch(spark, state, p=5)) == _regs(
+        _batch_sketch(spark, _all_rows())
+    )

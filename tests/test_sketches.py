@@ -311,3 +311,15 @@ def test_cms_inner_product_disjoint_keys_estimates_zero(spark):
     b = sketches.cms_build(_occ(spark, ["only-b"]), "k", d=4, w=4096)
     est = sketches.cms_inner_product(a, b, d=4, w=4096).collect()[0]["est"]
     assert est == 0
+
+
+def test_qsketch_nan_follows_the_null_no_evidence_contract(spark):
+    # NaN survives a double cast and the least/greatest clamp routes it
+    # into the TOP edge bin, silently inflating upper quantiles — it
+    # must be excluded like NULL (ADVICE r6)
+    df = spark.createDataFrame(
+        [(0.55,), (float("nan"),), (None,), (0.75,)], "x double"
+    )
+    rows = {r["bin"]: r["n"] for r in
+            sketches.qsketch_build(df, "x", 0.0, 1.0, bins=10).collect()}
+    assert rows == {5: 1, 7: 1}  # only the two real values
