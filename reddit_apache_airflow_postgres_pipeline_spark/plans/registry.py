@@ -1967,10 +1967,15 @@ def q_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     from pyspark.sql import Window
 
+    # top-100 BEFORE the rank window: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition top-k, no global sort), so
+    # the row_number runs over a 100-row relation — never the full
+    # data-dependent vocabulary (the RRF lexical-leg lesson, r6)
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(100)
     wv = Window.orderBy(F.desc("n"), "tok")
-    vocab = counts.select(
+    vocab = top.select(
         "tok", F.row_number().over(wv).cast("long").alias("tok_id")
-    ).filter(F.col("tok_id") <= 100)
+    )
     enc = toks.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
     )

@@ -296,3 +296,93 @@ def test_registry_bnlj_build_sides_are_declared_small(spark):
         "build side is genuinely a scalar or bounded-small relation, "
         "declare it in BNLJ_ALLOWED with its justification"
     )
+
+
+# Registry queries allowed to contain a PARTITION-LESS Window — each
+# with the boundedness argument for its windowed relation. A global
+# window over a corpus-scale relation funnels everything through one
+# task; the only acceptable forms are (a) windows over relations
+# already bounded by a limit/agg/sketch, and (b) the two documented
+# exact-side audit queries whose sketch alternatives ship alongside.
+# Anything else must be restructured (limit-before-rank, grouped
+# windows, or the sketch path) — verdict r6 #6.
+GLOBAL_WINDOW_ALLOWED = {
+    # documented exact-side audits — at 100 TB only the sketch path runs
+    "q_ntile_price_deciles": (
+        "documented exact side; q_quantile_sketch_* is the scale path"
+    ),
+    "q_quantile_sketch_audit": (
+        "documented exact side + <=bins-row sketch cumsum"
+    ),
+    # limit-bounded relations (TakeOrderedAndProject BEFORE the window)
+    "q_token_zipf_slope": "rank over the 50-row top-k vocabulary",
+    "q_doc_token_encode": "rank over the 100-row top-k vocabulary",
+    "q_hybrid_rrf_retrieval": "rank windows over limit-bounded legs",
+    # agg-bounded relations
+    "q_window_moving_avg_7d": "|days|-row gap-filled date spine",
+    "q_running_distinct_users": "|days|-row new-users-per-day relation",
+    "q_events_decayed_trending": "|event-types|-row score relation",
+    # <=bins-row sketch cumsums (qsketch_quantiles' bracket machinery)
+    "q_outliers_by_sketch": "two <=128-row sketch cumsums",
+    "q_winsorize_by_sketch": "two <=128-row sketch cumsums",
+    # documented order-statistic cost
+    "q_join_key_skew_profile": (
+        "|keys|-row count relation — the honest cost of an exact order "
+        "statistic; docstring directs extreme-cardinality users to a "
+        "hash-sample"
+    ),
+}
+
+
+def test_registry_global_windows_are_declared_bounded(spark):
+    """Registry-wide sweep: any query whose optimized logical plan
+    contains a Window with an EMPTY partition spec must be declared in
+    GLOBAL_WINDOW_ALLOWED with its boundedness argument. Plan-only;
+    walks the JVM logical tree (partitionSpec reach-in pinned to
+    PySpark 4.1.x like the neardup _jdf use)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+        queries as all_queries,
+    )
+
+    def has_global_window(df) -> bool:
+        found = False
+
+        def walk(node):
+            nonlocal found
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                found = True
+            ch = node.children()
+            for i in range(ch.length()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return found
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        if has_global_window(fn(spark, sf)) and name not in GLOBAL_WINDOW_ALLOWED:
+            offenders.append(name)
+    assert not offenders, (
+        f"undeclared partition-less Window in: {offenders} — restructure "
+        "(limit-before-rank / grouped window / sketch path) or declare "
+        "the bounded relation in GLOBAL_WINDOW_ALLOWED"
+    )
+
+
+def test_outliers_by_sketch_pays_two_corpus_scans(spark):
+    """The deviation relation d is localCheckpoint-materialized, so the
+    MAD sketch AND the final aggregate read the checkpoint — the
+    RETURNED plan must contain no parquet scan at all (both of the two
+    inherent corpus scans happened while materializing d), and exactly
+    one checkpoint scan feeding each consumer (verdict r6 #4)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+        queries as all_queries,
+    )
+
+    df = all_queries()["q_outliers_by_sketch"](spark, "/root/testdata/sf0.001")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan  # the checkpointed deviation relation
