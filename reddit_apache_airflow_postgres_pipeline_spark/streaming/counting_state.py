@@ -113,7 +113,7 @@ def read_counts(
     state_dir: str,
     cell_schema: str,
     key_cols: list[str],
-    value_col: str,
+    value_col: str | None,
     before_batch: int | None = None,
     agg: str = "sum",
 ) -> DataFrame:
@@ -121,13 +121,16 @@ def read_counts(
     live = not named by the newest generation's manifest, and (on the
     retry path) not written by batch ids ≥ ``before_batch``;
     generations (negative ids) always pass the retry filter.
-    ``agg``: "sum" (counting state — needs the manifest) or "max"
-    (absorbing state, e.g. HLL registers — manifest-free)."""
-    fold = {"sum": F.sum, "max": F.max}[agg]
+    ``agg``: "sum" (counting state — needs the manifest), "max"
+    (absorbing state, e.g. HLL registers — manifest-free), or
+    "distinct" (SET state, e.g. heavy-hitter candidates — pass
+    ``value_col=None``; duplicate dirs absorb, manifest-free)."""
+    if agg == "distinct" and value_col is not None:
+        raise ValueError("distinct state has no value column")
     try:
-        df = spark.read.schema(cell_schema + ", batch_id long").parquet(
-            state_dir
-        )
+        df = spark.read.schema(
+            cell_schema + ", batch_id long"
+        ).parquet(state_dir)
     except AnalysisException:
         return spark.createDataFrame([], cell_schema)
     excluded = subsumed_ids(state_dir)
@@ -135,6 +138,9 @@ def read_counts(
         df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < before_batch)
+    if agg == "distinct":
+        return df.select(*key_cols).distinct()
+    fold = {"sum": F.sum, "max": F.max}[agg]
     return df.groupBy(*key_cols).agg(fold(value_col).alias(value_col))
 
 
@@ -143,7 +149,7 @@ def compact_counts(
     state_dir: str,
     cell_schema: str,
     key_cols: list[str],
-    value_col: str,
+    value_col: str | None,
     exclude_from: int | None = None,
     agg: str = "sum",
 ) -> None:
@@ -161,9 +167,10 @@ def compact_counts(
     5. delete the subsumed dirs — pure GC: a crash anywhere after (4)
        changes nothing a reader computes.
 
-    With ``agg="max"`` (absorbing state) the manifest is SKIPPED
-    entirely: a folded dir surviving beside its generation cannot
-    change a max, so the deletes are crash-safe without it.
+    With ``agg="max"`` or ``agg="distinct"`` (absorbing state) the
+    manifest is SKIPPED entirely: a folded dir surviving beside its
+    generation cannot change a max or a distinct set, so the deletes
+    are crash-safe without it.
     """
     dirs = state_subdirs(state_dir)
     prior = subsumed_ids(state_dir)

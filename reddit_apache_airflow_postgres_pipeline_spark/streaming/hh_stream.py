@@ -31,11 +31,9 @@ the query runs over bounded relations only.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import (
     cms_build,
@@ -66,44 +64,37 @@ def _cand_dir(state_dir: str) -> str:
 def read_candidates(
     spark: SparkSession, state_dir: str, before_batch: int | None = None
 ) -> DataFrame:
-    """The distinct candidate keys — set semantics, manifest-free."""
-    try:
-        df = spark.read.schema(_CAND_SCHEMA + ", batch_id long").parquet(
-            _cand_dir(state_dir)
-        )
-    except AnalysisException:
-        return spark.createDataFrame([], _CAND_SCHEMA)
-    if before_batch is not None:
-        df = df.filter(F.col("batch_id") < before_batch)
-    return df.select("key").distinct()
+    """The distinct candidate keys — counting_state.read_counts in its
+    ``distinct`` mode: set semantics, manifest-free (duplicate dirs
+    absorb), same liveness/retry contract as the sum/max siblings."""
+    return _cs.read_counts(
+        spark,
+        _cand_dir(state_dir),
+        _CAND_SCHEMA,
+        ["key"],
+        None,
+        before_batch=before_batch,
+        agg="distinct",
+    )
 
 
 def compact_candidates(
     spark: SparkSession, state_dir: str, exclude_from: int | None = None
 ) -> None:
-    """Fold candidate dirs into one generation; crash-safe without a
-    manifest exactly like the HLL stream (distinct absorbs leftovers).
-    ``exclude_from`` keeps the in-flight batch's dir out of the fold so
-    read_candidates' retry exclusion keeps working — same contract as
-    the sibling compactors."""
-    cd = _cand_dir(state_dir)
-    dirs = _cs.state_subdirs(cd)
-    fold_ids = {
-        i
-        for i in dirs.values()
-        if i < 0 or exclude_from is None or i < exclude_from
-    }
-    if len(fold_ids) < 2:
-        return
-    next_gen = min(min(dirs.values()), 0) - 1
-    folded = read_candidates(spark, state_dir, before_batch=exclude_from)
-    tmp = cd.rstrip("/") + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, os.path.join(cd, f"batch_id={next_gen}"))
-    for p, i in dirs.items():
-        if i in fold_ids:
-            shutil.rmtree(p, ignore_errors=True)
+    """Fold candidate dirs into one generation —
+    counting_state.compact_counts(agg="distinct"), which writes no
+    manifest (distinct absorbs crash leftovers, like the HLL stream's
+    max). ``exclude_from`` keeps the in-flight batch's dir out of the
+    fold so read_candidates' retry exclusion keeps working."""
+    _cs.compact_counts(
+        spark,
+        _cand_dir(state_dir),
+        _CAND_SCHEMA,
+        ["key"],
+        None,
+        exclude_from=exclude_from,
+        agg="distinct",
+    )
 
 
 def stream_total(sketch: DataFrame) -> DataFrame:

@@ -101,3 +101,45 @@ def test_meta_marker_stamp_and_mismatch_rejection(spark, tmp_path):
         cs.stamp_meta(state, {"format": "other"})
     # keys the caller doesn't constrain are ignored
     cs.check_meta(state, {"width": 8, "unrelated_hint": True})
+
+
+def test_distinct_mode_set_semantics_and_manifest_free_compaction(spark, tmp_path):
+    state = str(tmp_path / "st")
+    kschema = "k string"
+
+    def wset(bid, keys):
+        spark.createDataFrame([(k,) for k in keys], kschema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state, f"batch_id={bid}"))
+
+    def rset(before=None):
+        return {
+            r["k"]
+            for r in cs.read_counts(
+                spark, state, kschema, ["k"], None,
+                before_batch=before, agg="distinct",
+            ).collect()
+        }
+
+    wset(0, ["a", "b"])
+    wset(1, ["b", "c"])
+    wset(2, ["c", "d"])
+    assert rset() == {"a", "b", "c", "d"}
+    assert rset(before=2) == {"a", "b", "c"}  # retry exclusion
+    import shutil as sh
+
+    keep = str(tmp_path / "copy")
+    sh.copytree(os.path.join(state, "batch_id=1"), keep)
+    cs.compact_counts(spark, state, kschema, ["k"], None, agg="distinct")
+    # manifest-free: no _subsumed.json anywhere, folded dirs deleted
+    assert cs.subsumed_ids(state) == set()
+    assert set(cs.state_subdirs(state).values()) == {-1}
+    assert rset() == {"a", "b", "c", "d"}
+    # crash leftover beside the generation is absorbed by distinct
+    sh.copytree(keep, os.path.join(state, "batch_id=1"))
+    assert rset() == {"a", "b", "c", "d"}
+    # value column is meaningless for a set store
+    import pytest
+
+    with pytest.raises(ValueError, match="no value column"):
+        cs.read_counts(spark, state, kschema, ["k"], "v", agg="distinct")
