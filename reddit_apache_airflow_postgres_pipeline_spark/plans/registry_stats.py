@@ -1625,3 +1625,169 @@ def q_outliers_by_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac",
         )
     )
+
+
+# -- streaming heavy-hitter tracker audit (batch replay) --------------------
+
+_HHT_PHI = 0.034       # share bar; quantized to K/2^32 exactly like the tracker
+_HHT_B = 4             # replayed stream batches
+_HHT_D, _HHT_W = 4, 256
+_HHT_K = int(_HHT_PHI * (1 << 32))  # the tracker's own quantization
+
+
+def _hh_tracker_sql() -> str:
+    probe_cells = (
+        "CAST(('0x' || substr(md5('cms' || j || ':' || {k}), 1, 8))::BIGINT"
+        f" % {_HHT_W} AS INT)"
+    )
+    bar = (
+        "{est}::HUGEINT * 4294967296::HUGEINT >= "
+        f"{_HHT_K}::HUGEINT * " + "{n}::HUGEINT"
+    )
+    return f"""
+    WITH occ AS (
+      SELECT CAST(('0x' || substr(md5('hhbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {_HHT_B} AS INT) AS b,
+             unnest(string_split_regex(trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+')) AS k
+      FROM documents),
+    kb AS (SELECT b, k, COUNT(*) AS cnt FROM occ WHERE k <> '' GROUP BY b, k),
+    cells AS (
+      SELECT b, j AS row, {probe_cells.format(k='k')} AS col, SUM(cnt) AS c
+      FROM kb CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)
+      GROUP BY 1, 2, 3),
+    spine AS (SELECT unnest(generate_series(0, {_HHT_B - 1})) AS bq),
+    cum AS (SELECT s.bq, c.row, c.col, SUM(c.c) AS c
+            FROM cells c JOIN spine s ON c.b <= s.bq GROUP BY 1, 2, 3),
+    ncum AS (SELECT bq, CAST(SUM(c) AS BIGINT) AS n FROM cum WHERE row = 0 GROUP BY bq),
+    probes AS (
+      SELECT kb.b, kb.k, j AS row, {probe_cells.format(k='kb.k')} AS col
+      FROM kb CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    estb AS (SELECT p.b, p.k, MIN(COALESCE(cum.c, 0)) AS est
+             FROM probes p LEFT JOIN cum
+               ON cum.bq = p.b AND cum.row = p.row AND cum.col = p.col
+             GROUP BY p.b, p.k),
+    cand AS (SELECT DISTINCT e.k
+             FROM estb e JOIN ncum ON ncum.bq = e.b
+             WHERE {bar.format(est='e.est', n='ncum.n')}),
+    exact AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS exact FROM kb GROUP BY k),
+    fin AS (SELECT row, col, c FROM cum WHERE bq = {_HHT_B - 1}),
+    pfin AS (
+      SELECT exact.k, j AS row, {probe_cells.format(k='exact.k')} AS col
+      FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)),
+    estfin AS (SELECT p.k, CAST(MIN(COALESCE(f.c, 0)) AS BIGINT) AS est
+               FROM pfin p LEFT JOIN fin f ON f.row = p.row AND f.col = p.col
+               GROUP BY p.k),
+    nfin AS (SELECT n FROM ncum WHERE bq = {_HHT_B - 1})
+    SELECT e.k AS key, estfin.est AS est, e.exact AS exact,
+           (cand.k IS NOT NULL AND {bar.format(est='estfin.est', n='nfin.n')})
+             AS hh_tracker,
+           ({bar.format(est='e.exact', n='nfin.n')}) AS hh_exact
+    FROM exact e
+    JOIN estfin ON estfin.k = e.k
+    LEFT JOIN cand ON cand.k = e.k, nfin
+    WHERE (cand.k IS NOT NULL AND {bar.format(est='estfin.est', n='nfin.n')})
+       OR {bar.format(est='e.exact', n='nfin.n')}
+    """
+
+
+@_q("q_hh_tracker_audit", _hh_tracker_sql())
+def q_hh_tracker_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational replay of the streaming heavy-hitter tracker
+    (streaming/hh_stream.py) proving the one-sided no-miss guarantee
+    against the exact answer: the corpus splits into B deterministic
+    hash batches; batch i's distinct keys are flagged as candidates iff
+    their CMS estimate against the CUMULATIVE sketch (batches ≤ i)
+    meets φ·N_i — exactly the tracker's per-micro-batch admission —
+    then the final report re-probes candidates against the full sketch,
+    exactly ``heavy_hitters()``. ``hh_exact`` true with ``hh_tracker``
+    false would be a missed true heavy hitter, which the one-sided CMS
+    guarantee makes impossible (pinned by test_hh_stream); the φ·N bar
+    runs in the tracker's own quantized-DECIMAL form (_meets_bar), both
+    engines comparing identical integers.
+
+    Scale shape: ONE corpus scan (tokenize+count into the per-(batch,
+    key) relation, localCheckpointed); every later relation is bounded
+    by B×d×w cells or the vocabulary. The B-row spine theta-join and
+    the 1-row total are declared BNLJ broadcasts."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.hh_stream import _meets_bar
+
+    def cells_of(key: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        sketches._cms_col(key, j, _HHT_W).alias("col"),
+                    )
+                    for j in range(_HHT_D)
+                ]
+            )
+        ).alias("cell")
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        (hash_bucket(F.col("doc_id"), "hhbatch:") % _HHT_B)
+        .cast("int")
+        .alias("b"),
+        F.explode(tokens("text")).alias("k"),
+    ).filter(F.col("k") != "")
+    kb = occ.groupBy("b", "k").agg(F.count("*").alias("cnt")).localCheckpoint()
+    cells = (
+        kb.select("b", "cnt", cells_of("k"))
+        .groupBy("b", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    spine = spark.range(_HHT_B).select(F.col("id").cast("int").alias("bq"))
+    cum = (
+        cells.join(F.broadcast(spine), F.col("b") <= F.col("bq"))
+        .groupBy("bq", "row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    # stream total per replay point — the tracker's own row-0 idiom
+    ncum = (
+        cum.filter(F.col("row") == 0)
+        .groupBy("bq")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    probes = kb.select("b", "k", cells_of("k")).select(
+        "b", "k", F.col("cell.row").alias("row"), F.col("cell.col").alias("col")
+    )
+    est_b = (
+        probes.join(
+            F.broadcast(cum.withColumnRenamed("bq", "b")), ["b", "row", "col"], "left"
+        )
+        .groupBy("b", "k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    cand = (
+        est_b.join(ncum.withColumnRenamed("bq", "b"), "b")
+        .filter(_meets_bar(F.col("est"), F.col("n"), _HHT_PHI))
+        .select("k")
+        .distinct()
+        .withColumn("__cand", F.lit(True))
+    )
+    exact = kb.groupBy("k").agg(F.sum("cnt").cast("bigint").alias("exact"))
+    fin = cum.filter(F.col("bq") == _HHT_B - 1).select("row", "col", "c")
+    est_fin = sketches.cms_estimate(
+        fin, exact.select("k"), "k", d=_HHT_D, w=_HHT_W
+    )
+    nfin = ncum.filter(F.col("bq") == _HHT_B - 1).select("n")
+    meets_fin = _meets_bar(F.col("est"), F.col("n"), _HHT_PHI)
+    return (
+        exact.join(est_fin, "k")
+        .join(cand, "k", "left")
+        .crossJoin(F.broadcast(nfin))
+        .select(
+            F.col("k").alias("key"),
+            "est",
+            "exact",
+            (F.coalesce(F.col("__cand"), F.lit(False)) & meets_fin).alias(
+                "hh_tracker"
+            ),
+            _meets_bar(F.col("exact"), F.col("n"), _HHT_PHI).alias("hh_exact"),
+        )
+        .filter(F.col("hh_tracker") | F.col("hh_exact"))
+    )

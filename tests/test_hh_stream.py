@@ -105,3 +105,17 @@ def test_compaction_preserves_reports(spark, tmp_path):
         for r in hh_stream.heavy_hitters(spark, state, PHI).collect()
     }
     assert before == after and before
+
+
+def test_tracker_audit_no_miss_invariant(spark):
+    """The registry replay (q_hh_tracker_audit) must never show a true
+    heavy hitter the tracker missed — the relational statement of the
+    one-sided CMS guarantee the stream tests pin operationally."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import queries
+
+    rows = queries()["q_hh_tracker_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "bar too high: audit selected no keys at all"
+    missed = [r for r in rows if r["hh_exact"] and not r["hh_tracker"]]
+    assert not missed, f"tracker missed true heavy hitters: {missed}"

@@ -257,6 +257,10 @@ BNLJ_ALLOWED = {
         "against the <=bins-row cumsum"
     ),
     "q_cms_heavy_hitters": "1-row stream-total scalar",
+    "q_hh_tracker_audit": (
+        "B-row replay-batch spine (theta cum join) + 1-row final-total "
+        "scalar"
+    ),
     "q_cms_join_size_audit": "1-row estimate x 1-row exact-count scalars",
     "q_events_decayed_trending": "1-row max-timestamp anchor scalar",
     "q_hll_set_algebra": "1-row estimate scalars (A, B, union, exact)",
