@@ -2607,6 +2607,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def all_specs() -> list[QuerySpec]:
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_curation  # noqa: F401  (registers SPECS)
+    import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm  # noqa: F401  (registers SPECS)
     import reddit_apache_airflow_postgres_pipeline_spark.plans.registry_stats  # noqa: F401  (registers SPECS)

@@ -114,3 +114,97 @@ def test_all_quarantined_skips_later_stages(spark, tmp_path):
     # no admitted batches: the dedup/sketch stages skipped cleanly
     assert not os.path.isdir(p["accepted"]) or not os.listdir(p["accepted"])
     assert not os.path.isdir(p["cms"])
+
+
+def test_chain_matches_batch_replay_registry_queries(spark, tmp_path):
+    """Chain-vs-batch-form parity (verdict r6 #2): the STREAMING chain,
+    fed the exact batch split q_ingest_chain_* replays, must produce
+    the same drift decisions, the same accepted corpus, and the same
+    CMS/HLL state the registry queries compute relationally."""
+    import time
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import cms_build, hll_build
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+    from reddit_apache_airflow_postgres_pipeline_spark.plans import registry_ingest as ri
+
+    sf = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "inbox")
+    work = str(tmp_path / "work")
+    ref = str(tmp_path / "ref")
+    os.makedirs(inbox)
+    base = ri.chain_batches(spark, sf)
+    drift_gate.write_reference(
+        base.filter(F.col("b") != ri._ING_B - 1).select(
+            F.col("doc").alias("doc_id"), "text"
+        ),
+        ref,
+    )
+    rows_by_b = {
+        b: [(r["doc"], r["text"]) for r in base.filter(F.col("b") == b)
+            .orderBy("doc").collect()]
+        for b in range(ri._ING_B)
+    }
+    for b in range(ri._ING_B):
+        path = os.path.join(inbox, f"f{b}.parquet")
+        _write(path, rows_by_b[b])
+        past = time.time() - (ri._ING_B - b) * 10
+        os.utime(path, (past, past))  # pin file order = batch order
+    p = ingest_pipeline.run_ingest_pipeline_available_now(
+        spark, inbox, SCHEMA, work, ref
+    )
+
+    # 1. drift decisions match the registry relation
+    dec_q = {
+        r["batch"]: r
+        for r in ri.q_ingest_chain_decisions(spark, sf).collect()
+    }
+    dec_s = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(
+            os.path.join(p["drift"], "decisions")
+        ).collect()
+    }
+    assert set(dec_s) == set(dec_q)
+    for b, r in dec_s.items():
+        assert (r["psi"], r["admitted"], r["n_docs"]) == (
+            dec_q[b]["psi"],
+            dec_q[b]["admitted"],
+            dec_q[b]["n_docs"],
+        ), f"batch {b}"
+
+    # 2. accepted corpus matches the replay's accepted set
+    _, acc = ri.chain_replay(spark, sf)
+    want_ids = {r["doc"] for r in acc.collect()}
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(p["accepted"], "batch_id=*")
+        ).collect()
+    }
+    assert got_ids == want_ids
+    assert sum(dec_q[b]["n_accepted"] for b in dec_q) == len(want_ids)
+
+    # 3. sketch state matches monolithic builds over the same corpus
+    atoks = (
+        spark.read.parquet(os.path.join(p["accepted"], "batch_id=*"))
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    want_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_build(atoks, "tok", d=4, w=256).collect()
+    }
+    got_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_stream.read_sketch(spark, p["cms"]).collect()
+    }
+    assert got_cms == want_cms
+    want_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_build(atoks, "tok", p=5).collect()
+    }
+    got_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_stream.read_sketch(spark, p["hll"]).collect()
+    }
+    assert got_hll == want_hll

@@ -257,6 +257,10 @@ BNLJ_ALLOWED = {
         "against the <=bins-row cumsum"
     ),
     "q_cms_heavy_hitters": "1-row stream-total scalar",
+    "q_ingest_chain_sketch_audit": (
+        "1-row corpus/sketch summary scalars (exact totals, HLL "
+        "estimate, top-1 token)"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"
