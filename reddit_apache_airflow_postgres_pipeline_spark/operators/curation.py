@@ -644,3 +644,70 @@ def psi_drift_counts(
             ).alias("psi_term"),
         )
     )
+
+
+def psi_drift_counts_by_group(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    group_col: str = "grp",
+    bins: int = 10,
+) -> DataFrame:
+    """:func:`psi_drift_counts` PER GROUP — the form a multi-source
+    ingest actually needs: each language/source/feed is monitored
+    against ITS OWN frozen reference distribution, because a global PSI
+    washes out a single feed going bad (a 2% source can drift to
+    garbage while the pooled distribution barely moves). Inputs are
+    ``(group, bin, n)`` count relations; output is one row per
+    (observed group × bin):
+
+        (group, bin, n_ref, n_cur, p_ref, p_cur, psi_term)
+
+    Same contract as the ungrouped form — 1e-4 probability smoothing,
+    6-dp rounding, per-GROUP totals in the denominators; a group absent
+    from one side floors that side's every bin at epsilon (an unknown
+    feed is "all bins empty", maximally drifted against any occupied
+    reference — the conservative admission default).
+
+    Scale shape: two (groups × bins)-bounded hash-aggs, a groups-row
+    total join, and a bins-row broadcast spine — per-group cumsum-free,
+    nothing corpus-sized survives the first aggregate; groups partition
+    the work so no single-partition step appears at ANY group count.
+    """
+    spark = ref_counts.sparkSession
+    bspine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    g = group_col
+    r = ref_counts.groupBy(g, "bin").agg(F.sum("n").alias("n_ref"))
+    c = cur_counts.groupBy(g, "bin").agg(F.sum("n").alias("n_cur"))
+    groups = r.select(g).unionAll(c.select(g)).distinct()
+    tots = (
+        groups.join(
+            r.groupBy(g).agg(F.sum("n_ref").alias("tr")), g, "left"
+        ).join(c.groupBy(g).agg(F.sum("n_cur").alias("tc")), g, "left")
+    )
+    spine = tots.join(F.broadcast(bspine))
+    eps = F.lit(1e-4)
+
+    def _p(n: str, total: str) -> Column:
+        frac = F.when(
+            F.coalesce(F.col(total), F.lit(0)) > 0,
+            F.coalesce(F.col(n), F.lit(0)) / F.col(total),
+        ).otherwise(F.lit(0.0))
+        return F.round(F.greatest(frac, eps), 6)
+
+    p_ref = _p("n_ref", "tr")
+    p_cur = _p("n_cur", "tc")
+    return (
+        spine.join(r, [g, "bin"], "left")
+        .join(c, [g, "bin"], "left")
+        .select(
+            g,
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )

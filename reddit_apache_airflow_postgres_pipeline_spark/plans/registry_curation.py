@@ -796,3 +796,74 @@ def q_dedup_lines_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dedup_lines(
         lined, min_occurrences=_LINE_MIN_OCC, split_re="\n", join_with="\n"
     )
+
+
+@_q(
+    "q_corpus_psi_drift_by_group",
+    f"""
+    WITH t AS (SELECT doc_id, lang,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    r AS (SELECT lang, bin, COUNT(*) AS n_ref FROM t
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    c AS (SELECT lang, bin, COUNT(*) AS n_cur FROM t
+          WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+    grp AS (SELECT lang FROM r UNION SELECT lang FROM c),
+    tr AS (SELECT lang, SUM(n_ref) AS tr FROM r GROUP BY lang),
+    tc AS (SELECT lang, SUM(n_cur) AS tc FROM c GROUP BY lang),
+    sp AS (SELECT g.lang, b.bin
+           FROM grp g, (SELECT unnest(generate_series(0, 9)) AS bin) b),
+    p AS (
+      SELECT sp.lang, sp.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             round(greatest(CASE WHEN COALESCE(tr.tr, 0) > 0
+                            THEN COALESCE(r.n_ref, 0) * 1.0 / tr.tr
+                            ELSE 0.0 END, 0.0001), 6) AS p_ref,
+             round(greatest(CASE WHEN COALESCE(tc.tc, 0) > 0
+                            THEN COALESCE(c.n_cur, 0) * 1.0 / tc.tc
+                            ELSE 0.0 END, 0.0001), 6) AS p_cur
+      FROM sp LEFT JOIN r ON r.lang = sp.lang AND r.bin = sp.bin
+              LEFT JOIN c ON c.lang = sp.lang AND c.bin = sp.bin
+              LEFT JOIN tr ON tr.lang = sp.lang
+              LEFT JOIN tc ON tc.lang = sp.lang)
+    SELECT lang, bin,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           p_ref, p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+)
+def q_corpus_psi_drift_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-LANGUAGE PSI drift between the even-id snapshot (reference)
+    and the odd-id snapshot (current) — each language judged against
+    its own token-length distribution via
+    curation.psi_drift_counts_by_group, the monitor form a multi-source
+    100 TB ingest needs: a single feed drifting to garbage moves its
+    own group's PSI immediately where the pooled q_corpus_psi_drift
+    barely twitches. Output grain (lang, bin); Σ psi_term per lang is
+    each feed's alerting metric. The streaming form
+    (drift_gate.run_group_drift_gate_available_now) quarantines only
+    the drifted groups' rows."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        "lang",
+        F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+
+    def counts(parity: int) -> DataFrame:
+        return (
+            binned.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    return curation.psi_drift_counts_by_group(
+        counts(0), counts(1), "lang", bins=10
+    )

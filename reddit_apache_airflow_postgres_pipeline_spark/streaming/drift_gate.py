@@ -187,3 +187,159 @@ def run_drift_gate_available_now(
         .start()
         .awaitTermination()
     )
+
+
+# -- per-group gating (multi-source ingest) ---------------------------------
+
+
+def group_reference_counts(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> DataFrame:
+    """A snapshot's per-group binned distribution as a
+    ≤ (groups × bins)-row ``(group, bin, n)`` relation — the grouped
+    gate's persisted-reference form."""
+    return (
+        df.select(
+            F.col(group_col),
+            F.least(
+                (token_count(text_col) / bin_width).cast("int"),
+                F.lit(bins - 1),
+            ).alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def write_group_reference(
+    df: DataFrame,
+    ref_path: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> None:
+    """Freeze a validated snapshot's per-group distributions."""
+    group_reference_counts(df, group_col, text_col, bin_width, bins).write.mode(
+        "overwrite"
+    ).parquet(ref_path)
+
+
+def batch_group_psi(
+    batch_df: DataFrame,
+    ref_counts: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> DataFrame:
+    """(group, psi, n_docs) for every group PRESENT in the batch —
+    each group judged against its OWN reference distribution
+    (operators/curation.psi_drift_counts_by_group), so one feed going
+    bad cannot hide inside the pooled distribution. A batch group the
+    reference has never seen scores against an all-epsilon reference —
+    maximally drifted, the conservative admission default. Bounded:
+    nothing past the first aggregate exceeds groups × bins rows."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        psi_drift_counts_by_group,
+    )
+
+    cur = group_reference_counts(batch_df, group_col, text_col, bin_width, bins)
+    return (
+        psi_drift_counts_by_group(ref_counts, cur, group_col, bins=bins)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.sum("n_cur").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+def run_group_drift_gate_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    ref_path: str,
+    checkpoint_dir: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+    threshold: float = _PSI_THRESHOLD,
+) -> None:
+    """The drift gate at per-group granularity: each micro-batch is
+    split so only the DRIFTED GROUPS' rows quarantine — the rest of
+    the batch is admitted, which is the behavior a multi-source ingest
+    needs (one broken feed must not quarantine the other 99).
+
+    Same layout as the ungrouped gate (``admitted/``, ``quarantined/``,
+    ``decisions/`` per batch dir, idempotent overwrite + checkpoint),
+    except decisions carry one row PER (batch, group):
+    (group, psi, n_docs, admitted). Rows with a NULL group quarantine
+    (no reference to judge them against). The per-group decision
+    relation is ≤ |groups| rows — decision-sized — and is the only
+    thing collected; binning and PSI run distributed."""
+    ref_counts = spark.read.parquet(ref_path)
+    if "n" not in ref_counts.columns or group_col not in ref_counts.columns:
+        raise ValueError(
+            f"reference at {ref_path!r} has columns {ref_counts.columns} — "
+            f"expected the ({group_col}, bin, n) grouped counts form. "
+            "Rebuild it once with write_group_reference() on the "
+            "validated snapshot."
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            stats = batch_group_psi(
+                batch_df, ref_counts, group_col, text_col, bin_width, bins
+            ).collect()
+            admitted_groups = [
+                r[group_col] for r in stats if r["psi"] <= threshold
+            ]
+            adm = batch_df.filter(F.col(group_col).isin(admitted_groups))
+            qua = batch_df.filter(
+                ~F.col(group_col).isin(admitted_groups)
+                | F.col(group_col).isNull()
+            )
+            adm.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "admitted", f"batch_id={batch_id}")
+            )
+            qua.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "quarantined", f"batch_id={batch_id}")
+            )
+            batch_df.sparkSession.createDataFrame(
+                [
+                    (
+                        r[group_col],
+                        float(r["psi"]),
+                        bool(r["psi"] <= threshold),
+                        int(r["n_docs"]),
+                    )
+                    for r in stats
+                ],
+                f"{group_col} string, psi double, admitted boolean, n_docs long",
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -91,3 +91,117 @@ def test_gate_admits_normal_quarantines_drifted_and_logs(spark, tmp_path):
     assert spark.read.parquet(f"{out}/admitted").count() == 20  # unchanged
     assert spark.read.parquet(f"{out}/quarantined").count() == 30
     assert spark.read.parquet(f"{out}/decisions").count() == 3
+
+
+GSCHEMA = "doc_id long, lang string, text string"
+
+
+def _gwrite(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _gref(spark):
+    # en and de both validated at the ~40-token profile
+    return spark.createDataFrame(
+        [(i, "en", NORMAL) for i in range(50)]
+        + [(100 + i, "de", NORMAL) for i in range(50)],
+        GSCHEMA,
+    )
+
+
+def test_group_gate_quarantines_only_the_drifted_group(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    drift_gate.write_group_reference(_gref(spark), ref, group_col="lang")
+    # one mixed batch: en stays on-profile, de collapses to short docs,
+    # fr is a feed the reference has never seen, one NULL-group row
+    _gwrite(
+        os.path.join(inbox, "f0.parquet"),
+        [(1, "en", NORMAL), (2, "en", NORMAL)]
+        + [(10 + i, "de", SHORT) for i in range(10)]
+        + [(50, "fr", NORMAL), (60, None, NORMAL)],
+    )
+    drift_gate.run_group_drift_gate_available_now(
+        spark, inbox, GSCHEMA, out, ref, ckpt, group_col="lang"
+    )
+    adm = spark.read.parquet(os.path.join(out, "admitted", "batch_id=*"))
+    qua = spark.read.parquet(os.path.join(out, "quarantined", "batch_id=*"))
+    assert {r["doc_id"] for r in adm.collect()} == {1, 2}
+    # drifted de rows, the unknown fr feed, and the NULL group all held
+    assert {r["doc_id"] for r in qua.collect()} == set(range(10, 20)) | {50, 60}
+    dec = {
+        r["lang"]: r
+        for r in spark.read.parquet(
+            os.path.join(out, "decisions", "batch_id=*")
+        ).collect()
+    }
+    assert dec["en"]["admitted"] and dec["en"]["n_docs"] == 2
+    assert not dec["de"]["admitted"] and dec["de"]["n_docs"] == 10
+    assert not dec["fr"]["admitted"]  # unknown feed: all-epsilon reference
+
+    # restart: checkpoint holds, nothing reprocessed
+    drift_gate.run_group_drift_gate_available_now(
+        spark, inbox, GSCHEMA, out, ref, ckpt, group_col="lang"
+    )
+    assert (
+        spark.read.parquet(os.path.join(out, "admitted", "batch_id=*")).count()
+        == 2
+    )
+
+
+def test_group_gate_matches_per_group_scalar_psi(spark):
+    """Per-group stats equal running the ungrouped operator once per
+    group — the grouped relation is a partitioned computation, not a
+    different formula."""
+    ref_df = _gref(spark)
+    batch = spark.createDataFrame(
+        [(1, "en", NORMAL), (2, "en", NORMAL)]
+        + [(10 + i, "de", SHORT) for i in range(10)],
+        GSCHEMA,
+    )
+    grouped = {
+        r["lang"]: (r["psi"], r["n_docs"])
+        for r in drift_gate.batch_group_psi(
+            batch,
+            drift_gate.group_reference_counts(ref_df, "lang"),
+            group_col="lang",
+        ).collect()
+    }
+    for lang in ("en", "de"):
+        psi, n = drift_gate.batch_psi_stats(
+            batch.filter(F.col("lang") == lang),
+            drift_gate.reference_counts(
+                ref_df.filter(F.col("lang") == lang)
+            ),
+        )
+        assert grouped[lang] == (psi, n), lang
+
+
+def test_group_reference_rejects_wrong_format(spark, tmp_path):
+    import pytest
+
+    ref = str(tmp_path / "ref")
+    # ungrouped reference persisted where the grouped gate looks
+    drift_gate.write_reference(
+        spark.createDataFrame([(i, NORMAL) for i in range(10)], SCHEMA), ref
+    )
+    with pytest.raises(ValueError, match="grouped counts form"):
+        drift_gate.run_group_drift_gate_available_now(
+            spark, str(tmp_path / "in"), GSCHEMA, str(tmp_path / "o"),
+            ref, str(tmp_path / "c"), group_col="lang",
+        )
