@@ -239,6 +239,9 @@ BNLJ_ALLOWED = {
     "q_media_embed_ann": "bounded query set (8 media feature vectors)",
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
+    "q_corpus_psi_drift_by_group": (
+        "bins-row spine broadcast crossed with the groups relation"
+    ),
     "q_bpe_compression": "1-row argmax merge broadcast per round",
     "q_mine_hard_negatives": "bounded query set (8 anchors)",
     "q_dsir_weighted_sample": "1-row max-logw scalar",
