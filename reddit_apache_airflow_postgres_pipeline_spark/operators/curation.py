@@ -711,3 +711,111 @@ def psi_drift_counts_by_group(
             ),
         )
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occurrences: int = 2,
+    join_with: str = " ",
+) -> DataFrame:
+    """Exact duplicated-substring removal — the ExactSubstr idea of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed relationally: every run of ``k``
+    consecutive tokens whose text occurs ≥ ``min_occurrences`` times
+    ACROSS THE CORPUS (occurrence count — a doc repeating its own
+    passage counts every repeat, and ALL copies are removed, the
+    variant the paper found strongest) marks its tokens as duplicated;
+    covered tokens are dropped and the survivors re-join in order.
+
+    Completes the dedup family between :func:`dedup_lines` (fixed
+    line grain) and whole-doc fingerprinting: span dedup catches the
+    quoted paragraph inside an otherwise-unique page, which neither
+    line- nor doc-grain sees. Output: (doc_id, n_tokens,
+    dropped_tokens, text_clean); docs shorter than ``k`` tokens pass
+    through untouched.
+
+    Scale shape (vs the paper's suffix array): k-gram construction is
+    a map-side array transform; ONE count aggregate on the gram hash;
+    one equi-join back to flag duplicated starts; coverage is a
+    per-doc k-row sliding-window max (partitioned by doc — never
+    global); one ordered per-doc reassembly. Linear in corpus size,
+    no suffix array, no self-join — the shuffle keys are gram strings
+    and doc ids only.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks_arr = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    grams = toks_arr.select(
+        "doc_id",
+        F.when(
+            F.size("__toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    ).select("doc_id", F.posexplode("__grams").alias("spos", "gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__occ"))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("gram")
+    )
+    starts = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", F.col("spos").alias("pos"), F.lit(1).alias("__start")
+    )
+    tk = toks_arr.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), 0)
+    )
+    covered = tk.join(starts, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.max(F.coalesce(F.col("__start"), F.lit(0))).over(w) == 1).alias(
+            "__cov"
+        ),
+    )
+    stats = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("__cov"), 1)).cast("bigint").alias(
+            "dropped_tokens"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__cov"), F.struct("pos", "tok")
+                        )
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+            join_with,
+        ).alias("text_clean"),
+    )
+    # docs with zero tokens never reach the explode — restore them
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("dropped_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

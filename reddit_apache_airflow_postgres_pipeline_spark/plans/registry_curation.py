@@ -867,3 +867,54 @@ def q_corpus_psi_drift_by_group(
     return curation.psi_drift_counts_by_group(
         counts(0), counts(1), "lang", bins=10
     )
+
+
+_SPAN_K = 8  # duplicated-substring grain (tokens)
+
+
+@_q(
+    "q_dedup_spans_exact",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, i AS spos,
+                 array_to_string(toks[i+1 : i+{_SPAN_K}], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - {_SPAN_K})) AS i
+                FROM t WHERE len(toks) >= {_SPAN_K}) u),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    st AS (SELECT g.doc_id, g.spos FROM g JOIN dup USING (gram)),
+    tk AS (SELECT doc_id, s.i AS pos, s.t AS tok
+           FROM (SELECT doc_id,
+                        unnest(list_transform(toks, (x, j) -> {{'i': j - 1, 't': x}})) AS s
+                 FROM t) u),
+    cov AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                   MAX(CASE WHEN st.spos IS NOT NULL THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                           ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1
+                     AS covered
+            FROM tk LEFT JOIN st ON st.doc_id = tk.doc_id AND st.spos = tk.pos),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(CASE WHEN covered THEN 1 END) AS BIGINT) AS dropped_tokens,
+                   coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                                       ' ' ORDER BY pos), '') AS text_clean
+            FROM cov GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup over the corpus
+    (curation.dedup_spans, the Lee-et-al ExactSubstr semantics at
+    k=8 tokens): any 8-token run occurring twice anywhere loses every
+    copy; survivors re-join in order. Catches the quoted/boilerplate
+    passage inside an otherwise-unique page that whole-doc
+    fingerprints and line-grain dedup both miss. Linear plan — gram
+    count + flag join + per-doc sliding-window coverage; no suffix
+    array, no self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation.dedup_spans(
+        d, "doc_id", "text", k=_SPAN_K, min_occurrences=2
+    )

@@ -343,3 +343,38 @@ def test_dedup_lines_blank_lines_always_kept(spark):
         assert r["n_lines"] == 4
         assert r["dropped_lines"] == 1  # only the 'a b c' banner
         assert r["text_clean"].startswith("\n---\n")  # blanks survive
+
+
+def test_dedup_spans_edges(spark):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import dedup_spans
+
+    shared = "one two three four"  # the duplicated 4-token span
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),          # span + unique tail
+            (2, f"gamma {shared} delta"),         # span mid-doc
+            (3, "tiny doc"),                      # shorter than k: untouched
+            (4, ""),                              # empty: passes through
+            (5, f"{shared} {shared}"),            # self-repeat: all copies go
+            (6, "unique tokens only here now"),   # no dup span
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(docs, k=4, min_occurrences=2).collect()
+    }
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[1]["dropped_tokens"] == 4
+    assert out[2]["text_clean"] == "gamma delta"
+    assert out[3]["text_clean"] == "tiny doc" and out[3]["dropped_tokens"] == 0
+    assert out[4] == (4, 0, 0, "") or (
+        out[4]["n_tokens"] == 0 and out[4]["text_clean"] == ""
+    )
+    # self-repeated span: overlapping 4-gram starts cover everything
+    assert out[5]["text_clean"] == "" and out[5]["dropped_tokens"] == 8
+    assert out[6]["text_clean"] == "unique tokens only here now"
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        dedup_spans(docs, k=1)
