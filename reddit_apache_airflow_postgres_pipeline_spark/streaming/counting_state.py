@@ -152,6 +152,7 @@ def compact_counts(
     value_col: str | None,
     exclude_from: int | None = None,
     agg: str = "sum",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Fold live dirs (and prior generations) into one new generation.
 
@@ -171,6 +172,10 @@ def compact_counts(
     manifest is SKIPPED entirely: a folded dir surviving beside its
     generation cannot change a max or a distinct set, so the deletes
     are crash-safe without it.
+
+    ``partition_by`` writes the generation partitioned on those key
+    columns (they must be a subset of ``key_cols``), preserving
+    partition-pruned reads — the IVF postings store's cell layout.
     """
     dirs = state_subdirs(state_dir)
     prior = subsumed_ids(state_dir)
@@ -192,7 +197,10 @@ def compact_counts(
     )
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.repartition(*key_cols).write.mode("overwrite").parquet(tmp)
+    writer = folded.repartition(*key_cols).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     if agg == "sum":
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(sorted(prior | fold_ids), f)
