@@ -71,8 +71,11 @@ def _chain_ctes() -> str:
     rej_union = "\n      UNION ALL ".join(
         f"SELECT {i} AS b, doc FROM r{i}" for i in range(_ING_B)
     )
+    # AS MATERIALIZED: DuckDB otherwise inlines these multi-consumer
+    # CTEs per consumer (the sketch oracle read atoks 4×: 27 s → 0.3 s
+    # at sf0.01) — the SQL-side twin of the Spark plan's checkpoints
     return f"""
-    t AS (
+    t AS MATERIALIZED (
       SELECT doc_id AS doc, text,
              least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin,
              CASE WHEN len({_TOKENS_SQL}) >= {_ING_LONG} THEN {_ING_B - 1}
@@ -113,13 +116,13 @@ def _chain_ctes() -> str:
         WHERE s <> '') v
       JOIN t ON t.doc = v.doc),
     sig AS (SELECT b, doc, {mins} FROM sh GROUP BY b, doc),
-    keys AS (SELECT b, doc, unnest([{band_keys}]) AS bk FROM sig),
-    kadm AS (SELECT k.b, k.doc, k.bk FROM keys k
+    keys AS MATERIALIZED (SELECT b, doc, unnest([{band_keys}]) AS bk FROM sig),
+    kadm AS MATERIALIZED (SELECT k.b, k.doc, k.bk FROM keys k
              JOIN dec d ON d.b = k.b AND d.psi <= {_ING_PSI_T}),
     s0 AS (SELECT NULL::VARCHAR AS bk WHERE 1 = 0),{",".join(stages)},
     rej AS ({rej_union}),
     admdocs AS (SELECT t.b, t.doc FROM t JOIN dec d ON d.b = t.b AND d.psi <= {_ING_PSI_T}),
-    acc AS (SELECT a.b, a.doc FROM admdocs a
+    acc AS MATERIALIZED (SELECT a.b, a.doc FROM admdocs a
             WHERE NOT EXISTS (SELECT 1 FROM rej r WHERE r.b = a.b AND r.doc = a.doc))"""
 
 
@@ -146,7 +149,7 @@ _HLL_EST = (
 
 _SKETCH_SQL = f"""
     WITH {_chain_ctes()},
-    atoks AS (
+    atoks AS MATERIALIZED (
       SELECT u.tok FROM (
         SELECT acc.doc, unnest(string_split_regex(trim(lower(coalesce(t.text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
         FROM acc JOIN t ON t.doc = acc.doc AND t.b = acc.b) u
@@ -223,7 +226,11 @@ def chain_replay(
     rows); the four unrolled gate stages then run entirely on that
     bounded key relation — dedup_gate.gate_batch's exact two-join
     policy (hit-prev semi-join ∪ in-batch min-doc), state extended
-    only by accepted keys of admitted batches."""
+    only by accepted keys of admitted batches. The resulting accepted
+    corpus is itself localCheckpointed (skinny (b, doc) — ≤1 row per
+    doc) so downstream consumers (the sketch audit's four aggregates,
+    the decisions join) never re-expand the anti-join/union lineage
+    over the dedup unroll (verdict r7 #1)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
         psi_drift_counts,
     )
@@ -294,6 +301,7 @@ def chain_replay(
         meta.select("b", "doc")
         .join(F.broadcast(admitted_b), "b", "left_semi")
         .join(rej_all, ["b", "doc"], "left_anti")
+        .localCheckpoint()
     )
     return dec, acc
 
@@ -337,7 +345,15 @@ def q_ingest_chain_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry: d=4, w=256, p=5), audited against exact values — corpus
     size, token count, HLL distinct-token estimate vs exact, and the
     CMS estimate of the top token vs its exact count. One row; every
-    sketch relation bounded by construction."""
+    sketch relation bounded by construction.
+
+    Scale shape (verdict r7 #1): ``acc`` arrives checkpointed from
+    chain_replay and the exploded token relation is checkpointed HERE,
+    so the four aggregates (exact count/distinct, HLL registers,
+    top-token, CMS cells) all read ONE materialization of the
+    surviving corpus's tokens — one corpus scan total, not four
+    re-expansions of the dedup-unroll lineage. Pinned by
+    tests/test_plans.py::test_ingest_sketch_audit_single_token_scan."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
 
@@ -347,6 +363,7 @@ def q_ingest_chain_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
         .select(F.explode(tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
+        .localCheckpoint()
     )
     ex = atoks.agg(
         F.count("*").cast("bigint").alias("n_tokens"),

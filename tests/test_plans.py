@@ -397,3 +397,28 @@ def test_outliers_by_sketch_pays_two_corpus_scans(spark):
     )
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan  # the checkpointed deviation relation
+
+
+def test_ingest_sketch_audit_single_token_scan(spark):
+    """q_ingest_chain_sketch_audit's four aggregates (exact, HLL, top
+    token, CMS) must all read the ONE checkpointed token relation —
+    the returned plan contains no parquet scan (the corpus scans
+    happened while materializing acc/atoks) and no re-expansion of the
+    dedup-unroll lineage (verdict r7 #1: was 4 corpus re-derivations,
+    642 static exchanges, ~18 s at sf0.01)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+        queries as all_queries,
+    )
+
+    df = all_queries()["q_ingest_chain_sketch_audit"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan  # the checkpointed token relation
+    # only the sketch-assembly joins remain (3 one-row crossJoins +
+    # the top-token↔CMS-estimate joins) — the unroll's dozens of
+    # shuffle joins must be gone from the returned plan
+    assert plan.count("Join") <= 6, plan
