@@ -33,18 +33,33 @@ MANIFEST = "_subsumed.json"
 META = "_meta.json"
 
 
-def stamp_meta(state_dir: str, meta: dict) -> None:
+def stamp_meta(state_dir: str, meta: dict, migrate: bool = False) -> None:
     """Write the store's format marker (atomic tmp→rename) on first
     write; on later writes verify it. Guards against silently merging
     state persisted under a different geometry/hash format — e.g. an
     HLL store written by the pre-60-bit hash code passes the runtime
     register/rank guard but hashes keys to different registers, so the
-    mismatch must be caught HERE, at the store boundary (ADVICE r6)."""
+    mismatch must be caught HERE, at the store boundary (ADVICE r6).
+
+    A store that already holds ``batch_id=*`` dirs but NO marker is a
+    legacy store of unknown format: stamping it would bless whatever
+    is in there as the caller's format (the exact silent-merge the
+    marker exists to stop), so that is refused unless the caller
+    passes ``migrate=True`` to assert the legacy state really was
+    written under ``meta`` (ADVICE r7). Empty/new stores auto-stamp."""
     os.makedirs(state_dir, exist_ok=True)
     path = os.path.join(state_dir, META)
     if os.path.exists(path):
         check_meta(state_dir, meta)
         return
+    if state_subdirs(state_dir) and not migrate:
+        raise ValueError(
+            f"state store {state_dir} holds batch dirs but no {META} "
+            "marker — its format is unknown, so refusing to stamp it "
+            f"as {meta!r}. Pass migrate=True only if the existing "
+            "state is known to have been written under this format; "
+            "otherwise rebuild the store"
+        )
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, sort_keys=True)
@@ -94,9 +109,9 @@ def subsumed_ids(state_dir: str) -> set[int]:
     manifest. Older generations are in that manifest by construction,
     so one file answers for the whole history; no generations → empty.
     Driver-side and file-count sized, like the dedup gate's listing.
-    Generations written by a manifest-FREE store (absorbing merges —
-    max/distinct — tolerate duplicate dirs) carry no manifest file and
-    exclude nothing."""
+    Generations written by a manifest-FREE store (max-merge state
+    tolerates duplicate dirs and has no raw readers) carry no manifest
+    file and exclude nothing."""
     gens = {p: i for p, i in state_subdirs(state_dir).items() if i < 0}
     if not gens:
         return set()
@@ -123,8 +138,9 @@ def read_counts(
     generations (negative ids) always pass the retry filter.
     ``agg``: "sum" (counting state — needs the manifest), "max"
     (absorbing state, e.g. HLL registers — manifest-free), or
-    "distinct" (SET state, e.g. heavy-hitter candidates — pass
-    ``value_col=None``; duplicate dirs absorb, manifest-free)."""
+    "distinct" (SET state, e.g. heavy-hitter candidates or IVF
+    postings — pass ``value_col=None``; duplicate dirs absorb, and
+    compaction ALSO writes the manifest for raw set-readers)."""
     if agg == "distinct" and value_col is not None:
         raise ValueError("distinct state has no value column")
     try:
@@ -168,15 +184,26 @@ def compact_counts(
     5. delete the subsumed dirs — pure GC: a crash anywhere after (4)
        changes nothing a reader computes.
 
-    With ``agg="max"`` or ``agg="distinct"`` (absorbing state) the
-    manifest is SKIPPED entirely: a folded dir surviving beside its
-    generation cannot change a max or a distinct set, so the deletes
-    are crash-safe without it.
+    With ``agg="max"`` (absorbing VALUE state, e.g. HLL registers) the
+    manifest is SKIPPED: a folded dir surviving beside its generation
+    cannot change a max, so the deletes are crash-safe without it and
+    no reader bypasses the fold. ``agg="distinct"`` also absorbs, but
+    SET stores have raw readers that skip the fold entirely (the IVF
+    postings probe path reads live dirs without a per-query distinct
+    shuffle), so distinct generations DO carry the manifest — for
+    read_counts it changes nothing (exclusion before an absorbing
+    fold), for raw readers it keeps a crash-interrupted GC invisible.
 
     ``partition_by`` writes the generation partitioned on those key
-    columns (they must be a subset of ``key_cols``), preserving
-    partition-pruned reads — the IVF postings store's cell layout.
+    columns (must be a subset of ``key_cols``; enforced) and clusters
+    the fold on them, preserving partition-pruned reads with one file
+    per partition dir — the IVF postings store's cell layout.
     """
+    if partition_by and not set(partition_by) <= set(key_cols):
+        raise ValueError(
+            f"partition_by {partition_by} must be a subset of "
+            f"key_cols {key_cols}"
+        )
     dirs = state_subdirs(state_dir)
     prior = subsumed_ids(state_dir)
     for p, i in list(dirs.items()):
@@ -197,11 +224,12 @@ def compact_counts(
     )
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    writer = folded.repartition(*key_cols).write.mode("overwrite")
+    cluster = partition_by if partition_by else key_cols
+    writer = folded.repartition(*cluster).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    if agg == "sum":
+    if agg != "max":
         with open(os.path.join(tmp, MANIFEST), "w") as f:
             json.dump(sorted(prior | fold_ids), f)
     os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))

@@ -13,8 +13,9 @@ State = two stores under one root:
   ``N = Σ_col c[row=0][col]``.
 * ``cands/`` — per-batch relations of keys whose estimate met the
   ``φ·N`` bar when the batch ran. SET semantics (read = distinct
-  union), so like the dedup gate — and unlike the CMS cells — it needs
-  no subsumption manifest: duplicate dirs are absorbed by distinct.
+  union), so duplicate dirs are absorbed on read; compaction still
+  writes the subsumption manifest (counting_state's distinct contract,
+  for raw set-readers) but this reader never needs it.
 
 Guarantee (one-sided, inherited from CMS): a TRUE heavy hitter is
 never missed — when key k last appears, est(k) ≥ true_now(k) ≥ φ·N_now
@@ -65,8 +66,8 @@ def read_candidates(
     spark: SparkSession, state_dir: str, before_batch: int | None = None
 ) -> DataFrame:
     """The distinct candidate keys — counting_state.read_counts in its
-    ``distinct`` mode: set semantics, manifest-free (duplicate dirs
-    absorb), same liveness/retry contract as the sum/max siblings."""
+    ``distinct`` mode: set semantics (duplicate dirs absorb), same
+    liveness/retry contract as the sum/max siblings."""
     return _cs.read_counts(
         spark,
         _cand_dir(state_dir),
@@ -82,9 +83,9 @@ def compact_candidates(
     spark: SparkSession, state_dir: str, exclude_from: int | None = None
 ) -> None:
     """Fold candidate dirs into one generation —
-    counting_state.compact_counts(agg="distinct"), which writes no
-    manifest (distinct absorbs crash leftovers, like the HLL stream's
-    max). ``exclude_from`` keeps the in-flight batch's dir out of the
+    counting_state.compact_counts(agg="distinct"): crash leftovers
+    are absorbed by the distinct read, and the generation carries the
+    standard manifest. ``exclude_from`` keeps the in-flight batch's dir out of the
     fold so read_candidates' retry exclusion keeps working."""
     _cs.compact_counts(
         spark,

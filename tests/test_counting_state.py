@@ -103,7 +103,33 @@ def test_meta_marker_stamp_and_mismatch_rejection(spark, tmp_path):
     cs.check_meta(state, {"width": 8, "unrelated_hint": True})
 
 
-def test_distinct_mode_set_semantics_and_manifest_free_compaction(spark, tmp_path):
+def test_legacy_store_refuses_auto_stamp(spark, tmp_path):
+    """A marker-LESS store that already holds batch dirs has unknown
+    format: stamping it would bless its state as the caller's format —
+    the exact silent-merge the marker exists to stop (ADVICE r7). Only
+    migrate=True (caller asserts the format) or a genuinely empty
+    store may stamp."""
+    import pytest
+
+    meta = {"format": "test-cells", "width": 8}
+    legacy = str(tmp_path / "legacy")
+    _write(spark, legacy, 0, [("a", 1)])
+    with pytest.raises(ValueError, match="refusing to stamp"):
+        cs.stamp_meta(legacy, meta)
+    assert not os.path.exists(os.path.join(legacy, cs.META))
+    # explicit migration assertion stamps, and later writers verify
+    cs.stamp_meta(legacy, meta, migrate=True)
+    cs.stamp_meta(legacy, meta)
+    with pytest.raises(ValueError, match="format mismatch"):
+        cs.stamp_meta(legacy, {"format": "test-cells", "width": 16})
+    # an empty dir (mkdir'd but never written) still auto-stamps
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    cs.stamp_meta(empty, meta)
+    cs.check_meta(empty, meta)
+
+
+def test_distinct_mode_set_semantics_and_compaction(spark, tmp_path):
     state = str(tmp_path / "st")
     kschema = "k string"
 
@@ -131,11 +157,14 @@ def test_distinct_mode_set_semantics_and_manifest_free_compaction(spark, tmp_pat
     keep = str(tmp_path / "copy")
     sh.copytree(os.path.join(state, "batch_id=1"), keep)
     cs.compact_counts(spark, state, kschema, ["k"], None, agg="distinct")
-    # manifest-free: no _subsumed.json anywhere, folded dirs deleted
-    assert cs.subsumed_ids(state) == set()
+    # distinct generations DO carry the manifest (raw set-readers like
+    # the IVF postings probe path skip the fold and need the exclusion
+    # set); folded dirs deleted
+    assert cs.subsumed_ids(state) == {0, 1, 2}
     assert set(cs.state_subdirs(state).values()) == {-1}
     assert rset() == {"a", "b", "c", "d"}
-    # crash leftover beside the generation is absorbed by distinct
+    # crash leftover beside the generation is absorbed by distinct AND
+    # named by the manifest — exact either way
     sh.copytree(keep, os.path.join(state, "batch_id=1"))
     assert rset() == {"a", "b", "c", "d"}
     # value column is meaningless for a set store
