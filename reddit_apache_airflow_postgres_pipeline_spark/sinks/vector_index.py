@@ -7,11 +7,20 @@ for a served index over a 100 TB corpus. This sink writes the index as
 two parquet relations:
 
 * ``<path>/centroids`` — (cell, cv), n_cells rows
-* ``<path>/postings``  — (neighbor_id, embedding, cell), the corpus
-  partitioned **by cell**, so a query probing ``n_probe`` cells reads
-  only those directories — real partition pruning, verified by
-  ``tests/test_bucketed.py``-style plan assertions in
-  tests/test_vector_index.py.
+* ``<path>/postings``  — (neighbor_id, embedding, cell): a
+  counting_state SET store (``batch_id=<i>/cell=<k>/…`` dirs — build
+  writes batch 0, each append adds the next batch id) whose inner level
+  is partitioned **by cell**, so a query probing ``n_probe`` cells
+  reads only those directories — real partition pruning, verified by
+  plan assertions in tests/test_vector_index.py. The store carries
+  counting_state's ``_meta.json`` format marker, and
+  :func:`compact_postings` folds the batch dirs into one
+  cell-partitioned generation via
+  ``counting_state.compact_counts(agg="distinct",
+  partition_by=["cell"])`` — the dir listing stays bounded across
+  appends without giving up pruned probes, and the generation's
+  subsumption manifest keeps the probe path's RAW reader (no per-query
+  distinct shuffle) exact across a crash-interrupted GC.
 
 Centroids come from :func:`kmeans_refine` (deterministic Lloyd steps)
 so a rebuilt index on the same corpus is byte-identical — the property
@@ -20,8 +29,13 @@ that makes index builds idempotent and diffable across runs.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
     cosine,
@@ -52,10 +66,63 @@ def write_ivf_index(
         )
     assigned = ivf_assign(corpus, cents, id_col, vec_col, out_id="neighbor_id")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    store = f"{path}/postings"
+    # a rebuild REPLACES the store: clear it so the fresh marker +
+    # batch 0 are the whole state (stamp before writing — stamp_meta
+    # refuses marker-less non-empty stores by design)
+    shutil.rmtree(store, ignore_errors=True)
+    _cs.stamp_meta(store, {"format": _POSTINGS_FORMAT, "n_cells": n_cells})
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/postings")
+        .parquet(os.path.join(store, "batch_id=0"))
+    )
+
+
+_POSTINGS_FORMAT = "ivf-postings/v1"
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """The live postings relation (neighbor_id, embedding, cell): a
+    RAW scan over the store's live dirs — subsumed batch ids (named by
+    the newest generation's manifest) are excluded, nothing else is
+    folded. No per-query distinct shuffle: the append contract (delta
+    ids disjoint from indexed ids) plus the manifest keep live rows
+    exact, so a probe pays only the pruned scan. Also reads a plain
+    cell-partitioned directory (no ``batch_id=*`` level) unchanged —
+    the pre-store layout and hand-built test fixtures."""
+    store = f"{path}/postings"
+    df = spark.read.parquet(store)
+    excluded = _cs.subsumed_ids(store)
+    if excluded:
+        df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    return df
+
+
+def compact_postings(
+    spark: SparkSession, path: str, exclude_from: int | None = None
+) -> None:
+    """Fold the postings batch dirs into ONE cell-partitioned
+    generation — counting_state.compact_counts in ``distinct`` mode
+    with ``partition_by=["cell"]``: the dir listing stays bounded as
+    appends accumulate, probes keep their partition pruning (pinned by
+    tests/test_vector_index.py), and the generation's manifest keeps
+    :func:`read_postings` exact across a crash-interrupted GC."""
+    store = f"{path}/postings"
+    df = spark.read.parquet(store)
+    fields = [f for f in df.schema.fields if f.name != "batch_id"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    _cs.compact_counts(
+        spark,
+        store,
+        schema,
+        [f.name for f in fields],
+        None,
+        exclude_from=exclude_from,
+        agg="distinct",
+        partition_by=["cell"],
     )
 
 
@@ -76,7 +143,7 @@ def query_ivf_index(
     from pyspark.sql import Window
 
     cents = spark.read.parquet(f"{path}/centroids")
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = read_postings(spark, path)
     probes = ivf_assign(
         queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
     )
@@ -109,9 +176,12 @@ def append_to_ivf_index(
     start (``tests/test_vector_index.py`` pins that equality).
 
     The delta is assigned against the index's own persisted centroids
-    (broadcast, map-only) and appended into the cell-partitioned
-    postings — Spark's dynamic partition append touches only the cells
-    the delta lands in. Quantizer drift is the accepted trade (same as
+    (broadcast, map-only) and written as the store's NEXT batch dir
+    (cell-partitioned inside) — prior batch dirs and generations are
+    never touched, and the idempotent per-dir overwrite makes a
+    retried append converge. When appends accumulate,
+    :func:`compact_postings` folds the listing back to one generation.
+    Quantizer drift is the accepted trade (same as
     FAISS's ``add`` after ``train``): as the corpus distribution moves,
     recall decays until the next scheduled rebuild; the
     :func:`reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml.q_ivf_recall`-style
@@ -124,8 +194,12 @@ def append_to_ivf_index(
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(new_vectors, cents, id_col, vec_col, out_id="neighbor_id")
+    store = f"{path}/postings"
+    _cs.stamp_meta(store, {"format": _POSTINGS_FORMAT})
+    live = _cs.state_subdirs(store)
+    next_id = max((i for i in live.values() if i >= 0), default=-1) + 1
     (
-        assigned.write.mode("append")
+        assigned.write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{path}/postings")
+        .parquet(os.path.join(store, f"batch_id={next_id}"))
     )

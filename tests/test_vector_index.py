@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivf_knn
 from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+    compact_postings,
     query_ivf_index,
+    read_postings,
     write_ivf_index,
 )
 
@@ -36,15 +38,15 @@ def test_index_rebuild_is_deterministic(spark, tmp_path):
     ca = sorted(map(tuple, spark.read.parquet(str(tmp_path / "a/centroids")).collect()))
     cb = sorted(map(tuple, spark.read.parquet(str(tmp_path / "b/centroids")).collect()))
     assert ca == cb
-    pa = spark.read.parquet(str(tmp_path / "a/postings")).groupBy("cell").count()
-    pb = spark.read.parquet(str(tmp_path / "b/postings")).groupBy("cell").count()
+    pa = read_postings(spark, str(tmp_path / "a")).groupBy("cell").count()
+    pb = read_postings(spark, str(tmp_path / "b")).groupBy("cell").count()
     assert sorted(map(tuple, pa.collect())) == sorted(map(tuple, pb.collect()))
 
 
 def test_probed_cells_prune_postings_partitions(spark, tmp_path):
     e = _emb(spark)
     write_ivf_index(e, str(tmp_path / "ix"), n_cells=16, refine_iters=0)
-    postings = spark.read.parquet(str(tmp_path / "ix/postings"))
+    postings = read_postings(spark, str(tmp_path / "ix"))
     pruned = postings.filter(F.col("cell").isin(0, 3))
     plan = spark._jvm.PythonSQLUtils.explainString(
         pruned._jdf.queryExecution(), "formatted"
@@ -91,37 +93,82 @@ def test_append_equals_monolithic_build(spark, tmp_path):
     }
     assert got == want
     # every indexed vector is present exactly once
-    n = spark.read.parquet(f"{inc}/postings").count()
-    assert n == e.count()
+    assert read_postings(spark, inc).count() == e.count()
 
 
-def test_append_touches_only_delta_cells(spark, tmp_path):
+def test_append_writes_only_a_new_batch_dir(spark, tmp_path):
     e = _emb(spark)
     path = str(tmp_path / "ix")
     write_ivf_index(e.filter(F.col("vec_id") < 495), path, n_cells=16)
     import os
 
-    def mtimes():
-        root = f"{path}/postings"
-        return {
-            d: max(
-                (os.path.getmtime(os.path.join(root, d, f))
-                 for f in os.listdir(os.path.join(root, d))
-                 if not f.startswith(".")),
-                default=0,
-            )
-            for d in os.listdir(root)
-            if d.startswith("cell=")
-        }
+    def tree_mtimes(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = os.path.getmtime(fp)
+        return out
 
-    before = mtimes()
+    base_dir = f"{path}/postings/batch_id=0"
+    before = tree_mtimes(base_dir)
     from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import append_to_ivf_index
 
     delta = e.filter(F.col("vec_id") >= 495)
     append_to_ivf_index(delta, path)
-    after = mtimes()
-    untouched = [d for d in before if after.get(d) == before[d]]
-    touched = [d for d in after if after.get(d) != before.get(d)]
-    # a 5-vector delta lands in at most 5 cells; the rest stay untouched —
-    # the dynamic-partition append property that bounds write cost
-    assert touched and untouched
+    # the existing corpus is never rewritten: batch 0 is byte-untouched,
+    # the delta is one new batch dir whose cell dirs are bounded by the
+    # delta size — the property that bounds append write cost
+    assert tree_mtimes(base_dir) == before
+    new_dir = f"{path}/postings/batch_id=1"
+    cells = [d for d in os.listdir(new_dir) if d.startswith("cell=")]
+    assert 1 <= len(cells) <= 5
+
+
+def test_compaction_preserves_results_pruning_and_crash_gc(spark, tmp_path):
+    """The verdict-r7 wiring test: partition-pruned probe reads survive
+    a compaction cycle. Build + two appends -> 3 batch dirs; compact
+    folds them into one cell-partitioned generation; queries are
+    identical before/after, the probe filter still lands in the
+    PartitionFilters slot, and a crash-before-GC leftover dir is
+    excluded by the generation's manifest (raw reader stays exact)."""
+    import os
+    import shutil as sh
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import append_to_ivf_index
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+    e = _emb(spark)
+    path = str(tmp_path / "ix")
+    write_ivf_index(e.filter(F.col("vec_id") < 300), path, n_cells=16)
+    append_to_ivf_index(e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 450)), path)
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 450), path)
+    store = f"{path}/postings"
+    assert set(cs.state_subdirs(store).values()) == {0, 1, 2}
+
+    q = e.filter(F.col("vec_id") < 8)
+    before = sorted(map(tuple, query_ivf_index(spark, path, q, n_probe=4, k=5).collect()))
+    keep = str(tmp_path / "copy")
+    sh.copytree(os.path.join(store, "batch_id=1"), keep)
+
+    compact_postings(spark, path)
+    assert set(cs.state_subdirs(store).values()) == {-1}
+    assert cs.subsumed_ids(store) == {0, 1, 2}
+    assert read_postings(spark, path).count() == e.count()
+    after = sorted(map(tuple, query_ivf_index(spark, path, q, n_probe=4, k=5).collect()))
+    assert after == before
+
+    # pruning survives: the cell filter reaches the generation's scan
+    # as a partition filter
+    pruned = read_postings(spark, path).filter(F.col("cell").isin(0, 3))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cell" in seg[: seg.index("\n")]
+
+    # crash-before-GC: a folded dir restored beside the generation is
+    # named by the manifest, so the raw reader must not double-count
+    sh.copytree(keep, os.path.join(store, "batch_id=1"))
+    assert read_postings(spark, path).count() == e.count()
+    assert sorted(map(tuple, query_ivf_index(spark, path, q, n_probe=4, k=5).collect())) == before
