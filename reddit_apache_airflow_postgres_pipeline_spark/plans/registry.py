@@ -2117,6 +2117,13 @@ _FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\
 
 _CUR_LINE_K = 4       # constructed-line width (corpus has no newlines)
 _CUR_LINE_MIN_OCC = 3  # CCNet occurrence bar, as in q_dedup_lines_ccnet
+_LANGID_CASE_SQL = (
+    "CASE WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+    "WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+    "WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+    "WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr' "
+    "ELSE 'und' END"
+)
 _TOKENS_CLEAN_SQL = (
     "CASE WHEN trim(lower(coalesce(text_clean,''))) = '' THEN []::VARCHAR[] "
     "ELSE string_split_regex(trim(lower(coalesce(text_clean,''))), '[ \\t\\n\\x0b\\f\\r]+') END"
@@ -2124,16 +2131,18 @@ _TOKENS_CLEAN_SQL = (
 _FP_CLEAN_SQL = "md5(trim(regexp_replace(lower(coalesce(text_clean,'')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
 
 
-@_q(
-    "q_corpus_curation",
-    f"""
-    WITH scored AS (
+# The langid -> quality-gate -> CCNet-line-dedup CTE prefix, shared by
+# q_corpus_curation and registry_curation.q_corpus_curation_spans so the
+# two compositions cannot drift: yields filt (doc_id, source, text,
+# n_tokens) and clean (doc_id, dropped_lines, text_clean).
+_CURATION_LINE_CTES = f"""
+    scored AS (
       SELECT doc_id, source, text,
              len({_TOKENS_SQL}) AS n_tokens,
              CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0
                   ELSE len(list_filter({_TOKENS_SQL}, t -> t IN {_STOPWORDS_SQL})) * 1.0
                        / len({_TOKENS_SQL}) END AS stop_ratio,
-             {{langid}} AS lang_pred
+             {_LANGID_CASE_SQL} AS lang_pred
       FROM (
         SELECT doc_id, source, text,
                {_markers_sql('de')} AS s_de, {_markers_sql('en')} AS s_en,
@@ -2156,7 +2165,7 @@ _FP_CLEAN_SQL = "md5(trim(regexp_replace(lower(coalesce(text_clean,'')), '[ \\t\
              trim(regexp_replace(regexp_replace(lower(s.l), '[^a-z ]', ' ', 'g'),
                                  ' +', ' ', 'g')) AS nrm
       FROM (SELECT doc_id,
-                   unnest(list_transform(lines, (x, j) -> {{{{'i': j, 'l': x}}}})) AS s
+                   unnest(list_transform(lines, (x, j) -> {{'i': j, 'l': x}})) AS s
             FROM ch) u),
     cnt AS (SELECT nrm, COUNT(*) AS occ FROM ln WHERE nrm <> '' GROUP BY nrm),
     clean AS (
@@ -2167,7 +2176,13 @@ _FP_CLEAN_SQL = "md5(trim(regexp_replace(lower(coalesce(text_clean,'')), '[ \\t\
                CASE WHEN ln.nrm = '' OR coalesce(cnt.occ, 0) < {_CUR_LINE_MIN_OCC}
                     THEN ln.line END, chr(10) ORDER BY ln.idx), '') AS text_clean
       FROM ln LEFT JOIN cnt ON cnt.nrm = ln.nrm
-      GROUP BY ln.doc_id),
+      GROUP BY ln.doc_id)"""
+
+
+@_q(
+    "q_corpus_curation",
+    f"""
+    WITH {_CURATION_LINE_CTES},
     joined AS (
       SELECT c.doc_id, f.source, c.dropped_lines, c.text_clean,
              len({_TOKENS_CLEAN_SQL}) AS n_tokens
@@ -2186,15 +2201,7 @@ _FP_CLEAN_SQL = "md5(trim(regexp_replace(lower(coalesce(text_clean,'')), '[ \\t\
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(dropped_lines) AS BIGINT) AS dropped_lines
     FROM sampled GROUP BY source
-    """.format(
-        langid=(
-            "CASE WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
-            "WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
-            "WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
-            "WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr' "
-            "ELSE 'und' END"
-        )
-    ),
+    """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation composition a training-data pipeline runs:

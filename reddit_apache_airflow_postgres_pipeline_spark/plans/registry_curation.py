@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators import chunking, curation
-from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _TOKENS_SQL, _q
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+    _CURATION_LINE_CTES,
+    _CURATION_SAMPLE_THRESH,
+    _TOKENS_CLEAN_SQL,
+    _TOKENS_SQL,
+    _q,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
 
 
@@ -917,4 +923,132 @@ def q_dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return curation.dedup_spans(
         d, "doc_id", "text", k=_SPAN_K, min_occurrences=2
+    )
+
+
+@_q(
+    "q_corpus_curation_spans",
+    f"""
+    WITH {_CURATION_LINE_CTES},
+    lsv AS (SELECT doc_id, dropped_lines, text_clean
+            FROM clean WHERE len({_TOKENS_CLEAN_SQL}) > 0),
+    t2 AS (SELECT doc_id, {_TOKENS_CLEAN_SQL} AS toks FROM lsv),
+    g2 AS (SELECT doc_id, i AS spos,
+                  array_to_string(toks[i+1 : i+{_SPAN_K}], ' ') AS gram
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(0, len(toks) - {_SPAN_K})) AS i
+                 FROM t2 WHERE len(toks) >= {_SPAN_K}) u),
+    dup2 AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= 2),
+    st2 AS (SELECT g2.doc_id, g2.spos FROM g2 JOIN dup2 USING (gram)),
+    tk2 AS (SELECT doc_id, s.i AS pos, s.t AS tok
+            FROM (SELECT doc_id,
+                         unnest(list_transform(toks, (x, j) -> {{'i': j - 1, 't': x}})) AS s
+                  FROM t2) u),
+    cov2 AS (SELECT tk2.doc_id, tk2.pos, tk2.tok,
+                    MAX(CASE WHEN st2.spos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY tk2.doc_id ORDER BY tk2.pos
+                            ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1
+                      AS covered
+             FROM tk2 LEFT JOIN st2 ON st2.doc_id = tk2.doc_id AND st2.spos = tk2.pos),
+    agg2 AS (SELECT doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_tok,
+                    CAST(COUNT(CASE WHEN covered THEN 1 END) AS BIGINT) AS dropped_tokens,
+                    coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                                        ' ' ORDER BY pos), '') AS text_clean2
+             FROM cov2 GROUP BY doc_id),
+    sp2 AS (SELECT l.doc_id, l.dropped_lines, a.n_tok, a.dropped_tokens, a.text_clean2
+            FROM lsv l JOIN agg2 a USING (doc_id)
+            WHERE a.n_tok - a.dropped_tokens > 0),
+    fp2 AS (SELECT md5(trim(regexp_replace(lower(coalesce(text_clean2,'')),
+                                           '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS fp,
+                   s.doc_id, f.source,
+                   s.n_tok - s.dropped_tokens AS n_tokens_final,
+                   s.dropped_lines, s.dropped_tokens
+            FROM sp2 s JOIN filt f ON f.doc_id = s.doc_id),
+    keep2 AS (SELECT fp, MIN(doc_id) AS keeper FROM fp2 GROUP BY fp),
+    dedup2 AS (SELECT f.doc_id, f.source, f.n_tokens_final, f.dropped_lines, f.dropped_tokens
+               FROM fp2 f JOIN keep2 k ON f.fp = k.fp AND f.doc_id = k.keeper),
+    sampled2 AS (
+      SELECT * FROM dedup2
+      WHERE ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < {_CURATION_SAMPLE_THRESH})
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens_final) AS BIGINT) AS total_tokens,
+           CAST(SUM(dropped_lines) AS BIGINT) AS dropped_lines,
+           CAST(SUM(dropped_tokens) AS BIGINT) AS dropped_span_tokens
+    FROM sampled2 GROUP BY source
+    """,
+)
+def q_corpus_curation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Lee-et-al curation stack (verdict r7 #6): language-ID →
+    quality gate → CCNet line dedup → exact duplicated-SUBSTRING dedup
+    (dedup_spans, k={_SPAN_K} over the line-cleaned text — the quoted
+    passage inside an otherwise-unique page that neither line- nor
+    doc-grain sees) → exact dedup on the span-cleaned fingerprint →
+    deterministic 50% sample → per-source stats surfacing both drop
+    counters (dropped_lines, dropped_span_tokens). Shares the
+    langid/quality/line-dedup CTE prefix with q_corpus_curation
+    (registry._CURATION_LINE_CTES) so the compositions cannot drift.
+    Every shuffle is linear (line counts, gram counts, per-doc windows,
+    fingerprint groupBy, source agg) — no self-join anywhere."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import textstats
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        token_chunks_with_tail,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_by_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.stopword_ratio("text").alias("stop_ratio"),
+        textstats.lang_id("text").alias("lang_pred"),
+    )
+    filt = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("n_tokens") >= 25)
+        & (F.col("stop_ratio") >= 0.02)
+    )
+    lined = filt.select(
+        "doc_id",
+        F.array_join(token_chunks_with_tail("text", 4), "\n").alias("text"),
+    )
+    cleaned = curation.dedup_lines(
+        lined, min_occurrences=3, split_re="\n", join_with="\n"
+    )
+    lsv = cleaned.filter(
+        textstats.token_count("text_clean") > 0
+    ).select("doc_id", "dropped_lines", F.col("text_clean").alias("text"))
+    sp = curation.dedup_spans(
+        lsv, "doc_id", "text", k=_SPAN_K, min_occurrences=2
+    ).filter(F.col("n_tokens") - F.col("dropped_tokens") > 0)
+    fp = (
+        sp.join(lsv.select("doc_id", "dropped_lines"), "doc_id")
+        .join(filt.select("doc_id", "source"), "doc_id")
+        .select(
+            textstats.fingerprint("text_clean").alias("fp"),
+            "doc_id",
+            "source",
+            (F.col("n_tokens") - F.col("dropped_tokens"))
+            .cast("long")
+            .alias("n_tokens_final"),
+            "dropped_lines",
+            "dropped_tokens",
+        )
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dedup = fp.join(
+        keep,
+        (fp["fp"] == keep["fp"]) & (fp["doc_id"] == keep["keeper"]),
+    ).select("doc_id", "source", "n_tokens_final", "dropped_lines", "dropped_tokens")
+    sampled = sample_by_hash(dedup, "doc_id", 0.5, salt="cur")
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens_final").cast("long").alias("total_tokens"),
+        F.sum("dropped_lines").cast("long").alias("dropped_lines"),
+        F.sum("dropped_tokens").cast("long").alias("dropped_span_tokens"),
     )
