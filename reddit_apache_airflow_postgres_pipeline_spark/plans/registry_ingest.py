@@ -32,12 +32,11 @@ _ING_NH, _ING_BANDS = 16, 4   # dedup_gate defaults
 _ING_P, _ING_D, _ING_W = 5, 4, 256  # hll_stream / cms_stream defaults
 
 
-def _chain_ctes() -> str:
-    """The shared CTE chain: batch split → per-batch PSI decisions →
-    unrolled sequential dedup over the admitted batches → accepted
-    corpus. Mirrors, in order: drift_gate.token_length_bins /
-    batch_psi_stats (psi_drift_counts contract: 1e-4 smoothing, 6-dp
-    rounding), then dedup_gate.gate_batch's two-join admission."""
+def _minhash_sql() -> tuple[str, str]:
+    """(mins, band_keys) SQL fragments of the 16-hash MinHash digest
+    family + banded key builder — shared by the ungrouped and grouped
+    chain oracles so both replay the exact minhash_band_keys bucket
+    universe."""
     r = _ING_NH // _ING_BANDS
     dg = "md5(s) || sha256(s) || md5(reverse(s))"  # 16-hash digest family
     mins = ", ".join(
@@ -49,10 +48,15 @@ def _chain_ctes() -> str:
         + ")"
         for b in range(_ING_BANDS)
     )
-    # one dedup stage per replay batch: rejected = (bucket claimed by
-    # accepted state) ∪ (bucket shared with a smaller doc in-batch);
-    # accepted keys extend the state only when the batch was admitted
-    # (kadm already excludes quarantined batches entirely)
+    return mins, band_keys
+
+
+def _stage_ctes() -> tuple[str, str]:
+    """(stages, rej_union) SQL: the unrolled sequential dedup over the
+    admitted band-key relation ``kadm`` — one stage per replay batch:
+    rejected = (bucket claimed by accepted state) ∪ (bucket shared with
+    a smaller doc in-batch); accepted keys extend the state only when
+    the batch was admitted (kadm already excludes quarantined rows)."""
     stages = []
     for i in range(_ING_B):
         prev = (
@@ -71,6 +75,17 @@ def _chain_ctes() -> str:
     rej_union = "\n      UNION ALL ".join(
         f"SELECT {i} AS b, doc FROM r{i}" for i in range(_ING_B)
     )
+    return ",".join(stages), rej_union
+
+
+def _chain_ctes() -> str:
+    """The shared CTE chain: batch split → per-batch PSI decisions →
+    unrolled sequential dedup over the admitted batches → accepted
+    corpus. Mirrors, in order: drift_gate.token_length_bins /
+    batch_psi_stats (psi_drift_counts contract: 1e-4 smoothing, 6-dp
+    rounding), then dedup_gate.gate_batch's two-join admission."""
+    mins, band_keys = _minhash_sql()
+    stages, rej_union = _stage_ctes()
     # AS MATERIALIZED: DuckDB otherwise inlines these multi-consumer
     # CTEs per consumer (the sketch oracle read atoks 4×: 27 s → 0.3 s
     # at sf0.01) — the SQL-side twin of the Spark plan's checkpoints
@@ -119,7 +134,7 @@ def _chain_ctes() -> str:
     keys AS MATERIALIZED (SELECT b, doc, unnest([{band_keys}]) AS bk FROM sig),
     kadm AS MATERIALIZED (SELECT k.b, k.doc, k.bk FROM keys k
              JOIN dec d ON d.b = k.b AND d.psi <= {_ING_PSI_T}),
-    s0 AS (SELECT NULL::VARCHAR AS bk WHERE 1 = 0),{",".join(stages)},
+    s0 AS (SELECT NULL::VARCHAR AS bk WHERE 1 = 0),{stages},
     rej AS ({rej_union}),
     admdocs AS (SELECT t.b, t.doc FROM t JOIN dec d ON d.b = t.b AND d.psi <= {_ING_PSI_T}),
     acc AS MATERIALIZED (SELECT a.b, a.doc FROM admdocs a
@@ -275,28 +290,7 @@ def chain_replay(
         .join(F.broadcast(admitted_b), "b", "left_semi")
         .localCheckpoint()
     )
-    state = spark.createDataFrame([], "bk string")
-    rej_parts = []
-    for i in range(_ING_B):
-        kb = keys.filter(F.col("b") == i).select("doc", "bk")
-        hit_prev = (
-            kb.join(state, "bk", "left_semi").select("doc").distinct()
-        )
-        minpb = kb.groupBy("bk").agg(F.min("doc").alias("md"))
-        hit_batch = (
-            kb.join(minpb, "bk")
-            .filter(F.col("doc") > F.col("md"))
-            .select("doc")
-            .distinct()
-        )
-        rej = hit_prev.unionAll(hit_batch).distinct()
-        rej_parts.append(rej.select(F.lit(i).alias("b"), "doc"))
-        state = state.unionAll(
-            kb.join(rej, "doc", "left_anti").select("bk")
-        )
-    rej_all = rej_parts[0]
-    for part in rej_parts[1:]:
-        rej_all = rej_all.unionAll(part)
+    rej_all = _dedup_unroll(spark, keys)
     acc = (
         meta.select("b", "doc")
         .join(F.broadcast(admitted_b), "b", "left_semi")
@@ -398,5 +392,252 @@ def q_ingest_chain_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok").alias("top_token"),
             F.col("cnt").alias("top_exact"),
             F.col("est").alias("top_cms_est"),
+        )
+    )
+
+
+# -- per-group chain (multi-source ingest) -----------------------------------
+
+_ING_G_COL = "lang"   # the replay's feed/group column
+_ING_G_DRIFT = "de"   # the "one broken feed": its long docs land in batch 1
+
+
+def _group_chain_ctes() -> str:
+    """The grouped chain's CTE prefix: group-aware batch split →
+    per-(batch, group) PSI decisions (psi_drift_counts_by_group
+    contract: 1e-4 smoothing, 6-dp rounding, per-GROUP totals) →
+    unrolled sequential dedup over the admitted (batch, group) rows →
+    accepted corpus. Routing: short docs hash into batches 0-2; long
+    docs go to batch 3 — EXCEPT the drift feed's ('de') longs, which
+    land in batch 1, so batch 1 admits its well-sampled short groups
+    while 'de' quarantines alone (the one-broken-feed shape)."""
+    mins, band_keys = _minhash_sql()
+    stages, rej_union = _stage_ctes()
+    return f"""
+    t AS MATERIALIZED (
+      SELECT doc_id AS doc, lang, text,
+             least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin,
+             len({_TOKENS_SQL}) >= {_ING_LONG} AS is_long,
+             CASE WHEN len({_TOKENS_SQL}) >= {_ING_LONG}
+                  THEN CASE WHEN lang = '{_ING_G_DRIFT}' THEN 1 ELSE {_ING_B - 1} END
+                  ELSE CAST(('0x' || substr(md5('ingbatch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % {_ING_B - 1} AS INT) END AS b
+      FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    rfg AS (SELECT lang, bin, COUNT(*) AS n_ref FROM t WHERE NOT is_long GROUP BY 1, 2),
+    rtg AS (SELECT lang, SUM(n_ref) AS tr FROM rfg GROUP BY lang),
+    cbg AS (SELECT b, lang, bin, COUNT(*) AS n_cur FROM t GROUP BY 1, 2, 3),
+    ctg AS (SELECT b, lang, COUNT(*) AS tcn FROM t GROUP BY 1, 2),
+    p AS (
+      SELECT g.b, g.lang, g.bin, COALESCE(c2.n_cur, 0) AS n_cur,
+             round(greatest(CASE WHEN COALESCE(rt2.tr, 0) > 0
+                            THEN COALESCE(r2.n_ref, 0) * 1.0 / rt2.tr
+                            ELSE 0.0 END, 0.0001), 6) AS p_ref,
+             round(greatest(CASE WHEN g.tcn > 0
+                            THEN COALESCE(c2.n_cur, 0) * 1.0 / g.tcn
+                            ELSE 0.0 END, 0.0001), 6) AS p_cur
+      FROM (SELECT ctg.b, ctg.lang, ctg.tcn, bins.bin FROM ctg, bins) g
+      LEFT JOIN rfg r2 ON r2.lang = g.lang AND r2.bin = g.bin
+      LEFT JOIN rtg rt2 ON rt2.lang = g.lang
+      LEFT JOIN cbg c2 ON c2.b = g.b AND c2.lang = g.lang AND c2.bin = g.bin),
+    dec AS MATERIALIZED (
+      SELECT b, lang, CAST(SUM(n_cur) AS BIGINT) AS n_docs,
+             round(SUM(round((p_cur - p_ref) * ln(p_cur / p_ref), 6)), 6) AS psi
+      FROM p GROUP BY b, lang),
+    sh AS (
+      SELECT t.b, v.doc, v.s FROM (
+        SELECT doc, s FROM (
+          SELECT doc_id AS doc, unnest(shingles) AS s FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(0, greatest(len(toks) - 3, 0)),
+                     i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+            FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \t\n\x0b\f\r]+') AS toks
+                  FROM documents) z) u) w
+        WHERE s <> '') v
+      JOIN t ON t.doc = v.doc),
+    sig AS (SELECT b, doc, {mins} FROM sh GROUP BY b, doc),
+    keys AS MATERIALIZED (SELECT b, doc, unnest([{band_keys}]) AS bk FROM sig),
+    admd AS MATERIALIZED (SELECT t.doc, t.b, t.lang FROM t
+             JOIN dec d ON d.b = t.b AND d.lang = t.lang AND d.psi <= {_ING_PSI_T}),
+    kadm AS MATERIALIZED (SELECT k.b, k.doc, k.bk FROM keys k
+             JOIN admd a ON a.doc = k.doc),
+    s0 AS (SELECT NULL::VARCHAR AS bk WHERE 1 = 0),{stages},
+    rej AS ({rej_union}),
+    acc AS MATERIALIZED (SELECT a.b, a.lang, a.doc FROM admd a
+            WHERE NOT EXISTS (SELECT 1 FROM rej r WHERE r.b = a.b AND r.doc = a.doc))"""
+
+
+_GROUP_DECISIONS_SQL = f"""
+    WITH {_group_chain_ctes()}
+    SELECT d.b AS batch, d.lang, d.n_docs, d.psi,
+           d.psi <= {_ING_PSI_T} AS admitted,
+           CAST(COALESCE(a.n_acc, 0) AS BIGINT) AS n_accepted,
+           CAST(CASE WHEN d.psi <= {_ING_PSI_T}
+                THEN d.n_docs - COALESCE(a.n_acc, 0) ELSE 0 END AS BIGINT)
+             AS n_dup_rejected
+    FROM dec d
+    LEFT JOIN (SELECT b, lang, COUNT(*) AS n_acc FROM acc GROUP BY b, lang) a
+      ON a.b = d.b AND a.lang = d.lang
+    """
+
+
+def group_chain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, lang, text, bin, is_long, b): the grouped replay's
+    deterministic split — shorts hash into batches 0-2, longs route to
+    batch 3 except the drift feed's ('de') longs, which land in batch 1
+    so one feed drifts inside an otherwise-clean batch. Exposed so the
+    chain-vs-batch parity test feeds the stream the IDENTICAL split."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    is_long = tc >= _ING_LONG
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.col(_ING_G_COL).alias("lang"),
+        "text",
+        F.least((tc / 20).cast("int"), F.lit(9)).alias("bin"),
+        is_long.alias("is_long"),
+        F.when(
+            is_long,
+            F.when(F.col(_ING_G_COL) == _ING_G_DRIFT, F.lit(1)).otherwise(
+                F.lit(_ING_B - 1)
+            ),
+        )
+        .otherwise((hash_bucket("doc_id", "ingbatch:") % (_ING_B - 1)).cast("int"))
+        .alias("b"),
+    )
+
+
+def _dedup_unroll(spark: SparkSession, keys: DataFrame) -> DataFrame:
+    """(b, doc) rejected by the sequential dedup unroll over the
+    admitted band-key relation ``keys`` (b, doc, bk) — the exact
+    dedup_gate.gate_batch two-join policy per batch, state extended
+    only by each batch's accepted keys. Shared by the ungrouped and
+    grouped replays."""
+    state = spark.createDataFrame([], "bk string")
+    rej_parts = []
+    for i in range(_ING_B):
+        kb = keys.filter(F.col("b") == i).select("doc", "bk")
+        hit_prev = (
+            kb.join(state, "bk", "left_semi").select("doc").distinct()
+        )
+        minpb = kb.groupBy("bk").agg(F.min("doc").alias("md"))
+        hit_batch = (
+            kb.join(minpb, "bk")
+            .filter(F.col("doc") > F.col("md"))
+            .select("doc")
+            .distinct()
+        )
+        rej = hit_prev.unionAll(hit_batch).distinct()
+        rej_parts.append(rej.select(F.lit(i).alias("b"), "doc"))
+        state = state.unionAll(
+            kb.join(rej, "doc", "left_anti").select("bk")
+        )
+    rej_all = rej_parts[0]
+    for part in rej_parts[1:]:
+        rej_all = rej_all.unionAll(part)
+    return rej_all
+
+
+def group_chain_replay(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(dec, acc): per-(batch, group) drift decisions (b, lang, n_docs,
+    psi) and the accepted corpus (b, lang, doc) — the grouped chain's
+    batch half, factored out for the parity test. Same scale shape as
+    chain_replay (skinny checkpointed relations, ≤ groups × bins rows
+    past the first aggregate, broadcast admission spine), with the
+    per-group PSI computed by curation.psi_drift_counts_by_group —
+    the gate's own operator."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        psi_drift_counts_by_group,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_band_keys,
+    )
+
+    base = group_chain_batches(spark, sf_dir)
+    meta = base.select("doc", "lang", "b", "bin", "is_long").localCheckpoint()
+    ref_counts = (
+        meta.filter(~F.col("is_long"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    dec_parts = []
+    for i in range(_ING_B):
+        cur = (
+            meta.filter(F.col("b") == i)
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        dec_parts.append(
+            psi_drift_counts_by_group(ref_counts, cur, "lang", bins=10)
+            .groupBy("lang")
+            .agg(
+                F.lit(i).alias("b"),
+                F.sum("n_cur").cast("bigint").alias("n_docs"),
+                F.round(F.sum("psi_term"), 6).alias("psi"),
+            )
+            .filter(F.col("n_docs") > 0)
+        )
+    dec = dec_parts[0]
+    for part in dec_parts[1:]:
+        dec = dec.unionAll(part)
+    dec = dec.localCheckpoint()
+    admitted = dec.filter(F.col("psi") <= _ING_PSI_T).select("b", "lang")
+
+    docs = load_table(spark, sf_dir, "documents")
+    keys = (
+        minhash_band_keys(
+            docs, "doc_id", "text",
+            n=3, num_hashes=_ING_NH, bands=_ING_BANDS,
+        )
+        .join(meta.select("doc", "b", "lang"), "doc")
+        .join(F.broadcast(admitted), ["b", "lang"], "left_semi")
+        .select("b", "doc", "bk")
+        .localCheckpoint()
+    )
+    rej_all = _dedup_unroll(spark, keys)
+    acc = (
+        meta.select("b", "lang", "doc")
+        .join(F.broadcast(admitted), ["b", "lang"], "left_semi")
+        .join(rej_all, ["b", "doc"], "left_anti")
+        .localCheckpoint()
+    )
+    return dec, acc
+
+
+@_q("q_ingest_chain_by_group", _GROUP_DECISIONS_SQL)
+def q_ingest_chain_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-source ingest chain (verdict r7 #7): per (replay
+    batch, feed) the GROUPED drift gate's decision row (psi against
+    the feed's OWN frozen reference — drift_gate.batch_group_psi
+    semantics, so one broken feed cannot hide inside the pooled
+    distribution) extended with the dedup gate's outcome on the
+    admitted rows (state accumulating across batches in order, shared
+    across feeds — a near-dup is a near-dup whichever feed resends
+    it). The streaming form (run_group_ingest_available_now) writes
+    these same numbers, parity-pinned by tests/test_ingest_pipeline.py."""
+    dec, acc = group_chain_replay(spark, sf_dir)
+    acc_counts = acc.groupBy("b", "lang").agg(F.count("*").alias("n_acc"))
+    admitted = F.col("psi") <= _ING_PSI_T
+    return (
+        dec.join(acc_counts, ["b", "lang"], "left")
+        .select(
+            F.col("b").alias("batch"),
+            "lang",
+            "n_docs",
+            "psi",
+            admitted.alias("admitted"),
+            F.coalesce(F.col("n_acc"), F.lit(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+            F.when(admitted, F.col("n_docs") - F.coalesce(F.col("n_acc"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_rejected"),
         )
     )

@@ -107,3 +107,76 @@ def run_ingest_pipeline_available_now(
             text_col=text_col,
         )
     return p
+
+
+def run_group_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    ref_path: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_threshold: float = 0.25,
+) -> dict[str, str]:
+    """The multi-source ingest chain: GROUPED drift gate → dedup gate →
+    sketches. Stage 1 is run_group_drift_gate_available_now — each
+    feed (``group_col``) is PSI-judged against its OWN frozen reference
+    (built once with drift_gate.write_group_reference), so a single
+    broken feed quarantines alone while the rest of the batch flows on.
+    Stages 2-3 are the shared chain: the dedup gate's first-wins state
+    spans feeds (a near-dup is a near-dup whichever feed resends it)
+    and the sketches summarize the one surviving corpus. Same directory
+    chaining, layout, and exactly-once/restart contract as
+    :func:`run_ingest_pipeline_available_now`; batch form replayed by
+    plans/registry_ingest.q_ingest_chain_by_group (oracle-paired),
+    parity-pinned by tests/test_ingest_pipeline.py."""
+    p = {
+        name: os.path.join(work_dir, name)
+        for name in (
+            "drift",
+            "accepted",
+            "dedup_state",
+            "cms",
+            "hll",
+            "ckpt_drift",
+            "ckpt_dedup",
+            "ckpt_cms",
+            "ckpt_hll",
+        )
+    }
+    drift_gate.run_group_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        ref_path,
+        p["ckpt_drift"],
+        group_col=group_col,
+        text_col=text_col,
+        threshold=psi_threshold,
+    )
+    admitted = os.path.join(p["drift"], "admitted")
+    if _has_batches(admitted):
+        dedup_gate.run_gate_available_now(
+            spark,
+            os.path.join(admitted, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["dedup_state"],
+            p["ckpt_dedup"],
+            id_col=id_col,
+            text_col=text_col,
+        )
+    if _has_batches(p["accepted"]):
+        corpus_glob = os.path.join(p["accepted"], "batch_id=*")
+        cms_stream.run_cms_available_now(
+            spark, corpus_glob, schema, p["cms"], p["ckpt_cms"],
+            text_col=text_col,
+        )
+        hll_stream.run_hll_available_now(
+            spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
+            text_col=text_col,
+        )
+    return p

@@ -208,3 +208,111 @@ def test_chain_matches_batch_replay_registry_queries(spark, tmp_path):
         for r in hll_stream.read_sketch(spark, p["hll"]).collect()
     }
     assert got_hll == want_hll
+
+
+def test_group_chain_matches_batch_replay(spark, tmp_path):
+    """Grouped-chain parity (verdict r7 #7): the STREAMING per-group
+    chain (grouped drift gate -> dedup gate -> sketches), fed the exact
+    split q_ingest_chain_by_group replays, must produce the same
+    per-(batch, feed) decisions, the same accepted corpus, and the same
+    sketch state."""
+    import time
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import cms_build, hll_build
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+    from reddit_apache_airflow_postgres_pipeline_spark.plans import registry_ingest as ri
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    schema_g = "doc_id long, lang string, text string"
+    inbox = str(tmp_path / "inbox")
+    work = str(tmp_path / "work")
+    ref = str(tmp_path / "ref")
+    os.makedirs(inbox)
+    base = ri.group_chain_batches(spark, sf)
+    drift_gate.write_group_reference(
+        base.filter(~F.col("is_long")).select(
+            F.col("doc").alias("doc_id"), "lang", "text"
+        ),
+        ref,
+        group_col="lang",
+    )
+    for b in range(ri._ING_B):
+        rows = (
+            base.filter(F.col("b") == b)
+            .orderBy("doc")
+            .select("doc", "lang", "text")
+            .collect()
+        )
+        path = os.path.join(inbox, f"f{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc"] for r in rows], pa.int64()),
+                    "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                    "text": pa.array([r["text"] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        past = time.time() - (ri._ING_B - b) * 10
+        os.utime(path, (past, past))  # pin file order = batch order
+    p = ingest_pipeline.run_group_ingest_available_now(
+        spark, inbox, schema_g, work, ref, group_col="lang"
+    )
+
+    # 1. per-(batch, group) decisions match the registry relation
+    dec_q = {
+        (r["batch"], r["lang"]): r
+        for r in ri.q_ingest_chain_by_group(spark, sf).collect()
+    }
+    dec_s = {
+        (r["batch_id"], r["lang"]): r
+        for r in spark.read.parquet(
+            os.path.join(p["drift"], "decisions")
+        ).collect()
+    }
+    assert set(dec_s) == set(dec_q)
+    for k, r in dec_s.items():
+        assert (r["psi"], r["admitted"], r["n_docs"]) == (
+            dec_q[k]["psi"],
+            dec_q[k]["admitted"],
+            dec_q[k]["n_docs"],
+        ), f"batch/group {k}"
+    # the one-broken-feed shape: batch 1 has BOTH outcomes
+    b1 = {lang: r["admitted"] for (b, lang), r in dec_s.items() if b == 1}
+    assert b1[ri._ING_G_DRIFT] is False and any(b1.values())
+
+    # 2. accepted corpus matches the replay's accepted set
+    _, acc = ri.group_chain_replay(spark, sf)
+    want_ids = {r["doc"] for r in acc.collect()}
+    got = spark.read.parquet(os.path.join(p["accepted"], "batch_id=*"))
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids == want_ids
+    assert sum(dec_q[k]["n_accepted"] for k in dec_q) == len(want_ids)
+
+    # 3. sketch state matches monolithic builds over the same corpus
+    atoks = (
+        got.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    want_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_build(atoks, "tok", d=4, w=256).collect()
+    }
+    got_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_stream.read_sketch(spark, p["cms"]).collect()
+    }
+    assert got_cms == want_cms
+    want_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_build(atoks, "tok", p=5).collect()
+    }
+    got_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_stream.read_sketch(spark, p["hll"]).collect()
+    }
+    assert got_hll == want_hll
