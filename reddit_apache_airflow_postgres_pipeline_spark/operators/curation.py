@@ -713,6 +713,36 @@ def psi_drift_counts_by_group(
     )
 
 
+def kgrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, spos, gram): every run of ``k`` consecutive tokens as a
+    space-joined gram string with its start position — the relation
+    both :func:`dedup_spans` and the streaming span gate
+    (streaming/span_gate.py) count and flag on, factored out so batch
+    and stream agree on the gram universe. Map-side only (one array
+    transform + posexplode); docs shorter than ``k`` tokens contribute
+    nothing."""
+    toks_arr = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    return toks_arr.select(
+        "doc_id",
+        F.when(
+            F.size("__toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k),
+                lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    ).select("doc_id", F.posexplode("__grams").alias("spos", "gram"))
+
+
 def dedup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -720,6 +750,7 @@ def dedup_spans(
     k: int = 8,
     min_occurrences: int = 2,
     join_with: str = " ",
+    prior_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring removal — the ExactSubstr idea of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -744,30 +775,33 @@ def dedup_spans(
     global); one ordered per-doc reassembly. Linear in corpus size,
     no suffix array, no self-join — the shuffle keys are gram strings
     and doc ids only.
+
+    ``prior_counts`` (a ``(gram, c)`` relation) shifts the occurrence
+    bar by counts accumulated OUTSIDE ``df`` — the streaming span
+    gate's hook: a gram already seen ``c`` times by earlier batches
+    needs only ``min_occurrences - c`` copies here to flag. With the
+    default ``None`` the bar is the in-corpus count alone (the exact
+    Lee-et-al batch semantics).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     toks_arr = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
-    grams = toks_arr.select(
-        "doc_id",
-        F.when(
-            F.size("__toks") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - k),
-                lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+    grams = kgrams(df, id_col, text_col, k)
+    occ = grams.groupBy("gram").agg(F.count("*").alias("__occ"))
+    if prior_counts is not None:
+        occ = occ.join(
+            prior_counts.select("gram", F.col("c").alias("__prior")),
+            "gram",
+            "left",
+        ).select(
+            "gram",
+            (F.col("__occ") + F.coalesce(F.col("__prior"), F.lit(0))).alias(
+                "__occ"
             ),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("__grams"),
-    ).select("doc_id", F.posexplode("__grams").alias("spos", "gram"))
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("__occ"))
-        .filter(F.col("__occ") >= min_occurrences)
-        .select("gram")
-    )
+    dup = occ.filter(F.col("__occ") >= min_occurrences).select("gram")
     starts = grams.join(dup, "gram", "left_semi").select(
         "doc_id", F.col("spos").alias("pos"), F.lit(1).alias("__start")
     )
