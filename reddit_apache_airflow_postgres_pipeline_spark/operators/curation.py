@@ -853,3 +853,104 @@ def dedup_spans(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dedup_spans_online(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "b",
+    k: int = 8,
+    min_occurrences: int = 2,
+    join_with: str = " ",
+) -> DataFrame:
+    """:func:`dedup_spans` under the streaming span gate's FIRST-WINS
+    contract, as ONE relational query: ``df`` carries an ordered batch
+    column, and a token of a batch-``i`` doc is covered iff some
+    covering k-gram's CUMULATIVE occurrence count through batch ``i``
+    meets ``min_occurrences``. This is exactly what
+    streaming/span_gate.py computes batch-by-batch against its state
+    store — but because the gate's state update is unconditional (raw
+    counts, independent of prior drop decisions), the sequential
+    replay collapses to a per-gram running sum: no loop, no state, one
+    window over the gram counts. tests/test_span_gate.py pins
+    stream == this relation on the same split. Output adds
+    ``batch_col`` to the dedup_spans columns.
+
+    Scale shape: everything in :func:`dedup_spans` plus one
+    (gram-partitioned) cumsum window over the ≤|batches|-row per-gram
+    count relation — still linear, still self-join-free.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    b = F.col(batch_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), b.alias("__b"), tokens(text_col).alias("__toks")
+    )
+    grams = kgrams(df, id_col, text_col, k).join(
+        df.select(F.col(id_col).alias("doc_id"), b.alias("__b")), "doc_id"
+    )
+    per_batch = grams.groupBy("gram", "__b").agg(F.count("*").alias("__n"))
+    wcum = Window.partitionBy("gram").orderBy("__b")
+    cum = per_batch.select(
+        "gram", "__b", F.sum("__n").over(wcum).alias("__cum")
+    )
+    # a (gram, batch) pair is "hot" once the running count reaches the
+    # bar — every start of that gram in that batch (and later ones,
+    # which have their own >= rows) is a duplicated-span start
+    hot = cum.filter(F.col("__cum") >= min_occurrences).select("gram", "__b")
+    starts = (
+        grams.join(hot, ["gram", "__b"], "left_semi")
+        .select("doc_id", F.col("spos").alias("pos"), F.lit(1).alias("__start"))
+    )
+    tk = base.select(
+        "doc_id", "__b", F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), 0)
+    )
+    covered = tk.join(starts, ["doc_id", "pos"], "left").select(
+        "doc_id",
+        "__b",
+        "pos",
+        "tok",
+        (F.max(F.coalesce(F.col("__start"), F.lit(0))).over(w) == 1).alias(
+            "__cov"
+        ),
+    )
+    stats = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("__cov"), 1)).cast("bigint").alias(
+            "dropped_tokens"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__cov"), F.struct("pos", "tok")
+                        )
+                    )
+                ),
+                lambda t: t.getField("tok"),
+            ),
+            join_with,
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), b.alias(batch_col))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            batch_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("dropped_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

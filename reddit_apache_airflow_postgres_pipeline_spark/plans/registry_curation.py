@@ -1020,9 +1020,16 @@ def q_corpus_curation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = curation.dedup_lines(
         lined, min_occurrences=3, split_re="\n", join_with="\n"
     )
+    # checkpoint the line-cleaned survivors: dedup_spans consumes its
+    # input three times (grams, token explode, zero-token restore) and
+    # the stats join reads it again — without this, each consumer
+    # re-expands the whole langid→quality→line-dedup lineage (43
+    # static exchanges; the q_ingest_chain_sketch_audit lesson)
     lsv = cleaned.filter(
         textstats.token_count("text_clean") > 0
-    ).select("doc_id", "dropped_lines", F.col("text_clean").alias("text"))
+    ).select(
+        "doc_id", "dropped_lines", F.col("text_clean").alias("text")
+    ).localCheckpoint()
     sp = curation.dedup_spans(
         lsv, "doc_id", "text", k=_SPAN_K, min_occurrences=2
     ).filter(F.col("n_tokens") - F.col("dropped_tokens") > 0)
@@ -1051,4 +1058,72 @@ def q_corpus_curation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens_final").cast("long").alias("total_tokens"),
         F.sum("dropped_lines").cast("long").alias("dropped_lines"),
         F.sum("dropped_tokens").cast("long").alias("dropped_span_tokens"),
+    )
+
+
+_SPAN_B = 3  # replay batches for the online (first-wins) span dedup
+
+
+@_q(
+    "q_dedup_spans_online",
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKENS_SQL} AS toks,
+             CAST(('0x' || substr(md5('spanb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {_SPAN_B} AS INT) AS b
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, b, i AS spos,
+             array_to_string(toks[i+1 : i+{_SPAN_K}], ' ') AS gram
+      FROM (SELECT doc_id, b, toks,
+                   unnest(generate_series(0, len(toks) - {_SPAN_K})) AS i
+            FROM t WHERE len(toks) >= {_SPAN_K}) u),
+    pb AS (SELECT gram, b, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    cum AS (SELECT gram, b,
+                   SUM(n) OVER (PARTITION BY gram ORDER BY b) AS c
+            FROM pb),
+    hot AS (SELECT gram, b FROM cum WHERE c >= 2),
+    st AS (SELECT g.doc_id, g.spos FROM g
+           JOIN hot ON hot.gram = g.gram AND hot.b = g.b),
+    tk AS (SELECT doc_id, s.i AS pos, s.t AS tok
+           FROM (SELECT doc_id,
+                        unnest(list_transform(toks, (x, j) -> {{'i': j - 1, 't': x}})) AS s
+                 FROM t) u),
+    cov AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                   MAX(CASE WHEN st.spos IS NOT NULL THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                           ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1
+                     AS covered
+            FROM tk LEFT JOIN st ON st.doc_id = tk.doc_id AND st.spos = tk.pos),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(CASE WHEN covered THEN 1 END) AS BIGINT) AS dropped_tokens,
+                   coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                                       ' ' ORDER BY pos), '') AS text_clean
+            FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, t.b,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+           coalesce(a.text_clean, '') AS text_clean
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def q_dedup_spans_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup under the streaming span
+    gate's FIRST-WINS contract (curation.dedup_spans_online): the
+    corpus replays as 3 ordered hash batches, and a token is
+    covered iff some covering k-gram's cumulative count through its
+    OWN batch meets the bar — so the first sighting of a passage
+    survives and every later copy drops, exactly what
+    streaming/span_gate.py emits on the same split (parity-pinned by
+    tests/test_span_gate.py). One relational plan: the sequential
+    state collapses to a per-gram running sum because the gate's state
+    update is unconditional — no loop, no unroll."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    batched = d.withColumn(
+        "b", (hash_bucket("doc_id", "spanb:") % _SPAN_B).cast("int")
+    )
+    return curation.dedup_spans_online(
+        batched, "doc_id", "text", "b", k=_SPAN_K, min_occurrences=2
     )

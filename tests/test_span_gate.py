@@ -167,3 +167,64 @@ def test_restart_is_idempotent_and_marker_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="format mismatch"):
         cs.stamp_meta(state, span_gate._meta(8, 2))
+
+
+def test_stream_equals_online_relational_form(spark, tmp_path):
+    """The gate drained over the registry replay's 3-batch hash split
+    must equal curation.dedup_spans_online / q_dedup_spans_online on
+    the same corpus — streaming state == one relational window."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_curation import (
+        _SPAN_B,
+        _SPAN_K,
+        q_dedup_spans_online,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "inbox")
+    work = str(tmp_path / "work")
+    os.makedirs(inbox)
+    want = {
+        r["doc_id"]: (r["b"], r["n_tokens"], r["dropped_tokens"], r["text_clean"])
+        for r in q_dedup_spans_online(spark, sf).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    by_b: dict[int, list] = {b: [] for b in range(_SPAN_B)}
+    for doc_id, (b, *_rest) in sorted(want.items()):
+        by_b[b].append((doc_id, docs[doc_id]))
+    for b in range(_SPAN_B):
+        path = os.path.join(inbox, f"f{b}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in by_b[b]], pa.int64()),
+                    "text": pa.array([r[1] for r in by_b[b]], pa.string()),
+                }
+            ),
+            path,
+        )
+        past = time.time() - (_SPAN_B - b) * 10
+        os.utime(path, (past, past))
+    span_gate.run_span_gate_available_now(
+        spark,
+        inbox,
+        SCHEMA,
+        os.path.join(work, "out"),
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        k=_SPAN_K,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dropped_tokens"], r["text_clean"])
+        for r in spark.read.parquet(
+            os.path.join(work, "out", "batch_id=*")
+        ).collect()
+    }
+    assert got == {d: rest[1:] for d, rest in want.items()}
