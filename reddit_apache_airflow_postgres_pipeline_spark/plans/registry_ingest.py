@@ -162,13 +162,9 @@ _HLL_EST = (
     " / (zp + (32 - pres) * (1::BIGINT << 56)), 4) END"
 )
 
-_SKETCH_SQL = f"""
-    WITH {_chain_ctes()},
-    atoks AS MATERIALIZED (
-      SELECT u.tok FROM (
-        SELECT acc.doc, unnest(string_split_regex(trim(lower(coalesce(t.text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
-        FROM acc JOIN t ON t.doc = acc.doc AND t.b = acc.b) u
-      WHERE u.tok <> ''),
+# the exact/HLL/top-token/CMS audit aggregates over an ``atoks`` token
+# CTE — shared by the sketch audit and the span-cleaned sketch audit
+_SKETCH_TAIL_SQL = f"""
     ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_exact
            FROM atoks),
@@ -195,7 +191,16 @@ _SKETCH_SQL = f"""
             LEFT JOIN cms ON cms.row = rr.j
               AND cms.col = CAST(('0x' || substr(md5('cms' || rr.j || ':' || top.tok), 1, 8))::BIGINT
                                  % {_ING_W} AS INT)
-            GROUP BY top.tok, top.cnt),
+            GROUP BY top.tok, top.cnt)"""
+
+_SKETCH_SQL = f"""
+    WITH {_chain_ctes()},
+    atoks AS MATERIALIZED (
+      SELECT u.tok FROM (
+        SELECT acc.doc, unnest(string_split_regex(trim(lower(coalesce(t.text,''))), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+        FROM acc JOIN t ON t.doc = acc.doc AND t.b = acc.b) u
+      WHERE u.tok <> ''),
+    {_SKETCH_TAIL_SQL},
     nacc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM acc)
     SELECT nacc.n_docs AS n_docs_accepted, ex.n_tokens, ex.distinct_exact,
            hll.est AS hll_est, tst.tok AS top_token, tst.cnt AS top_exact,
@@ -639,5 +644,149 @@ def q_ingest_chain_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("n_dup_rejected"),
+        )
+    )
+
+
+# -- full chain: span gate stage + sketches over the cleaned corpus ---------
+
+_ING_SPAN_K = 8  # span_gate default gram width
+
+_SPANS_AUDIT_SQL = f"""
+    WITH {_chain_ctes()},
+    ac AS MATERIALIZED (
+      SELECT acc.b, acc.doc, t.text FROM acc
+      JOIN t ON t.doc = acc.doc AND t.b = acc.b),
+    t2 AS MATERIALIZED (
+      SELECT doc, b,
+             string_split_regex(trim(lower(coalesce(text,''))), '[ \t\n\x0b\f\r]+') AS toks
+      FROM ac),
+    g2 AS MATERIALIZED (
+      SELECT doc, b, i AS spos,
+             array_to_string(toks[i+1 : i+{_ING_SPAN_K}], ' ') AS gram
+      FROM (SELECT doc, b, toks,
+                   unnest(generate_series(0, len(toks) - {_ING_SPAN_K})) AS i
+            FROM t2 WHERE len(toks) >= {_ING_SPAN_K}) u),
+    pb2 AS (SELECT gram, b, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+    cum2 AS (SELECT gram, b,
+                    SUM(n) OVER (PARTITION BY gram ORDER BY b) AS c
+             FROM pb2),
+    hot2 AS (SELECT gram, b FROM cum2 WHERE c >= 2),
+    st2 AS (SELECT g2.doc, g2.spos FROM g2
+            JOIN hot2 ON hot2.gram = g2.gram AND hot2.b = g2.b),
+    tk2 AS (SELECT doc, s.i AS pos, s.t AS tok
+            FROM (SELECT doc,
+                         unnest(list_transform(toks, (x, j) -> {{'i': j - 1, 't': x}})) AS s
+                  FROM t2) u),
+    cov2 AS (SELECT tk2.doc, tk2.pos, tk2.tok,
+                    MAX(CASE WHEN st2.spos IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY tk2.doc ORDER BY tk2.pos
+                            ROWS BETWEEN {_ING_SPAN_K - 1} PRECEDING AND CURRENT ROW) = 1
+                      AS covered
+             FROM tk2 LEFT JOIN st2 ON st2.doc = tk2.doc AND st2.spos = tk2.pos),
+    agg2 AS (SELECT doc,
+                    CAST(COUNT(CASE WHEN covered THEN 1 END) AS BIGINT) AS dropped,
+                    coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                                        ' ' ORDER BY pos), '') AS text_clean
+             FROM cov2 GROUP BY doc),
+    sp AS MATERIALIZED (
+      SELECT ac.doc, coalesce(a.dropped, 0) AS dropped,
+             coalesce(a.text_clean, '') AS text_clean
+      FROM ac LEFT JOIN agg2 a ON a.doc = ac.doc),
+    atoks AS MATERIALIZED (
+      SELECT u.tok FROM (
+        SELECT unnest(string_split_regex(trim(lower(coalesce(text_clean,''))), '[ \t\n\x0b\f\r]+')) AS tok
+        FROM sp) u
+      WHERE u.tok <> ''),
+    {_SKETCH_TAIL_SQL},
+    nacc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dropped) AS BIGINT) AS dropped_span_tokens
+             FROM sp)
+    SELECT nacc.n_docs AS n_docs_accepted,
+           nacc.dropped_span_tokens,
+           ex.n_tokens AS n_tokens_clean, ex.distinct_exact,
+           hll.est AS hll_est, tst.tok AS top_token, tst.cnt AS top_exact,
+           tst.cms_est AS top_cms_est
+    FROM nacc, ex, hll, tst
+    """
+
+
+@_q("q_ingest_chain_spans_audit", _SPANS_AUDIT_SQL)
+def q_ingest_chain_spans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL chain's sketch audit (run_full_ingest_available_now:
+    drift → near-dup gate → SPAN gate → sketches): the span stage runs
+    over the accepted corpus in batch order under the streaming gate's
+    first-wins contract (dedup_spans_online — the sequential state
+    collapses to a per-gram running sum), and the exact/HLL/CMS audit
+    summarizes the span-CLEANED tokens a training run would actually
+    consume, with the total cut-out token count surfaced. Same
+    single-scan posture as the sketch audit: acc arrives checkpointed,
+    the cleaned relation and its token explode are checkpointed here,
+    so the four aggregates share one materialization.
+
+    On the synthetic corpus dropped_span_tokens is 0 — the raw corpus
+    has ~1k repeated 8-grams, but every doc carrying one is a MinHash
+    near-duplicate the upstream gate already rejected, so the span
+    stage finds a clean corpus (the stage-ordering result the audit
+    exists to show). Non-zero drops are exercised by
+    tests/test_span_gate.py's planted cross-batch passages and the
+    q_dedup_spans_* queries over the raw corpus."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import sketches
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        dedup_spans_online,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+    _, acc = chain_replay(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        acc.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
+        .select(F.col("doc").alias("doc_id"), "b", "text")
+    )
+    sp = dedup_spans_online(
+        corpus, "doc_id", "text", "b", k=_ING_SPAN_K, min_occurrences=2
+    ).localCheckpoint()
+    atoks = (
+        sp.select(F.explode(tokens("text_clean")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .localCheckpoint()
+    )
+    ex = atoks.agg(
+        F.count("*").cast("bigint").alias("n_tokens_clean"),
+        F.count_distinct("tok").cast("bigint").alias("distinct_exact"),
+    )
+    hll_est = sketches.hll_estimate(
+        sketches.hll_build(atoks, "tok", p=_ING_P), p=_ING_P
+    ).select(F.col("est").alias("hll_est"))
+    top = (
+        atoks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(1)
+    )
+    cms_est = sketches.cms_estimate(
+        sketches.cms_build(atoks, "tok", d=_ING_D, w=_ING_W),
+        top.select("tok"),
+        "tok",
+        d=_ING_D,
+        w=_ING_W,
+    )
+    stats = sp.agg(
+        F.count("*").cast("bigint").alias("n_docs_accepted"),
+        F.sum("dropped_tokens").cast("bigint").alias("dropped_span_tokens"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(hll_est))
+        .crossJoin(F.broadcast(top.join(cms_est, "tok")))
+        .select(
+            "n_docs_accepted",
+            "dropped_span_tokens",
+            "n_tokens_clean",
+            "distinct_exact",
+            "hll_est",
+            F.col("tok").alias("top_token"),
+            F.col("cnt").alias("top_exact"),
+            F.col("est").alias("top_cms_est"),
         )
     )

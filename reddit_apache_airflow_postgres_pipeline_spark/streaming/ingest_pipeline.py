@@ -34,6 +34,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
     dedup_gate,
     drift_gate,
     hll_stream,
+    span_gate,
 )
 
 
@@ -178,5 +179,97 @@ def run_group_ingest_available_now(
         hll_stream.run_hll_available_now(
             spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
             text_col=text_col,
+        )
+    return p
+
+
+def run_full_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_threshold: float = 0.25,
+    span_k: int = 8,
+) -> dict[str, str]:
+    """The COMPLETE admission pipeline a Lee-et-al-style corpus run
+    operates online: drift gate → MinHash near-dup gate → exact
+    duplicated-substring (span) gate → sketch maintenance over the
+    span-CLEANED corpus. Stages 1-2 are
+    :func:`run_ingest_pipeline_available_now`'s; stage 3 drains the
+    accepted corpus through streaming/span_gate.py (first-wins: a
+    passage's first sighting survives, every later copy is cut out of
+    its document), and the sketches summarize what a training run
+    would actually consume — the cleaned text. Same directory
+    chaining and exactly-once contract throughout; batch form
+    replayed by plans/registry_ingest.q_ingest_chain_spans_audit
+    (full DuckDB oracle), parity-pinned by
+    tests/test_ingest_pipeline.py."""
+    p = {
+        name: os.path.join(work_dir, name)
+        for name in (
+            "drift",
+            "accepted",
+            "dedup_state",
+            "spanned",
+            "span_state",
+            "cms",
+            "hll",
+            "ckpt_drift",
+            "ckpt_dedup",
+            "ckpt_span",
+            "ckpt_cms",
+            "ckpt_hll",
+        )
+    }
+    drift_gate.run_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        ref_path,
+        p["ckpt_drift"],
+        text_col=text_col,
+        threshold=psi_threshold,
+    )
+    admitted = os.path.join(p["drift"], "admitted")
+    if _has_batches(admitted):
+        dedup_gate.run_gate_available_now(
+            spark,
+            os.path.join(admitted, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["dedup_state"],
+            p["ckpt_dedup"],
+            id_col=id_col,
+            text_col=text_col,
+        )
+    if _has_batches(p["accepted"]):
+        span_gate.run_span_gate_available_now(
+            spark,
+            os.path.join(p["accepted"], "batch_id=*"),
+            schema,
+            p["spanned"],
+            p["span_state"],
+            p["ckpt_span"],
+            id_col=id_col,
+            text_col=text_col,
+            k=span_k,
+        )
+    if _has_batches(p["spanned"]):
+        clean_schema = (
+            f"{id_col} long, n_tokens long, dropped_tokens long, "
+            "text_clean string"
+        )
+        corpus_glob = os.path.join(p["spanned"], "batch_id=*")
+        cms_stream.run_cms_available_now(
+            spark, corpus_glob, clean_schema, p["cms"], p["ckpt_cms"],
+            text_col="text_clean",
+        )
+        hll_stream.run_hll_available_now(
+            spark, corpus_glob, clean_schema, p["hll"], p["ckpt_hll"],
+            text_col="text_clean",
         )
     return p

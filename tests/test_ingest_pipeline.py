@@ -316,3 +316,94 @@ def test_group_chain_matches_batch_replay(spark, tmp_path):
         for r in hll_stream.read_sketch(spark, p["hll"]).collect()
     }
     assert got_hll == want_hll
+
+
+def test_full_chain_span_stage_matches_batch_replay(spark, tmp_path):
+    """Full-chain parity (drift -> dedup -> SPAN gate -> sketches): the
+    streaming chain fed the q_ingest_chain_* split must produce the
+    span-cleaned corpus q_ingest_chain_spans_audit replays relationally,
+    and sketch state built over the CLEANED text."""
+    import time
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        dedup_spans_online,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sketches import cms_build, hll_build
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+    from reddit_apache_airflow_postgres_pipeline_spark.plans import registry_ingest as ri
+
+    sf = "/root/testdata/sf0.001"
+    inbox = str(tmp_path / "inbox")
+    work = str(tmp_path / "work")
+    ref = str(tmp_path / "ref")
+    os.makedirs(inbox)
+    base = ri.chain_batches(spark, sf)
+    drift_gate.write_reference(
+        base.filter(F.col("b") != ri._ING_B - 1).select(
+            F.col("doc").alias("doc_id"), "text"
+        ),
+        ref,
+    )
+    for b in range(ri._ING_B):
+        rows = [
+            (r["doc"], r["text"])
+            for r in base.filter(F.col("b") == b).orderBy("doc").collect()
+        ]
+        path = os.path.join(inbox, f"f{b}.parquet")
+        _write(path, rows)
+        past = time.time() - (ri._ING_B - b) * 10
+        os.utime(path, (past, past))
+    p = ingest_pipeline.run_full_ingest_available_now(
+        spark, inbox, SCHEMA, work, ref
+    )
+
+    # the streaming span stage's per-doc output equals the relational
+    # online form over the accepted corpus on the same batch split
+    _, acc = ri.chain_replay(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = (
+        acc.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
+        .select(F.col("doc").alias("doc_id"), "b", "text")
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["dropped_tokens"], r["text_clean"])
+        for r in dedup_spans_online(
+            corpus, "doc_id", "text", "b", k=ri._ING_SPAN_K, min_occurrences=2
+        ).collect()
+    }
+    spanned = spark.read.parquet(os.path.join(p["spanned"], "batch_id=*"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dropped_tokens"], r["text_clean"])
+        for r in spanned.collect()
+    }
+    assert got == want
+
+    # sketches reflect the CLEANED corpus
+    atoks = (
+        spanned.select(F.explode(tokens("text_clean")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    want_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_build(atoks, "tok", d=4, w=256).collect()
+    }
+    got_cms = {
+        (r["row"], r["col"]): r["c"]
+        for r in cms_stream.read_sketch(spark, p["cms"]).collect()
+    }
+    assert got_cms == want_cms
+    want_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_build(atoks, "tok", p=5).collect()
+    }
+    got_hll = {
+        r["register"]: r["maxrank"]
+        for r in hll_stream.read_sketch(spark, p["hll"]).collect()
+    }
+    assert got_hll == want_hll
+
+    # and the audit query's headline numbers agree with the stream
+    audit = ri.q_ingest_chain_spans_audit(spark, sf).collect()[0]
+    assert audit["n_docs_accepted"] == len(got)
+    assert audit["dropped_span_tokens"] == sum(v[1] for v in got.values())
+    assert audit["n_tokens_clean"] == atoks.count()

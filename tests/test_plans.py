@@ -264,6 +264,9 @@ BNLJ_ALLOWED = {
         "1-row corpus/sketch summary scalars (exact totals, HLL "
         "estimate, top-1 token)"
     ),
+    "q_ingest_chain_spans_audit": (
+        "same 1-row audit scalars over the span-cleaned corpus"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"
