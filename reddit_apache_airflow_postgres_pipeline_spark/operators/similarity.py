@@ -497,3 +497,198 @@ def mine_hard_negatives(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory side of ANN at 100 TB — vectors
+# compressed to m small codes, distances answered from per-query lookup
+# tables (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"; the FAISS IndexPQ design). Complements the IVF family above:
+# IVF prunes WHICH vectors a query touches, PQ shrinks WHAT each touch
+# costs (m bytes instead of d floats — 64-dim float32 → 4 codes is 64×).
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ-bᵢ)² accumulated left-to-right in double — the
+    bit-reproducible L2² the PQ family scores with (L2 decomposes
+    across subspaces, which cosine does not)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """(out_id, sub, svec): each vector split into ``m`` contiguous
+    subvectors — the PQ subspace decomposition, map-side only. The
+    dimension must divide by ``m`` (runtime-asserted per row: a ragged
+    or indivisible corpus fails loudly instead of silently training on
+    truncated tails)."""
+    v = F.col(vec_col)
+    sublen = (F.size(v) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(v, j * sublen + 1, sublen),
+    )
+    guarded = F.when(
+        F.assert_true(
+            F.size(v) % m == 0,
+            F.concat(
+                F.lit(f"embedding dim must divide by m={m}, got "),
+                F.size(v).cast("string"),
+            ),
+        ).isNull(),
+        subs,
+    )
+    return vectors.select(
+        F.col(id_col).alias(out_id), F.posexplode(guarded).alias("sub", "svec")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cv): per-subspace codebooks — within each of the
+    ``m`` subspaces, the ``n_codes`` lowest-id subvectors seed the
+    codes (code = seed rank, 0-based) and ``iters`` deterministic
+    Lloyd steps refine them under the engine's k-means contract
+    (distances and centroid components rounded 6dp, code-asc
+    tie-break) — the same cross-engine iteration discipline as
+    :func:`kmeans_refine`, trained for all subspaces in ONE plan (the
+    assignment is a broadcast join keyed on ``sub``; the recompute is
+    a (sub, code, component) hash agg — never per-subspace jobs)."""
+    from pyspark.sql import Window
+
+    sv = pq_subvectors(corpus, m, id_col, vec_col, out_id="__id")
+    w = Window.partitionBy("sub").orderBy("__id")
+    cb = (
+        sv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_codes)
+        .select(
+            "sub",
+            (F.col("__rn") - 1).alias("code"),
+            F.col("svec").cast("array<double>").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sv, cb)
+        comp = assigned.select(
+            "sub", "code", F.posexplode(F.col("svec").cast("array<double>"))
+        )
+        cb = (
+            comp.groupBy("sub", "code", "pos")
+            .agg(F.round(F.sum("col") / F.count("*"), 6).alias("m"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub",
+                "code",
+                F.transform("pm", lambda t: t.getField("m")).alias("cv"),
+            )
+        )
+    return cb
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(id, sub, svec, code): each subvector's nearest code by rounded
+    L2² (6dp, code-asc tie-break). Broadcast codebooks, window over the
+    n_codes fan-out — map-shaped at any corpus size."""
+    from pyspark.sql import Window
+
+    idc = sv.columns[0]
+    scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
+        "__d", F.round(l2sq("svec", "cv"), 6)
+    )
+    w = Window.partitionBy(idc, "sub").orderBy("__d", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(idc, "sub", "svec", "code")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """(out_id, sub, code): the corpus compressed to its PQ codes —
+    m small ints per vector (the relation a served index stores;
+    cell-partition it with the IVF postings machinery for IVFPQ)."""
+    sv = pq_subvectors(vectors, m, id_col, vec_col, out_id=out_id)
+    return _pq_assign(sv, codebooks).select(out_id, "sub", "code")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 10,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): asymmetric-distance top-k —
+    codebooks trained on the corpus, corpus encoded to (sub, code),
+    then each query scores every encoded vector by summing its m
+    per-subspace LOOKUP-TABLE entries instead of touching the raw
+    floats.
+
+    Determinism: per-(query, sub, code) table entries are L2² rounded
+    9dp and summed as DECIMAL(28,12) — an order-free exact reduce — so
+    the oracle's GROUP BY replays the distance bit-for-bit; final dist
+    rounded 6dp, ties broken by neighbor id.
+
+    Scale shape: the distance table is |queries|×m×n_codes rows
+    (broadcast); the scan side is the m-codes-per-vector relation —
+    the join fans out to m rows per (query, vector) and the partial
+    hash agg folds them back map-side. Memory per vector: m codes, not
+    d floats — the reason PQ is how billion-vector corpora are
+    actually served."""
+    from pyspark.sql import Window
+
+    cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id")
+    qsv = pq_subvectors(queries, m, id_col, vec_col, out_id="query_id")
+    dtab = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )

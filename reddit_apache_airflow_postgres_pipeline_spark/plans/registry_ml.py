@@ -1551,3 +1551,167 @@ def q_sample_negatives_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "anchor", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py PQ family)
+# ---------------------------------------------------------------------------
+
+_L2SQ_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " zp -> (CAST(zp[1] AS DOUBLE) - CAST(zp[2] AS DOUBLE))"
+    " * (CAST(zp[1] AS DOUBLE) - CAST(zp[2] AS DOUBLE))))"
+)
+
+_PQ_M, _PQ_CODES, _PQ_K = 4, 16, 5
+
+
+def _pq_ctes() -> str:
+    """The PQ pipeline unrolled as CTEs under the k-means rounding
+    contract: subspace split → per-sub seed codebooks → one Lloyd step
+    (6dp distances and components, code-asc tie-break) → corpus codes →
+    per-query distance table (9dp terms as DECIMAL(28,12)) → ADC top-k.
+    Mirrors similarity.pq_codebooks / pq_encode / pq_adc_topk."""
+    l2 = _L2SQ_SQL
+    return f"""
+    sv AS MATERIALIZED (
+      SELECT vec_id, s.j AS sub,
+             embedding[s.j*(len(embedding)//{_PQ_M})+1 : (s.j+1)*(len(embedding)//{_PQ_M})] AS svec
+      FROM embeddings, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
+    cb0 AS (
+      SELECT sub, rn - 1 AS code,
+             list_transform(svec, zx -> CAST(zx AS DOUBLE)) AS cv
+      FROM (SELECT sub, svec,
+                   ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+            FROM sv) z
+      WHERE rn <= {_PQ_CODES}),
+    s1 AS (
+      SELECT v.vec_id, v.sub, v.svec, c.code,
+             round({l2.format(a="v.svec", b="c.cv")}, 6) AS d
+      FROM sv v JOIN cb0 c ON c.sub = v.sub),
+    a1 AS (SELECT vec_id, sub, svec, code FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d, code) AS rn
+             FROM s1) z
+           WHERE rn = 1),
+    cm AS (
+      SELECT sub, code, pos, round(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mval
+      FROM (SELECT sub, code, unnest(generate_series(1, len(svec))) AS pos,
+                   unnest(svec) AS v
+            FROM a1) z
+      GROUP BY 1, 2, 3),
+    cb1 AS MATERIALIZED (
+      SELECT sub, code, list(mval ORDER BY pos) AS cv FROM cm GROUP BY sub, code),
+    s2 AS (
+      SELECT v.vec_id, v.sub, c.code,
+             round({l2.format(a="v.svec", b="c.cv")}, 6) AS d
+      FROM sv v JOIN cb1 c ON c.sub = v.sub),
+    codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn
+        FROM s2) z
+      WHERE rn = 1),
+    dt AS (
+      SELECT v.vec_id AS query_id, c.sub, c.code,
+             CAST(round({l2.format(a="v.svec", b="c.cv")}, 9) AS DECIMAL(28,12)) AS term
+      FROM sv v JOIN cb1 c ON c.sub = v.sub
+      WHERE v.vec_id < 8),
+    adc AS (
+      SELECT dt.query_id, x.vec_id AS neighbor_id,
+             round(CAST(SUM(dt.term) AS DOUBLE), 6) AS dist
+      FROM codes x JOIN dt ON dt.sub = x.sub AND dt.code = x.code
+      WHERE x.vec_id <> dt.query_id
+      GROUP BY 1, 2),
+    pqtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM adc) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_pq_adc",
+    f"""
+    WITH {_pq_ctes()}
+    SELECT query_id, neighbor_id, dist FROM pqtop
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011, the FAISS IndexPQ
+    design): per-subspace codebooks (m=4 subspaces, 16 codes, one
+    Lloyd step under the engine's k-means rounding contract), the
+    corpus compressed to 4 small codes per vector, and each query's
+    top-5 answered by summing per-subspace LOOKUP-TABLE entries —
+    DECIMAL-summed 9dp terms so the reduction is order-free exact.
+    The memory side of 100 TB ANN: m bytes per vector instead of d
+    floats; compose with the IVF postings store for IVFPQ."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.pq_adc_topk(
+        e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
+    )
+
+
+@_q(
+    "q_sim_pq_recall",
+    f"""
+    WITH {_pq_ctes()},
+    exl2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    extop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d, neighbor_id) AS rn
+        FROM exl2) z
+      WHERE rn <= {_PQ_K})
+    SELECT e.query_id,
+           CAST(COUNT(a.hit) AS BIGINT) AS hits,
+           round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
+    FROM extop e
+    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM pqtop) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall audit: per-query recall@5 of the ADC answer against
+    the EXACT L2 neighbors (same metric — quantization loss is the
+    only gap being measured, unlike a cosine baseline which would
+    conflate metric mismatch with code coarseness). The m / n_codes
+    knobs are tuned against exactly this curve, the PQ analog of
+    q_sim_ivf_recall's n_probe curve."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.pq_adc_topk(
+        e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.round(F.count("__hit") / F.lit(float(_PQ_K)), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -267,6 +267,10 @@ BNLJ_ALLOWED = {
     "q_ingest_chain_spans_audit": (
         "same 1-row audit scalars over the span-cleaned corpus"
     ),
+    "q_sim_pq_recall": (
+        "8-query broadcast side of the exact-L2 baseline scan (the "
+        "knn_bruteforce fan-out shape)"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"

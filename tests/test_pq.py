@@ -1,0 +1,91 @@
+"""Product quantization (operators/similarity.py PQ family): exact
+reconstruction on a codebook-sized corpus, code-range invariants, the
+dimension-divisibility guard, and ADC == table-sum semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_adc_is_exact_when_corpus_fits_the_codebook(spark):
+    """With exactly n_codes corpus vectors, every subvector seeds its
+    own code and the Lloyd step fixes each centroid at itself —
+    quantization is lossless, so the ADC distance must equal the true
+    L2² (through the 9dp-term/6dp-final rounding), and recall is 1.
+    The corpus is pre-rounded to 6dp so the contract's centroid
+    rounding is the identity (otherwise centroids differ from the raw
+    floats in the 7th decimal and "lossless" is only approximate)."""
+    e = (
+        _emb(spark)
+        .filter(F.col("vec_id") < 16)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 6)
+            ).alias("embedding"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["dist"]
+        for r in sim.pq_adc_topk(e, q, m=4, n_codes=16, k=15).collect()
+    }
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+    # true distance THROUGH THE SAME ROUNDING LADDER: per-subspace 9dp
+    # terms, order-free sum, 6dp final — what a lossless codebook makes
+    # the table-sum equal to
+    sub_q = sim.pq_subvectors(qv, 4, "query_id", "__q", out_id="query_id")
+    sub_c = sim.pq_subvectors(cv, 4, "neighbor_id", "__c", out_id="neighbor_id")
+    want = {
+        (r["query_id"], r["neighbor_id"]): r["d"]
+        for r in (
+            sub_q.join(sub_c, "sub")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "__t",
+                F.round(sim.l2sq(sub_q["svec"], sub_c["svec"]), 9).cast(
+                    "decimal(28,12)"
+                ),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.round(F.sum("__t").cast("double"), 6).alias("d"))
+            .collect()
+        )
+    }
+    assert got == {k: want[k] for k in got}
+    assert len(got) == 3 * 15  # every non-self neighbor returned
+
+
+def test_codes_are_dense_and_bounded(spark):
+    e = _emb(spark)
+    cb = sim.pq_codebooks(e, m=4, n_codes=16, iters=1)
+    codes = sim.pq_encode(e, cb, m=4)
+    n = e.count()
+    # one code per (vector, subspace), all within [0, n_codes)
+    assert codes.count() == n * 4
+    assert codes.select("vec_id", "sub").distinct().count() == n * 4
+    mm = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert mm[0] >= 0 and mm[1] <= 15
+    # codebooks: every subspace has its 16 codes of sub-dimension 16
+    rows = cb.collect()
+    assert len(rows) == 4 * 16
+    assert all(len(r["cv"]) == 16 for r in rows)
+
+
+def test_indivisible_dimension_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    e = _emb(spark)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        sim.pq_subvectors(e, m=5).collect()  # 64 % 5 != 0
