@@ -692,3 +692,64 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 10,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): IVF + PQ composed — the shape a
+    billion-vector index actually runs (FAISS IVFPQ): the coarse
+    quantizer (seed centroids, cosine contract — exactly
+    :func:`ivf_knn`'s cells) prunes WHICH vectors a query touches to
+    ~n_probe/n_cells of the corpus, and the PQ codes shrink WHAT each
+    touch costs to m table lookups instead of a d-float scan.
+
+    This is the non-residual variant (FAISS ``by_residual=False``):
+    codes quantize the raw vectors, not (vector − centroid) residuals,
+    so the PQ rounding contract stays the one :func:`pq_adc_topk`
+    already proves cross-engine; the residual refinement is a recall
+    optimization, not a shape change. Approximation is now two-layer —
+    a true neighbor is missed if its cell isn't probed (n_probe knob)
+    OR its codes collide poorly (m/n_codes knob); audit against exact
+    L2 like q_sim_pq_recall before trusting a configuration."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cells = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
+    ).select("neighbor_id", "cell")
+    cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id")
+    probes = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
+    ).select("query_id", "cell")
+    qsv = pq_subvectors(queries, m, id_col, vec_col, out_id="query_id")
+    dtab = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
+    )
+    scored = (
+        codes.join(cells, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )

@@ -1715,3 +1715,61 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "q_sim_ivfpq",
+    f"""
+    WITH {_pq_ctes()},
+    icents AS (
+      SELECT vec_id AS cell, embedding AS icv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    c_sc AS (
+      SELECT e.vec_id AS neighbor_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN icents c),
+    cells AS (SELECT neighbor_id, cell FROM c_sc WHERE rn = 1),
+    q_sc AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, cell FROM q_sc WHERE rn <= 4),
+    adcq AS (
+      SELECT p.query_id, x.vec_id AS neighbor_id,
+             round(CAST(SUM(dt.term) AS DOUBLE), 6) AS dist
+      FROM codes x
+      JOIN cells cl ON cl.neighbor_id = x.vec_id
+      JOIN probes p ON p.cell = cl.cell
+      JOIN dt ON dt.sub = x.sub AND dt.code = x.code
+             AND dt.query_id = p.query_id
+      WHERE x.vec_id <> p.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist, neighbor_id) AS rn
+      FROM adcq) z
+    WHERE rn <= {_PQ_K}
+    """,
+)
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (similarity.ivfpq_topk, the FAISS IVFPQ shape,
+    non-residual): the coarse cells prune each query's candidates to
+    ~n_probe/n_cells of the corpus, the PQ lookup tables score what
+    remains at m additions per candidate — both approximation layers
+    under their proven rounding contracts, so the oracle replays the
+    whole index bit-for-bit. 16 cells / 4 probes / m=4 / 16 codes,
+    top-5 for 8 queries."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
+        k=_PQ_K, iters=1,
+    )

@@ -203,3 +203,177 @@ def append_to_ivf_index(
         .partitionBy("cell")
         .parquet(os.path.join(store, f"batch_id={next_id}"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFPQ index: the coarse cells prune, the PQ codes shrink
+# each posting to m small ints — the layout a billion-vector served
+# index actually stores (codes instead of raw floats: d×4 bytes → m).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_FORMAT = "ivfpq-codes/v1"
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the IVFPQ index (similarity.ivfpq_topk's
+    non-residual contract): ``centroids/`` (coarse seed cells),
+    ``codebooks/`` (per-subspace PQ codebooks), and ``codes/`` — the
+    corpus as (neighbor_id, sub, code, cell), a counting_state SET
+    store cell-partitioned inside each batch dir like the raw-vector
+    ``postings/`` store, but m ints per vector instead of d floats."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    cells = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
+    ).select("neighbor_id", "cell")
+    codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id").join(
+        cells, "neighbor_id"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    store = f"{path}/codes"
+    shutil.rmtree(store, ignore_errors=True)
+    _cs.stamp_meta(
+        store,
+        {"format": _IVFPQ_FORMAT, "n_cells": n_cells, "m": m, "n_codes": n_codes},
+    )
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(store, "batch_id=0"))
+    )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode a delta against the index's FROZEN centroids and
+    codebooks and write it as the codes store's next batch dir — the
+    same append contract as :func:`append_to_ivf_index` (disjoint ids,
+    prior dirs untouched, idempotent per-dir overwrite, quantizer
+    drift accepted until the next rebuild)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import pq_encode
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    m = cb.select("sub").distinct().count()
+    cells = ivf_assign(
+        new_vectors, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
+    ).select("neighbor_id", "cell")
+    codes = pq_encode(new_vectors, cb, m, id_col, vec_col, out_id="neighbor_id").join(
+        cells, "neighbor_id"
+    )
+    store = f"{path}/codes"
+    _cs.stamp_meta(store, {"format": _IVFPQ_FORMAT})
+    live = _cs.state_subdirs(store)
+    next_id = max((i for i in live.values() if i >= 0), default=-1) + 1
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(store, f"batch_id={next_id}"))
+    )
+
+
+def read_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The live (neighbor_id, sub, code, cell) relation — same raw
+    pruned-scan contract as :func:`read_postings` (manifest-named
+    subsumed dirs excluded, no per-query distinct shuffle)."""
+    store = f"{path}/codes"
+    df = spark.read.parquet(store)
+    excluded = _cs.subsumed_ids(store)
+    if excluded:
+        df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    return df
+
+
+def compact_codes(
+    spark: SparkSession, path: str, exclude_from: int | None = None
+) -> None:
+    """Fold the codes batch dirs into one cell-partitioned generation —
+    identical machinery to :func:`compact_postings`."""
+    store = f"{path}/codes"
+    df = spark.read.parquet(store)
+    fields = [f for f in df.schema.fields if f.name != "batch_id"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    _cs.compact_counts(
+        spark,
+        store,
+        schema,
+        [f.name for f in fields],
+        None,
+        exclude_from=exclude_from,
+        agg="distinct",
+        partition_by=["cell"],
+    )
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): ADC top-k within the probed cells
+    of a persisted IVFPQ index. The ``cell`` membership of the probed
+    set reaches the codes scan as a partition filter, and each
+    surviving candidate costs m lookup-table additions — the pruning
+    AND the compression of a served big-corpus index, with the same
+    rounding ladder as similarity.ivfpq_topk (equality pinned by
+    tests/test_vector_index.py)."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        l2sq,
+        pq_subvectors,
+    )
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    m = cb.select("sub").distinct().count()
+    codes = read_codes(spark, path)
+    probes = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
+    ).select("query_id", "cell")
+    qsv = pq_subvectors(queries, m, id_col, vec_col, out_id="query_id")
+    dtab = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )

@@ -172,3 +172,69 @@ def test_compaction_preserves_results_pruning_and_crash_gc(spark, tmp_path):
     sh.copytree(keep, os.path.join(store, "batch_id=1"))
     assert read_postings(spark, path).count() == e.count()
     assert sorted(map(tuple, query_ivf_index(spark, path, q, n_probe=4, k=5).collect())) == before
+
+
+def test_ivfpq_index_matches_inmemory_operator(spark, tmp_path):
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        query_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "pq")
+    write_ivfpq_index(e, path, n_cells=16, m=4, n_codes=16, iters=1)
+    got = sorted(map(tuple, query_ivfpq_index(spark, path, q, n_probe=4, k=5).collect()))
+    want = sorted(map(tuple, ivfpq_topk(e, q, n_cells=16, n_probe=4, m=4,
+                                        n_codes=16, k=5, iters=1).collect()))
+    assert got == want
+
+
+def test_ivfpq_append_and_compaction_preserve_results_and_pruning(spark, tmp_path):
+    """Codes-store lifecycle: append with frozen quantizers equals a
+    monolithic encode of the union; compaction folds to one
+    cell-partitioned generation without changing answers; the probed
+    cells reach the codes scan as a partition filter."""
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        append_to_ivfpq_index,
+        compact_codes,
+        query_ivfpq_index,
+        read_codes,
+        write_ivfpq_index,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 6)
+    inc = str(tmp_path / "inc")
+    write_ivfpq_index(e.filter(F.col("vec_id") < 400), inc, n_cells=16, m=4, n_codes=16)
+    append_to_ivfpq_index(e.filter(F.col("vec_id") >= 400), inc)
+
+    # frozen-quantizer append == monolithic build with the SAME base
+    # quantizers: rebuild over the base corpus (same centroids +
+    # codebooks, both trained on vec_id < 400) then append the rest
+    mono = str(tmp_path / "mono")
+    write_ivfpq_index(e.filter(F.col("vec_id") < 400), mono, n_cells=16, m=4, n_codes=16)
+    append_to_ivfpq_index(e.filter(F.col("vec_id") >= 400), mono)
+    before = sorted(map(tuple, query_ivfpq_index(spark, inc, q, n_probe=4, k=5).collect()))
+    assert before == sorted(
+        map(tuple, query_ivfpq_index(spark, mono, q, n_probe=4, k=5).collect())
+    )
+
+    store = f"{inc}/codes"
+    assert set(cs.state_subdirs(store).values()) == {0, 1}
+    compact_codes(spark, inc)
+    assert set(cs.state_subdirs(store).values()) == {-1}
+    assert cs.subsumed_ids(store) == {0, 1}
+    assert sorted(map(tuple, query_ivfpq_index(spark, inc, q, n_probe=4, k=5).collect())) == before
+    assert read_codes(spark, inc).count() == e.count() * 4
+
+    pruned = read_codes(spark, inc).filter(F.col("cell").isin(0, 3))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "cell" in seg[: seg.index("\n")]
