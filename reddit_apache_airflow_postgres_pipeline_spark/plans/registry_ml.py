@@ -1717,10 +1717,12 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q_sim_ivfpq",
-    f"""
-    WITH {_pq_ctes()},
+def _ivfpq_ctes() -> str:
+    """The composed-index CTE chain: the PQ pipeline (_pq_ctes) plus
+    coarse seed cells, corpus cell assignment, query probes, and the
+    probed ADC ranking — ends at ``ivfpqtop``. Shared by q_sim_ivfpq
+    and q_sim_ivfpq_recall."""
+    return f"""{_pq_ctes()},
     icents AS (
       SELECT vec_id AS cell, embedding AS icv FROM embeddings
       ORDER BY vec_id LIMIT 16),
@@ -1751,12 +1753,20 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dt ON dt.sub = x.sub AND dt.code = x.code
              AND dt.query_id = p.query_id
       WHERE x.vec_id <> p.query_id
-      GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, dist FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY dist, neighbor_id) AS rn
-      FROM adcq) z
-    WHERE rn <= {_PQ_K}
+      GROUP BY 1, 2),
+    ivfpqtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM adcq) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_ivfpq",
+    f"""
+    WITH {_ivfpq_ctes()}
+    SELECT query_id, neighbor_id, dist FROM ivfpqtop
     """,
 )
 def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,4 +1782,67 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
         k=_PQ_K, iters=1,
+    )
+
+
+@_q(
+    "q_sim_ivfpq_recall",
+    f"""
+    WITH {_ivfpq_ctes()},
+    exl2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    extop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d, neighbor_id) AS rn
+        FROM exl2) z
+      WHERE rn <= {_PQ_K})
+    SELECT e.query_id,
+           CAST(COUNT(a.hit) AS BIGINT) AS hits,
+           round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
+    FROM extop e
+    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM ivfpqtop) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the COMPOSED index against exact L2 — both
+    approximation layers (unprobed cells AND code coarseness) measured
+    on one curve, the number that decides n_probe and m/n_codes
+    together before a configuration serves traffic. Compare with
+    q_sim_pq_recall (codes only) to attribute the loss."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
+        k=_PQ_K, iters=1,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.round(F.count("__hit") / F.lit(float(_PQ_K)), 6).alias(
+                "recall_at_5"
+            ),
+        )
     )

@@ -82,6 +82,32 @@ def write_ivf_index(
 _POSTINGS_FORMAT = "ivf-postings/v1"
 
 
+# Stream-owned batch ids live at STREAM_ID_BASE + <micro-batch id> so a
+# stream and ad-hoc appends can share one store without colliding: the
+# ad-hoc path allocates below the base, the stream's checkpoint-monotonic
+# ids map above it, and generations stay negative.
+STREAM_ID_BASE = 1_000_000_000
+
+
+def _write_delta(rows: DataFrame, store: str, batch_id: int | None) -> None:
+    """Write a delta as a cell-partitioned batch dir. ``batch_id=None``
+    takes the next free AD-HOC id (always below STREAM_ID_BASE); an
+    EXPLICIT id is the streaming caller's idempotence hook — a retried
+    micro-batch overwrites its own dir instead of minting a new one
+    (the counting_state retry contract)."""
+    if batch_id is None:
+        live = _cs.state_subdirs(store)
+        batch_id = (
+            max((i for i in live.values() if 0 <= i < STREAM_ID_BASE), default=-1)
+            + 1
+        )
+    (
+        rows.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(store, f"batch_id={batch_id}"))
+    )
+
+
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
     """The live postings relation (neighbor_id, embedding, cell): a
     RAW scan over the store's live dirs — subsumed batch ids (named by
@@ -168,6 +194,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally add vectors to a persisted index — the operational
     path a served 100 TB index needs: a daily embedding delta cannot
@@ -196,13 +223,7 @@ def append_to_ivf_index(
     assigned = ivf_assign(new_vectors, cents, id_col, vec_col, out_id="neighbor_id")
     store = f"{path}/postings"
     _cs.stamp_meta(store, {"format": _POSTINGS_FORMAT})
-    live = _cs.state_subdirs(store)
-    next_id = max((i for i in live.values() if i >= 0), default=-1) + 1
-    (
-        assigned.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(store, f"batch_id={next_id}"))
-    )
+    _write_delta(assigned, store, batch_id)
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +284,7 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Encode a delta against the index's FROZEN centroids and
     codebooks and write it as the codes store's next batch dir — the
@@ -283,13 +305,7 @@ def append_to_ivfpq_index(
     )
     store = f"{path}/codes"
     _cs.stamp_meta(store, {"format": _IVFPQ_FORMAT})
-    live = _cs.state_subdirs(store)
-    next_id = max((i for i in live.values() if i >= 0), default=-1) + 1
-    (
-        codes.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(store, f"batch_id={next_id}"))
-    )
+    _write_delta(codes, store, batch_id)
 
 
 def read_codes(spark: SparkSession, path: str) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Streaming maintenance of a persisted vector index: drain arriving
+embedding files into the IVF postings store or the IVFPQ codes store,
+exactly-once.
+
+The operational loop a served 100 TB index lives by: deltas arrive
+continuously, each micro-batch is encoded against the index's FROZEN
+quantizers (broadcast, map-shaped — `sinks/vector_index.py`'s append
+contract) and lands as the store's ``batch_id=<i>`` dir named by the
+STREAM's batch id — so a retried micro-batch overwrites its own dir
+instead of minting a new one (stream ids are offset by
+``vector_index.STREAM_ID_BASE`` so they never collide with the build's
+batch 0 or ad-hoc appends), and the checkpoint guarantees each input
+file is indexed exactly once across restarts. When the live-dir listing
+grows past the threshold the store folds into one cell-partitioned
+generation (distinct-mode compaction with the subsumption manifest), so
+probe reads stay partition-pruned and listing-bounded over an unbounded
+run. Quantizer drift over the stream is the standard accepted trade;
+the recall audits (q_sim_ivf_recall / q_sim_pq_recall /
+q_sim_ivfpq_recall) are the rebuild signal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as _vi
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
+
+_COMPACT_AFTER_DIRS = 16
+
+
+def run_index_append_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str = "ivfpq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain ``input_dir`` (parquet files of (id, vector) rows) into a
+    persisted index with an availableNow trigger. ``kind``: "ivf"
+    appends raw-vector postings, "ivfpq" appends PQ codes. The index
+    must already exist (write_ivf_index / write_ivfpq_index — the
+    quantizers are frozen; this stream never retrains them). Caller
+    contract unchanged from the batch appends: delta ids disjoint from
+    indexed ids."""
+    if kind == "ivf":
+        append, store = _vi.append_to_ivf_index, f"{index_path}/postings"
+        compact = _vi.compact_postings
+    elif kind == "ivfpq":
+        append, store = _vi.append_to_ivfpq_index, f"{index_path}/codes"
+        compact = _vi.compact_codes
+    else:
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq)")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _vi.STREAM_ID_BASE + batch_id
+        append(batch_df, index_path, id_col, vec_col, batch_id=sid)
+        if _cs.live_dir_count(store) > compact_after_dirs:
+            compact(batch_df.sparkSession, index_path, exclude_from=sid)
+
+    (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

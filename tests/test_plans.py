@@ -231,6 +231,9 @@ BNLJ_ALLOWED = {
     "q_sim_knn_bruteforce": "bounded query set",
     "q_sim_ivf_knn": "bounded query set + centroids",
     "q_sim_ivfpq": "n_cells coarse centroids broadcast (the ivf_assign fan-out)",
+    "q_sim_ivfpq_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan"
+    ),
     "q_sim_ivf_recall": "bounded query set + centroids",
     "q_sim_kmeans_quality": "bounded centroid set (n_cells rows)",
     "q_dedup_semantic": "bounded centroid set (n_cells rows)",
