@@ -296,7 +296,7 @@ def append_to_ivfpq_index(
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    m = cb.select("sub").distinct().count()
+    m = _codes_m(spark, path, cb)
     cells = ivf_assign(
         new_vectors, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
     ).select("neighbor_id", "cell")
@@ -306,6 +306,21 @@ def append_to_ivfpq_index(
     store = f"{path}/codes"
     _cs.stamp_meta(store, {"format": _IVFPQ_FORMAT})
     _write_delta(codes, store, batch_id)
+
+
+def _codes_m(spark: SparkSession, path: str, cb: DataFrame) -> int:
+    """The index's subspace count: from the codes store's format
+    marker when present (no job), else one tiny distinct over the
+    broadcastable codebooks (pre-marker stores)."""
+    import json
+
+    meta_path = os.path.join(path, "codes", _cs.META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if "m" in meta:
+            return int(meta["m"])
+    return cb.select("sub").distinct().count()
 
 
 def read_codes(spark: SparkSession, path: str) -> DataFrame:
@@ -368,7 +383,7 @@ def query_ivfpq_index(
 
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    m = cb.select("sub").distinct().count()
+    m = _codes_m(spark, path, cb)
     codes = read_codes(spark, path)
     probes = ivf_assign(
         queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
