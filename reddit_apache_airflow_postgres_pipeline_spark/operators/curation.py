@@ -751,6 +751,7 @@ def dedup_spans(
     min_occurrences: int = 2,
     join_with: str = " ",
     prior_counts: DataFrame | None = None,
+    batch_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring removal — the ExactSubstr idea of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -781,7 +782,11 @@ def dedup_spans(
     gate's hook: a gram already seen ``c`` times by earlier batches
     needs only ``min_occurrences - c`` copies here to flag. With the
     default ``None`` the bar is the in-corpus count alone (the exact
-    Lee-et-al batch semantics).
+    Lee-et-al batch semantics). ``batch_counts`` supplies the
+    IN-corpus ``(gram, c)`` counts pre-computed (and ideally
+    materialized) by the caller, so a caller that needs them anyway —
+    the span gate persists them as state — doesn't pay the gram
+    fan-out and count shuffle twice.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -789,7 +794,12 @@ def dedup_spans(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
     grams = kgrams(df, id_col, text_col, k)
-    occ = grams.groupBy("gram").agg(F.count("*").alias("__occ"))
+    if batch_counts is not None:
+        occ = batch_counts.select(
+            "gram", F.col("c").cast("long").alias("__occ")
+        )
+    else:
+        occ = grams.groupBy("gram").agg(F.count("*").alias("__occ"))
     if prior_counts is not None:
         occ = occ.join(
             prior_counts.select("gram", F.col("c").alias("__prior")),
@@ -889,8 +899,21 @@ def dedup_spans_online(
     base = df.select(
         F.col(id_col).alias("doc_id"), b.alias("__b"), tokens(text_col).alias("__toks")
     )
-    grams = kgrams(df, id_col, text_col, k).join(
-        df.select(F.col(id_col).alias("doc_id"), b.alias("__b")), "doc_id"
+    # gram construction directly over base: __toks and __b are already
+    # here, so no second tokenization and no corpus-sized join to
+    # re-attach the batch column
+    grams = base.select(
+        "doc_id",
+        "__b",
+        F.posexplode(
+            F.when(
+                F.size("__toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - k),
+                    lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("spos", "gram"),
     )
     per_batch = grams.groupBy("gram", "__b").agg(F.count("*").alias("__n"))
     wcum = Window.partitionBy("gram").orderBy("__b")

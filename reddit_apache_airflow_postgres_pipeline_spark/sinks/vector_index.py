@@ -82,6 +82,28 @@ def write_ivf_index(
 _POSTINGS_FORMAT = "ivf-postings/v1"
 
 
+def _reject_legacy_flat_store(store: str) -> None:
+    """A pre-store index laid its postings out as top-level ``cell=*``
+    dirs with no ``batch_id=*`` level. :func:`read_postings` still
+    reads that layout, but APPENDING a batch dir beside it would give
+    the directory two conflicting partition structures ({cell} vs
+    {batch_id, cell}) and brick every subsequent read — so refuse
+    loudly and direct the caller to rebuild."""
+    if not os.path.isdir(store):
+        return
+    has_cells = any(
+        d.startswith("cell=") and os.path.isdir(os.path.join(store, d))
+        for d in os.listdir(store)
+    )
+    if has_cells and not _cs.state_subdirs(store):
+        raise ValueError(
+            f"{store} uses the legacy flat cell=* layout — appending a "
+            "batch_id=* dir beside it would corrupt partition "
+            "discovery. Rebuild the index (write_*_index) to migrate "
+            "it to the batch-dir store"
+        )
+
+
 # Stream-owned batch ids live at STREAM_ID_BASE + <micro-batch id> so a
 # stream and ad-hoc appends can share one store without colliding: the
 # ad-hoc path allocates below the base, the stream's checkpoint-monotonic
@@ -94,12 +116,16 @@ def _write_delta(rows: DataFrame, store: str, batch_id: int | None) -> None:
     takes the next free AD-HOC id (always below STREAM_ID_BASE); an
     EXPLICIT id is the streaming caller's idempotence hook — a retried
     micro-batch overwrites its own dir instead of minting a new one
-    (the counting_state retry contract)."""
+    (the counting_state retry contract).
+
+    The next free id must clear the newest generation's manifest too,
+    not just the live listing: after a compaction the folded ids are
+    SUBSUMED (readers exclude them and the next compaction GC-deletes
+    their dirs), so reusing one would silently disappear the delta."""
     if batch_id is None:
-        live = _cs.state_subdirs(store)
+        used = set(_cs.state_subdirs(store).values()) | _cs.subsumed_ids(store)
         batch_id = (
-            max((i for i in live.values() if 0 <= i < STREAM_ID_BASE), default=-1)
-            + 1
+            max((i for i in used if 0 <= i < STREAM_ID_BASE), default=-1) + 1
         )
     (
         rows.write.mode("overwrite")
@@ -222,6 +248,7 @@ def append_to_ivf_index(
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(new_vectors, cents, id_col, vec_col, out_id="neighbor_id")
     store = f"{path}/postings"
+    _reject_legacy_flat_store(store)
     _cs.stamp_meta(store, {"format": _POSTINGS_FORMAT})
     _write_delta(assigned, store, batch_id)
 
@@ -304,6 +331,7 @@ def append_to_ivfpq_index(
         cells, "neighbor_id"
     )
     store = f"{path}/codes"
+    _reject_legacy_flat_store(store)
     _cs.stamp_meta(store, {"format": _IVFPQ_FORMAT})
     _write_delta(codes, store, batch_id)
 

@@ -44,6 +44,53 @@ def _has_batches(path: str) -> bool:
     )
 
 
+def _paths(work_dir: str, names: tuple[str, ...]) -> dict[str, str]:
+    return {name: os.path.join(work_dir, name) for name in names}
+
+
+def _run_dedup_stage(
+    spark: SparkSession, schema: str, p: dict[str, str], id_col: str, text_col: str
+) -> None:
+    """Stage 2 of every chain: the MinHash dedup gate drains the drift
+    gate's admitted dirs into ``accepted/`` — skipped cleanly when no
+    batch was admitted yet. Shared so the chaining contract (the
+    admitted glob, the skip guard, the state/checkpoint wiring) lives
+    in exactly one place across the three chain runners."""
+    admitted = os.path.join(p["drift"], "admitted")
+    if _has_batches(admitted):
+        dedup_gate.run_gate_available_now(
+            spark,
+            os.path.join(admitted, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["dedup_state"],
+            p["ckpt_dedup"],
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+
+def _run_sketch_stage(
+    spark: SparkSession,
+    corpus_dir: str,
+    schema: str,
+    p: dict[str, str],
+    text_col: str,
+) -> None:
+    """Stage N of every chain: CMS + HLL maintenance over whatever
+    corpus directory the previous stage produced."""
+    if _has_batches(corpus_dir):
+        corpus_glob = os.path.join(corpus_dir, "batch_id=*")
+        cms_stream.run_cms_available_now(
+            spark, corpus_glob, schema, p["cms"], p["ckpt_cms"],
+            text_col=text_col,
+        )
+        hll_stream.run_hll_available_now(
+            spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
+            text_col=text_col,
+        )
+
+
 def run_ingest_pipeline_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -61,9 +108,9 @@ def run_ingest_pipeline_available_now(
     ``cms``, ``hll`` + one checkpoint dir per stage. Returns the path
     map. Later stages are skipped cleanly when an earlier gate admitted
     nothing yet (their input dir has no batches)."""
-    p = {
-        name: os.path.join(work_dir, name)
-        for name in (
+    p = _paths(
+        work_dir,
+        (
             "drift",
             "accepted",
             "dedup_state",
@@ -73,8 +120,8 @@ def run_ingest_pipeline_available_now(
             "ckpt_dedup",
             "ckpt_cms",
             "ckpt_hll",
-        )
-    }
+        ),
+    )
     drift_gate.run_drift_gate_available_now(
         spark,
         input_dir,
@@ -85,28 +132,8 @@ def run_ingest_pipeline_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    admitted = os.path.join(p["drift"], "admitted")
-    if _has_batches(admitted):
-        dedup_gate.run_gate_available_now(
-            spark,
-            os.path.join(admitted, "batch_id=*"),
-            schema,
-            p["accepted"],
-            p["dedup_state"],
-            p["ckpt_dedup"],
-            id_col=id_col,
-            text_col=text_col,
-        )
-    if _has_batches(p["accepted"]):
-        corpus_glob = os.path.join(p["accepted"], "batch_id=*")
-        cms_stream.run_cms_available_now(
-            spark, corpus_glob, schema, p["cms"], p["ckpt_cms"],
-            text_col=text_col,
-        )
-        hll_stream.run_hll_available_now(
-            spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
-            text_col=text_col,
-        )
+    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_sketch_stage(spark, p["accepted"], schema, p, text_col)
     return p
 
 
@@ -133,9 +160,9 @@ def run_group_ingest_available_now(
     :func:`run_ingest_pipeline_available_now`; batch form replayed by
     plans/registry_ingest.q_ingest_chain_by_group (oracle-paired),
     parity-pinned by tests/test_ingest_pipeline.py."""
-    p = {
-        name: os.path.join(work_dir, name)
-        for name in (
+    p = _paths(
+        work_dir,
+        (
             "drift",
             "accepted",
             "dedup_state",
@@ -145,8 +172,8 @@ def run_group_ingest_available_now(
             "ckpt_dedup",
             "ckpt_cms",
             "ckpt_hll",
-        )
-    }
+        ),
+    )
     drift_gate.run_group_drift_gate_available_now(
         spark,
         input_dir,
@@ -158,28 +185,8 @@ def run_group_ingest_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    admitted = os.path.join(p["drift"], "admitted")
-    if _has_batches(admitted):
-        dedup_gate.run_gate_available_now(
-            spark,
-            os.path.join(admitted, "batch_id=*"),
-            schema,
-            p["accepted"],
-            p["dedup_state"],
-            p["ckpt_dedup"],
-            id_col=id_col,
-            text_col=text_col,
-        )
-    if _has_batches(p["accepted"]):
-        corpus_glob = os.path.join(p["accepted"], "batch_id=*")
-        cms_stream.run_cms_available_now(
-            spark, corpus_glob, schema, p["cms"], p["ckpt_cms"],
-            text_col=text_col,
-        )
-        hll_stream.run_hll_available_now(
-            spark, corpus_glob, schema, p["hll"], p["ckpt_hll"],
-            text_col=text_col,
-        )
+    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_sketch_stage(spark, p["accepted"], schema, p, text_col)
     return p
 
 
@@ -207,9 +214,9 @@ def run_full_ingest_available_now(
     replayed by plans/registry_ingest.q_ingest_chain_spans_audit
     (full DuckDB oracle), parity-pinned by
     tests/test_ingest_pipeline.py."""
-    p = {
-        name: os.path.join(work_dir, name)
-        for name in (
+    p = _paths(
+        work_dir,
+        (
             "drift",
             "accepted",
             "dedup_state",
@@ -222,8 +229,8 @@ def run_full_ingest_available_now(
             "ckpt_span",
             "ckpt_cms",
             "ckpt_hll",
-        )
-    }
+        ),
+    )
     drift_gate.run_drift_gate_available_now(
         spark,
         input_dir,
@@ -234,18 +241,7 @@ def run_full_ingest_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    admitted = os.path.join(p["drift"], "admitted")
-    if _has_batches(admitted):
-        dedup_gate.run_gate_available_now(
-            spark,
-            os.path.join(admitted, "batch_id=*"),
-            schema,
-            p["accepted"],
-            p["dedup_state"],
-            p["ckpt_dedup"],
-            id_col=id_col,
-            text_col=text_col,
-        )
+    _run_dedup_stage(spark, schema, p, id_col, text_col)
     if _has_batches(p["accepted"]):
         span_gate.run_span_gate_available_now(
             spark,
@@ -258,18 +254,13 @@ def run_full_ingest_available_now(
             text_col=text_col,
             k=span_k,
         )
-    if _has_batches(p["spanned"]):
-        clean_schema = (
-            f"{id_col} long, n_tokens long, dropped_tokens long, "
-            "text_clean string"
-        )
-        corpus_glob = os.path.join(p["spanned"], "batch_id=*")
-        cms_stream.run_cms_available_now(
-            spark, corpus_glob, clean_schema, p["cms"], p["ckpt_cms"],
-            text_col="text_clean",
-        )
-        hll_stream.run_hll_available_now(
-            spark, corpus_glob, clean_schema, p["hll"], p["ckpt_hll"],
-            text_col="text_clean",
-        )
+    # the span stage NORMALIZES the id column: dedup_spans' output
+    # relation is (doc_id, n_tokens, dropped_tokens, text_clean)
+    # whatever id_col the input used — declaring {id_col} here would
+    # silently resolve to an all-null column downstream
+    clean_schema = (
+        "doc_id long, n_tokens long, dropped_tokens long, "
+        "text_clean string"
+    )
+    _run_sketch_stage(spark, p["spanned"], clean_schema, p, "text_clean")
     return p

@@ -96,7 +96,18 @@ def gate_batch(
     operator counts over the raw corpus, and first-wins needs every
     sighting on the books). Pure DataFrame logic so the batch path is
     unit-testable without a stream — and replayable as the parity
-    test's sequential batch form."""
+    test's sequential batch form.
+
+    The gram counts are computed ONCE (checkpointed — they're bounded
+    by the batch's gram vocabulary and get persisted as state anyway)
+    and fed to dedup_spans as its count source, so the per-batch gram
+    fan-out and count shuffle are not paid twice."""
+    counts = (
+        kgrams(batch_df, id_col, text_col, k)
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
     cleaned = dedup_spans(
         batch_df,
         id_col,
@@ -104,11 +115,7 @@ def gate_batch(
         k=k,
         min_occurrences=min_occurrences,
         prior_counts=prior_counts,
-    )
-    counts = (
-        kgrams(batch_df, id_col, text_col, k)
-        .groupBy("gram")
-        .agg(F.count("*").cast("long").alias("c"))
+        batch_counts=counts,
     )
     return cleaned, counts
 

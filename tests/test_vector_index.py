@@ -238,3 +238,63 @@ def test_ivfpq_append_and_compaction_preserve_results_and_pruning(spark, tmp_pat
     )
     seg = plan[plan.index("PartitionFilters"):]
     assert "cell" in seg[: seg.index("\n")]
+
+
+def test_append_after_compaction_never_reuses_subsumed_ids(spark, tmp_path):
+    """Review-r8 bug: the ad-hoc id allocator looked only at LIVE dirs,
+    so the first append after a compaction reused a manifest-subsumed
+    id — readers excluded the delta and the next GC deleted it. The
+    allocator must clear the manifest too."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        append_to_ivf_index,
+        compact_postings,
+        read_postings,
+        write_ivf_index,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+    e = _emb(spark)
+    path = str(tmp_path / "ix")
+    write_ivf_index(e.filter(F.col("vec_id") < 300), path, n_cells=16)
+    append_to_ivf_index(e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), path)
+    compact_postings(spark, path)
+    store = f"{path}/postings"
+    assert cs.subsumed_ids(store) == {0, 1}
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 400), path)
+    # the delta took a FRESH id and is visible to readers
+    live = set(cs.state_subdirs(store).values())
+    assert live == {-1, 2}
+    assert read_postings(spark, path).count() == e.count()
+    # and it survives the next compaction cycle
+    append_to_ivf_index(e.limit(0), path)
+    compact_postings(spark, path)
+    assert read_postings(spark, path).count() == e.count()
+
+
+def test_append_refuses_legacy_flat_store(spark, tmp_path):
+    """Review-r8 bug: appending a batch_id dir beside a pre-store flat
+    cell=* layout gives the directory two conflicting partition
+    structures and bricks every read — the append must refuse."""
+    import pytest
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        append_to_ivf_index,
+        read_postings,
+    )
+
+    e = _emb(spark)
+    path = str(tmp_path / "legacy")
+    cents = ivf_centroids(e, 16)
+    cents.write.parquet(f"{path}/centroids")
+    ivf_assign(e.filter(F.col("vec_id") < 400), cents, out_id="neighbor_id").write.partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
+    assert read_postings(spark, path).count() == 400  # legacy reads fine
+    with pytest.raises(ValueError, match="legacy flat"):
+        append_to_ivf_index(e.filter(F.col("vec_id") >= 400), path)
+    # the store is untouched and still readable
+    assert read_postings(spark, path).count() == 400
