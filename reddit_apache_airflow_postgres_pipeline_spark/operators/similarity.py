@@ -694,6 +694,37 @@ def pq_adc_topk(
     )
 
 
+def _residuals(
+    vectors: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(out_id, cell, vec_col): each vector's residual against its
+    ``n_probe`` nearest coarse centroids — the relation residual-PQ
+    trains/encodes on (corpus: n_probe=1) and the query side tabulates
+    per probed cell. The residual is the PLAIN double subtraction, not
+    a rounded one: one IEEE op on identical inputs is bit-identical in
+    any engine, and crucially it keeps the components GENERIC doubles.
+    Rounding them to 6dp would make every downstream distance / Lloyd
+    mean an exact short-decimal, parking the later 6/9dp roundings on
+    exact halfway points where engines' round() implementations
+    disagree (HALF_UP on shortest-repr vs multiply-based) — observed
+    as 1-ulp dist mismatches before this was removed."""
+    a = ivf_assign(vectors, cents, id_col, vec_col, n_probe=n_probe, out_id=out_id)
+    return a.join(F.broadcast(cents), "cell").select(
+        out_id,
+        "cell",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda x, c: x - c,
+        ).alias(vec_col),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -705,6 +736,7 @@ def ivfpq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, dist): IVF + PQ composed — the shape a
     billion-vector index actually runs (FAISS IVFPQ): the coarse
@@ -713,37 +745,88 @@ def ivfpq_topk(
     ~n_probe/n_cells of the corpus, and the PQ codes shrink WHAT each
     touch costs to m table lookups instead of a d-float scan.
 
-    This is the non-residual variant (FAISS ``by_residual=False``):
-    codes quantize the raw vectors, not (vector − centroid) residuals,
-    so the PQ rounding contract stays the one :func:`pq_adc_topk`
-    already proves cross-engine; the residual refinement is a recall
-    optimization, not a shape change. Approximation is now two-layer —
-    a true neighbor is missed if its cell isn't probed (n_probe knob)
-    OR its codes collide poorly (m/n_codes knob); audit against exact
-    L2 like q_sim_pq_recall before trusting a configuration."""
+    ``by_residual=False`` quantizes the raw vectors, so the PQ
+    rounding contract stays the one :func:`pq_adc_topk` already proves
+    cross-engine. ``by_residual=True`` is the FAISS default and the
+    recall upgrade ON CLUSTERED DATA: codes quantize the residual
+    (vector − its cell's centroid), so when the coarse cells
+    capture real structure the residuals are small and centered and
+    the same m/n_codes budget resolves within-cluster differences
+    (tests pin the recall win on a clustered corpus). On
+    structure-free corpora residuals do NOT shrink — measured on the
+    synthetic test embeddings this variant scores slightly BELOW
+    non-residual — which is why it is a knob and the recall audits
+    exist. The query side tabulates one lookup table PER PROBED CELL
+    (|q|×n_probe×m×n_codes rows, still broadcast-sized) because the
+    query's residual differs per cell.
+    Approximation is two-layer either way — a true neighbor is missed
+    if its cell isn't probed (n_probe knob) OR its codes collide
+    poorly (m/n_codes knob); audit against exact L2 like
+    q_sim_pq_recall before trusting a configuration."""
     from pyspark.sql import Window
 
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
-    cells = ivf_assign(
-        corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
-    ).select("neighbor_id", "cell")
-    cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-    codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id")
-    probes = ivf_assign(
-        queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
-    ).select("query_id", "cell")
-    qsv = pq_subvectors(queries, m, id_col, vec_col, out_id="query_id")
-    dtab = qsv.join(F.broadcast(cb), "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
-    )
+    if by_residual:
+        rcorp = _residuals(corpus, cents, id_col, vec_col, "neighbor_id")
+        cells = rcorp.select("neighbor_id", "cell")
+        # codebook seeding must EXCLUDE the coarse-seed vectors: a
+        # seed's residual against its own centroid is the zero vector,
+        # so the lowest-id seeding rule would otherwise hand Lloyd
+        # n_codes degenerate near-zero codes and the codebook never
+        # spreads (they are still ENCODED, just not seeds)
+        rtrain = rcorp.join(
+            cents.select(F.col("cell").alias("neighbor_id")),
+            "neighbor_id",
+            "left_anti",
+        )
+        cb = pq_codebooks(rtrain, m, n_codes, iters, "neighbor_id", vec_col)
+        codes = pq_encode(rcorp, cb, m, "neighbor_id", vec_col, out_id="neighbor_id")
+        rq = _residuals(
+            queries, cents, id_col, vec_col, "query_id", n_probe=n_probe
+        )
+        v = F.col(vec_col)
+        sublen = (F.size(v) / m).cast("int")
+        subs = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(v, j * sublen + 1, sublen),
+        )
+        qsv = rq.select(
+            "query_id", "cell", F.posexplode(subs).alias("sub", "svec")
+        )
+        dtab = qsv.join(F.broadcast(cb), "sub").select(
+            "query_id",
+            "cell",
+            "sub",
+            "code",
+            F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
+        )
+        scored = (
+            codes.join(cells, "neighbor_id")
+            .join(F.broadcast(dtab), ["cell", "sub", "code"])
+        )
+    else:
+        cells = ivf_assign(
+            corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
+        ).select("neighbor_id", "cell")
+        cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+        codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id")
+        probes = ivf_assign(
+            queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
+        ).select("query_id", "cell")
+        qsv = pq_subvectors(queries, m, id_col, vec_col, out_id="query_id")
+        dtab = qsv.join(F.broadcast(cb), "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
+        )
+        scored = (
+            codes.join(cells, "neighbor_id")
+            .join(F.broadcast(probes), "cell")
+            .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        )
     scored = (
-        codes.join(cells, "neighbor_id")
-        .join(F.broadcast(probes), "cell")
-        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("__term").cast("double"), 6).alias("dist"))
     )

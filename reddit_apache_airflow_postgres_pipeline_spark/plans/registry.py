@@ -2230,11 +2230,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.stopword_ratio("text").alias("stop_ratio"),
         textstats.lang_id("text").alias("lang_pred"),
     )
+    # checkpoint the quality-gated corpus: both the line pipeline and
+    # the later source re-attach consume it, and without this each
+    # consumer re-runs the scan + the regex-heavy langid/quality pass
+    # (the q_ingest_chain_sketch_audit lesson: materialize once, read
+    # twice — at 100 TB a second langid pass dwarfs the spill)
     filt = scored.filter(
         (F.col("lang_pred") == "en")
         & (F.col("n_tokens") >= 25)
         & (F.col("stop_ratio") >= 0.02)
-    )
+    ).select("doc_id", "source", "text").localCheckpoint()
     lined = filt.select(
         "doc_id",
         F.array_join(token_chunks_with_tail("text", _CUR_LINE_K), "\n").alias(

@@ -1008,11 +1008,14 @@ def q_corpus_curation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.stopword_ratio("text").alias("stop_ratio"),
         textstats.lang_id("text").alias("lang_pred"),
     )
+    # checkpoint the quality-gated corpus (same rationale as
+    # q_corpus_curation): the line pipeline and the later source
+    # re-attach both consume it — one langid pass, not two
     filt = scored.filter(
         (F.col("lang_pred") == "en")
         & (F.col("n_tokens") >= 25)
         & (F.col("stop_ratio") >= 0.02)
-    )
+    ).select("doc_id", "source", "text").localCheckpoint()
     lined = filt.select(
         "doc_id",
         F.array_join(token_chunks_with_tail("text", 4), "\n").alias("text"),

@@ -1566,6 +1566,76 @@ _L2SQ_SQL = (
 _PQ_M, _PQ_CODES, _PQ_K = 4, 16, 5
 
 
+def _exl2_recall_sql(top_cte: str) -> str:
+    """The exact-L2 audit tail shared by every PQ-family recall query:
+    ``exl2``/``extop`` CTEs (brute-force L2 top-k, 6dp, id tie-break)
+    plus the final recall join against ``top_cte``. One copy so the
+    baseline cannot drift between the pq / ivfpq / residual audits."""
+    return f"""
+    exl2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    extop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d, neighbor_id) AS rn
+        FROM exl2) z
+      WHERE rn <= {_PQ_K})
+    SELECT e.query_id,
+           CAST(COUNT(a.hit) AS BIGINT) AS hits,
+           round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
+    FROM extop e
+    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM {top_cte}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+
+
+def _recall_vs_exact_l2(
+    e: DataFrame, q: DataFrame, approx: DataFrame, k: int = _PQ_K
+) -> DataFrame:
+    """Spark side of the same audit: per-query recall@k of ``approx``
+    (query_id, neighbor_id) against the exact L2 top-k over ``e`` —
+    the one Spark copy of the exact baseline, mirroring
+    :func:`_exl2_recall_sql`."""
+    from pyspark.sql import Window
+
+    approx = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__d"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("hits"),
+            F.round(F.count("__hit") / F.lit(float(k)), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 def _pq_ctes() -> str:
     """The PQ pipeline unrolled as CTEs under the k-means rounding
     contract: subspace split → per-sub seed codebooks → one Lloyd step
@@ -1658,24 +1728,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_pq_recall",
     f"""
     WITH {_pq_ctes()},
-    exl2 AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
-      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-      WHERE c.vec_id <> q.vec_id),
-    extop AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY d, neighbor_id) AS rn
-        FROM exl2) z
-      WHERE rn <= {_PQ_K})
-    SELECT e.query_id,
-           CAST(COUNT(a.hit) AS BIGINT) AS hits,
-           round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
-    FROM extop e
-    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM pqtop) a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
+    {_exl2_recall_sql("pqtop")}
     """,
 )
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,36 +1738,12 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     conflate metric mismatch with code coarseness). The m / n_codes
     knobs are tuned against exactly this curve, the PQ analog of
     q_sim_ivf_recall's n_probe curve."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.pq_adc_topk(
         e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
-    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
-    scored = (
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
-        .join(F.broadcast(qv))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
-    exact = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= _PQ_K)
-        .select("query_id", "neighbor_id")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("__hit").alias("hits"),
-            F.round(F.count("__hit") / F.lit(float(_PQ_K)), 6).alias(
-                "recall_at_5"
-            ),
-        )
-    )
+    return _recall_vs_exact_l2(e, q, approx)
 
 
 def _ivfpq_ctes() -> str:
@@ -1789,24 +1818,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_ivfpq_recall",
     f"""
     WITH {_ivfpq_ctes()},
-    exl2 AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
-      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-      WHERE c.vec_id <> q.vec_id),
-    extop AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY d, neighbor_id) AS rn
-        FROM exl2) z
-      WHERE rn <= {_PQ_K})
-    SELECT e.query_id,
-           CAST(COUNT(a.hit) AS BIGINT) AS hits,
-           round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
-    FROM extop e
-    LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM ivfpqtop) a
-      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-    GROUP BY e.query_id
+    {_exl2_recall_sql("ivfpqtop")}
     """,
 )
 def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1815,34 +1827,171 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one curve, the number that decides n_probe and m/n_codes
     together before a configuration serves traffic. Compare with
     q_sim_pq_recall (codes only) to attribute the loss."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.ivfpq_topk(
         e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
         k=_PQ_K, iters=1,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
-    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
-    scored = (
-        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"))
-        .join(F.broadcast(qv))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
-    exact = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= _PQ_K)
-        .select("query_id", "neighbor_id")
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+def _ivfpq_res_ctes() -> str:
+    """Residual IVFPQ unrolled: coarse seed cells → per-vector plain-double
+    residual against the assigned centroid (unrounded: one IEEE op is
+    bit-identical cross-engine, and rounding would park downstream
+    roundings on exact halfway points) → PQ trained on NON-SEED
+    residuals (a seed's residual is the zero vector; excluding them
+    keeps the lowest-id seeding rule from handing Lloyd n_codes
+    degenerate codes) → codes over ALL residuals → per-(query, probed
+    cell) residual distance tables → probed ADC. Mirrors
+    similarity.ivfpq_topk(by_residual=True) CTE-for-operator; ends at
+    ``ivfpqrtop``."""
+    l2 = _L2SQ_SQL
+    rsub = "rvec[s.j*(len(rvec)//{m})+1 : (s.j+1)*(len(rvec)//{m})]".format(
+        m=_PQ_M
     )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("__hit").alias("hits"),
-            F.round(F.count("__hit") / F.lit(float(_PQ_K)), 6).alias(
-                "recall_at_5"
-            ),
-        )
+    return f"""
+    icents AS MATERIALIZED (
+      SELECT vec_id AS cell, embedding AS icv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    rasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                   / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+                 c.cell) AS rn
+        FROM embeddings e CROSS JOIN icents c) z
+      WHERE rn = 1),
+    rcorp AS MATERIALIZED (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(e.embedding, c.icv),
+               zp -> CAST(zp[1] AS DOUBLE) - CAST(zp[2] AS DOUBLE)) AS rvec
+      FROM rasg a JOIN embeddings e USING (vec_id) JOIN icents c USING (cell)),
+    rsv AS MATERIALIZED (
+      SELECT vec_id, s.j AS sub, {rsub} AS svec
+      FROM rcorp, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
+    rtsv AS MATERIALIZED (
+      SELECT * FROM rsv WHERE vec_id NOT IN (SELECT cell FROM icents)),
+    rcb0 AS (
+      SELECT sub, rn - 1 AS code, svec AS cv
+      FROM (SELECT sub, svec,
+                   ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+            FROM rtsv) z
+      WHERE rn <= {_PQ_CODES}),
+    rs1 AS (
+      SELECT v.vec_id, v.sub, v.svec, c.code,
+             round({l2.format(a="v.svec", b="c.cv")}, 6) AS d
+      FROM rtsv v JOIN rcb0 c ON c.sub = v.sub),
+    ra1 AS (SELECT vec_id, sub, svec, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY d, code) AS rn
+              FROM rs1) z
+            WHERE rn = 1),
+    rcm AS (
+      SELECT sub, code, pos, round(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mval
+      FROM (SELECT sub, code, unnest(generate_series(1, len(svec))) AS pos,
+                   unnest(svec) AS v
+            FROM ra1) z
+      GROUP BY 1, 2, 3),
+    rcb1 AS MATERIALIZED (
+      SELECT sub, code, list(mval ORDER BY pos) AS cv FROM rcm GROUP BY sub, code),
+    rs2 AS (
+      SELECT v.vec_id, v.sub, c.code,
+             round({l2.format(a="v.svec", b="c.cv")}, 6) AS d
+      FROM rsv v JOIN rcb1 c ON c.sub = v.sub),
+    rcodes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn
+        FROM rs2) z
+      WHERE rn = 1),
+    rprobe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                   / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+                 c.cell) AS rn
+        FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 8) z
+      WHERE rn <= 4),
+    rq AS (
+      SELECT p.query_id, p.cell,
+             list_transform(list_zip(e.embedding, c.icv),
+               zp -> CAST(zp[1] AS DOUBLE) - CAST(zp[2] AS DOUBLE)) AS rvec
+      FROM rprobe p JOIN embeddings e ON e.vec_id = p.query_id
+      JOIN icents c USING (cell)),
+    rqsv AS (
+      SELECT query_id, cell, s.j AS sub, {rsub} AS svec
+      FROM rq, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
+    rdt AS (
+      SELECT q.query_id, q.cell, q.sub, c.code,
+             CAST(round({l2.format(a="q.svec", b="c.cv")}, 9) AS DECIMAL(28,12)) AS term
+      FROM rqsv q JOIN rcb1 c ON c.sub = q.sub),
+    radc AS (
+      SELECT dt.query_id, x.vec_id AS neighbor_id,
+             round(CAST(SUM(dt.term) AS DOUBLE), 6) AS dist
+      FROM rcodes x
+      JOIN rcorp cl ON cl.vec_id = x.vec_id
+      JOIN rdt dt ON dt.cell = cl.cell AND dt.sub = x.sub AND dt.code = x.code
+      WHERE x.vec_id <> dt.query_id
+      GROUP BY 1, 2),
+    ivfpqrtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM radc) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_ivfpq_residual",
+    f"""
+    WITH {_ivfpq_res_ctes()}
+    SELECT query_id, neighbor_id, dist FROM ivfpqrtop
+    """,
+)
+def q_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ (similarity.ivfpq_topk(by_residual=True), the
+    FAISS-default encoding): PQ codes quantize (vector − assigned
+    coarse centroid) — the unrounded IEEE subtraction, bit-identical
+    cross-engine by construction. On
+    clustered corpora residuals are small and centered, so the same
+    m/n_codes budget resolves within-cluster neighbors raw codes blur
+    (tests pin a 2× recall win at m=8 on a clustered corpus); the
+    query side pays one distance table PER PROBED CELL. Same 16/4/
+    m=4/16-code configuration as q_sim_ivfpq so the two variants
+    differ only in encoding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
+        k=_PQ_K, iters=1, by_residual=True,
     )
+
+
+@_q(
+    "q_sim_ivfpq_residual_recall",
+    f"""
+    WITH {_ivfpq_res_ctes()},
+    {_exl2_recall_sql("ivfpqrtop")}
+    """,
+)
+def q_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the residual-encoded composed index against exact
+    L2 — the third point on the audit curve (q_sim_pq_recall: codes
+    only; q_sim_ivfpq_recall: cells + raw codes; this: cells +
+    residual codes), which is how the by_residual knob gets decided
+    per corpus: on structure-free embeddings like the synthetic test
+    set it scores at or below non-residual, on clustered data it
+    wins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES,
+        k=_PQ_K, iters=1, by_residual=True,
+    )
+    return _recall_vs_exact_l2(e, q, approx)

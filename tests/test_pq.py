@@ -89,3 +89,77 @@ def test_indivisible_dimension_fails_loudly(spark):
     e = _emb(spark)
     with pytest.raises((Py4JJavaError, SparkRuntimeException)):
         sim.pq_subvectors(e, m=5).collect()  # 64 % 5 != 0
+
+
+def _clustered_corpus(spark, n=256, n_anchors=16):
+    """Deterministic clustered embeddings: vector j = anchor(j%16) +
+    0.1 x perturbation, anchors and perturbations drawn from the test
+    embeddings — the structure residual-PQ exists to exploit."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    anchors = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id") < n_anchors).collect()
+    }
+    perts = {r["vec_id"]: r["embedding"] for r in e.filter(F.col("vec_id") < n).collect()}
+    rows = [
+        (
+            j,
+            [
+                round(a + 0.1 * p, 6)
+                for a, p in zip(anchors[j % n_anchors], perts[j])
+            ],
+        )
+        for j in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_residual_ivfpq_wins_on_clustered_data(spark):
+    """by_residual=True must beat the non-residual codes when the
+    coarse cells capture real structure: with tight clusters the
+    residuals are small and centered, so the same 16-code budget
+    resolves within-cluster neighbors that raw-vector codes blur.
+    Measured at m=8/n_codes=16 the residual codes DOUBLE recall
+    (21/40 vs 10/40) — the whole pipeline is deterministic (rounding
+    contracts, id-asc seeding, no RNG) so these are stable numbers,
+    asserted with a little slack."""
+    from pyspark.sql import Window
+
+    e = _clustered_corpus(spark)
+    q = e.filter(F.col("vec_id") < 8)
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    sc = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(sim.l2sq("__c", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    def recall(by_residual):
+        approx = sim.ivfpq_topk(
+            e, q, n_cells=16, n_probe=4, m=8, n_codes=16, k=5,
+            by_residual=by_residual,
+        ).select("query_id", "neighbor_id")
+        return exact.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+    r_res, r_raw = recall(True), recall(False)
+    assert r_res >= 1.5 * r_raw, (r_res, r_raw)
+    assert r_res >= 20  # measured 21/40 (vs 10/40 raw), deterministic
+    assert r_raw <= 14
+
+
+def test_residual_ivfpq_is_deterministic_and_well_formed(spark):
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, sim.ivfpq_topk(e, q, k=5, by_residual=True).collect()))
+    b = sorted(map(tuple, sim.ivfpq_topk(e, q, k=5, by_residual=True).collect()))
+    assert a == b
+    assert len(a) == 4 * 5
+    assert all(d >= 0 for (_, _, d) in a)
