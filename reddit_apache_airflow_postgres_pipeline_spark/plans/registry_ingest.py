@@ -652,12 +652,13 @@ def q_ingest_chain_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ING_SPAN_K = 8  # span_gate default gram width
 
-_SPANS_AUDIT_SQL = f"""
-    WITH {_chain_ctes()},
-    ac AS MATERIALIZED (
-      SELECT acc.b, acc.doc, t.text FROM acc
-      JOIN t ON t.doc = acc.doc AND t.b = acc.b),
-    t2 AS MATERIALIZED (
+# The span stage unrolled — consumes an accepted-corpus CTE ``ac``
+# (doc, b, text; extra columns ride along) and ends at ``sp``
+# (doc, dropped, text_clean). dedup_spans_online semantics: per-gram
+# running occurrence sum in batch order, first sighting survives,
+# covered tokens cut. Shared by the ungrouped and grouped full-chain
+# audits so the streaming gate's replay cannot drift between them.
+_SPAN_STAGE_CTES = f"""t2 AS MATERIALIZED (
       SELECT doc, b,
              string_split_regex(trim(lower(coalesce(text,''))), '[ \t\n\x0b\f\r]+') AS toks
       FROM ac),
@@ -692,7 +693,14 @@ _SPANS_AUDIT_SQL = f"""
     sp AS MATERIALIZED (
       SELECT ac.doc, coalesce(a.dropped, 0) AS dropped,
              coalesce(a.text_clean, '') AS text_clean
-      FROM ac LEFT JOIN agg2 a ON a.doc = ac.doc),
+      FROM ac LEFT JOIN agg2 a ON a.doc = ac.doc)"""
+
+_SPANS_AUDIT_SQL = f"""
+    WITH {_chain_ctes()},
+    ac AS MATERIALIZED (
+      SELECT acc.b, acc.doc, t.text FROM acc
+      JOIN t ON t.doc = acc.doc AND t.b = acc.b),
+    {_SPAN_STAGE_CTES},
     atoks AS MATERIALIZED (
       SELECT u.tok FROM (
         SELECT unnest(string_split_regex(trim(lower(coalesce(text_clean,''))), '[ \t\n\x0b\f\r]+')) AS tok
@@ -789,4 +797,82 @@ def q_ingest_chain_spans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("top_exact"),
             F.col("est").alias("top_cms_est"),
         )
+    )
+
+
+_GROUP_SPANS_SQL = f"""
+    WITH {_group_chain_ctes()},
+    ac AS MATERIALIZED (
+      SELECT acc.b, acc.lang, acc.doc, t.text FROM acc
+      JOIN t ON t.doc = acc.doc AND t.b = acc.b),
+    {_SPAN_STAGE_CTES},
+    atg AS MATERIALIZED (
+      SELECT lang, tok FROM (
+        SELECT ac.lang,
+               unnest(string_split_regex(trim(lower(coalesce(sp.text_clean,''))), '[ \t\n\x0b\f\r]+')) AS tok
+        FROM sp JOIN ac ON ac.doc = sp.doc) u
+      WHERE tok <> ''),
+    exg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens_clean,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_exact
+      FROM atg GROUP BY lang),
+    dg AS (
+      SELECT ac.lang, CAST(COUNT(*) AS BIGINT) AS n_docs_accepted,
+             CAST(SUM(sp.dropped) AS BIGINT) AS dropped_span_tokens
+      FROM sp JOIN ac ON ac.doc = sp.doc GROUP BY ac.lang)
+    SELECT dg.lang, dg.n_docs_accepted, dg.dropped_span_tokens,
+           COALESCE(exg.n_tokens_clean, 0) AS n_tokens_clean,
+           COALESCE(exg.distinct_exact, 0) AS distinct_exact
+    FROM dg LEFT JOIN exg ON exg.lang = dg.lang
+    """
+
+
+@_q("q_ingest_chain_group_spans", _GROUP_SPANS_SQL)
+def q_ingest_chain_group_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped FULL chain's per-feed audit
+    (run_group_full_ingest_available_now: grouped drift gate → near-dup
+    gate → span gate → sketches): each feed's PSI is judged against its
+    OWN reference (one broken feed quarantines alone), the dedup and
+    span gates share first-wins state ACROSS feeds in batch order (a
+    near-dup or a repeated passage is rejected whichever feed resends
+    it — the cross-feed contract), and the audit reports per feed what
+    a training run would consume from it: accepted docs, span-cut
+    tokens, clean token count, exact distinct tokens. Single-scan
+    posture: the replay's acc arrives checkpointed, the span output and
+    its lang re-attach are checkpointed here, so the two per-lang
+    aggregates share one materialization."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        dedup_spans_online,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import tokens
+
+    _, acc = group_chain_replay(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        acc.join(docs.select(F.col("doc_id").alias("doc"), "text"), "doc")
+        .select(F.col("doc").alias("doc_id"), "b", "text")
+    )
+    sp = dedup_spans_online(
+        corpus, "doc_id", "text", "b", k=_ING_SPAN_K, min_occurrences=2
+    )
+    spl = sp.join(
+        acc.select(F.col("doc").alias("doc_id"), "lang"), "doc_id"
+    ).localCheckpoint()
+    atg = spl.select("lang", F.explode(tokens("text_clean")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    exg = atg.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens_clean"),
+        F.count_distinct("tok").cast("bigint").alias("distinct_exact"),
+    )
+    dg = spl.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_accepted"),
+        F.sum("dropped_tokens").cast("bigint").alias("dropped_span_tokens"),
+    )
+    return dg.join(exg, "lang", "left").select(
+        "lang",
+        "n_docs_accepted",
+        "dropped_span_tokens",
+        F.coalesce("n_tokens_clean", F.lit(0)).cast("bigint").alias("n_tokens_clean"),
+        F.coalesce("distinct_exact", F.lit(0)).cast("bigint").alias("distinct_exact"),
     )

@@ -70,6 +70,55 @@ def _run_dedup_stage(
         )
 
 
+def _run_span_stage(
+    spark: SparkSession,
+    schema: str,
+    p: dict[str, str],
+    id_col: str,
+    text_col: str,
+    span_k: int,
+) -> None:
+    """Stage 3 of the full chains: the exact duplicated-substring gate
+    drains ``accepted/`` into ``spanned/`` — first-wins passage cuts
+    with state shared across whatever feeds produced the corpus."""
+    if _has_batches(p["accepted"]):
+        span_gate.run_span_gate_available_now(
+            spark,
+            os.path.join(p["accepted"], "batch_id=*"),
+            schema,
+            p["spanned"],
+            p["span_state"],
+            p["ckpt_span"],
+            id_col=id_col,
+            text_col=text_col,
+            k=span_k,
+        )
+
+
+# the span stage NORMALIZES the id column: dedup_spans' output relation
+# is (doc_id, n_tokens, dropped_tokens, text_clean) whatever id_col the
+# input used — declaring the caller's id_col downstream would silently
+# resolve to an all-null column
+_SPANNED_SCHEMA = (
+    "doc_id long, n_tokens long, dropped_tokens long, text_clean string"
+)
+
+_FULL_CHAIN_PATHS = (
+    "drift",
+    "accepted",
+    "dedup_state",
+    "spanned",
+    "span_state",
+    "cms",
+    "hll",
+    "ckpt_drift",
+    "ckpt_dedup",
+    "ckpt_span",
+    "ckpt_cms",
+    "ckpt_hll",
+)
+
+
 def _run_sketch_stage(
     spark: SparkSession,
     corpus_dir: str,
@@ -214,23 +263,7 @@ def run_full_ingest_available_now(
     replayed by plans/registry_ingest.q_ingest_chain_spans_audit
     (full DuckDB oracle), parity-pinned by
     tests/test_ingest_pipeline.py."""
-    p = _paths(
-        work_dir,
-        (
-            "drift",
-            "accepted",
-            "dedup_state",
-            "spanned",
-            "span_state",
-            "cms",
-            "hll",
-            "ckpt_drift",
-            "ckpt_dedup",
-            "ckpt_span",
-            "ckpt_cms",
-            "ckpt_hll",
-        ),
-    )
+    p = _paths(work_dir, _FULL_CHAIN_PATHS)
     drift_gate.run_drift_gate_available_now(
         spark,
         input_dir,
@@ -242,25 +275,47 @@ def run_full_ingest_available_now(
         threshold=psi_threshold,
     )
     _run_dedup_stage(spark, schema, p, id_col, text_col)
-    if _has_batches(p["accepted"]):
-        span_gate.run_span_gate_available_now(
-            spark,
-            os.path.join(p["accepted"], "batch_id=*"),
-            schema,
-            p["spanned"],
-            p["span_state"],
-            p["ckpt_span"],
-            id_col=id_col,
-            text_col=text_col,
-            k=span_k,
-        )
-    # the span stage NORMALIZES the id column: dedup_spans' output
-    # relation is (doc_id, n_tokens, dropped_tokens, text_clean)
-    # whatever id_col the input used — declaring {id_col} here would
-    # silently resolve to an all-null column downstream
-    clean_schema = (
-        "doc_id long, n_tokens long, dropped_tokens long, "
-        "text_clean string"
+    _run_span_stage(spark, schema, p, id_col, text_col, span_k)
+    _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
+    return p
+
+
+def run_group_full_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    ref_path: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_threshold: float = 0.25,
+    span_k: int = 8,
+) -> dict[str, str]:
+    """The complete MULTI-FEED admission pipeline: grouped drift gate
+    (each feed PSI-judged against its own frozen reference — one broken
+    feed quarantines alone) → MinHash near-dup gate → exact
+    duplicated-substring (span) gate → sketch maintenance over the
+    span-cleaned corpus. The dedup and span gates keep ONE first-wins
+    state across feeds: a near-duplicate or a repeated passage is
+    rejected/cut whichever feed resends it, in batch order. Same
+    directory chaining and exactly-once/restart contract as the other
+    chains; batch form replayed by
+    plans/registry_ingest.q_ingest_chain_group_spans (full DuckDB
+    oracle), parity-pinned by tests/test_ingest_pipeline.py."""
+    p = _paths(work_dir, _FULL_CHAIN_PATHS)
+    drift_gate.run_group_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        ref_path,
+        p["ckpt_drift"],
+        group_col=group_col,
+        text_col=text_col,
+        threshold=psi_threshold,
     )
-    _run_sketch_stage(spark, p["spanned"], clean_schema, p, "text_clean")
+    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_span_stage(spark, schema, p, id_col, text_col, span_k)
+    _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
     return p
