@@ -533,12 +533,16 @@ def pq_subvectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "vec_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(out_id, sub, svec): each vector split into ``m`` contiguous
-    subvectors — the PQ subspace decomposition, map-side only. The
-    dimension must divide by ``m`` (runtime-asserted per row: a ragged
-    or indivisible corpus fails loudly instead of silently training on
-    truncated tails)."""
+    """(out_id, *carry, sub, svec): each vector split into ``m``
+    contiguous subvectors — the PQ subspace decomposition, map-side
+    only. The dimension must divide by ``m`` (runtime-asserted per
+    row: a ragged or indivisible corpus fails loudly instead of
+    silently training on truncated tails). ``carry`` names extra
+    columns to keep alongside the id — how :func:`ivfpq_topk` carries
+    the coarse ``cell`` through encoding in ONE corpus pass instead of
+    re-joining a corpus-sized cell relation afterwards."""
     v = F.col(vec_col)
     sublen = (F.size(v) / m).cast("int")
     subs = F.transform(
@@ -556,7 +560,9 @@ def pq_subvectors(
         subs,
     )
     return vectors.select(
-        F.col(id_col).alias(out_id), F.posexplode(guarded).alias("sub", "svec")
+        F.col(id_col).alias(out_id),
+        *[F.col(c) for c in carry],
+        F.posexplode(guarded).alias("sub", "svec"),
     )
 
 
@@ -610,9 +616,10 @@ def pq_codebooks(
 
 
 def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(id, sub, svec, code): each subvector's nearest code by rounded
+    """(*sv.columns, code): each subvector's nearest code by rounded
     L2² (6dp, code-asc tie-break). Broadcast codebooks, window over the
-    n_codes fan-out — map-shaped at any corpus size."""
+    n_codes fan-out — map-shaped at any corpus size. Column-preserving
+    so carried columns (e.g. the IVF ``cell``) survive encoding."""
     from pyspark.sql import Window
 
     idc = sv.columns[0]
@@ -623,7 +630,7 @@ def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(idc, "sub", "svec", "code")
+        .select(*sv.columns, "code")
     )
 
 
@@ -634,12 +641,16 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "vec_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(out_id, sub, code): the corpus compressed to its PQ codes —
-    m small ints per vector (the relation a served index stores;
-    cell-partition it with the IVF postings machinery for IVFPQ)."""
-    sv = pq_subvectors(vectors, m, id_col, vec_col, out_id=out_id)
-    return _pq_assign(sv, codebooks).select(out_id, "sub", "code")
+    """(out_id, *carry, sub, code): the corpus compressed to its PQ
+    codes — m small ints per vector (the relation a served index
+    stores; cell-partition it with the IVF postings machinery for
+    IVFPQ). ``carry`` keeps extra columns (e.g. the coarse ``cell``)
+    attached through encoding, matching the persisted store's
+    cell-partitioned layout without a second corpus-sized join."""
+    sv = pq_subvectors(vectors, m, id_col, vec_col, out_id=out_id, carry=carry)
+    return _pq_assign(sv, codebooks).select(out_id, *carry, "sub", "code")
 
 
 def pq_adc_topk(
@@ -768,7 +779,6 @@ def ivfpq_topk(
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     if by_residual:
         rcorp = _residuals(corpus, cents, id_col, vec_col, "neighbor_id")
-        cells = rcorp.select("neighbor_id", "cell")
         # codebook seeding must EXCLUDE the coarse-seed vectors: a
         # seed's residual against its own centroid is the zero vector,
         # so the lowest-id seeding rule would otherwise hand Lloyd
@@ -780,7 +790,12 @@ def ivfpq_topk(
             "left_anti",
         )
         cb = pq_codebooks(rtrain, m, n_codes, iters, "neighbor_id", vec_col)
-        codes = pq_encode(rcorp, cb, m, "neighbor_id", vec_col, out_id="neighbor_id")
+        # cell carried through encoding: (neighbor_id, cell, sub, code)
+        # in ONE corpus pass — no corpus-sized re-join to attach cells
+        codes = pq_encode(
+            rcorp, cb, m, "neighbor_id", vec_col,
+            out_id="neighbor_id", carry=("cell",),
+        )
         rq = _residuals(
             queries, cents, id_col, vec_col, "query_id", n_probe=n_probe
         )
@@ -800,16 +815,18 @@ def ivfpq_topk(
             "code",
             F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
         )
-        scored = (
-            codes.join(cells, "neighbor_id")
-            .join(F.broadcast(dtab), ["cell", "sub", "code"])
-        )
+        scored = codes.join(F.broadcast(dtab), ["cell", "sub", "code"])
     else:
-        cells = ivf_assign(
+        assigned = ivf_assign(
             corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
-        ).select("neighbor_id", "cell")
+        )
         cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-        codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id")
+        # same one-pass layout as the persisted store
+        # (sinks/vector_index.py codes/): cell-partitioned codes
+        codes = pq_encode(
+            assigned, cb, m, "neighbor_id", vec_col,
+            out_id="neighbor_id", carry=("cell",),
+        )
         probes = ivf_assign(
             queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
         ).select("query_id", "cell")
@@ -821,8 +838,7 @@ def ivfpq_topk(
             F.round(l2sq("svec", "cv"), 9).cast("decimal(28,12)").alias("__term"),
         )
         scored = (
-            codes.join(cells, "neighbor_id")
-            .join(F.broadcast(probes), "cell")
+            codes.join(F.broadcast(probes), "cell")
             .join(F.broadcast(dtab), ["query_id", "sub", "code"])
         )
     scored = (

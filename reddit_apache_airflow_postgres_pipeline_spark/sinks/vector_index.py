@@ -285,11 +285,14 @@ def write_ivfpq_index(
 
     cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
     cb = pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
-    cells = ivf_assign(
+    # cell assigned and carried through encoding in ONE corpus pass —
+    # no corpus-sized join to re-attach it before the partitioned write
+    assigned = ivf_assign(
         corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
-    ).select("neighbor_id", "cell")
-    codes = pq_encode(corpus, cb, m, id_col, vec_col, out_id="neighbor_id").join(
-        cells, "neighbor_id"
+    )
+    codes = pq_encode(
+        assigned, cb, m, "neighbor_id", vec_col,
+        out_id="neighbor_id", carry=("cell",),
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
@@ -324,11 +327,12 @@ def append_to_ivfpq_index(
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
     m = _codes_m(spark, path, cb)
-    cells = ivf_assign(
+    assigned = ivf_assign(
         new_vectors, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
-    ).select("neighbor_id", "cell")
-    codes = pq_encode(new_vectors, cb, m, id_col, vec_col, out_id="neighbor_id").join(
-        cells, "neighbor_id"
+    )
+    codes = pq_encode(
+        assigned, cb, m, "neighbor_id", vec_col,
+        out_id="neighbor_id", carry=("cell",),
     )
     store = f"{path}/codes"
     _reject_legacy_flat_store(store)

@@ -234,6 +234,14 @@ BNLJ_ALLOWED = {
     "q_sim_ivfpq_recall": (
         "coarse-centroid fan-out + the 8-query exact-L2 baseline scan"
     ),
+    "q_sim_ivfpq_residual": (
+        "n_cells coarse centroids broadcast (three ivf_assign fan-outs "
+        "in the residual path — same shape as q_sim_ivfpq)"
+    ),
+    "q_sim_ivfpq_residual_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan "
+        "(same shape as q_sim_ivfpq_recall)"
+    ),
     "q_sim_ivf_recall": "bounded query set + centroids",
     "q_sim_kmeans_quality": "bounded centroid set (n_cells rows)",
     "q_dedup_semantic": "bounded centroid set (n_cells rows)",
