@@ -870,9 +870,11 @@ def pq_variance_perm(
     concentrates variance in one contiguous block (common with PCA- or
     learned-embedding layouts), the contiguous split hands one
     codebook all the signal and the round-robin deal measurably
-    recovers recall at the same m/n_codes budget (pinned in
-    tests/test_pq.py). L2 is permutation-invariant, so permuted-space
-    ADC distances remain directly comparable to raw exact L2.
+    recovers recall at the same m/n_codes budget (pinned by
+    tests/test_pq.py::test_opq_perm_recovers_recall_on_skewed_corpus:
+    36/40 vs 27/40 recall@5). L2 is permutation-invariant, so
+    permuted-space ADC distances remain directly comparable to raw
+    exact L2.
 
     One corpus pass (posexplode → per-dim moment agg on d keys), then
     window ranking over a d-row relation — the training cost is a
@@ -935,7 +937,9 @@ def pq_opq_topk(
     corpus, permute corpus and queries identically, quantize there.
     Since L2 is permutation-invariant the returned dists estimate the
     same raw-space L2², just with quantization error spread evenly
-    across subspaces instead of piled onto the high-variance block."""
+    across subspaces instead of piled onto the high-variance block.
+    Registry pairing: q_sim_opq / q_sim_opq_recall (full DuckDB
+    oracle, plans/registry_ml.py)."""
     perm = pq_variance_perm(corpus, m, id_col, vec_col)
     pc = apply_dim_perm(corpus, perm, vec_col)
     pq = apply_dim_perm(queries, perm, vec_col)

@@ -1636,18 +1636,20 @@ def _recall_vs_exact_l2(
     )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(src: str = "embeddings") -> str:
     """The PQ pipeline unrolled as CTEs under the k-means rounding
     contract: subspace split → per-sub seed codebooks → one Lloyd step
     (6dp distances and components, code-asc tie-break) → corpus codes →
     per-query distance table (9dp terms as DECIMAL(28,12)) → ADC top-k.
-    Mirrors similarity.pq_codebooks / pq_encode / pq_adc_topk."""
+    Mirrors similarity.pq_codebooks / pq_encode / pq_adc_topk.
+    ``src`` names the (vec_id, embedding) relation to quantize —
+    ``embeddings`` for raw PQ, the permuted ``pemb`` CTE for OPQ."""
     l2 = _L2SQ_SQL
     return f"""
     sv AS MATERIALIZED (
       SELECT vec_id, s.j AS sub,
              embedding[s.j*(len(embedding)//{_PQ_M})+1 : (s.j+1)*(len(embedding)//{_PQ_M})] AS svec
-      FROM embeddings, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
+      FROM {src}, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
     cb0 AS (
       SELECT sub, rn - 1 AS code,
              list_transform(svec, zx -> CAST(zx AS DOUBLE)) AS cv
@@ -1741,6 +1743,82 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.pq_adc_topk(
+        e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
+    )
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+def _opq_ctes() -> str:
+    """The OPQ-permutation front end (similarity.pq_variance_perm /
+    apply_dim_perm): per-dimension corpus variance (6dp, dim-asc
+    tie-break), rank → round-robin subspace deal, and the corpus
+    re-projected in permuted order — ends at ``pemb``, the
+    (vec_id, embedding) relation _pq_ctes quantizes for OPQ."""
+    return f"""
+    dvar AS (
+      SELECT dim,
+             round(AVG(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))
+                   - AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 6) AS var
+      FROM (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings) z
+      GROUP BY dim),
+    dperm AS (
+      SELECT ((r % {_PQ_M}) * (d // {_PQ_M}) + (r // {_PQ_M})) AS pos, dim
+      FROM (SELECT dim,
+                   ROW_NUMBER() OVER (ORDER BY var DESC, dim) - 1 AS r,
+                   COUNT(*) OVER () AS d
+            FROM dvar) z),
+    pemb AS MATERIALIZED (
+      SELECT e.vec_id,
+             list(CAST(e.embedding[p.dim + 1] AS DOUBLE) ORDER BY p.pos) AS embedding
+      FROM embeddings e CROSS JOIN dperm p
+      GROUP BY e.vec_id)"""
+
+
+@_q(
+    "q_sim_opq",
+    f"""
+    WITH {_opq_ctes()},
+    {_pq_ctes("pemb")}
+    SELECT query_id, neighbor_id, dist FROM pqtop
+    """,
+)
+def q_sim_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite ANN: q_sim_pq_adc run in the variance-balanced
+    permuted space (Ge et al. 2014's eigenvalue allocation restricted
+    to a permutation — similarity.pq_variance_perm). Dimensions are
+    ranked by corpus variance and dealt round-robin across the m
+    subspaces, so no codebook hoards the high-variance block; L2 is
+    permutation-invariant so the ADC dists estimate the same raw-space
+    L2². The permutation is a d-row model parameter compiled into one
+    map-side projection (apply_dim_perm) — the training scan is the
+    only cost added over plain PQ."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.pq_opq_topk(
+        e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
+    )
+
+
+@_q(
+    "q_sim_opq_recall",
+    f"""
+    WITH {_opq_ctes()},
+    {_pq_ctes("pemb")},
+    {_exl2_recall_sql("pqtop")}
+    """,
+)
+def q_sim_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ recall audit: per-query recall@5 of the permuted-space ADC
+    answer against the EXACT raw-space L2 neighbors (valid baseline
+    because L2 is permutation-invariant). The fourth point on the
+    quantization audit curve (pq → opq → ivfpq → residual-ivfpq); on
+    variance-skewed layouts the permutation's win over q_sim_pq_recall
+    is pinned by tests/test_pq.py's skewed-corpus test."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.pq_opq_topk(
         e, q, m=_PQ_M, n_codes=_PQ_CODES, k=_PQ_K, iters=1
     )
     return _recall_vs_exact_l2(e, q, approx)

@@ -283,6 +283,11 @@ BNLJ_ALLOWED = {
         "8-query broadcast side of the exact-L2 baseline scan (the "
         "knn_bruteforce fan-out shape)"
     ),
+    "q_sim_opq_recall": (
+        "8-query broadcast side of the exact-L2 baseline scan (same "
+        "shape as q_sim_pq_recall; the permutation itself is a "
+        "collected d-row model parameter, not a join)"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"

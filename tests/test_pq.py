@@ -155,6 +155,70 @@ def test_residual_ivfpq_wins_on_clustered_data(spark):
     assert r_raw <= 14
 
 
+def _skewed_corpus(spark, n=64):
+    """Deterministic variance-skewed embeddings: 8 dims where ALL the
+    signal lives in dims 0-1 (raw test-embedding components) and dims
+    2-7 are the same components shrunk 1000x — the layout where PQ's
+    contiguous split hands subspace 0 both informative dims and the
+    OPQ round-robin deal provably helps."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    src = {
+        r["vec_id"]: r["embedding"]
+        for r in e.filter(F.col("vec_id") < n).collect()
+    }
+    rows = [
+        (
+            j,
+            [round(float(src[j][0]), 6), round(float(src[j][1]), 6)]
+            + [round(0.001 * float(src[j][i]), 6) for i in range(2, 8)],
+        )
+        for j in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_opq_perm_recovers_recall_on_skewed_corpus(spark):
+    """pq_variance_perm's claim: when variance concentrates in one
+    contiguous block, the contiguous PQ split gives one 16-code
+    codebook ALL the signal (distances collapse to 16 levels) while
+    the round-robin deal spreads the two informative dims across two
+    subspaces, each quantized finer at the same m/n_codes budget.
+    Measured: OPQ 36/40 vs PQ 27/40 recall@5 — deterministic (rounding
+    contracts, id-asc seeding, no RNG), asserted with slack. Also pins
+    that the permutation actually separates dims 0 and 1."""
+    from pyspark.sql import Window
+
+    e = _skewed_corpus(spark)
+    q = e.filter(F.col("vec_id") < 8)
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    sc = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(sim.l2sq("__c", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    def recall(fn):
+        approx = fn(e, q, m=4, n_codes=16, k=5, iters=1).select(
+            "query_id", "neighbor_id"
+        )
+        return exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+
+    r_opq, r_pq = recall(sim.pq_opq_topk), recall(sim.pq_adc_topk)
+    assert r_opq >= r_pq + 5, (r_opq, r_pq)  # measured 36 vs 27
+    assert r_opq >= 33
+    # the deal puts the two high-variance dims in DIFFERENT subspaces
+    perm = {r["pos"]: r["dim"] for r in sim.pq_variance_perm(e, m=4).collect()}
+    sub_of = {perm[p]: p // 2 for p in perm}  # sublen = 8/4 = 2
+    assert sub_of[0] != sub_of[1], sub_of
+
+
 def test_residual_ivfpq_is_deterministic_and_well_formed(spark):
     e = _emb(spark)
     q = e.filter(F.col("vec_id") < 4)
