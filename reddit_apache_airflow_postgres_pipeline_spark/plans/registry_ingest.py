@@ -229,7 +229,37 @@ def chain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped replay memo: chain_replay / group_chain_replay are
+# consumed by 3 + 2 registry queries, and their localCheckpoints run
+# EAGERLY at query-construction time — without sharing, one oracle-gate
+# pass replays the 4-stage chain five times. The checkpointed relations
+# are deterministic pure functions of (application, sf_dir) and skinny
+# (≤1 row per doc / per band key), so handing every consumer the same
+# pair is pure compute reuse. Keyed by applicationId: a restarted
+# SparkContext gets a fresh id, so dead checkpoint RDDs can never leak
+# into a new session.
+_REPLAY_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _memo_replay(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _REPLAY_CACHE:
+        _REPLAY_CACHE[key] = build()
+    return _REPLAY_CACHE[key]
+
+
 def chain_replay(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized (per application × sf_dir) :func:`_chain_replay_build` —
+    the sketch/span audits and the decisions query all consume the same
+    checkpointed (dec, acc) pair instead of re-running the replay."""
+    return _memo_replay(
+        spark, sf_dir, "scalar", lambda: _chain_replay_build(spark, sf_dir)
+    )
+
+
+def _chain_replay_build(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(dec, acc): per-batch drift decisions (b, n_docs, psi) and the
@@ -550,6 +580,18 @@ def _dedup_unroll(spark: SparkSession, keys: DataFrame) -> DataFrame:
 def group_chain_replay(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
+    """Memoized (per application × sf_dir)
+    :func:`_group_chain_replay_build` — q_ingest_chain_by_group and
+    q_ingest_chain_group_spans share one checkpointed replay per gate
+    run instead of each re-running the 4-stage grouped chain."""
+    return _memo_replay(
+        spark, sf_dir, "group", lambda: _group_chain_replay_build(spark, sf_dir)
+    )
+
+
+def _group_chain_replay_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """(dec, acc): per-(batch, group) drift decisions (b, lang, n_docs,
     psi) and the accepted corpus (b, lang, doc) — the grouped chain's
     batch half, factored out for the parity test. Same scale shape as
@@ -840,7 +882,12 @@ def q_ingest_chain_group_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, clean token count, exact distinct tokens. Single-scan
     posture: the replay's acc arrives checkpointed, the span output and
     its lang re-attach are checkpointed here, so the two per-lang
-    aggregates share one materialization."""
+    aggregates share one materialization. Cost profile (r8 verdict #3):
+    the replay memo means a gate run that already executed
+    q_ingest_chain_by_group pays only the span stage + two aggregates
+    here; the irreducible standalone cost is the grouped 4-stage replay
+    itself (B sequential dedup-gate stages on the checkpointed band-key
+    relation), which no single-query plan can avoid."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
         dedup_spans_online,
     )
