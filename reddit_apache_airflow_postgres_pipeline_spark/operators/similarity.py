@@ -944,3 +944,310 @@ def pq_opq_topk(
     pc = apply_dim_perm(corpus, perm, vec_col)
     pq = apply_dim_perm(queries, perm, vec_col)
     return pq_adc_topk(pc, pq, m, n_codes, k, iters, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8), binary sign quantization, and Matryoshka
+# staged retrieval — the remaining compression/staging shapes a vector
+# serving stack runs alongside PQ/IVFPQ (FAISS IndexScalarQuantizer /
+# binary indexes; Kusupati et al. 2022 for MRL prefix-dim retrieval).
+# All three follow the engine's cross-engine determinism contract:
+# trained parameters rounded 6dp, distances rounded 6dp, id-asc
+# tie-breaks — so DuckDB replays every pipeline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim, mn, mx): per-dimension corpus min/max rounded 6dp — the
+    SQ8 quantizer's trained parameters (d rows; a model parameter like
+    PQ codebooks). One corpus pass: posexplode → d-key hash agg."""
+    x = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+    )
+    return x.groupBy("dim").agg(
+        F.round(F.min("v"), 6).alias("mn"), F.round(F.max("v"), 6).alias("mx")
+    )
+
+
+def _sq8_params(minmax: DataFrame) -> list[tuple[float, float]]:
+    """The d-row (mn, mx) list in dim order, collected to the driver —
+    the same model-parameter posture as apply_dim_perm's permutation
+    (broadcasting d scalars beats exploding the corpus to join them)."""
+    return [
+        (float(r["mn"]), float(r["mx"]))
+        for r in minmax.orderBy("dim").collect()
+    ]
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    minmax: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """``out_col`` = array<int> of uint8 codes: per dim,
+    floor((v - mn) * 256 / (mx - mn)) clamped to [0, 255] — 256 uniform
+    buckets whose midpoints sq8_dequant returns exactly, so the
+    reconstruction error is bounded by HALF a bucket (code 0 when the
+    dim is constant). 4x memory compression (float32 → 1 byte),
+    compiled into ONE map-side array projection from the collected
+    d-row params — no join, no shuffle, whatever the corpus size."""
+    pars = _sq8_params(minmax)
+    v = F.col(vec_col)
+    comps = []
+    for i, (mn, mx) in enumerate(pars):
+        if mx > mn:
+            scaled = F.floor(
+                (v[i].cast("double") - F.lit(mn)) * 256.0 / F.lit(mx - mn)
+            )
+            comps.append(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(255)).cast("int")
+            )
+        else:
+            comps.append(F.lit(0))
+    return vectors.withColumn(out_col, F.array(*comps))
+
+
+def sq8_dequant(
+    codes_df: DataFrame,
+    minmax: DataFrame,
+    codes_col: str = "codes",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """``out_col`` = the reconstruction mn + (code + 0.5)(mx - mn)/256
+    per dim — the bucket midpoint, exactly what asymmetric SQ8 search
+    scores against. Same collected-params map-side posture as encode."""
+    pars = _sq8_params(minmax)
+    c = F.col(codes_col)
+    return codes_df.withColumn(
+        out_col,
+        F.array(
+            *[
+                F.lit(mn)
+                + (c[i].cast("double") + 0.5) * F.lit(mx - mn) / 256.0
+                for i, (mn, mx) in enumerate(pars)
+            ]
+        ),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): asymmetric SQ8 search — the
+    corpus encoded to uint8 codes and scored as bucket-midpoint
+    reconstructions against the RAW query (6dp L2², id-asc ties).
+    SQ8 shrinks memory 4x at much lower recall loss than PQ's m-byte
+    codes; the scan is still brute-force, so at 100 TB compose it with
+    the IVF cells exactly like ivfpq_topk (the operator is the
+    encode/score contract, not the pruning)."""
+    from pyspark.sql import Window
+
+    mm = sq8_minmax(corpus, vec_col)
+    recon = sq8_dequant(
+        sq8_encode(corpus, mm, vec_col, "__codes"), mm, "__codes", "__recon"
+    ).select(F.col(id_col).alias("neighbor_id"), "__recon")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    )
+    scored = (
+        recon.join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", F.round(l2sq("__recon", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )
+
+
+def sign_signature(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+    word_bits: int = 32,
+) -> DataFrame:
+    """``out_col`` = array<bigint> of sign words: bit (i mod 32) of
+    word i//32 is set iff component i > 0. 32 bits per word keeps
+    every packed value far from BIGINT overflow (Spark 4's ANSI mode
+    would reject a 64-bit sign-bit wrap). 32x memory compression and
+    the cheapest possible distance — XOR + popcount — the classic
+    binary-embedding serving trick; Hamming approximates angular
+    distance for zero-centered embeddings."""
+    v = F.col(vec_col)
+    d = None
+    # dimension must be known to unroll the packer; probe one row
+    row = vectors.select(F.size(v).alias("d")).first()
+    d = int(row["d"]) if row else 0
+    n_words = (d + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        bits = [
+            F.when(
+                v[i].cast("double") > 0.0, F.lit(1 << (i - w * word_bits))
+            ).otherwise(F.lit(0))
+            for i in range(w * word_bits, min((w + 1) * word_bits, d))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc.cast("bigint"))
+    return vectors.withColumn(out_col, F.array(*words))
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    """Σ popcount(aᵢ XOR bᵢ) over two sign-word arrays — integer-exact,
+    so no rounding contract is even needed."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming): top-k by sign-signature
+    Hamming distance (id-asc ties — Hamming ties are dense, so the
+    tie-break is load-bearing for determinism). The coarse stage of
+    binary serving; see binary_rerank_topk for the production shape."""
+    from pyspark.sql import Window
+
+    c = sign_signature(corpus, vec_col, "__sc").select(
+        F.col(id_col).alias("neighbor_id"), "__sc"
+    )
+    q = sign_signature(queries, vec_col, "__sq").select(
+        F.col(id_col).alias("query_id"), "__sq"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", hamming("__sc", "__sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+
+
+def binary_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): two-stage binary serving — the
+    Hamming scan keeps ``rerank`` candidates per query (cheap XOR+
+    popcount over 32x-compressed signatures), then ONLY those
+    |q|×rerank rows are re-scored with exact 6dp L2² on the raw
+    floats. This is how binary embeddings are actually served: the
+    expensive metric touches a bounded candidate set, never the
+    corpus. Recall vs exact L2 is pinned by the registry audit."""
+    from pyspark.sql import Window
+
+    cand = binary_hamming_topk(corpus, queries, rerank, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__c"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", F.round(l2sq("__c", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dims: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): Matryoshka staged retrieval
+    (Kusupati et al. 2022): stage 1 scores only the first
+    ``prefix_dims`` components (6dp L2², id-asc ties) and keeps
+    ``rerank`` candidates; stage 2 re-scores those with the full-d
+    exact L2². With MRL-trained embeddings the prefix is a faithful
+    coarse metric, so the funnel reads prefix_dims/d of the bytes for
+    the bulk of the scan — the I/O win matters most at 100 TB where
+    the scan is storage-bound. Same funnel shape as binary_rerank_topk
+    with the prefix metric swapped in."""
+    from pyspark.sql import Window
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__c"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    )
+    coarse = (
+        cv.select(
+            "neighbor_id", F.slice("__c", 1, prefix_dims).alias("__cp")
+        )
+        .join(
+            F.broadcast(
+                qv.select(
+                    "query_id", F.slice("__q", 1, prefix_dims).alias("__qp")
+                )
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cd", F.round(l2sq("__cp", "__qp"), 6))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("__cd"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("dist", F.round(l2sq("__c", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )

@@ -2073,3 +2073,257 @@ def q_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K, iters=1, by_residual=True,
     )
     return _recall_vs_exact_l2(e, q, approx)
+
+
+# -- SQ8 / binary-sign / Matryoshka: the remaining serving-layer shapes ------
+
+
+def _sq8_ctes() -> str:
+    """SQ8 unrolled: per-dim 6dp min/max (the trained params), encode
+    floor((v-mn)*256/(mx-mn)) clamped [0,255] (256 uniform buckets),
+    reconstruct at the bucket midpoint mn+(code+0.5)(mx-mn)/256, score raw queries
+    against reconstructions — mirrors similarity.sq8_minmax /
+    sq8_encode / sq8_dequant / sq8_topk. Ends at ``sq8top``."""
+    return f"""
+    mm AS (
+      SELECT dim, round(MIN(CAST(v AS DOUBLE)), 6) AS mn,
+             round(MAX(CAST(v AS DOUBLE)), 6) AS mx
+      FROM (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings) z
+      GROUP BY dim),
+    rq AS (
+      SELECT e.vec_id, m.dim,
+             m.mn + (CASE WHEN m.mx > m.mn
+                          THEN least(greatest(floor(
+                                 (CAST(e.embedding[m.dim + 1] AS DOUBLE) - m.mn)
+                                 * 256.0 / (m.mx - m.mn)), 0), 255)
+                          ELSE 0 END + 0.5) * (m.mx - m.mn) / 256.0 AS c
+      FROM embeddings e CROSS JOIN mm m),
+    recon AS MATERIALIZED (
+      SELECT vec_id, list(c ORDER BY dim) AS rv FROM rq GROUP BY vec_id),
+    sq8d AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="r.rv", b="q.embedding")}, 6) AS dist
+      FROM recon r, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE r.vec_id <> q.vec_id),
+    sq8top AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM sq8d) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_sq8",
+    f"""
+    WITH {_sq8_ctes()}
+    SELECT query_id, neighbor_id, dist FROM sq8top
+    """,
+)
+def q_sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (the FAISS IndexScalarQuantizer QT_8bit
+    shape): the corpus stored as one uint8 code per dimension (4x
+    memory compression) and scored asymmetrically — raw query against
+    bucket-midpoint reconstructions — under the engine's 6dp rounding
+    contract. The params are a d-row model parameter compiled into
+    map-side projections (no join to quantize); the scan is
+    brute-force by design — at 100 TB the operator composes with the
+    IVF cells exactly like ivfpq_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.sq8_topk(e, q, k=_PQ_K)
+
+
+@_q(
+    "q_sim_sq8_recall",
+    f"""
+    WITH {_sq8_ctes()},
+    {_exl2_recall_sql("sq8top")}
+    """,
+)
+def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 recall audit vs exact L2 — with 256 buckets per dimension
+    the quantization error is tiny, so this audit is the family's
+    upper anchor: near-perfect recall at 4x compression, against
+    which the PQ points (m bytes, far lossier) are judged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.sq8_topk(e, q, k=_PQ_K)
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+def _binary_ctes() -> str:
+    """Sign signatures packed 32 bits per BIGINT word, Hamming
+    XOR+popcount scan, and the exact-L2 rerank funnel — mirrors
+    similarity.sign_signature / binary_hamming_topk /
+    binary_rerank_topk. Ends at ``bhtop`` (hamming top-k) and
+    ``brtop`` (reranked top-k)."""
+    return f"""
+    sigs AS MATERIALIZED (
+      SELECT vec_id, list(word ORDER BY w) AS sig FROM (
+        SELECT vec_id, dim // 32 AS w,
+               CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > 0.0
+                             THEN (CAST(1 AS BIGINT) << (dim % 32))
+                             ELSE 0 END) AS BIGINT) AS word
+        FROM (SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings) z
+        GROUP BY vec_id, dim // 32) g
+      GROUP BY vec_id),
+    ham AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(c.sig, q.sig),
+                    zp -> bit_count(xor(zp[1], zp[2])))) AS INT) AS hamming
+      FROM sigs c, (SELECT * FROM sigs WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    bhtop AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rn
+        FROM ham) z
+      WHERE rn <= {_PQ_K}),
+    bcand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rn
+        FROM ham) z
+      WHERE rn <= 32),
+    brd AS (
+      SELECT b.query_id, b.neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS dist
+      FROM bcand b
+      JOIN embeddings c ON c.vec_id = b.neighbor_id
+      JOIN embeddings q ON q.vec_id = b.query_id),
+    brtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM brd) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_binary_hamming",
+    f"""
+    WITH {_binary_ctes()}
+    SELECT query_id, neighbor_id, hamming FROM bhtop
+    """,
+)
+def q_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN, coarse stage: sign signatures packed 32
+    bits per BIGINT word (32x compression), neighbors ranked by
+    XOR+popcount Hamming distance — integer-exact, so the only
+    contract needed is the id-asc tie-break (Hamming ties are dense).
+    The cheapest scan a vector store can run; q_sim_binary_rerank is
+    the production funnel built on it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.binary_hamming_topk(e, q, k=_PQ_K)
+
+
+@_q(
+    "q_sim_binary_rerank",
+    f"""
+    WITH {_binary_ctes()}
+    SELECT query_id, neighbor_id, dist FROM brtop
+    """,
+)
+def q_sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary serving funnel: the Hamming scan keeps 32 candidates per
+    query from 32x-compressed signatures, then ONLY those |q|x32 rows
+    are re-scored with exact 6dp L2² on raw floats. The expensive
+    metric never touches the corpus — the staged-retrieval shape
+    production binary-embedding stores run."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+
+
+@_q(
+    "q_sim_binary_rerank_recall",
+    f"""
+    WITH {_binary_ctes()},
+    {_exl2_recall_sql("brtop")}
+    """,
+)
+def q_sim_binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary rerank funnel vs exact L2: a true
+    neighbor is lost only when its sign signature isn't Hamming-top-32
+    — the audit that sizes the rerank budget, exactly like
+    q_sim_ivf_recall sizes n_probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+def _matryoshka_ctes() -> str:
+    """Prefix-dim coarse scan (first 16 components, 6dp L2²) keeping
+    32 candidates, exact full-d rerank — mirrors
+    similarity.matryoshka_topk. Ends at ``mrtop``."""
+    pfx = "embedding[1:16]"
+    return f"""
+    mrc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a=f"c.{pfx}", b=f"q.{pfx}")}, 6) AS cd
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    mrcand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cd, neighbor_id) AS rn
+        FROM mrc) z
+      WHERE rn <= 32),
+    mrd AS (
+      SELECT b.query_id, b.neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS dist
+      FROM mrcand b
+      JOIN embeddings c ON c.vec_id = b.neighbor_id
+      JOIN embeddings q ON q.vec_id = b.query_id),
+    mrtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM mrd) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_matryoshka",
+    f"""
+    WITH {_matryoshka_ctes()}
+    SELECT query_id, neighbor_id, dist FROM mrtop
+    """,
+)
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka staged retrieval (Kusupati et al. 2022): the coarse
+    scan reads only the first 16 of 64 components per vector (the I/O
+    win that matters when a 100 TB scan is storage-bound), keeps 32
+    candidates per query, and re-scores just those with the full-d
+    exact L2² — the same funnel as the binary rerank with the prefix
+    metric swapped in."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=16, rerank=32)
+
+
+@_q(
+    "q_sim_matryoshka_recall",
+    f"""
+    WITH {_matryoshka_ctes()},
+    {_exl2_recall_sql("mrtop")}
+    """,
+)
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the prefix-dim funnel vs exact full-d L2 — sizes
+    the (prefix_dims, rerank) budget; on MRL-trained embeddings the
+    prefix is a faithful coarse metric and this stays near 1, on
+    arbitrary embeddings it measures how much signal the first 16
+    dims actually carry."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=16, rerank=32)
+    return _recall_vs_exact_l2(e, q, approx)

@@ -288,6 +288,23 @@ BNLJ_ALLOWED = {
         "shape as q_sim_pq_recall; the permutation itself is a "
         "collected d-row model parameter, not a join)"
     ),
+    "q_sim_sq8": "bounded query set (8 raw queries vs reconstructions)",
+    "q_sim_sq8_recall": (
+        "bounded query set + the exact-L2 baseline scan"
+    ),
+    "q_sim_binary_hamming": "bounded query set (8 sign signatures)",
+    "q_sim_binary_rerank": (
+        "bounded query set (Hamming stage) + |q|x32 rerank candidates"
+    ),
+    "q_sim_binary_rerank_recall": (
+        "bounded query set + the exact-L2 baseline scan"
+    ),
+    "q_sim_matryoshka": (
+        "bounded query set (prefix-dim stage) + |q|x32 rerank candidates"
+    ),
+    "q_sim_matryoshka_recall": (
+        "bounded query set + the exact-L2 baseline scan"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"

@@ -1,0 +1,120 @@
+"""SQ8 / binary-sign / Matryoshka operators (operators/similarity.py):
+reconstruction error bounds, signature bit correctness, and the funnel
+invariant — with an unbounded candidate budget the staged retrievals
+must EQUAL the exact L2 top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _exact_l2_topk(e, q, k=5):
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"))
+    sc = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c"))
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", F.round(sim.l2sq("__c", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )
+
+
+def test_sq8_reconstruction_error_is_bounded_by_half_a_bucket(spark):
+    """Every reconstructed component must sit within half a bucket
+    width of the raw value: |recon - v| <= (mx-mn)/512, plus the 1e-6
+    slack the 6dp param rounding can add at the range edges (a raw
+    value may exceed the rounded mx by <1e-6 and clamp)."""
+    e = _emb(spark)
+    mm = sim.sq8_minmax(e)
+    recon = sim.sq8_dequant(sim.sq8_encode(e, mm, "embedding", "codes"), mm, "codes", "recon")
+    pars = {r["dim"]: (r["mn"], r["mx"]) for r in mm.collect()}
+    viol = (
+        recon.select(
+            F.posexplode(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    "recon",
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("dim", "err")
+        )
+        .groupBy("dim")
+        .agg(F.max("err").alias("max_err"))
+        .collect()
+    )
+    for r in viol:
+        mn, mx = pars[r["dim"]]
+        assert r["max_err"] <= (mx - mn) / 512.0 + 1e-6, (r["dim"], r["max_err"])
+
+
+def test_sq8_codes_are_uint8(spark):
+    e = _emb(spark)
+    mm = sim.sq8_minmax(e)
+    coded = sim.sq8_encode(e, mm, "embedding", "codes")
+    mmx = coded.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo"), F.max("hi")).collect()[0]
+    assert mmx[0] >= 0 and mmx[1] <= 255
+
+
+def test_sign_signature_bits_match_component_signs(spark):
+    """Hamming distance between two signatures == the count of dims
+    whose (v > 0) signs differ — recomputed independently per pair."""
+    e = _emb(spark).filter(F.col("vec_id") < 12)
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in sim.sign_signature(e, "embedding", "sig").collect()
+    }
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    for a in list(vecs)[:6]:
+        for b in list(vecs)[6:]:
+            want = sum(
+                1 for x, y in zip(vecs[a], vecs[b]) if (x > 0) != (y > 0)
+            )
+            got = sum(
+                bin((wa ^ wb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                for wa, wb in zip(sigs[a], sigs[b])
+            )
+            assert got == want, (a, b, got, want)
+
+
+def test_full_rerank_budget_equals_exact_l2(spark):
+    """The funnel invariant: with rerank >= corpus size, both staged
+    retrievals (binary and Matryoshka) must return EXACTLY the exact
+    L2 top-k — the coarse stage can only prune, never re-rank."""
+    e = _emb(spark).filter(F.col("vec_id") < 128)
+    q = e.filter(F.col("vec_id") < 4)
+    want = sorted(map(tuple, _exact_l2_topk(e, q, 5).collect()))
+    got_b = sorted(
+        map(tuple, sim.binary_rerank_topk(e, q, k=5, rerank=128).collect())
+    )
+    got_m = sorted(
+        map(tuple, sim.matryoshka_topk(e, q, k=5, rerank=128).collect())
+    )
+    assert got_b == want
+    assert got_m == want
+
+
+def test_binary_and_matryoshka_are_deterministic(spark):
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, sim.binary_hamming_topk(e, q, k=5).collect()))
+    b = sorted(map(tuple, sim.binary_hamming_topk(e, q, k=5).collect()))
+    assert a == b and len(a) == 4 * 5
+    m1 = sorted(map(tuple, sim.matryoshka_topk(e, q, k=5).collect()))
+    m2 = sorted(map(tuple, sim.matryoshka_topk(e, q, k=5).collect()))
+    assert m1 == m2 and len(m1) == 4 * 5
