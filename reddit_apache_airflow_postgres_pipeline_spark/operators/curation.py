@@ -713,6 +713,117 @@ def psi_drift_counts_by_group(
     )
 
 
+def ks_drift_counts(
+    ref_counts: DataFrame, cur_counts: DataFrame, bins: int = 10
+) -> DataFrame:
+    """Kolmogorov–Smirnov drift over pre-aggregated ``(bin, n)`` count
+    relations — the companion to :func:`psi_drift_counts` for the
+    drift signals PSI under-weights: PSI scores per-bin density RATIO
+    (loud on tail bins, quiet on a small uniform shift of the whole
+    mass), the KS statistic max|CDF_ref − CDF_cur| scores the worst
+    cumulative displacement, which is exactly what a location shift
+    produces. Output, one row per bin:
+
+        (bin, n_ref, n_cur, cdf_ref, cdf_cur, ks_term)
+
+    with cdf_* the cumulative fraction through that bin (6dp; an empty
+    snapshot's CDF is all-zero — "no evidence") and ks_term =
+    |cdf_cur − cdf_ref| (6dp). max(ks_term) is the alerting metric —
+    no smoothing needed because CDFs never divide by a bin count.
+
+    Scale shape: ≤ bins·shards rows past the first aggregate; the
+    cumsum window runs over the bins-row spine (bounded, declared)."""
+    from pyspark.sql import Window
+
+    spark = ref_counts.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    r = ref_counts.groupBy("bin").agg(F.sum("n").alias("n_ref"))
+    c = cur_counts.groupBy("bin").agg(F.sum("n").alias("n_cur"))
+    tot = r.agg(F.coalesce(F.sum("n_ref"), F.lit(0)).alias("tr")).crossJoin(
+        c.agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("tc"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+
+    def _cdf(n: str, total: str) -> Column:
+        cum = F.sum(F.coalesce(F.col(n), F.lit(0))).over(w)
+        return F.round(
+            F.when(F.col(total) > 0, cum / F.col(total)).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    cdf_ref, cdf_cur = _cdf("n_ref", "tr"), _cdf("n_cur", "tc")
+    return (
+        spine.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+            cdf_ref.alias("cdf_ref"),
+            cdf_cur.alias("cdf_cur"),
+            F.round(F.abs(cdf_cur - cdf_ref), 6).alias("ks_term"),
+        )
+    )
+
+
+def ks_drift_counts_by_group(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    group_col: str = "grp",
+    bins: int = 10,
+) -> DataFrame:
+    """:func:`ks_drift_counts` PER GROUP (the
+    psi_drift_counts_by_group posture: each feed judged against its
+    own frozen reference; a group absent from one side gets an
+    all-zero CDF on that side, maximally displaced against any
+    occupied reference). Output: (group, bin, n_ref, n_cur, cdf_ref,
+    cdf_cur, ks_term); max(ks_term) per group is the gate metric.
+    The cumsum window is PARTITIONED by group — bins rows per
+    partition, so no global-window bottleneck at any group count."""
+    from pyspark.sql import Window
+
+    spark = ref_counts.sparkSession
+    bspine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    g = group_col
+    r = ref_counts.groupBy(g, "bin").agg(F.sum("n").alias("n_ref"))
+    c = cur_counts.groupBy(g, "bin").agg(F.sum("n").alias("n_cur"))
+    groups = r.select(g).unionAll(c.select(g)).distinct()
+    tots = (
+        groups.join(
+            r.groupBy(g).agg(F.sum("n_ref").alias("tr")), g, "left"
+        ).join(c.groupBy(g).agg(F.sum("n_cur").alias("tc")), g, "left")
+    )
+    spine = tots.join(F.broadcast(bspine))
+    w = Window.partitionBy(g).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def _cdf(n: str, total: str) -> Column:
+        cum = F.sum(F.coalesce(F.col(n), F.lit(0))).over(w)
+        return F.round(
+            F.when(
+                F.coalesce(F.col(total), F.lit(0)) > 0, cum / F.col(total)
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    cdf_ref, cdf_cur = _cdf("n_ref", "tr"), _cdf("n_cur", "tc")
+    return (
+        spine.join(r, [g, "bin"], "left")
+        .join(c, [g, "bin"], "left")
+        .select(
+            g,
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+            cdf_ref.alias("cdf_ref"),
+            cdf_cur.alias("cdf_cur"),
+            F.round(F.abs(cdf_cur - cdf_ref), 6).alias("ks_term"),
+        )
+    )
+
+
 def kgrams(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1130,3 +1130,132 @@ def q_dedup_spans_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dedup_spans_online(
         batched, "doc_id", "text", "b", k=_SPAN_K, min_occurrences=2
     )
+
+
+# -- KS drift: the cumulative companion to the PSI monitors ------------------
+
+
+@_q(
+    "q_corpus_ks_drift",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    r AS (SELECT bin, COUNT(*) AS n_ref FROM t WHERE doc_id % 2 = 0 GROUP BY bin),
+    c AS (SELECT bin, COUNT(*) AS n_cur FROM t WHERE doc_id % 2 = 1 GROUP BY bin),
+    tot AS (SELECT (SELECT COUNT(*) FROM t WHERE doc_id % 2 = 0) AS tr,
+                   (SELECT COUNT(*) FROM t WHERE doc_id % 2 = 1) AS tc),
+    p AS (
+      SELECT b.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             round(CASE WHEN tot.tr > 0
+                   THEN SUM(COALESCE(r.n_ref, 0)) OVER (ORDER BY b.bin
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / tot.tr
+                   ELSE 0.0 END, 6) AS cdf_ref,
+             round(CASE WHEN tot.tc > 0
+                   THEN SUM(COALESCE(c.n_cur, 0)) OVER (ORDER BY b.bin
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / tot.tc
+                   ELSE 0.0 END, 6) AS cdf_cur
+      FROM bins b LEFT JOIN r ON r.bin = b.bin
+                  LEFT JOIN c ON c.bin = b.bin
+      CROSS JOIN tot)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           cdf_ref, cdf_cur,
+           round(abs(cdf_cur - cdf_ref), 6) AS ks_term
+    FROM p
+    """,
+)
+def q_corpus_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift of the token-length distribution
+    between the even-id snapshot (reference) and the odd-id snapshot
+    (current) — the cumulative companion to q_corpus_psi_drift:
+    max(ks_term) is max|CDF_ref − CDF_cur|, loud exactly where PSI is
+    quiet (a small uniform location shift of the whole mass) and
+    needing no epsilon smoothing because CDFs never divide by a bin
+    count. Same fixed 20-token bins; curation.ks_drift_counts is the
+    operator contract."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias("bin"),
+    )
+
+    def counts(parity: int) -> DataFrame:
+        return (
+            binned.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    return curation.ks_drift_counts(counts(0), counts(1), bins=10)
+
+
+@_q(
+    "q_corpus_ks_drift_by_group",
+    f"""
+    WITH t AS (SELECT doc_id, lang,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    r AS (SELECT lang, bin, COUNT(*) AS n_ref FROM t
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    c AS (SELECT lang, bin, COUNT(*) AS n_cur FROM t
+          WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+    grp AS (SELECT lang FROM r UNION SELECT lang FROM c),
+    tr AS (SELECT lang, SUM(n_ref) AS tr FROM r GROUP BY lang),
+    tc AS (SELECT lang, SUM(n_cur) AS tc FROM c GROUP BY lang),
+    sp AS (SELECT g.lang, b.bin
+           FROM grp g, (SELECT unnest(generate_series(0, 9)) AS bin) b),
+    p AS (
+      SELECT sp.lang, sp.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             round(CASE WHEN COALESCE(tr.tr, 0) > 0
+                   THEN SUM(COALESCE(r.n_ref, 0)) OVER (PARTITION BY sp.lang
+                          ORDER BY sp.bin ROWS UNBOUNDED PRECEDING)
+                        * 1.0 / tr.tr
+                   ELSE 0.0 END, 6) AS cdf_ref,
+             round(CASE WHEN COALESCE(tc.tc, 0) > 0
+                   THEN SUM(COALESCE(c.n_cur, 0)) OVER (PARTITION BY sp.lang
+                          ORDER BY sp.bin ROWS UNBOUNDED PRECEDING)
+                        * 1.0 / tc.tc
+                   ELSE 0.0 END, 6) AS cdf_cur
+      FROM sp LEFT JOIN r ON r.lang = sp.lang AND r.bin = sp.bin
+              LEFT JOIN c ON c.lang = sp.lang AND c.bin = sp.bin
+              LEFT JOIN tr ON tr.lang = sp.lang
+              LEFT JOIN tc ON tc.lang = sp.lang)
+    SELECT lang, bin,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           cdf_ref, cdf_cur,
+           round(abs(cdf_cur - cdf_ref), 6) AS ks_term
+    FROM p
+    """,
+)
+def q_corpus_ks_drift_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-LANGUAGE KS drift (curation.ks_drift_counts_by_group): each
+    feed's token-length CDF displacement against its own frozen
+    reference — the location-shift detector the grouped PSI monitor
+    under-weights, at the same (lang, bin) grain so the two gates
+    share their count-relation inputs. max(ks_term) per lang is each
+    feed's alerting metric; the cumsum window is partitioned by lang
+    (bins rows per partition — no global window at any group count)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        "lang",
+        F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias("bin"),
+    )
+
+    def counts(parity: int) -> DataFrame:
+        return (
+            binned.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    return curation.ks_drift_counts_by_group(counts(0), counts(1), "lang", bins=10)

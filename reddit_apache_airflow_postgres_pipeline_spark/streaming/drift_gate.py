@@ -125,6 +125,39 @@ def batch_psi(
     return batch_psi_stats(batch_df, ref_counts, text_col, bin_width, bins)[0]
 
 
+def batch_drift_stats(
+    batch_df: DataFrame,
+    ref_counts: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> tuple[float, float, int]:
+    """(total PSI, KS statistic, document count) of one batch against
+    the reference counts — BOTH drift metrics from ONE binned-count
+    pass over the batch (the two aggregates then run on bins-row
+    relations, so the second metric costs nothing corpus-sized). PSI
+    is loud on per-bin density ratios, KS = max|ΔCDF| on cumulative
+    displacement — a small location shift of the whole mass moves KS
+    first (curation.ks_drift_counts)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        ks_drift_counts,
+    )
+
+    cur = batch_df.sparkSession.createDataFrame(
+        reference_counts(batch_df, text_col, bin_width, bins).collect(),
+        "bin int, n bigint",
+    )
+    p = psi_drift_counts(ref_counts, cur, bins=bins).agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.sum("n_cur").cast("bigint").alias("n_docs"),
+    )
+    k = ks_drift_counts(ref_counts, cur, bins=bins).agg(
+        F.round(F.max("ks_term"), 6).alias("ks")
+    )
+    row = p.crossJoin(k).collect()[0]
+    return float(row["psi"]), float(row["ks"]), int(row["n_docs"])
+
+
 def run_drift_gate_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -136,9 +169,14 @@ def run_drift_gate_available_now(
     bin_width: int = 20,
     bins: int = 10,
     threshold: float = _PSI_THRESHOLD,
+    ks_threshold: float | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
-    availableNow trigger; see the module docstring for the layout."""
+    availableNow trigger; see the module docstring for the layout.
+    ``ks_threshold`` arms the second drift metric: admission then
+    requires psi <= threshold AND ks <= ks_threshold, and the decision
+    rows gain a ``ks`` column (None leaves schema and semantics exactly
+    as before — existing decision readers are unaffected)."""
     ref_counts = spark.read.parquet(ref_path)
     if "n" not in ref_counts.columns:
         # the r5 format persisted one (bin) row per DOCUMENT; rather
@@ -161,10 +199,22 @@ def run_drift_gate_available_now(
         # batch's source files instead of three (ADVICE r5)
         batch_df.persist()
         try:
-            psi, n = batch_psi_stats(
-                batch_df, ref_counts, text_col, bin_width, bins
-            )
-            admitted = psi <= threshold
+            if ks_threshold is None:
+                psi, n = batch_psi_stats(
+                    batch_df, ref_counts, text_col, bin_width, bins
+                )
+                admitted = psi <= threshold
+                decision, dschema = [(psi, admitted, n)], (
+                    "psi double, admitted boolean, n_docs long"
+                )
+            else:
+                psi, ks, n = batch_drift_stats(
+                    batch_df, ref_counts, text_col, bin_width, bins
+                )
+                admitted = psi <= threshold and ks <= ks_threshold
+                decision, dschema = [(psi, ks, admitted, n)], (
+                    "psi double, ks double, admitted boolean, n_docs long"
+                )
             dest = "admitted" if admitted else "quarantined"
             batch_df.write.mode("overwrite").parquet(
                 os.path.join(out_dir, dest, f"batch_id={batch_id}")
@@ -172,8 +222,7 @@ def run_drift_gate_available_now(
             # batch_id lives in the partition dir name — readers of the
             # decisions log get it back as the inferred partition column
             batch_df.sparkSession.createDataFrame(
-                [(psi, admitted, n)],
-                "psi double, admitted boolean, n_docs long",
+                decision, dschema
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
             )

@@ -205,3 +205,64 @@ def test_group_reference_rejects_wrong_format(spark, tmp_path):
             spark, str(tmp_path / "in"), GSCHEMA, str(tmp_path / "o"),
             ref, str(tmp_path / "c"), group_col="lang",
         )
+
+
+def test_ks_metric_catches_location_shift_and_matches_operator(spark):
+    """The KS co-metric's reason to exist: a one-bin location shift of
+    the WHOLE mass. Every doc moves bin 2 -> bin 3; batch_drift_stats'
+    ks must equal curation.ks_drift_counts' max(ks_term) exactly, hit
+    1.0 (complete CDF displacement at bin 2), and the PSI for the same
+    shift is finite/comparable — two metrics, one binned-count pass."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        ks_drift_counts,
+    )
+
+    ref_df = spark.createDataFrame([(i, NORMAL) for i in range(50)], SCHEMA)
+    ref = drift_gate.reference_counts(ref_df)
+    shifted = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 60)) for i in range(50)], SCHEMA  # bin 3
+    )
+    psi, ks, n = drift_gate.batch_drift_stats(shifted, ref)
+    assert n == 50
+    cur = drift_gate.reference_counts(shifted)
+    want = (
+        ks_drift_counts(ref, cur, bins=10)
+        .agg(F.round(F.max("ks_term"), 6))
+        .collect()[0][0]
+    )
+    assert ks == want == 1.0
+    # identical distribution: both metrics zero
+    psi0, ks0, _ = drift_gate.batch_drift_stats(ref_df, ref)
+    assert psi0 == 0.0 and ks0 == 0.0
+
+
+def test_gate_with_ks_threshold_quarantines_and_logs_ks(spark, tmp_path):
+    """ks_threshold arms the second metric: decisions gain a ks column
+    and admission requires BOTH psi and ks under their thresholds; the
+    default path (no ks_threshold) keeps the old 3-column schema."""
+    import os
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    drift_gate.write_reference(
+        spark.createDataFrame([(i, NORMAL) for i in range(100)], SCHEMA), ref
+    )
+    _write(os.path.join(inbox, "f0.parquet"), [(i, NORMAL) for i in range(20)])
+    _write(
+        os.path.join(inbox, "f1.parquet"),
+        [(100 + i, " ".join(["tok"] * 60)) for i in range(20)],  # bin 3 shift
+    )
+    drift_gate.run_drift_gate_available_now(
+        spark, inbox, SCHEMA, out, ref, ckpt,
+        threshold=1e9,  # PSI alone would admit everything
+        ks_threshold=0.5,
+    )
+    decisions = spark.read.parquet(f"{out}/decisions")
+    assert "ks" in decisions.columns
+    rows = {r["batch_id"]: r for r in decisions.collect()}
+    assert rows[0]["admitted"] and rows[0]["ks"] == 0.0
+    assert not rows[1]["admitted"] and rows[1]["ks"] == 1.0
+    assert spark.read.parquet(f"{out}/quarantined").count() == 20
