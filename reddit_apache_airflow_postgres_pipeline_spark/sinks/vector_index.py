@@ -111,12 +111,18 @@ def _reject_legacy_flat_store(store: str) -> None:
 STREAM_ID_BASE = 1_000_000_000
 
 
-def _write_delta(rows: DataFrame, store: str, batch_id: int | None) -> None:
-    """Write a delta as a cell-partitioned batch dir. ``batch_id=None``
-    takes the next free AD-HOC id (always below STREAM_ID_BASE); an
-    EXPLICIT id is the streaming caller's idempotence hook — a retried
-    micro-batch overwrites its own dir instead of minting a new one
-    (the counting_state retry contract).
+def _write_delta(
+    rows: DataFrame,
+    store: str,
+    batch_id: int | None,
+    partition_by: tuple[str, ...] = ("cell",),
+) -> None:
+    """Write a delta as a batch dir (``partition_by`` names the inner
+    partitioning — cell for the IVF stores, none for the flat binary
+    sig store). ``batch_id=None`` takes the next free AD-HOC id (always
+    below STREAM_ID_BASE); an EXPLICIT id is the streaming caller's
+    idempotence hook — a retried micro-batch overwrites its own dir
+    instead of minting a new one (the counting_state retry contract).
 
     The next free id must clear the newest generation's manifest too,
     not just the live listing: after a compaction the folded ids are
@@ -127,11 +133,10 @@ def _write_delta(rows: DataFrame, store: str, batch_id: int | None) -> None:
         batch_id = (
             max((i for i in used if 0 <= i < STREAM_ID_BASE), default=-1) + 1
         )
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(store, f"batch_id={batch_id}"))
-    )
+    writer = rows.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(store, f"batch_id={batch_id}"))
 
 
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
@@ -439,4 +444,137 @@ def query_ivfpq_index(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted binary signature index: the 32x-compressed sign-bit form
+# (operators/similarity.sign_signature) as a maintained store. No
+# trained parameters at all — the sign function is frozen by
+# definition — so appends are EXACTLY equivalent to a fresh build on
+# the union corpus (no quantizer-drift caveat, unlike IVF/IVFPQ), and
+# the Hamming scan deliberately reads every signature: the product IS
+# the cheapest whole-corpus metric (XOR+popcount over m words), which
+# is why the store keeps no inner partitioning to prune by.
+# ---------------------------------------------------------------------------
+
+_SIGS_FORMAT = "binary-sigs/v1"
+
+
+def write_binary_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the signature store: ``<path>/sigs`` holds
+    (neighbor_id, sig array<bigint>) as a counting_state SET store
+    (flat batch dirs — see module note on why there is no inner
+    partitioning)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        sign_signature,
+    )
+
+    sigs = sign_signature(corpus, vec_col, "sig").select(
+        F.col(id_col).alias("neighbor_id"), "sig"
+    )
+    store = f"{path}/sigs"
+    shutil.rmtree(store, ignore_errors=True)
+    _cs.stamp_meta(store, {"format": _SIGS_FORMAT, "word_bits": 32})
+    sigs.write.mode("overwrite").parquet(os.path.join(store, "batch_id=0"))
+
+
+def append_to_binary_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> None:
+    """Add a delta as the store's next batch dir. Same append contract
+    as the IVF stores (disjoint ids, idempotent per-dir overwrite,
+    prior dirs untouched) with one upgrade: since signatures have no
+    trained parameters, an appended store is EXACTLY a fresh build on
+    the union corpus — pinned by tests/test_vector_index.py."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        sign_signature,
+    )
+
+    sigs = sign_signature(new_vectors, vec_col, "sig").select(
+        F.col(id_col).alias("neighbor_id"), "sig"
+    )
+    store = f"{path}/sigs"
+    _cs.stamp_meta(store, {"format": _SIGS_FORMAT})
+    _write_delta(sigs, store, batch_id, partition_by=())
+
+
+def read_sigs(spark: SparkSession, path: str) -> DataFrame:
+    """The live (neighbor_id, sig) relation — raw scan over live batch
+    dirs, subsumed generations excluded (read_postings semantics)."""
+    store = f"{path}/sigs"
+    df = spark.read.parquet(store)
+    excluded = _cs.subsumed_ids(store)
+    if excluded:
+        df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    return df
+
+
+def compact_sigs(
+    spark: SparkSession, path: str, exclude_from: int | None = None
+) -> None:
+    """Fold the sig batch dirs into ONE generation (distinct-mode
+    counting_state compaction) so the listing stays bounded over an
+    unbounded append stream."""
+    store = f"{path}/sigs"
+    df = spark.read.parquet(store)
+    fields = [f for f in df.schema.fields if f.name != "batch_id"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    _cs.compact_counts(
+        spark,
+        store,
+        schema,
+        [f.name for f in fields],
+        None,
+        exclude_from=exclude_from,
+        agg="distinct",
+    )
+
+
+def query_binary_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, hamming): Hamming top-k of the query
+    signatures against the stored corpus signatures (id-asc ties). For
+    the exact-rerank funnel, feed these candidates to the caller's raw
+    corpus exactly like similarity.binary_rerank_topk's second stage."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        hamming,
+        sign_signature,
+    )
+
+    sigs = read_sigs(spark, path)
+    q = sign_signature(queries, vec_col, "__sq").select(
+        F.col(id_col).alias("query_id"), "__sq"
+    )
+    scored = (
+        sigs.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("hamming", hamming("sig", "__sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "hamming")
     )

@@ -44,19 +44,24 @@ def run_index_append_available_now(
 ) -> None:
     """Drain ``input_dir`` (parquet files of (id, vector) rows) into a
     persisted index with an availableNow trigger. ``kind``: "ivf"
-    appends raw-vector postings, "ivfpq" appends PQ codes. The index
-    must already exist (write_ivf_index / write_ivfpq_index — the
-    quantizers are frozen; this stream never retrains them). Caller
-    contract unchanged from the batch appends: delta ids disjoint from
-    indexed ids."""
+    appends raw-vector postings, "ivfpq" appends PQ codes, "binary"
+    appends sign signatures. The index must already exist
+    (write_ivf_index / write_ivfpq_index / write_binary_index — the
+    quantizers are frozen; this stream never retrains them, and the
+    binary kind has nothing to retrain at all). Caller contract
+    unchanged from the batch appends: delta ids disjoint from indexed
+    ids."""
     if kind == "ivf":
         append, store = _vi.append_to_ivf_index, f"{index_path}/postings"
         compact = _vi.compact_postings
     elif kind == "ivfpq":
         append, store = _vi.append_to_ivfpq_index, f"{index_path}/codes"
         compact = _vi.compact_codes
+    elif kind == "binary":
+        append, store = _vi.append_to_binary_index, f"{index_path}/sigs"
+        compact = _vi.compact_sigs
     else:
-        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq)")
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
 
     stream = (
         spark.readStream.schema(schema)

@@ -298,3 +298,60 @@ def test_append_refuses_legacy_flat_store(spark, tmp_path):
         append_to_ivf_index(e.filter(F.col("vec_id") >= 400), path)
     # the store is untouched and still readable
     assert read_postings(spark, path).count() == 400
+
+
+def test_binary_index_roundtrip_append_equality_and_compaction(spark, tmp_path):
+    """The binary sig store's full lifecycle: (1) a persisted store's
+    query equals the in-memory operator; (2) build(half)+append(half)
+    EQUALS build(union) exactly — signatures have no trained params,
+    so there is no quantizer-drift caveat; (3) a retried append
+    (explicit batch_id) converges instead of duplicating; (4) distinct
+    compaction bounds the listing and preserves every result row."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import similarity as sim
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        counting_state as cs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "bidx")
+    vi = __import__(
+        "reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index", fromlist=["x"]
+    )
+    # (1) roundtrip equals the operator
+    vi.write_binary_index(e, path)
+    got = sorted(map(tuple, vi.query_binary_index(spark, path, q, k=5).collect()))
+    want = sorted(map(tuple, sim.binary_hamming_topk(e, q, k=5).collect()))
+    assert got == want
+    # (2) append equality — EXACT, not approximate
+    split = str(tmp_path / "bidx2")
+    vi.write_binary_index(e.filter(F.col("vec_id") < 250), split)
+    vi.append_to_binary_index(e.filter(F.col("vec_id") >= 250), split)
+    got2 = sorted(
+        map(tuple, vi.query_binary_index(spark, split, q, k=5).collect())
+    )
+    assert got2 == want
+    # (3) retried append (same batch_id) converges
+    n_before = vi.read_sigs(spark, split).count()
+    vi.append_to_binary_index(e.filter(F.col("vec_id") >= 250), split, batch_id=7)
+    vi.append_to_binary_index(e.filter(F.col("vec_id") >= 250), split, batch_id=7)
+    # batch 7 duplicates ids (test-only violation of the disjoint-id
+    # contract) — the point is the RETRY wrote one dir, not two
+    assert vi.read_sigs(spark, split).count() == n_before + e.filter(
+        F.col("vec_id") >= 250
+    ).count()
+    # (4) compaction: one generation, same query answers
+    vi.compact_sigs(spark, split)
+    assert len(cs.state_subdirs(f"{split}/sigs")) <= 2  # gen + nothing live
+    got3 = sorted(
+        map(
+            tuple,
+            vi.query_binary_index(spark, split, q, k=5)
+            .collect(),
+        )
+    )
+    # compaction dedups the retried batch's rows (distinct mode), so
+    # answers return to the union-build's
+    assert got3 == want

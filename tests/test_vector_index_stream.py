@@ -89,3 +89,44 @@ def test_streamed_ivf_postings_appends(spark, tmp_path):
     # queries see the streamed delta
     got = vi.query_ivf_index(spark, path, q, n_probe=16, k=3)
     assert got.count() == 4 * 3
+
+
+def test_streamed_binary_appends_equal_union_build(spark, tmp_path):
+    """kind="binary": streamed sig deltas make the store EXACTLY equal
+    a fresh build on the union corpus (no quantizer, no drift), and a
+    restart drains nothing new."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 6)
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    streamed = str(tmp_path / "streamed")
+    vi.write_binary_index(e.filter(F.col("vec_id") < 300), streamed)
+    for i, (lo, hi) in enumerate([(300, 400), (400, 500)]):
+        p = os.path.join(inbox, f"d{i}.parquet")
+        _write_delta_file(
+            e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), p
+        )
+        past = time.time() - (2 - i) * 10
+        os.utime(p, (past, past))
+    ckpt = str(tmp_path / "ckpt")
+    run_index_append_available_now(
+        spark, inbox, SCHEMA, streamed, ckpt, kind="binary"
+    )
+    union = str(tmp_path / "union")
+    vi.write_binary_index(e, union)
+    got = sorted(
+        map(tuple, vi.query_binary_index(spark, streamed, q, k=5).collect())
+    )
+    want = sorted(
+        map(tuple, vi.query_binary_index(spark, union, q, k=5).collect())
+    )
+    assert got == want
+    n = vi.read_sigs(spark, streamed).count()
+    # restart: checkpoint says both files are consumed — nothing new
+    run_index_append_available_now(
+        spark, inbox, SCHEMA, streamed, ckpt, kind="binary"
+    )
+    assert vi.read_sigs(spark, streamed).count() == n
+    # stream ids landed above the base so ad-hoc appends can't collide
+    ids = set(cs.state_subdirs(f"{streamed}/sigs").values())
+    assert any(i >= vi.STREAM_ID_BASE for i in ids)
