@@ -1251,3 +1251,46 @@ def matryoshka_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, dist): IVF + SQ8 composed (the FAISS
+    IndexIVFScalarQuantizer shape): coarse cells prune WHICH vectors a
+    query touches (~n_probe/n_cells of the corpus), SQ8 shrinks WHAT
+    each touch costs to d bytes instead of d floats — the middle point
+    between raw-posting IVF (4x the bytes) and IVFPQ (far lossier m
+    codes). Same determinism contract as the siblings: 6dp params and
+    distances, id-asc ties; the cell is carried through encoding in
+    the same one-pass layout as ivfpq_topk."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
+    )
+    mm = sq8_minmax(corpus, vec_col)
+    recon = sq8_dequant(
+        sq8_encode(assigned, mm, vec_col, "__codes"), mm, "__codes", "__recon"
+    ).select("neighbor_id", "cell", "__recon")
+    probes = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"
+    ).select("query_id", F.col(vec_col).cast("array<double>").alias("__q"), "cell")
+    scored = (
+        recon.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", F.round(l2sq("__recon", "__q"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "dist")
+    )

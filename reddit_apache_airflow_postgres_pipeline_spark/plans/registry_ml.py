@@ -2327,3 +2327,84 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=16, rerank=32)
     return _recall_vs_exact_l2(e, q, approx)
+
+
+def _ivfsq_ctes() -> str:
+    """IVF coarse cells (the _ivfpq_ctes quantizer contract) composed
+    with the SQ8 reconstructions (_sq8_ctes' ``recon``): probed-cell
+    pruning × midpoint scoring — mirrors similarity.ivfsq_topk. Ends
+    at ``ivfsqtop``. The unreferenced sq8d/sq8top CTEs from _sq8_ctes
+    are pruned by DuckDB (not MATERIALIZED)."""
+    return f"""{_sq8_ctes()},
+    icents AS (
+      SELECT vec_id AS cell, embedding AS icv FROM embeddings
+      ORDER BY vec_id LIMIT 16),
+    c_sc AS (
+      SELECT e.vec_id AS neighbor_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN icents c),
+    cells AS (SELECT neighbor_id, cell FROM c_sc WHERE rn = 1),
+    q_sc AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
+                 / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
+               c.cell) AS rn
+      FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 8),
+    probes AS (SELECT query_id, cell FROM q_sc WHERE rn <= 4),
+    sqp AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="r.rv", b="q.embedding")}, 6) AS dist
+      FROM recon r
+      JOIN cells cl ON cl.neighbor_id = r.vec_id
+      JOIN probes p ON p.cell = cl.cell
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE r.vec_id <> p.query_id),
+    ivfsqtop AS (
+      SELECT query_id, neighbor_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rn
+        FROM sqp) z
+      WHERE rn <= {_PQ_K})"""
+
+
+@_q(
+    "q_sim_ivfsq",
+    f"""
+    WITH {_ivfsq_ctes()}
+    SELECT query_id, neighbor_id, dist FROM ivfsqtop
+    """,
+)
+def q_sim_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed (FAISS IndexIVFScalarQuantizer): the coarse
+    cells prune the scan to ~n_probe/n_cells of the corpus, the SQ8
+    codes shrink each touched posting to d bytes — the middle point of
+    the serving family between raw-posting IVF (4x the bytes) and
+    IVFPQ (far lossier m codes). Cell carried through encoding in one
+    corpus pass, same as ivfpq_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
+
+
+@_q(
+    "q_sim_ivfsq_recall",
+    f"""
+    WITH {_ivfsq_ctes()},
+    {_exl2_recall_sql("ivfsqtop")}
+    """,
+)
+def q_sim_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVFSQ vs exact L2 — on this family the cell-miss
+    term dominates (SQ8's midpoint error is tiny, see
+    q_sim_sq8_recall), so the curve tracks q_sim_ivf_recall's n_probe
+    knee at a quarter of the posting bytes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
+    return _recall_vs_exact_l2(e, q, approx)

@@ -309,6 +309,46 @@ def batch_group_psi(
     )
 
 
+def batch_group_drift_stats(
+    batch_df: DataFrame,
+    ref_counts: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> DataFrame:
+    """(group, psi, ks, n_docs) for every group present in the batch —
+    :func:`batch_group_psi` extended with each group's KS statistic
+    (curation.ks_drift_counts_by_group) from the SAME grouped count
+    pass, joined on the group key (both sides are ≤ |groups| rows)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        ks_drift_counts_by_group,
+        psi_drift_counts_by_group,
+    )
+
+    cur = batch_df.sparkSession.createDataFrame(
+        group_reference_counts(
+            batch_df, group_col, text_col, bin_width, bins
+        ).collect(),
+        f"{group_col} string, bin int, n bigint",
+    )
+    p = (
+        psi_drift_counts_by_group(ref_counts, cur, group_col, bins=bins)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.sum("psi_term"), 6).alias("psi"),
+            F.sum("n_cur").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    k = (
+        ks_drift_counts_by_group(ref_counts, cur, group_col, bins=bins)
+        .groupBy(group_col)
+        .agg(F.round(F.max("ks_term"), 6).alias("ks"))
+    )
+    return p.join(k, group_col).select(group_col, "psi", "ks", "n_docs")
+
+
 def run_group_drift_gate_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -321,11 +361,16 @@ def run_group_drift_gate_available_now(
     bin_width: int = 20,
     bins: int = 10,
     threshold: float = _PSI_THRESHOLD,
+    ks_threshold: float | None = None,
 ) -> None:
     """The drift gate at per-group granularity: each micro-batch is
     split so only the DRIFTED GROUPS' rows quarantine — the rest of
     the batch is admitted, which is the behavior a multi-source ingest
     needs (one broken feed must not quarantine the other 99).
+    ``ks_threshold`` arms the KS co-metric exactly as in the scalar
+    gate: a group admits only if psi <= threshold AND ks <=
+    ks_threshold, and decision rows gain a ``ks`` column (None keeps
+    the original schema and semantics).
 
     Same layout as the ungrouped gate (``admitted/``, ``quarantined/``,
     ``decisions/`` per batch dir, idempotent overwrite + checkpoint),
@@ -351,12 +396,48 @@ def run_group_drift_gate_available_now(
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            stats = batch_group_psi(
-                batch_df, ref_counts, group_col, text_col, bin_width, bins
-            ).collect()
-            admitted_groups = [
-                r[group_col] for r in stats if r["psi"] <= threshold
-            ]
+            if ks_threshold is None:
+                stats = batch_group_psi(
+                    batch_df, ref_counts, group_col, text_col, bin_width, bins
+                ).collect()
+                ok = {r[group_col]: r["psi"] <= threshold for r in stats}
+                decision = [
+                    (
+                        r[group_col],
+                        float(r["psi"]),
+                        bool(ok[r[group_col]]),
+                        int(r["n_docs"]),
+                    )
+                    for r in stats
+                ]
+                dschema = (
+                    f"{group_col} string, psi double, admitted boolean, "
+                    "n_docs long"
+                )
+            else:
+                stats = batch_group_drift_stats(
+                    batch_df, ref_counts, group_col, text_col, bin_width, bins
+                ).collect()
+                ok = {
+                    r[group_col]: r["psi"] <= threshold
+                    and r["ks"] <= ks_threshold
+                    for r in stats
+                }
+                decision = [
+                    (
+                        r[group_col],
+                        float(r["psi"]),
+                        float(r["ks"]),
+                        bool(ok[r[group_col]]),
+                        int(r["n_docs"]),
+                    )
+                    for r in stats
+                ]
+                dschema = (
+                    f"{group_col} string, psi double, ks double, "
+                    "admitted boolean, n_docs long"
+                )
+            admitted_groups = [g for g, good in ok.items() if good]
             adm = batch_df.filter(F.col(group_col).isin(admitted_groups))
             qua = batch_df.filter(
                 ~F.col(group_col).isin(admitted_groups)
@@ -369,16 +450,7 @@ def run_group_drift_gate_available_now(
                 os.path.join(out_dir, "quarantined", f"batch_id={batch_id}")
             )
             batch_df.sparkSession.createDataFrame(
-                [
-                    (
-                        r[group_col],
-                        float(r["psi"]),
-                        bool(r["psi"] <= threshold),
-                        int(r["n_docs"]),
-                    )
-                    for r in stats
-                ],
-                f"{group_col} string, psi double, admitted boolean, n_docs long",
+                decision, dschema
             ).write.mode("overwrite").parquet(
                 os.path.join(out_dir, "decisions", f"batch_id={batch_id}")
             )

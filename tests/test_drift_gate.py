@@ -266,3 +266,52 @@ def test_gate_with_ks_threshold_quarantines_and_logs_ks(spark, tmp_path):
     assert rows[0]["admitted"] and rows[0]["ks"] == 0.0
     assert not rows[1]["admitted"] and rows[1]["ks"] == 1.0
     assert spark.read.parquet(f"{out}/quarantined").count() == 20
+
+
+def test_group_gate_ks_quarantines_only_the_shifted_feed(spark, tmp_path):
+    """Grouped KS co-metric: feed 'en' stays in-distribution, feed 'de'
+    location-shifts one bin — with a huge PSI threshold (PSI alone
+    admits both) the ks_threshold quarantines exactly the shifted
+    feed's rows, and its decision row carries ks == 1.0."""
+    import os
+
+    gschema = "doc_id long, lang string, text string"
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    snap = spark.createDataFrame(
+        [(i, "en", NORMAL) for i in range(50)]
+        + [(100 + i, "de", NORMAL) for i in range(50)],
+        gschema,
+    )
+    drift_gate.write_group_reference(snap, ref, "lang")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, "en", NORMAL) for i in range(20)] + [
+        (100 + i, "de", " ".join(["tok"] * 60)) for i in range(20)  # bin 3
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(inbox, "f0.parquet"),
+    )
+    drift_gate.run_group_drift_gate_available_now(
+        spark, inbox, gschema, out, ref, ckpt, "lang",
+        threshold=1e9, ks_threshold=0.5,
+    )
+    adm = spark.read.parquet(f"{out}/admitted")
+    qua = spark.read.parquet(f"{out}/quarantined")
+    assert adm.count() == 20 and qua.count() == 20
+    assert set(r["lang"] for r in adm.select("lang").distinct().collect()) == {"en"}
+    assert set(r["lang"] for r in qua.select("lang").distinct().collect()) == {"de"}
+    dec = {r["lang"]: r for r in spark.read.parquet(f"{out}/decisions").collect()}
+    assert dec["en"]["admitted"] and dec["en"]["ks"] == 0.0
+    assert not dec["de"]["admitted"] and dec["de"]["ks"] == 1.0

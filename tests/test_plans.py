@@ -251,7 +251,11 @@ BNLJ_ALLOWED = {
     "q_media_embed_ann": "bounded query set (8 media feature vectors)",
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
+    "q_corpus_ks_drift": "1-row snapshot-total scalars (the PSI shape)",
     "q_corpus_psi_drift_by_group": (
+        "bins-row spine broadcast crossed with the groups relation"
+    ),
+    "q_corpus_ks_drift_by_group": (
         "bins-row spine broadcast crossed with the groups relation"
     ),
     "q_bpe_compression": "1-row argmax merge broadcast per round",
@@ -289,6 +293,13 @@ BNLJ_ALLOWED = {
         "collected d-row model parameter, not a join)"
     ),
     "q_sim_sq8": "bounded query set (8 raw queries vs reconstructions)",
+    "q_sim_ivfsq": (
+        "n_cells coarse centroids broadcast (the ivf_assign fan-out, "
+        "same shape as q_sim_ivfpq)"
+    ),
+    "q_sim_ivfsq_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan"
+    ),
     "q_sim_sq8_recall": (
         "bounded query set + the exact-L2 baseline scan"
     ),
@@ -359,6 +370,10 @@ def test_registry_bnlj_build_sides_are_declared_small(spark):
 # Anything else must be restructured (limit-before-rank, grouped
 # windows, or the sketch path) — verdict r6 #6.
 GLOBAL_WINDOW_ALLOWED = {
+    "q_corpus_ks_drift": (
+        "cumsum window over the 10-row bins spine (the CDF fold); the "
+        "grouped form partitions by group"
+    ),
     # documented exact-side audits — at 100 TB only the sketch path runs
     "q_ntile_price_deciles": (
         "documented exact side; q_quantile_sketch_* is the scale path"
