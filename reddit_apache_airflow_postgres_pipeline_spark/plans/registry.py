@@ -2882,3 +2882,105 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import bm25_scores
 
     return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@_q(
+    "q_events_interpolate",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+    spine AS (
+      SELECT t.day::DATE AS day, et.event_type
+      FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM events GROUP BY 1, 2),
+    ctx AS (
+      SELECT spine.day, spine.event_type, daily.v,
+             LAST_VALUE(daily.day IGNORE NULLS) OVER wp AS pd,
+             LAST_VALUE(daily.v IGNORE NULLS) OVER wp AS pv,
+             FIRST_VALUE(daily.day IGNORE NULLS) OVER wn AS nd,
+             FIRST_VALUE(daily.v IGNORE NULLS) OVER wn AS nv
+      FROM spine LEFT JOIN daily
+        ON daily.day = spine.day AND daily.event_type = spine.event_type
+      WINDOW
+        wp AS (PARTITION BY spine.event_type ORDER BY spine.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY spine.event_type ORDER BY spine.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  round(pv + (nv - pv) * (date_diff('day', pd, day) * 1.0)
+                             / date_diff('day', pd, nd), 6)
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS v_interp,
+           (v IS NOT NULL) AS observed
+    FROM ctx
+    """,
+)
+def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled daily series: per
+    (event_type, day) the mean value where observed, else the linear
+    blend of the PREVIOUS and NEXT observed days (forward/backward
+    fill at the series edges) — the densification a model-features
+    pipeline runs after q_events_daily_gapfill's zero-fill isn't right
+    for level metrics. Grouped windows only (ignore-nulls last/first
+    over the per-type spine — partitioned by type, so no global
+    window); the spine is the same broadcast-sized date × type grid.
+    Determinism: daily means are decimal-summed then 6dp-rounded, the
+    interpolation re-rounds at 6dp, and day fractions are exact
+    integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = (
+        spine.join(F.broadcast(daily), ["day", "event_type"], "left")
+        .withColumn("pd", F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wp))
+        .withColumn("pv", F.last("v", True).over(wp))
+        .withColumn("nd", F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wn))
+        .withColumn("nv", F.first("v", True).over(wn))
+    )
+    frac = F.datediff("day", "pd") * F.lit(1.0) / F.datediff("nd", "pd")
+    return ctx.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("v_interp"),
+        F.col("v").isNotNull().alias("observed"),
+    )

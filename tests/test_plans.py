@@ -220,6 +220,7 @@ BNLJ_ALLOWED = {
     "q_doc_unigram_logprob": "1-row corpus token-total scalar",
     "q_doc_bigram_logprob": "1-row vocabulary-size scalar",
     "q_events_daily_gapfill": "1-row min/max date bounds",
+    "q_events_interpolate": "1-row min/max date bounds (gapfill spine)",
     "q_sample_target_mix": "1-row per-stratum totals",
     "q11_important_stock": "1-row global value-threshold scalar",
     "q15_top_supplier": "1-row max-revenue scalar",
