@@ -1294,3 +1294,69 @@ def ivfsq_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+def ranking_metrics(
+    approx: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    order_col: str = "dist",
+    ascending: bool = True,
+) -> DataFrame:
+    """(query_id, mrr, ndcg): ranking-quality metrics of an ANN answer
+    against an exact ground truth — the evaluation pair recall@k can't
+    see: recall says WHETHER true neighbors surfaced, MRR/nDCG say
+    WHERE (a funnel that finds all 5 but ranks them last scores
+    recall 1.0 and nDCG well below it).
+
+    ``approx``: (query_id, neighbor_id, <order_col>) — ranked by
+    (<order_col> asc|desc, neighbor_id asc), the engine's standard tie
+    contract. ``truth``: (query_id, neighbor_id) — the exact top-k set
+    (binary relevance). MRR = 1/rank of the first relevant result
+    (0 when none surface); nDCG@k = Σ rel_i/log2(i+1) normalized by
+    the all-relevant ideal. Per-term values are rounded 9dp and summed
+    as DECIMAL(28,12) — the order-free reduce every cross-engine sum
+    here uses — then rounded 6dp.
+
+    Scale shape: one window over the |q|×k approx rows, one broadcast
+    semi-join against the ≤|q|×k truth set, one hash agg on query_id —
+    evaluation never touches the corpus."""
+    from pyspark.sql import Window
+
+    direction = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.partitionBy("query_id").orderBy(direction, F.asc("neighbor_id"))
+    ranked = (
+        approx.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .join(
+            truth.select("query_id", "neighbor_id", F.lit(1).alias("__rel")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+    )
+    rel = F.coalesce(F.col("__rel"), F.lit(0))
+    dcg_term = (
+        F.round(rel / F.log2(F.col("__r") + 1), 9).cast("decimal(28,12)")
+    )
+    rr_term = F.when(
+        rel == 1, F.round(F.lit(1.0) / F.col("__r"), 9)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    idcg = ideal_dcg(k)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.round(F.max(rr_term).cast("double"), 6).alias("mrr"),
+            F.round(
+                F.sum(dcg_term).cast("double") / F.lit(idcg), 6
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ideal_dcg(k: int) -> float:
+    """The all-relevant DCG@k normalizer, rounded 9dp so both engines
+    divide by the identical double literal (the oracle SQL embeds this
+    same value — one definition, no drift)."""
+    import math
+
+    return round(sum(1.0 / math.log2(i + 1) for i in range(1, k + 1)), 9)

@@ -2984,3 +2984,97 @@ def q_events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_interp"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+@_q(
+    "q_dq_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'nation->region',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+    """,
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, child cardinality and orphan count (left-anti
+    against the parent key). All-zero orphans on intact data — the
+    query is the audit a warehouse runs after every load, and the
+    anti-joins are the scale shape (broadcast for dim parents, shuffle
+    anti only on the fact-fact edge). Complements
+    q_dq_constraint_audit's row-level checks with the cross-table
+    ones."""
+    def edge(child: DataFrame, parent: DataFrame, ck: str, pk: str, name: str):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        )
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count("*").cast("bigint").alias("n_orphans")
+                    )
+                )
+            )
+            .select(F.lit(name).alias("edge"), "n_child", "n_orphans")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    parts = [
+        edge(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        edge(li, p, "l_partkey", "p_partkey", "lineitem->part"),
+        edge(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        edge(o, c, "o_custkey", "c_custkey", "orders->customer"),
+        edge(c, n, "c_nationkey", "n_nationkey", "customer->nation"),
+        edge(s, n, "s_nationkey", "n_nationkey", "supplier->nation"),
+        edge(n, r, "n_regionkey", "r_regionkey", "nation->region"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out

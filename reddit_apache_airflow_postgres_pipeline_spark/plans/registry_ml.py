@@ -2408,3 +2408,114 @@ def q_sim_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
     return _recall_vs_exact_l2(e, q, approx)
+
+
+def _rank_metrics_sql(top_cte: str, order_col: str, desc: bool = False) -> str:
+    """MRR / nDCG@k of ``top_cte`` (query_id, neighbor_id, <order_col>)
+    against the exact-L2 truth set — mirrors similarity.ranking_metrics
+    (9dp DECIMAL terms, order-free sum, 6dp final, identical ideal-DCG
+    literal via similarity.ideal_dcg). Expects the ``extop`` CTE from
+    _exl2_recall_sql's body; emits its own copy of the exl2/extop
+    baseline so callers just concatenate."""
+    idcg = similarity.ideal_dcg(_PQ_K)
+    direction = "DESC" if desc else "ASC"
+    return f"""
+    exl2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    extop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d, neighbor_id) AS rn
+        FROM exl2) z
+      WHERE rn <= {_PQ_K}),
+    rk AS (
+      SELECT t.query_id,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                ORDER BY t.{order_col} {direction},
+                                         t.neighbor_id) AS r
+      FROM {top_cte} t
+      LEFT JOIN extop e ON e.query_id = t.query_id
+                       AND e.neighbor_id = t.neighbor_id),
+    terms AS (
+      SELECT query_id,
+             CAST(round(rel * 1.0 / log2(r + 1), 9) AS DECIMAL(28,12)) AS dcg_t,
+             CAST(CASE WHEN rel = 1 THEN round(1.0 / r, 9) ELSE 0.0 END
+                  AS DECIMAL(28,12)) AS rr_t
+      FROM rk WHERE r <= {_PQ_K})
+    SELECT query_id,
+           round(CAST(MAX(rr_t) AS DOUBLE), 6) AS mrr,
+           round(CAST(SUM(dcg_t) AS DOUBLE) / {idcg}, 6) AS ndcg
+    FROM terms GROUP BY query_id"""
+
+
+@_q(
+    "q_sim_eval_funnel_ranking",
+    f"""
+    WITH {_binary_ctes()},
+    {_rank_metrics_sql("brtop", "dist")}
+    """,
+)
+def q_sim_eval_funnel_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / nDCG@5 of the binary rerank funnel vs exact L2 — the
+    ranking-quality view recall@k can't see: recall says WHETHER the
+    true neighbors surfaced, these say WHERE. Because the funnel's
+    second stage re-scores with the exact metric, every surfaced truth
+    lands in its exact position — so nDCG == recall-weighted ideal and
+    MRR is 1 whenever the top-1 survived the Hamming stage; compare
+    q_sim_eval_hamming_ranking where coarse ordering drags both."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+    truth = _exact_l2_topk_set(e, q)
+    return similarity.ranking_metrics(approx, truth, k=_PQ_K)
+
+
+@_q(
+    "q_sim_eval_hamming_ranking",
+    f"""
+    WITH {_binary_ctes()},
+    {_rank_metrics_sql("bhtop", "hamming")}
+    """,
+)
+def q_sim_eval_hamming_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / nDCG@5 of the RAW Hamming top-5 (no rerank) vs exact L2 —
+    the coarse stage alone, quantifying exactly what the exact-L2
+    rerank buys: same candidate generation, ranking quality strictly
+    ≤ the funnel's (the gap is the funnel's reason to exist)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.binary_hamming_topk(e, q, k=_PQ_K).withColumnRenamed(
+        "hamming", "dist"
+    )
+    truth = _exact_l2_topk_set(e, q)
+    return similarity.ranking_metrics(approx, truth, k=_PQ_K)
+
+
+def _exact_l2_topk_set(e: DataFrame, q: DataFrame, k: int = _PQ_K) -> DataFrame:
+    """(query_id, neighbor_id): the exact-L2 truth set — the Spark copy
+    of _rank_metrics_sql's exl2/extop CTEs (same 6dp/id-asc contract as
+    _recall_vs_exact_l2, returning the set instead of the recall)."""
+    from pyspark.sql import Window
+
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )

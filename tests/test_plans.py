@@ -221,6 +221,9 @@ BNLJ_ALLOWED = {
     "q_doc_bigram_logprob": "1-row vocabulary-size scalar",
     "q_events_daily_gapfill": "1-row min/max date bounds",
     "q_events_interpolate": "1-row min/max date bounds (gapfill spine)",
+    "q_dq_referential_integrity": (
+        "1-row per-edge (n_child x n_orphans) scalar cross joins"
+    ),
     "q_sample_target_mix": "1-row per-stratum totals",
     "q11_important_stock": "1-row global value-threshold scalar",
     "q15_top_supplier": "1-row max-revenue scalar",
@@ -310,6 +313,14 @@ BNLJ_ALLOWED = {
     ),
     "q_sim_binary_rerank_recall": (
         "bounded query set + the exact-L2 baseline scan"
+    ),
+    "q_sim_eval_funnel_ranking": (
+        "bounded query set (Hamming stage + rerank candidates) + the "
+        "exact-L2 truth-set scan"
+    ),
+    "q_sim_eval_hamming_ranking": (
+        "bounded query set (8 sign signatures) + the exact-L2 "
+        "truth-set scan"
     ),
     "q_sim_matryoshka": (
         "bounded query set (prefix-dim stage) + |q|x32 rerank candidates"
