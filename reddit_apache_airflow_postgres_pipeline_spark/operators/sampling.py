@@ -348,3 +348,38 @@ def sample_negatives_ring(
         )
         .filter(F.col("neg_id") != F.col("anchor"))
     )
+
+
+def sample_weighted_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exponential-race form): each row draws a
+    content-addressed uniform u = (hash+0.5)/2³² and an arrival time
+    t = −ln(u)/w; the k SMALLEST t values are the sample. Inclusion
+    probability is ∝ weight in the without-replacement sense — the
+    exact-size companion to :func:`sample_weighted_by_hash`'s
+    Bernoulli (which only hits a budget in expectation).
+
+    Determinism contract: u is exact (integer hash arithmetic), t is
+    rounded 9dp (the engine's transcendental-function rounding
+    discipline — ln differs across libm implementations in the last
+    ulps) and ties break by key asc. Returns the input rows plus the
+    ``__t`` key, smallest-k only.
+
+    Scale shape: map-side key computation, then ONE k-row top-k (a
+    TakeOrderedAndProject in the plan, never a global sort)."""
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
+        float(_BUCKETS)
+    )
+    t = F.round(-F.log(u) / w, 9)
+    return (
+        df.withColumn("__t", t)
+        .orderBy(F.asc("__t"), F.asc(key_col))
+        .limit(k)
+    )

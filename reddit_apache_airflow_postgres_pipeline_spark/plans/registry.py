@@ -3078,3 +3078,45 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+@_q(
+    "q_sample_weighted_aes",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, len({_TOKENS_SQL}) + 1 AS wt FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, wt,
+             round(-ln((('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        * 1.0 + 0.5) / 4294967296.0)
+                   / CAST(wt AS DOUBLE), 9) AS t
+      FROM w),
+    sel AS (
+      SELECT * FROM keyed ORDER BY t, doc_id LIMIT 200)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sel,
+           CAST(SUM(wt) AS BIGINT) AS sel_tokens
+    FROM sel GROUP BY lang
+    """,
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race, sampling.sample_weighted_topk): 200
+    docs drawn with inclusion ∝ (token count + 1) via content-
+    addressed arrival times — the exact-size companion to the
+    Bernoulli q_dsir_weighted_sample (a mixing budget that must be HIT,
+    not met in expectation). Per-lang selected-count and token mass;
+    longer-doc languages oversample ∝ their token share. The top-k is
+    a TakeOrderedAndProject — no global sort."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_weighted_topk,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (token_count("text") + 1).alias("wt")
+    )
+    sel = sample_weighted_topk(d, "doc_id", "wt", k=200, salt="aes:")
+    return sel.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sel"),
+        F.sum("wt").cast("bigint").alias("sel_tokens"),
+    )

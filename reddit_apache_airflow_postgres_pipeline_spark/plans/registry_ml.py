@@ -2519,3 +2519,119 @@ def _exact_l2_topk_set(e: DataFrame, q: DataFrame, k: int = _PQ_K) -> DataFrame:
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id")
     )
+
+
+_FUNNEL_BUDGETS = (8, 16, 32)
+
+
+def _budget_curve_sql() -> str:
+    """The rerank-budget sweep: ONE Hamming ranking (the _binary_ctes
+    ``ham`` relation), three budget prefixes re-scored exactly —
+    mirrors q_sim_funnel_budget_curve's Spark plan, which also ranks
+    once and reranks per budget."""
+    l2 = _L2SQ_SQL.format(a="c.embedding", b="q2.embedding")
+    parts = [f"""
+    hamrank AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rn
+      FROM ham),
+    exl2 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE c.vec_id <> q.vec_id),
+    extop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d, neighbor_id) AS rn
+        FROM exl2) z
+      WHERE rn <= {_PQ_K})"""]
+    for b in _FUNNEL_BUDGETS:
+        parts.append(f"""
+    rr{b} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT h.query_id, h.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY h.query_id
+                 ORDER BY round({l2}, 6), h.neighbor_id) AS rn2
+        FROM hamrank h
+        JOIN embeddings c ON c.vec_id = h.neighbor_id
+        JOIN embeddings q2 ON q2.vec_id = h.query_id
+        WHERE h.rn <= {b}) z
+      WHERE rn2 <= {_PQ_K}),
+    bb{b} AS (
+      SELECT {b} AS budget, e.query_id,
+             CAST(COUNT(a.hit) AS BIGINT) AS hits,
+             round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
+      FROM extop e
+      LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM rr{b}) a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id)""")
+    tail = " UNION ALL ".join(
+        f"SELECT * FROM bb{b}" for b in _FUNNEL_BUDGETS
+    )
+    return ",".join(parts) + f" {tail}"
+
+
+@_q(
+    "q_sim_funnel_budget_curve",
+    f"""
+    WITH {_binary_ctes()},
+    {_budget_curve_sql()}
+    """,
+)
+def q_sim_funnel_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knob-sizing curve for the binary rerank funnel: recall@5 vs
+    exact L2 at rerank budgets 8/16/32, from ONE Hamming ranking (the
+    coarse scan runs once; each budget is a prefix filter + exact
+    re-score of ≤|q|×budget rows). The marginal recall of each budget
+    doubling is what decides the production setting — the same audit
+    shape as q_neardup_threshold_sweep for MinHash."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    ham = similarity.binary_hamming_topk(e, q, k=max(_FUNNEL_BUDGETS))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    ranked = ham.withColumn("rn", F.row_number().over(w)).localCheckpoint()
+    truth = _exact_l2_topk_set(e, q)
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__c")
+    )
+    qv = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    wrr = Window.partitionBy("query_id").orderBy(
+        F.asc("__d"), F.asc("neighbor_id")
+    )
+    parts = []
+    for b in _FUNNEL_BUDGETS:
+        top = (
+            ranked.filter(F.col("rn") <= b)
+            .select("query_id", "neighbor_id")
+            .join(cv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("__d", F.round(similarity.l2sq("__c", "__q"), 6))
+            .withColumn("__rn2", F.row_number().over(wrr))
+            .filter(F.col("__rn2") <= _PQ_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+        )
+        parts.append(
+            truth.join(top, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("__hit").alias("hits"),
+                F.round(F.count("__hit") / F.lit(float(_PQ_K)), 6).alias(
+                    "recall_at_5"
+                ),
+            )
+            .select(
+                F.lit(b).alias("budget"), "query_id", "hits", "recall_at_5"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -322,6 +322,10 @@ BNLJ_ALLOWED = {
         "bounded query set (8 sign signatures) + the exact-L2 "
         "truth-set scan"
     ),
+    "q_sim_funnel_budget_curve": (
+        "bounded query set (one Hamming ranking + per-budget rerank "
+        "prefixes) + the exact-L2 truth-set scan"
+    ),
     "q_sim_matryoshka": (
         "bounded query set (prefix-dim stage) + |q|x32 rerank candidates"
     ),
