@@ -972,10 +972,17 @@ def sq8_minmax(
     )
 
 
-def _sq8_params(minmax: DataFrame) -> list[tuple[float, float]]:
+def _sq8_params(
+    minmax: DataFrame | list[tuple[float, float]],
+) -> list[tuple[float, float]]:
     """The d-row (mn, mx) list in dim order, collected to the driver —
     the same model-parameter posture as apply_dim_perm's permutation
-    (broadcasting d scalars beats exploding the corpus to join them)."""
+    (broadcasting d scalars beats exploding the corpus to join them).
+    Accepts an already-collected list unchanged, so composite callers
+    (sq8_topk, ivfsq_topk) pay the training scan ONCE and hand the
+    same params to encode and dequant."""
+    if isinstance(minmax, list):
+        return minmax
     return [
         (float(r["mn"]), float(r["mx"]))
         for r in minmax.orderBy("dim").collect()
@@ -984,7 +991,7 @@ def _sq8_params(minmax: DataFrame) -> list[tuple[float, float]]:
 
 def sq8_encode(
     vectors: DataFrame,
-    minmax: DataFrame,
+    minmax: DataFrame | list[tuple[float, float]],
     vec_col: str = "embedding",
     out_col: str = "codes",
 ) -> DataFrame:
@@ -1013,7 +1020,7 @@ def sq8_encode(
 
 def sq8_dequant(
     codes_df: DataFrame,
-    minmax: DataFrame,
+    minmax: DataFrame | list[tuple[float, float]],
     codes_col: str = "codes",
     out_col: str = "embedding",
 ) -> DataFrame:
@@ -1050,9 +1057,11 @@ def sq8_topk(
     encode/score contract, not the pruning)."""
     from pyspark.sql import Window
 
-    mm = sq8_minmax(corpus, vec_col)
+    # train once: ONE corpus scan for the d-row params, shared by
+    # encode and dequant (each would otherwise re-run the min/max agg)
+    pars = _sq8_params(sq8_minmax(corpus, vec_col))
     recon = sq8_dequant(
-        sq8_encode(corpus, mm, vec_col, "__codes"), mm, "__codes", "__recon"
+        sq8_encode(corpus, pars, vec_col, "__codes"), pars, "__codes", "__recon"
     ).select(F.col(id_col).alias("neighbor_id"), "__recon")
     qv = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1083,12 +1092,22 @@ def sign_signature(
     would reject a 64-bit sign-bit wrap). 32x memory compression and
     the cheapest possible distance — XOR + popcount — the classic
     binary-embedding serving trick; Hamming approximates angular
-    distance for zero-centered embeddings."""
+    distance for zero-centered embeddings.
+
+    The packer is unrolled for the dimension probed from one row, so a
+    RAGGED corpus would silently truncate — guarded by a per-row
+    runtime assert (the pq_subvectors discipline: fail loudly, never
+    train on truncated tails). An EMPTY input returns a correctly
+    typed empty array<bigint> column (parquet refuses array<void>, so
+    an empty micro-batch must not degrade the type)."""
     v = F.col(vec_col)
-    d = None
     # dimension must be known to unroll the packer; probe one row
     row = vectors.select(F.size(v).alias("d")).first()
     d = int(row["d"]) if row else 0
+    if d == 0:
+        return vectors.withColumn(
+            out_col, F.array().cast("array<bigint>")
+        )
     n_words = (d + word_bits - 1) // word_bits
     words = []
     for w in range(n_words):
@@ -1102,7 +1121,17 @@ def sign_signature(
         for b in bits[1:]:
             acc = acc + b
         words.append(acc.cast("bigint"))
-    return vectors.withColumn(out_col, F.array(*words))
+    guarded = F.when(
+        F.assert_true(
+            F.size(v) == d,
+            F.concat(
+                F.lit(f"sign_signature: ragged corpus — expected dim {d}, got "),
+                F.size(v).cast("string"),
+            ),
+        ).isNull(),
+        F.array(*words),
+    )
+    return vectors.withColumn(out_col, guarded)
 
 
 def hamming(a: Column | str, b: Column | str) -> Column:
@@ -1276,9 +1305,9 @@ def ivfsq_topk(
     assigned = ivf_assign(
         corpus, cents, id_col, vec_col, n_probe=1, out_id="neighbor_id"
     )
-    mm = sq8_minmax(corpus, vec_col)
+    pars = _sq8_params(sq8_minmax(corpus, vec_col))
     recon = sq8_dequant(
-        sq8_encode(assigned, mm, vec_col, "__codes"), mm, "__codes", "__recon"
+        sq8_encode(assigned, pars, vec_col, "__codes"), pars, "__codes", "__recon"
     ).select("neighbor_id", "cell", "__recon")
     probes = ivf_assign(
         queries, cents, id_col, vec_col, n_probe=n_probe, out_id="query_id"

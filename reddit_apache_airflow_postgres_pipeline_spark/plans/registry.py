@@ -2901,9 +2901,14 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2),
     ctx AS (
       SELECT spine.day, spine.event_type, daily.v,
-             LAST_VALUE(daily.day IGNORE NULLS) OVER wp AS pd,
+             -- pd/nd gate on v (not daily.day): a day whose values are
+             -- ALL NULL has a daily row but no observation, and must
+             -- not advance the anchor (mirrors the Spark side exactly)
+             LAST_VALUE(CASE WHEN daily.v IS NOT NULL THEN daily.day END
+                        IGNORE NULLS) OVER wp AS pd,
              LAST_VALUE(daily.v IGNORE NULLS) OVER wp AS pv,
-             FIRST_VALUE(daily.day IGNORE NULLS) OVER wn AS nd,
+             FIRST_VALUE(CASE WHEN daily.v IS NOT NULL THEN daily.day END
+                         IGNORE NULLS) OVER wn AS nd,
              FIRST_VALUE(daily.v IGNORE NULLS) OVER wn AS nv
       FROM spine LEFT JOIN daily
         ON daily.day = spine.day AND daily.event_type = spine.event_type

@@ -242,7 +242,13 @@ _REPLAY_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _memo_replay(spark: SparkSession, sf_dir: str, kind: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    app = spark.sparkContext.applicationId
+    # evict entries from previous applications: their checkpoint RDDs
+    # died with the old context, and a long-lived interpreter that
+    # restarts Spark repeatedly must not accumulate dead handles
+    for stale in [k for k in _REPLAY_CACHE if k[0] != app]:
+        del _REPLAY_CACHE[stale]
+    key = (app, sf_dir, kind)
     if key not in _REPLAY_CACHE:
         _REPLAY_CACHE[key] = build()
     return _REPLAY_CACHE[key]

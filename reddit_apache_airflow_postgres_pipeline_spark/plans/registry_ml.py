@@ -1566,12 +1566,12 @@ _L2SQ_SQL = (
 _PQ_M, _PQ_CODES, _PQ_K = 4, 16, 5
 
 
-def _exl2_recall_sql(top_cte: str) -> str:
-    """The exact-L2 audit tail shared by every PQ-family recall query:
-    ``exl2``/``extop`` CTEs (brute-force L2 top-k, 6dp, id tie-break)
-    plus the final recall join against ``top_cte``. One copy so the
-    baseline cannot drift between the pq / ivfpq / residual audits."""
-    return f"""
+# THE exact-L2 truth baseline (brute-force L2 top-k, 6dp, id-asc
+# ties, self-excluded) as ``exl2``/``extop`` CTEs — the single SQL
+# copy every recall / ranking / budget-curve audit embeds, so the
+# baseline contract cannot drift between them (the Spark twin is
+# _exact_l2_topk_set).
+_EXL2_BASE_SQL = f"""
     exl2 AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
@@ -1582,7 +1582,14 @@ def _exl2_recall_sql(top_cte: str) -> str:
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY d, neighbor_id) AS rn
         FROM exl2) z
-      WHERE rn <= {_PQ_K})
+      WHERE rn <= {_PQ_K})"""
+
+
+def _exl2_recall_sql(top_cte: str) -> str:
+    """The exact-L2 audit tail shared by every PQ-family recall query:
+    the _EXL2_BASE_SQL baseline plus the final recall join against
+    ``top_cte``."""
+    return f"""{_EXL2_BASE_SQL}
     SELECT e.query_id,
            CAST(COUNT(a.hit) AS BIGINT) AS hits,
            round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
@@ -1597,33 +1604,12 @@ def _recall_vs_exact_l2(
 ) -> DataFrame:
     """Spark side of the same audit: per-query recall@k of ``approx``
     (query_id, neighbor_id) against the exact L2 top-k over ``e`` —
-    the one Spark copy of the exact baseline, mirroring
-    :func:`_exl2_recall_sql`."""
-    from pyspark.sql import Window
-
+    the truth set comes from :func:`_exact_l2_topk_set`, the ONE Spark
+    copy of the baseline (mirroring _EXL2_BASE_SQL)."""
     approx = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
-    qv = q.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
-    )
-    scored = (
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("__cv"),
-        )
-        .join(F.broadcast(qv))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("__d"), F.asc("neighbor_id")
-    )
-    exact = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    exact = _exact_l2_topk_set(e, q, k)
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -2419,18 +2405,7 @@ def _rank_metrics_sql(top_cte: str, order_col: str, desc: bool = False) -> str:
     baseline so callers just concatenate."""
     idcg = similarity.ideal_dcg(_PQ_K)
     direction = "DESC" if desc else "ASC"
-    return f"""
-    exl2 AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
-      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-      WHERE c.vec_id <> q.vec_id),
-    extop AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY d, neighbor_id) AS rn
-        FROM exl2) z
-      WHERE rn <= {_PQ_K}),
+    return f"""{_EXL2_BASE_SQL},
     rk AS (
       SELECT t.query_id,
              CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
@@ -2496,9 +2471,10 @@ def q_sim_eval_hamming_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_l2_topk_set(e: DataFrame, q: DataFrame, k: int = _PQ_K) -> DataFrame:
-    """(query_id, neighbor_id): the exact-L2 truth set — the Spark copy
-    of _rank_metrics_sql's exl2/extop CTEs (same 6dp/id-asc contract as
-    _recall_vs_exact_l2, returning the set instead of the recall)."""
+    """(query_id, neighbor_id): the exact-L2 truth set — THE one Spark
+    copy of the baseline (6dp L2², id-asc ties, self-excluded),
+    mirroring _EXL2_BASE_SQL; _recall_vs_exact_l2 and the ranking /
+    budget-curve queries all consume this."""
     from pyspark.sql import Window
 
     qv = q.select(
@@ -2535,18 +2511,7 @@ def _budget_curve_sql() -> str:
       SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY hamming, neighbor_id) AS rn
-      FROM ham),
-    exl2 AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
-      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
-      WHERE c.vec_id <> q.vec_id),
-    extop AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY d, neighbor_id) AS rn
-        FROM exl2) z
-      WHERE rn <= {_PQ_K})"""]
+      FROM ham),{_EXL2_BASE_SQL}"""]
     for b in _FUNNEL_BUDGETS:
         parts.append(f"""
     rr{b} AS (

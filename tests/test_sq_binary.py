@@ -118,3 +118,29 @@ def test_binary_and_matryoshka_are_deterministic(spark):
     m1 = sorted(map(tuple, sim.matryoshka_topk(e, q, k=5).collect()))
     m2 = sorted(map(tuple, sim.matryoshka_topk(e, q, k=5).collect()))
     assert m1 == m2 and len(m1) == 4 * 5
+
+
+def test_sign_signature_ragged_corpus_fails_loudly(spark):
+    """A ragged corpus must raise (the pq_subvectors discipline), not
+    silently truncate signatures to the probed row's dimension."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ragged = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.5, -0.5]), (2, [0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        sim.sign_signature(ragged).collect()
+
+
+def test_sign_signature_empty_input_keeps_bigint_type(spark, tmp_path):
+    """An empty input (e.g. an empty micro-batch through the binary
+    index stream) must produce a parquet-writable array<bigint> sig
+    column, not array<void>."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.sign_signature(empty)
+    assert out.schema["sig"].dataType.simpleString() == "array<bigint>"
+    out.write.mode("overwrite").parquet(str(tmp_path / "sigs"))  # must not raise
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == 0
