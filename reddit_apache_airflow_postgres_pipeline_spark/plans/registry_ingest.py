@@ -929,3 +929,81 @@ def q_ingest_chain_group_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_tokens_clean", F.lit(0)).cast("bigint").alias("n_tokens_clean"),
         F.coalesce("distinct_exact", F.lit(0)).cast("bigint").alias("distinct_exact"),
     )
+
+
+# -- KS co-metric on the chain's drift stage ---------------------------------
+
+_ING_KS_T = 0.35  # KS admission threshold for the two-metric decisions
+
+_DECISIONS_KS_SQL = f"""
+    WITH {_chain_ctes()},
+    kcdf AS (
+      SELECT g.b, g.bin,
+             round(CASE WHEN rt.tr > 0
+                   THEN SUM(COALESCE(rf.n_ref, 0)) OVER (PARTITION BY g.b
+                          ORDER BY g.bin ROWS UNBOUNDED PRECEDING)
+                        * 1.0 / rt.tr
+                   ELSE 0.0 END, 6) AS cdf_ref,
+             round(CASE WHEN g.tcn > 0
+                   THEN SUM(COALESCE(c2.n_cur, 0)) OVER (PARTITION BY g.b
+                          ORDER BY g.bin ROWS UNBOUNDED PRECEDING)
+                        * 1.0 / g.tcn
+                   ELSE 0.0 END, 6) AS cdf_cur
+      FROM (SELECT ct.b, ct.tcn, bins.bin FROM ct, bins) g
+      LEFT JOIN rf ON rf.bin = g.bin
+      LEFT JOIN cb c2 ON c2.b = g.b AND c2.bin = g.bin
+      CROSS JOIN rt),
+    ksb AS (
+      SELECT b, round(MAX(round(abs(cdf_cur - cdf_ref), 6)), 6) AS ks
+      FROM kcdf GROUP BY b)
+    SELECT d.b AS batch, d.n_docs, d.psi, ksb.ks,
+           (d.psi <= {_ING_PSI_T} AND ksb.ks <= {_ING_KS_T}) AS admitted
+    FROM dec d JOIN ksb ON ksb.b = d.b
+    """
+
+
+@_q("q_ingest_chain_decisions_ks", _DECISIONS_KS_SQL)
+def q_ingest_chain_decisions_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain's drift stage under the TWO-METRIC admission
+    (drift_gate's ks_threshold form): per replay batch both PSI (the
+    density-ratio alarm) and KS (max CDF displacement — the
+    location-shift alarm PSI under-weights) against the same frozen
+    short-doc reference, admitted only when both clear. On the replay
+    split the long-doc batch displaces the entire CDF (ks = 1.0 —
+    the reference mass lives in bins the drifted feed never touches)
+    while the short-doc batches sit near 0 on both metrics, so the two
+    gates agree here; the query pins that the co-metric plumbing
+    (shared count relations, one corpus pass) composes with the
+    chain's replay exactly as the streaming gate composes it."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        ks_drift_counts,
+    )
+
+    dec, _ = chain_replay(spark, sf_dir)
+    meta = chain_batches(spark, sf_dir).select("doc", "b", "bin")
+    ref = meta.filter(F.col("b") != _ING_B - 1).groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    parts = []
+    for i in range(_ING_B):
+        cur = meta.filter(F.col("b") == i).groupBy("bin").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        parts.append(
+            ks_drift_counts(ref, cur, bins=10).agg(
+                F.lit(i).alias("b"),
+                F.round(F.max("ks_term"), 6).alias("ks"),
+            )
+        )
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionAll(p)
+    return dec.join(ks, "b").select(
+        F.col("b").alias("batch"),
+        "n_docs",
+        "psi",
+        "ks",
+        ((F.col("psi") <= _ING_PSI_T) & (F.col("ks") <= _ING_KS_T)).alias(
+            "admitted"
+        ),
+    )

@@ -256,6 +256,10 @@ BNLJ_ALLOWED = {
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
     "q_corpus_ks_drift": "1-row snapshot-total scalars (the PSI shape)",
+    "q_ingest_chain_decisions_ks": (
+        "1-row per-batch ref/cur total scalars (the chain decisions "
+        "shape + the KS cumsum's bins spine)"
+    ),
     "q_corpus_psi_drift_by_group": (
         "bins-row spine broadcast crossed with the groups relation"
     ),
@@ -389,6 +393,10 @@ GLOBAL_WINDOW_ALLOWED = {
     "q_corpus_ks_drift": (
         "cumsum window over the 10-row bins spine (the CDF fold); the "
         "grouped form partitions by group"
+    ),
+    "q_ingest_chain_decisions_ks": (
+        "per-batch cumsum windows over the 10-row bins spine (the "
+        "ks_drift_counts CDF fold, one per replay batch)"
     ),
     # documented exact-side audits — at 100 TB only the sketch path runs
     "q_ntile_price_deciles": (
