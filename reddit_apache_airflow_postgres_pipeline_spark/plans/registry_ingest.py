@@ -1007,3 +1007,85 @@ def q_ingest_chain_decisions_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "admitted"
         ),
     )
+
+
+_GROUP_DECISIONS_KS_SQL = f"""
+    WITH {_group_chain_ctes()},
+    kcdfg AS (
+      SELECT g.b, g.lang, g.bin,
+             round(CASE WHEN COALESCE(rt2.tr, 0) > 0
+                   THEN SUM(COALESCE(r2.n_ref, 0)) OVER (
+                          PARTITION BY g.b, g.lang ORDER BY g.bin
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / rt2.tr
+                   ELSE 0.0 END, 6) AS cdf_ref,
+             round(CASE WHEN g.tcn > 0
+                   THEN SUM(COALESCE(c2.n_cur, 0)) OVER (
+                          PARTITION BY g.b, g.lang ORDER BY g.bin
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / g.tcn
+                   ELSE 0.0 END, 6) AS cdf_cur
+      FROM (SELECT ctg.b, ctg.lang, ctg.tcn, bins.bin FROM ctg, bins) g
+      LEFT JOIN rfg r2 ON r2.lang = g.lang AND r2.bin = g.bin
+      LEFT JOIN rtg rt2 ON rt2.lang = g.lang
+      LEFT JOIN cbg c2 ON c2.b = g.b AND c2.lang = g.lang AND c2.bin = g.bin),
+    ksbg AS (
+      SELECT b, lang, round(MAX(round(abs(cdf_cur - cdf_ref), 6)), 6) AS ks
+      FROM kcdfg GROUP BY b, lang)
+    SELECT d.b AS batch, d.lang, d.n_docs, d.psi, k.ks,
+           (d.psi <= {_ING_PSI_T} AND k.ks <= {_ING_KS_T}) AS admitted
+    FROM dec d JOIN ksbg k ON k.b = d.b AND k.lang = d.lang
+    """
+
+
+@_q("q_ingest_chain_by_group_ks", _GROUP_DECISIONS_KS_SQL)
+def q_ingest_chain_by_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED chain's drift stage under two-metric admission: per
+    (replay batch, feed) both PSI and KS against the feed's OWN frozen
+    reference (drift_gate.batch_group_drift_stats semantics — one
+    broken feed fails its own CDF displacement while its batch-mates'
+    stay clean). On the replay split 'de' longs land in batch 1, so
+    batch-1 'de' mixes shorts and longs (ks ≈ 0.70 — most of its mass
+    displaced past the reference CDF) and quarantines while batch 1's
+    clean feeds clear both gates; the all-long batch 3 feeds displace
+    the entire CDF (ks = 1.0) — the one-broken-feed shape, alarmed by
+    either metric."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        ks_drift_counts_by_group,
+    )
+
+    dec, _ = group_chain_replay(spark, sf_dir)
+    meta = group_chain_batches(spark, sf_dir).select(
+        "doc", "lang", "b", "bin", "is_long"
+    )
+    ref = (
+        meta.filter(~F.col("is_long"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    parts = []
+    for i in range(_ING_B):
+        cur = (
+            meta.filter(F.col("b") == i)
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        parts.append(
+            ks_drift_counts_by_group(ref, cur, "lang", bins=10)
+            .groupBy("lang")
+            .agg(
+                F.lit(i).alias("b"),
+                F.round(F.max("ks_term"), 6).alias("ks"),
+            )
+        )
+    ks = parts[0]
+    for p in parts[1:]:
+        ks = ks.unionAll(p)
+    return dec.join(ks, ["b", "lang"]).select(
+        F.col("b").alias("batch"),
+        "lang",
+        "n_docs",
+        "psi",
+        "ks",
+        ((F.col("psi") <= _ING_PSI_T) & (F.col("ks") <= _ING_KS_T)).alias(
+            "admitted"
+        ),
+    )

@@ -260,6 +260,10 @@ BNLJ_ALLOWED = {
         "1-row per-batch ref/cur total scalars (the chain decisions "
         "shape + the KS cumsum's bins spine)"
     ),
+    "q_ingest_chain_by_group_ks": (
+        "bins-row spine broadcast crossed with the (batch, feed) "
+        "relation (the grouped PSI shape + per-feed KS cumsums)"
+    ),
     "q_corpus_psi_drift_by_group": (
         "bins-row spine broadcast crossed with the groups relation"
     ),
