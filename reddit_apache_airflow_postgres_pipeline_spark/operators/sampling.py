@@ -383,3 +383,35 @@ def sample_weighted_topk(
         .orderBy(F.asc("__t"), F.asc(key_col))
         .limit(k)
     )
+
+
+def sample_weighted_topk_by_group(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """:func:`sample_weighted_topk` PER GROUP — exact-k weighted
+    without-replacement sampling inside each stratum (the per-language
+    / per-source quota form a mixing recipe actually specifies:
+    "k docs from every feed, weighted by token mass"). Same arrival-
+    time contract (content-addressed u, t = −ln(u)/w rounded 9dp,
+    key-asc ties); the top-k is a window PARTITIONED by the group, so
+    no stratum's selection funnels through one task. Groups smaller
+    than k keep everything — never upsampled."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
+        float(_BUCKETS)
+    )
+    t = F.round(-F.log(u) / w, 9)
+    win = Window.partitionBy(group_col).orderBy(F.asc("__t"), F.asc(key_col))
+    return (
+        df.withColumn("__t", t)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

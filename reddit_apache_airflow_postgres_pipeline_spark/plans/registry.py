@@ -3125,3 +3125,53 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sel"),
         F.sum("wt").cast("bigint").alias("sel_tokens"),
     )
+
+
+@_q(
+    "q_sample_weighted_aes_by_lang",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, len({_TOKENS_SQL}) + 1 AS wt FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, wt,
+             round(-ln((('0x' || substr(md5('aesg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        * 1.0 + 0.5) / 4294967296.0)
+                   / CAST(wt AS DOUBLE), 9) AS t
+      FROM w),
+    sel AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY t, doc_id) AS rn
+        FROM keyed) z
+      WHERE rn <= 40)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sel,
+           CAST(SUM(wt) AS BIGINT) AS sel_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sel GROUP BY lang
+    """,
+)
+def q_sample_weighted_aes_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed exact-k weighted sampling
+    (sampling.sample_weighted_topk_by_group): 40 docs from EVERY
+    language, inclusion ∝ (token count + 1) within the stratum — the
+    per-source quota form of q_sample_weighted_aes (a mixing recipe
+    says "k from each feed", not "k overall"). The top-k window is
+    partitioned by lang, so no stratum funnels through one task;
+    per-lang token mass and the smallest selected id pin the selected
+    SET, not just its size."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_weighted_topk_by_group,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (token_count("text") + 1).alias("wt")
+    )
+    sel = sample_weighted_topk_by_group(
+        d, "doc_id", "wt", "lang", k=40, salt="aesg:"
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sel"),
+        F.sum("wt").cast("bigint").alias("sel_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
