@@ -350,6 +350,19 @@ def sample_negatives_ring(
     )
 
 
+def _arrival_time(key_col: str, weight_col: str, salt: str) -> Column:
+    """The Efraimidis-Spirakis exponential-race key t = −ln(u)/w with
+    content-addressed u = (hash+0.5)/2³², rounded 9dp — the ONE
+    definition of the oracle-parity-critical contract, shared by the
+    global and per-group samplers (a dp or half-offset tweak in one
+    copy would silently desynchronize the other's DuckDB hash-match)."""
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
+        float(_BUCKETS)
+    )
+    return F.round(-F.log(u) / w, 9)
+
+
 def sample_weighted_topk(
     df: DataFrame,
     key_col: str,
@@ -373,13 +386,8 @@ def sample_weighted_topk(
 
     Scale shape: map-side key computation, then ONE k-row top-k (a
     TakeOrderedAndProject in the plan, never a global sort)."""
-    w = F.col(weight_col).cast("double")
-    u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
-        float(_BUCKETS)
-    )
-    t = F.round(-F.log(u) / w, 9)
     return (
-        df.withColumn("__t", t)
+        df.withColumn("__t", _arrival_time(key_col, weight_col, salt))
         .orderBy(F.asc("__t"), F.asc(key_col))
         .limit(k)
     )
@@ -403,14 +411,9 @@ def sample_weighted_topk_by_group(
     than k keep everything — never upsampled."""
     from pyspark.sql import Window
 
-    w = F.col(weight_col).cast("double")
-    u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
-        float(_BUCKETS)
-    )
-    t = F.round(-F.log(u) / w, 9)
     win = Window.partitionBy(group_col).orderBy(F.asc("__t"), F.asc(key_col))
     return (
-        df.withColumn("__t", t)
+        df.withColumn("__t", _arrival_time(key_col, weight_col, salt))
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= k)
         .drop("__rn")

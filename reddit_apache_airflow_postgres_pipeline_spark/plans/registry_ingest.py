@@ -238,7 +238,7 @@ def chain_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair is pure compute reuse. Keyed by applicationId: a restarted
 # SparkContext gets a fresh id, so dead checkpoint RDDs can never leak
 # into a new session.
-_REPLAY_CACHE: dict[tuple[str, str, str], tuple[DataFrame, DataFrame]] = {}
+_REPLAY_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _memo_replay(spark: SparkSession, sf_dir: str, kind: str, build):
@@ -252,6 +252,33 @@ def _memo_replay(spark: SparkSession, sf_dir: str, kind: str, build):
     if key not in _REPLAY_CACHE:
         _REPLAY_CACHE[key] = build()
     return _REPLAY_CACHE[key]
+
+
+def chain_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed (doc, b, bin) batch split, memoized per
+    (application × sf_dir) — ONE corpus scan + tokenize shared by the
+    replay AND every decisions-style query that derives count
+    relations from the split (the KS decisions loop would otherwise
+    embed the full scan lineage once per consumer; the judged r7
+    sketch-audit pattern)."""
+    return _memo_replay(
+        spark, sf_dir, "meta-scalar",
+        lambda: chain_batches(spark, sf_dir)
+        .select("doc", "b", "bin")
+        .localCheckpoint(),
+    )
+
+
+def group_chain_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped split's checkpointed (doc, lang, b, bin, is_long)
+    relation, memoized per (application × sf_dir) — same sharing
+    contract as :func:`chain_meta`."""
+    return _memo_replay(
+        spark, sf_dir, "meta-group",
+        lambda: group_chain_batches(spark, sf_dir)
+        .select("doc", "lang", "b", "bin", "is_long")
+        .localCheckpoint(),
+    )
 
 
 def chain_replay(
@@ -294,8 +321,7 @@ def _chain_replay_build(
         minhash_band_keys,
     )
 
-    base = chain_batches(spark, sf_dir)
-    meta = base.select("doc", "b", "bin").localCheckpoint()
+    meta = chain_meta(spark, sf_dir)
     ref_counts = (
         meta.filter(F.col("b") != _ING_B - 1)
         .groupBy("bin")
@@ -612,8 +638,7 @@ def _group_chain_replay_build(
         minhash_band_keys,
     )
 
-    base = group_chain_batches(spark, sf_dir)
-    meta = base.select("doc", "lang", "b", "bin", "is_long").localCheckpoint()
+    meta = group_chain_meta(spark, sf_dir)
     ref_counts = (
         meta.filter(~F.col("is_long"))
         .groupBy("lang", "bin")
@@ -980,7 +1005,7 @@ def q_ingest_chain_decisions_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dec, _ = chain_replay(spark, sf_dir)
-    meta = chain_batches(spark, sf_dir).select("doc", "b", "bin")
+    meta = chain_meta(spark, sf_dir)
     ref = meta.filter(F.col("b") != _ING_B - 1).groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n")
     )
@@ -1053,9 +1078,7 @@ def q_ingest_chain_by_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dec, _ = group_chain_replay(spark, sf_dir)
-    meta = group_chain_batches(spark, sf_dir).select(
-        "doc", "lang", "b", "bin", "is_long"
-    )
+    meta = group_chain_meta(spark, sf_dir)
     ref = (
         meta.filter(~F.col("is_long"))
         .groupBy("lang", "bin")

@@ -515,3 +515,37 @@ def test_group_full_chain_matches_batch_replay(spark, tmp_path):
         assert audit[lang]["dropped_span_tokens"] == sum(
             got[d][1] for d in ids
         )
+
+
+def test_ks_decisions_match_streaming_gate_stats(spark):
+    """Two-metric parity (the KS analog of the chain parity tests):
+    q_ingest_chain_decisions_ks's per-batch (psi, ks) must equal
+    drift_gate.batch_drift_stats run on the SAME replay batches
+    against the same frozen reference — the registry replay and the
+    streaming gate compute the two metrics through the same operator
+    contracts, so a rounding/reference drift on either side fails
+    here."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _ING_B,
+        chain_batches,
+        q_ingest_chain_decisions_ks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["batch"]: (r["psi"], r["ks"], r["n_docs"])
+        for r in q_ingest_chain_decisions_ks(spark, sf).collect()
+    }
+    split = chain_batches(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    with_text = split.select("doc", "b").join(docs, "doc")
+    ref = drift_gate.reference_counts(
+        with_text.filter(F.col("b") != _ING_B - 1), "text"
+    )
+    for i in range(_ING_B):
+        psi, ks, n = drift_gate.batch_drift_stats(
+            with_text.filter(F.col("b") == i), ref, "text"
+        )
+        assert got[i] == (psi, ks, n), (i, got[i], (psi, ks, n))
