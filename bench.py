@@ -18,8 +18,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import headline_queries
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import headline_queries, queries as all_queries
 from reddit_apache_airflow_postgres_pipeline_spark.session import get_spark
+
+# Non-headline family representatives (r9 verdict #6): the serving and
+# ingest-chain families dominate the codebase but had no round-over-round
+# perf signal. Timed the same way (untimed warm-up + min-of-3) but
+# reported under a SEPARATE "families" block so the 10-query headline
+# total stays comparable across rounds. The chain query's warm-up also
+# builds the session-memoized checkpointed replay, so the recorded
+# number is the steady-state consumer cost (the shape every one of the
+# 5+ chain consumers pays after the shared split).
+FAMILY_QUERIES = ["q_sim_ivfpq", "q_sim_sq8", "q_ingest_chain_decisions"]
 
 
 def main() -> None:
@@ -60,11 +70,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     stage_counts: dict[str, int] = {}
-    for name, fn in qs.items():
-        if explain:
-            print(f"==== {name} ====")
-            fn(spark, sf_dir).explain("formatted")
-            continue
+    warmup_errors: dict[str, str] = {}
+
+    def time_query(name, fn, always3):
+        """Untimed warm-up (when always3) + min-of-N timing; fills the
+        shared timings/spreads/stage_counts/warmup_errors dicts."""
         # min-of-N: best-of-2, escalating to 3 when the first two
         # disagree by >40% — and unconditionally 3 for the heavy dedup
         # queries, whose multi-stage plans are the most
@@ -75,7 +85,6 @@ def main() -> None:
         # materialize intermediates eagerly). Per-query spread
         # (max-min) and scheduler stage counts are reported so a noisy
         # host is self-diagnosing in the recorded JSON.
-        always3 = "dedup" in name
         if always3:
             # one UNTIMED warm-up for the heavy dedup queries: their
             # multi-stage shuffle plans are the bench's noisy pair
@@ -86,8 +95,13 @@ def main() -> None:
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 spark.catalog.clearCache()
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # a failed warm-up means the min-of-3 silently includes
+                # a cold first run — surface it, both on stderr and as
+                # a marker in the recorded JSON, so round-over-round
+                # numbers stay comparable (r9 verdict #2)
+                print(f"WARMUP FAILED for {name}: {exc!r}", file=sys.stderr)
+                warmup_errors[name] = repr(exc)
         runs: list[float] = []
         for attempt in range(3):
             group = f"bench:{name}:{attempt}"
@@ -118,8 +132,28 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
 
+    for name, fn in qs.items():
+        if explain:
+            print(f"==== {name} ====")
+            fn(spark, sf_dir).explain("formatted")
+            continue
+        time_query(name, fn, always3="dedup" in name)
+
     if not explain:
         total = round(sum(timings.values()), 3)
+
+        # families block: NOT part of the headline total (see
+        # FAMILY_QUERIES note above) — timed warm min-of-3 since the
+        # chain replay and IVFPQ training make cold first runs unfair.
+        fam_all = all_queries()
+        for fname in FAMILY_QUERIES:
+            time_query(fname, fam_all[fname], always3=True)
+        families = {
+            n: {"sec": timings.pop(n), "spread": spreads.pop(n),
+                "stages": stage_counts.pop(n, None)}
+            for n in FAMILY_QUERIES if n in timings
+        }
+
         print(
             json.dumps(
                 {
@@ -129,6 +163,8 @@ def main() -> None:
                     "queries": timings,
                     "spread": spreads,
                     "stages": stage_counts,
+                    "families": families,
+                    "warmup_errors": warmup_errors,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 }
             )

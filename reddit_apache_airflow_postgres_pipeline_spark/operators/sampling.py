@@ -355,12 +355,27 @@ def _arrival_time(key_col: str, weight_col: str, salt: str) -> Column:
     content-addressed u = (hash+0.5)/2³², rounded 9dp — the ONE
     definition of the oracle-parity-critical contract, shared by the
     global and per-group samplers (a dp or half-offset tweak in one
-    copy would silently desynchronize the other's DuckDB hash-match)."""
+    copy would silently desynchronize the other's DuckDB hash-match).
+
+    Fail-loud on non-positive weights (the pq_subvectors discipline):
+    w=0 divides by zero and w<0 yields a negative arrival time that
+    deterministically wins the top-k — either would silently corrupt
+    the weighted sample, so a per-row runtime assert rejects them."""
     w = F.col(weight_col).cast("double")
     u = (hash_bucket(key_col, salt).cast("double") + 0.5) / F.lit(
         float(_BUCKETS)
     )
-    return F.round(-F.log(u) / w, 9)
+    return F.when(
+        F.assert_true(
+            w > 0.0,
+            F.concat(
+                F.lit("sample_weighted_topk: non-positive weight "),
+                w.cast("string"),
+                F.lit(f" in {weight_col!r} — weights must be > 0"),
+            ),
+        ).isNull(),
+        F.round(-F.log(u) / w, 9),
+    )
 
 
 def sample_weighted_topk(

@@ -1101,8 +1101,15 @@ def sign_signature(
     typed empty array<bigint> column (parquet refuses array<void>, so
     an empty micro-batch must not degrade the type)."""
     v = F.col(vec_col)
-    # dimension must be known to unroll the packer; probe one row
+    # dimension must be known to unroll the packer; probe one row.
+    # A NULL embedding would make row["d"] None (opaque TypeError on
+    # int()) — fail loudly with the actual problem instead.
     row = vectors.select(F.size(v).alias("d")).first()
+    if row is not None and row["d"] is None:
+        raise ValueError(
+            f"sign_signature: null embedding in corpus column {vec_col!r}"
+            " — filter NULL vectors before signing"
+        )
     d = int(row["d"]) if row else 0
     if d == 0:
         return vectors.withColumn(

@@ -348,3 +348,31 @@ def test_negative_ring_sampling_rejects_non_integral_ids(spark):
     )
     with pytest.raises(TypeError, match="integral id column"):
         sample_negatives_ring(docs, docs.limit(2), k=2)
+
+
+def test_weighted_topk_exact_k_and_nonpositive_weight_fails_loudly(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.sampling import (
+        sample_weighted_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100.0 if i < 5 else 0.01) for i in range(200)],
+        "doc_id long, w double",
+    )
+    got = sample_weighted_topk(df, "doc_id", "w", k=10).collect()
+    assert len(got) == 10  # exact-k, not in-expectation
+    # the 5 overwhelming-weight docs are essentially certain picks
+    assert {r["doc_id"] for r in got} >= {0, 1, 2, 3, 4}
+    # w=0 would divide by zero and w<0 would deterministically win the
+    # race — both must raise, not silently corrupt the sample (r9 ADVICE)
+    for bad in (0.0, -1.0):
+        poisoned = df.withColumn(
+            "w", F.when(F.col("doc_id") == 7, bad).otherwise(F.col("w"))
+        )
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+            sample_weighted_topk(poisoned, "doc_id", "w", k=10).collect()

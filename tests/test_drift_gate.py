@@ -17,6 +17,19 @@ NORMAL = " ".join(["tok"] * 40)
 SHORT = "tok tok"  # bin 0 — a degenerate-crawl symptom
 
 
+_MTIME_SEQ = [0]
+
+
+def _stamp(path):
+    # maxFilesPerTrigger=1 orders inbox files by modification time;
+    # two pyarrow writes can tie within Spark's ms granularity and flip
+    # batch 0/1 (flaky rows[i] assertions). Force strictly increasing,
+    # whole-second-apart mtimes in write order.
+    _MTIME_SEQ[0] += 1
+    t = 1_600_000_000 + _MTIME_SEQ[0]
+    os.utime(path, (t, t))
+
+
 def _write(path, rows):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -30,6 +43,7 @@ def _write(path, rows):
         ),
         path,
     )
+    _stamp(path)
 
 
 def test_batch_psi_zero_on_identical_distribution(spark):
@@ -110,6 +124,7 @@ def _gwrite(path, rows):
         ),
         path,
     )
+    _stamp(path)
 
 
 def _gref(spark):

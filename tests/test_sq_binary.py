@@ -144,3 +144,17 @@ def test_sign_signature_empty_input_keeps_bigint_type(spark, tmp_path):
     assert out.schema["sig"].dataType.simpleString() == "array<bigint>"
     out.write.mode("overwrite").parquet(str(tmp_path / "sigs"))  # must not raise
     assert spark.read.parquet(str(tmp_path / "sigs")).count() == 0
+
+
+def test_sign_signature_null_embedding_probe_fails_loudly(spark):
+    """A NULL first-row embedding used to surface as an opaque
+    TypeError from int(None) in the dimension probe; now a clear
+    ValueError names the real problem (r9 ADVICE)."""
+    import pytest
+
+    nulled = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="null embedding"):
+        sim.sign_signature(nulled)
