@@ -1396,3 +1396,101 @@ def ideal_dcg(k: int) -> float:
     import math
 
     return round(sum(1.0 / math.log2(i + 1) for i in range(1, k + 1)), 9)
+
+
+# ---------------------------------------------------------------------------
+# Raw text → dense vector featurization (closes the loop: the engine can
+# take documents all the way to the IVF/PQ/SQ8 serving stack it indexes,
+# instead of requiring a pre-provided embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: int = 16,
+    n: int = 2,
+    salt: str = "emb",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hashed-n-gram signed-random-projection text
+    featurizer: (id, L2-normalized ``array<double>`` of dim ``d``).
+
+    The classic hashing-trick embedding (Weinberger et al. 2009 feature
+    hashing composed with a sign-random projection): each overlapping
+    word ``n``-gram occurrence contributes ±1 to every output dimension
+    ``j``, with the sign drawn from the repo's cross-engine md5 idiom on
+    ``salt‖gram‖':'‖j`` — no learned parameters, no RNG, bit-replayable
+    in ANSI SQL. Component sums are INTEGERS (exact in both engines);
+    the only float ops are the norm (sqrt of an exact integer sum of
+    squares) and one division, both IEEE-correctly rounded — so the
+    output doubles are bit-identical cross-engine at FULL precision,
+    and the components are deliberately NOT rounded to a fixed number
+    of decimals: low-entropy decimal components would make downstream
+    rounding contracts (k-means means, ADC terms) land on .5
+    boundaries routinely instead of with measure-zero probability,
+    which is exactly the failure mode that distinguishes this
+    featurizer's output from the raw ``embeddings`` fixture. Pin
+    values for comparison by rounding AT THE PROJECTION, the way
+    plans/registry_ml.q_text_embed does.
+
+    Tokenization matches :func:`neardup.word_shingles` (lowercase,
+    whitespace-normalized, one overlapping-lookahead regex pass, docs
+    shorter than ``n`` tokens contribute their full token-join) but
+    WITHOUT the distinct — occurrence counts are the TF weights.
+
+    Scale: ONE shuffle keyed on the doc id. The gram explode and the d
+    sign hashes are map-side whole-stage codegen (``d`` is unrolled at
+    plan-build time — no interpreted higher-order lambdas in the hot
+    path), and the aggregation is a hash agg with ``d`` integer sum
+    buffers, so map-side partial aggregation reduces each partition to
+    one row per doc before the exchange. Docs whose text yields no
+    non-empty gram (empty/whitespace) produce no output row; a doc
+    whose component sums all cancel to zero gets the zero vector
+    (norm 0 must not emit NaNs).
+    """
+    if d <= 0:
+        raise ValueError(f"d must be positive, got {d}")
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    c = F.col(text_col)
+    norm_txt = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+", " "
+    )
+    pat = "(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    grams = F.regexp_extract_all(norm_txt, F.lit(pat), 1)
+    grams = F.when(
+        F.size(F.split(norm_txt, " ")) < n, F.array(norm_txt)
+    ).otherwise(grams)
+    g = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .filter(F.col("__g") != "")
+    )
+
+    def _sign(j: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("__g"), F.lit(f":{j}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    comps = g.groupBy(id_col).agg(
+        *[F.sum(_sign(j)).alias(f"__c{j}") for j in range(d)]
+    )
+    sq = [F.col(f"__c{j}").cast("double") for j in range(d)]
+    nrm_expr = sq[0] * sq[0]
+    for s in sq[1:]:
+        nrm_expr = nrm_expr + s * s
+    nrm = F.sqrt(nrm_expr)
+    emb = F.array(*[s / nrm for s in sq])
+    zero = F.array(*[F.lit(0.0)] * d)
+    return comps.select(
+        F.col(id_col),
+        F.when(nrm > 0.0, emb).otherwise(zero).alias(out_col),
+    )

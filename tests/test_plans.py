@@ -235,6 +235,14 @@ BNLJ_ALLOWED = {
     "q_sim_knn_bruteforce": "bounded query set",
     "q_sim_ivf_knn": "bounded query set + centroids",
     "q_sim_ivfpq": "n_cells coarse centroids broadcast (the ivf_assign fan-out)",
+    "q_text_embed_ivfpq": (
+        "n_cells coarse centroids broadcast over the checkpointed "
+        "featurized corpus (same ivf_assign fan-out as q_sim_ivfpq)"
+    ),
+    "q_text_embed_ivfpq_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan "
+        "(same shape as q_sim_ivfpq_recall, featurized corpus)"
+    ),
     "q_sim_ivfpq_recall": (
         "coarse-centroid fan-out + the 8-query exact-L2 baseline scan"
     ),
