@@ -155,7 +155,7 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
         df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
-    return df
+    return _apply_tombstones(df, spark, path)
 
 
 def compact_postings(
@@ -166,20 +166,12 @@ def compact_postings(
     with ``partition_by=["cell"]``: the dir listing stays bounded as
     appends accumulate, probes keep their partition pruning (pinned by
     tests/test_vector_index.py), and the generation's manifest keeps
-    :func:`read_postings` exact across a crash-interrupted GC."""
-    store = f"{path}/postings"
-    df = spark.read.parquet(store)
-    fields = [f for f in df.schema.fields if f.name != "batch_id"]
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
-    _cs.compact_counts(
-        spark,
-        store,
-        schema,
-        [f.name for f in fields],
-        None,
-        exclude_from=exclude_from,
-        agg="distinct",
-        partition_by=["cell"],
+    :func:`read_postings` exact across a crash-interrupted GC. A full
+    compaction (``exclude_from=None``) also physically drops tombstoned
+    rows and GCs the absorbed tombstone dirs (see
+    :func:`delete_from_index`)."""
+    _compact_with_tombstones(
+        spark, path, f"{path}/postings", exclude_from, ["cell"]
     )
 
 
@@ -371,27 +363,17 @@ def read_codes(spark: SparkSession, path: str) -> DataFrame:
         df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
-    return df
+    return _apply_tombstones(df, spark, path)
 
 
 def compact_codes(
     spark: SparkSession, path: str, exclude_from: int | None = None
 ) -> None:
     """Fold the codes batch dirs into one cell-partitioned generation —
-    identical machinery to :func:`compact_postings`."""
-    store = f"{path}/codes"
-    df = spark.read.parquet(store)
-    fields = [f for f in df.schema.fields if f.name != "batch_id"]
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
-    _cs.compact_counts(
-        spark,
-        store,
-        schema,
-        [f.name for f in fields],
-        None,
-        exclude_from=exclude_from,
-        agg="distinct",
-        partition_by=["cell"],
+    identical machinery to :func:`compact_postings`, including the
+    physical tombstone drop on a full compaction."""
+    _compact_with_tombstones(
+        spark, path, f"{path}/codes", exclude_from, ["cell"]
     )
 
 
@@ -518,7 +500,7 @@ def read_sigs(spark: SparkSession, path: str) -> DataFrame:
         df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
-    return df
+    return _apply_tombstones(df, spark, path)
 
 
 def compact_sigs(
@@ -526,19 +508,10 @@ def compact_sigs(
 ) -> None:
     """Fold the sig batch dirs into ONE generation (distinct-mode
     counting_state compaction) so the listing stays bounded over an
-    unbounded append stream."""
-    store = f"{path}/sigs"
-    df = spark.read.parquet(store)
-    fields = [f for f in df.schema.fields if f.name != "batch_id"]
-    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
-    _cs.compact_counts(
-        spark,
-        store,
-        schema,
-        [f.name for f in fields],
-        None,
-        exclude_from=exclude_from,
-        agg="distinct",
+    unbounded append stream. Full compactions physically drop
+    tombstoned rows (see :func:`delete_from_index`)."""
+    _compact_with_tombstones(
+        spark, path, f"{path}/sigs", exclude_from, None
     )
 
 
@@ -578,3 +551,120 @@ def query_binary_index(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes — the GDPR-erasure path (reference theme: salted
+# hashing of user identifiers, README.md:328). A served corpus must be
+# able to forget a vector without a full index rebuild: deletes land as
+# id-tombstone batch dirs in a sibling ``<path>/tombstones`` store
+# (same counting_state delta machinery as the data stores), every
+# probe reader anti-joins the live tombstones, and the next full
+# compaction PHYSICALLY drops tombstoned rows from the folded
+# generation and garbage-collects the absorbed tombstone dirs.
+# ---------------------------------------------------------------------------
+
+_TOMB_FORMAT = "index-tombstones/v1"
+
+
+def _tomb_store(path: str) -> str:
+    return f"{path}/tombstones"
+
+
+def delete_from_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Mark ids deleted in the index at ``path`` (works identically for
+    IVF, IVFPQ, and binary stores — tombstones are index-agnostic id
+    lists). Same delta contract as the appends: idempotent per-dir
+    overwrite (an explicit ``batch_id`` is the streaming/retry hook),
+    prior dirs untouched.
+
+    Semantics: a tombstone shadows its id from every subsequent read
+    until a FULL compaction (``exclude_from=None``) physically drops
+    the rows and absorbs the tombstone. Re-adding a deleted id while
+    its tombstone is live is unsupported (the anti-join would shadow
+    the new row too) — erase, compact, then re-add."""
+    rows = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    store = _tomb_store(path)
+    _cs.stamp_meta(store, {"format": _TOMB_FORMAT})
+    _write_delta(rows, store, batch_id, partition_by=())
+
+
+# explicit per-index names, mirroring the append_* surface
+delete_from_ivf_index = delete_from_index
+delete_from_ivfpq_index = delete_from_index
+delete_from_binary_index = delete_from_index
+
+
+def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The live deleted-id relation (neighbor_id), or None when the
+    index has no tombstone store / no live tombstone dirs."""
+    store = _tomb_store(path)
+    if not _cs.state_subdirs(store):
+        return None
+    df = spark.read.parquet(store)
+    excluded = _cs.subsumed_ids(store)
+    if excluded:
+        df = df.filter(~F.col("batch_id").isin([int(i) for i in excluded]))
+    return df.select("neighbor_id")
+
+
+def _apply_tombstones(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Anti-join the live tombstones onto a data-store read. The
+    tombstone side is an erasure backlog — bounded between compactions
+    — so it broadcasts; the data side's partition pruning (cell dirs)
+    is untouched by an anti-join on neighbor_id."""
+    tomb = read_tombstones(spark, path)
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+
+
+def _compact_with_tombstones(
+    spark: SparkSession,
+    path: str,
+    store: str,
+    exclude_from: int | None,
+    partition_by: list[str] | None,
+) -> None:
+    """The shared compact body: fold the data store, physically
+    dropping tombstoned rows, then GC the absorbed tombstone dirs —
+    but ONLY when the fold covered every live data dir
+    (``exclude_from=None``): an excluded in-flight dir keeps its rows
+    raw, so its tombstones must stay live or the delete would silently
+    resurrect. Crash-safety: tombstone deletion is pure GC — a crash
+    before it leaves the tombstones live and the anti-join re-applies
+    them (idempotent)."""
+    tomb = _tomb_store(path)
+    tdirs = _cs.state_subdirs(tomb) if exclude_from is None else {}
+    drop = (
+        spark.read.parquet(*tdirs.keys()).select("neighbor_id").distinct()
+        if tdirs
+        else None
+    )
+    df = spark.read.parquet(store)
+    fields = [f for f in df.schema.fields if f.name != "batch_id"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    folded = _cs.compact_counts(
+        spark,
+        store,
+        schema,
+        [f.name for f in fields],
+        None,
+        exclude_from=exclude_from,
+        agg="distinct",
+        partition_by=partition_by,
+        drop_keys=drop,
+        drop_on=["neighbor_id"] if drop is not None else None,
+    )
+    if folded and tdirs:
+        # the folded generation no longer contains the dropped ids and
+        # the append contract forbids id reuse — the snapshot of
+        # tombstone dirs read above is fully absorbed. Dirs appended
+        # AFTER the snapshot stay live for the next cycle.
+        for p in tdirs:
+            shutil.rmtree(p, ignore_errors=True)

@@ -169,8 +169,12 @@ def compact_counts(
     exclude_from: int | None = None,
     agg: str = "sum",
     partition_by: list[str] | None = None,
-) -> None:
+    drop_keys: "DataFrame | None" = None,
+    drop_on: list[str] | None = None,
+) -> bool:
     """Fold live dirs (and prior generations) into one new generation.
+    Returns True iff a fold actually happened (callers gate follow-up
+    GC — e.g. tombstone-dir deletion — on it).
 
     1. finish any interrupted GC (dirs already named by the newest
        manifest are invisible to readers — deleting them is safe and
@@ -215,13 +219,24 @@ def compact_counts(
         for i in dirs.values()
         if i < 0 or exclude_from is None or i < exclude_from
     }
-    if len(fold_ids) < 2:
-        return
+    if len(fold_ids) < 2 and drop_keys is None:
+        return False
+    if not fold_ids:
+        return False
     next_gen = min(min(dirs.values()), 0) - 1
     folded = read_counts(
         spark, state_dir, cell_schema, key_cols, value_col,
         before_batch=exclude_from, agg=agg,
     )
+    if drop_keys is not None:
+        # physically drop rows matching drop_keys (index tombstones):
+        # an anti-join on the fold, not on reads — reads stay raw. The
+        # drop side is the deleted-id relation; no forced broadcast
+        # (at serving scale an erasure backlog can be large — let AQE
+        # pick the join strategy).
+        folded = folded.join(
+            drop_keys, on=list(drop_on or []), how="left_anti"
+        )
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     cluster = partition_by if partition_by else key_cols
@@ -236,6 +251,7 @@ def compact_counts(
     for p, i in dirs.items():
         if i in fold_ids:
             shutil.rmtree(p, ignore_errors=True)
+    return True
 
 
 def live_dir_count(state_dir: str) -> int:

@@ -355,3 +355,167 @@ def test_binary_index_roundtrip_append_equality_and_compaction(spark, tmp_path):
     # compaction dedups the retried batch's rows (distinct mode), so
     # answers return to the union-build's
     assert got3 == want
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (GDPR erasure): a deleted id never surfaces again —
+# pre-compaction (anti-joined), post-compaction (physically dropped) —
+# for all three store kinds.
+# ---------------------------------------------------------------------------
+
+
+def _never_surfaces(spark, path, query_fn, victim):
+    got = query_fn()
+    assert victim not in {r["neighbor_id"] for r in got.collect()}
+
+
+def test_ivf_delete_shadows_then_compaction_physically_drops(spark, tmp_path):
+    import os
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        append_to_ivf_index,
+        delete_from_ivf_index,
+        read_tombstones,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    ix = str(tmp_path / "ix")
+    write_ivf_index(e.filter(F.col("vec_id") < 400), ix, n_cells=8, refine_iters=0)
+    append_to_ivf_index(e.filter(F.col("vec_id") >= 400), ix)
+
+    # pick a victim that IS served before deletion so the test is live
+    before = query_ivf_index(spark, ix, q, n_probe=8, k=5)
+    victim = before.collect()[0]["neighbor_id"]
+    delete_from_ivf_index(
+        e.filter(F.col("vec_id") == victim).select("vec_id"), ix
+    )
+
+    # pre-compaction: shadowed by the anti-join
+    after = query_ivf_index(spark, ix, q, n_probe=8, k=5)
+    assert victim not in {r["neighbor_id"] for r in after.collect()}
+    assert victim not in {
+        r["neighbor_id"] for r in read_postings(spark, ix).collect()
+    }
+
+    # post-compaction: physically dropped — raw parquet scan of the
+    # folded store (bypassing the reader) must not contain the id, and
+    # the absorbed tombstone dirs are GC'd
+    compact_postings(spark, ix)
+    raw = spark.read.parquet(f"{ix}/postings")
+    assert victim not in {r["neighbor_id"] for r in raw.collect()}
+    assert read_tombstones(spark, ix) is None
+    assert not os.path.isdir(f"{ix}/tombstones") or not any(
+        d.startswith("batch_id=") for d in os.listdir(f"{ix}/tombstones")
+    )
+    # and results for everyone else are unchanged
+    final = {
+        (r["query_id"], r["neighbor_id"])
+        for r in query_ivf_index(spark, ix, q, n_probe=8, k=5).collect()
+    }
+    kept = {
+        (r["query_id"], r["neighbor_id"])
+        for r in after.collect()
+    }
+    assert final == kept
+
+
+def test_ivfpq_and_binary_deletes_survive_compaction(spark, tmp_path):
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        compact_codes,
+        compact_sigs,
+        delete_from_binary_index,
+        delete_from_ivfpq_index,
+        query_binary_index,
+        query_ivfpq_index,
+        read_codes,
+        read_sigs,
+        write_binary_index,
+        write_ivfpq_index,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 4)
+
+    pq = str(tmp_path / "pq")
+    write_ivfpq_index(e, pq, n_cells=8, m=4, n_codes=16, iters=1)
+    served = query_ivfpq_index(spark, pq, q, n_probe=8, k=5).collect()
+    victim = served[0]["neighbor_id"]
+    delete_from_ivfpq_index(
+        e.filter(F.col("vec_id") == victim).select("vec_id"), pq
+    )
+    assert victim not in {
+        r["neighbor_id"]
+        for r in query_ivfpq_index(spark, pq, q, n_probe=8, k=5).collect()
+    }
+    compact_codes(spark, pq)
+    assert victim not in {
+        r["neighbor_id"] for r in spark.read.parquet(f"{pq}/codes").collect()
+    }
+    assert victim not in {
+        r["neighbor_id"]
+        for r in query_ivfpq_index(spark, pq, q, n_probe=8, k=5).collect()
+    }
+    assert read_codes(spark, pq).count() > 0
+
+    bx = str(tmp_path / "bx")
+    write_binary_index(e, bx)
+    served_b = query_binary_index(spark, bx, q, k=5).collect()
+    bvictim = served_b[0]["neighbor_id"]
+    delete_from_binary_index(
+        e.filter(F.col("vec_id") == bvictim).select("vec_id"), bx
+    )
+    assert bvictim not in {
+        r["neighbor_id"]
+        for r in query_binary_index(spark, bx, q, k=5).collect()
+    }
+    compact_sigs(spark, bx)
+    assert bvictim not in {
+        r["neighbor_id"] for r in spark.read.parquet(f"{bx}/sigs").collect()
+    }
+    assert read_sigs(spark, bx).count() == 499
+
+
+def test_delete_retry_is_idempotent_and_partial_compaction_keeps_tombstones(
+    spark, tmp_path
+):
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        append_to_ivf_index,
+        delete_from_ivf_index,
+        read_tombstones,
+    )
+
+    e = _emb(spark)
+    ix = str(tmp_path / "ix")
+    write_ivf_index(e.filter(F.col("vec_id") < 300), ix, n_cells=8, refine_iters=0)
+    append_to_ivf_index(
+        e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), ix
+    )
+    # retried delete with an explicit batch id overwrites its own dir
+    ids = e.filter(F.col("vec_id") == 7).select("vec_id")
+    delete_from_ivf_index(ids, ix, batch_id=5)
+    delete_from_ivf_index(ids, ix, batch_id=5)
+    assert read_tombstones(spark, ix).count() == 1
+
+    # a PARTIAL compaction (exclude_from) must NOT GC the tombstones:
+    # the excluded dir's rows stay raw, so dropping the tombstone would
+    # resurrect a deleted id that lives there
+    delete_from_ivf_index(
+        e.filter(F.col("vec_id") == 350).select("vec_id"), ix
+    )
+    compact_postings(spark, ix, exclude_from=1)  # batch 1 stays raw
+    assert read_tombstones(spark, ix) is not None
+    assert {r["neighbor_id"] for r in read_tombstones(spark, ix).collect()} == {
+        7,
+        350,
+    }
+    # reads still shadow both
+    live = {r["neighbor_id"] for r in read_postings(spark, ix).collect()}
+    assert 7 not in live and 350 not in live
+    # a FULL compaction then absorbs everything
+    compact_postings(spark, ix)
+    assert read_tombstones(spark, ix) is None
+    raw = {r["neighbor_id"] for r in spark.read.parquet(f"{ix}/postings").collect()}
+    assert 7 not in raw and 350 not in raw
+    assert len(raw) == 398
