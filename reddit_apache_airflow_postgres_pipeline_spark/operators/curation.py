@@ -646,6 +646,54 @@ def psi_drift_counts(
     )
 
 
+def refreshed_reference_counts(
+    batch_counts: DataFrame,
+    ref_counts: DataFrame,
+    window: int = 5,
+    min_batches: int = 3,
+    batch_col: str = "b",
+) -> DataFrame:
+    """The drift gate's re-baselining policy as a pure relation: given
+    the per-ADMITTED-batch binned counts ``(batch, bin, n)`` and the
+    frozen reference ``(bin, n)``, return the new reference —
+
+    * the summed counts of the NEWEST ``window`` admitted batches,
+      when at least ``min_batches`` of them exist (the hysteresis: a
+      gate that has been quarantining nearly everything must not
+      re-baseline from the trickle that got through);
+    * the frozen reference UNCHANGED otherwise.
+
+    Fully declarative — the batch-id top-``window`` is a ≤window-row
+    sorted limit, the switch is a 1-row scalar cross-join — so the
+    registry query replays it in ANSI SQL and the streaming
+    :func:`drift_gate.refresh_reference` shares the exact policy.
+    Every relation here is bins-sized or window-sized; nothing
+    corpus-shaped survives past the input counts."""
+    if window <= 0 or min_batches <= 0:
+        raise ValueError(
+            f"window and min_batches must be positive, got {window}, "
+            f"{min_batches}"
+        )
+    newest = (
+        batch_counts.select(batch_col)
+        .distinct()
+        .orderBy(F.desc(batch_col))
+        .limit(window)
+    )
+    in_win = batch_counts.join(F.broadcast(newest), batch_col)
+    cand = in_win.groupBy("bin").agg(F.sum("n").cast("bigint").alias("n"))
+    nwin = in_win.agg(
+        F.countDistinct(batch_col).cast("bigint").alias("__nb")
+    )
+    take_new = cand.crossJoin(F.broadcast(nwin)).filter(
+        F.col("__nb") >= min_batches
+    )
+    keep_old = ref_counts.select(
+        "bin", F.col("n").cast("bigint").alias("n")
+    ).crossJoin(F.broadcast(nwin)).filter(F.col("__nb") < min_batches)
+    return take_new.select("bin", "n").unionAll(keep_old.select("bin", "n"))
+
+
 def psi_drift_counts_by_group(
     ref_counts: DataFrame,
     cur_counts: DataFrame,

@@ -1259,3 +1259,145 @@ def q_corpus_ks_drift_by_group(
         )
 
     return curation.ks_drift_counts_by_group(counts(0), counts(1), "lang", bins=10)
+
+
+# ---------------------------------------------------------------------------
+# Reference refresh policy (drift_gate.refresh_reference /
+# curation.refreshed_reference_counts): a frozen reference eventually
+# quarantines the new normal; re-baseline from recently-admitted
+# batches, with hysteresis so a quarantine storm can't poison the ref.
+# ---------------------------------------------------------------------------
+
+
+def _drift_refresh_sql(min_batches: int) -> str:
+    """The refresh-then-gate chain in ANSI SQL: batches = the odd-id
+    stream split 5 ways, frozen ref = the even-id snapshot, per-batch
+    PSI admission at 0.25, newest-3 window, then the probe batch (b=0)
+    gated against the refreshed reference."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    r0 AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 0 GROUP BY bin),
+    bt AS (SELECT (doc_id // 2) % 5 AS b, bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+    tr AS (SELECT SUM(n) AS tr FROM r0),
+    tcb AS (SELECT b, SUM(n) AS tc FROM bt GROUP BY b),
+    pb AS (SELECT bb.b, bi.bin,
+                  round(greatest(CASE WHEN tr.tr > 0
+                                 THEN COALESCE(r0.n, 0) * 1.0 / tr.tr
+                                 ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                  round(greatest(CASE WHEN tcb.tc > 0
+                                 THEN COALESCE(bt.n, 0) * 1.0 / tcb.tc
+                                 ELSE 0.0 END, 0.0001), 6) AS p_cur
+           FROM (SELECT DISTINCT b FROM bt) bb
+           CROSS JOIN bins bi
+           LEFT JOIN r0 ON r0.bin = bi.bin
+           LEFT JOIN bt ON bt.b = bb.b AND bt.bin = bi.bin
+           JOIN tcb ON tcb.b = bb.b
+           CROSS JOIN tr),
+    psib AS (SELECT b, round(SUM(round((p_cur - p_ref)
+                                       * ln(p_cur / p_ref), 6)), 6) AS psi
+             FROM pb GROUP BY b),
+    adm AS (SELECT b FROM psib WHERE psi <= 0.25),
+    admc AS (SELECT bt.* FROM bt JOIN adm USING (b)),
+    win AS (SELECT b FROM (SELECT DISTINCT b FROM admc) z
+            ORDER BY b DESC LIMIT 3),
+    inw AS (SELECT admc.* FROM admc JOIN win USING (b)),
+    nb AS (SELECT COUNT(DISTINCT b) AS nb FROM inw),
+    newref AS (
+      SELECT bin, CAST(SUM(n) AS BIGINT) AS n
+      FROM inw, nb WHERE nb.nb >= {min_batches} GROUP BY bin, nb.nb
+      UNION ALL
+      SELECT bin, n FROM r0, nb WHERE nb.nb < {min_batches}),
+    probe AS (SELECT bin, n FROM bt WHERE b = 0),
+    ntr AS (SELECT SUM(n) AS tr FROM newref),
+    ptc AS (SELECT SUM(n) AS tc FROM probe),
+    fin AS (SELECT bi.bin,
+                   CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(p.n, 0) AS BIGINT) AS n_cur,
+                   round(greatest(CASE WHEN ntr.tr > 0
+                                  THEN COALESCE(nr.n, 0) * 1.0 / ntr.tr
+                                  ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                   round(greatest(CASE WHEN ptc.tc > 0
+                                  THEN COALESCE(p.n, 0) * 1.0 / ptc.tc
+                                  ELSE 0.0 END, 0.0001), 6) AS p_cur
+            FROM bins bi
+            LEFT JOIN newref nr ON nr.bin = bi.bin
+            LEFT JOIN probe p ON p.bin = bi.bin
+            CROSS JOIN ntr CROSS JOIN ptc)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM fin
+    """
+
+
+def _drift_refresh_pipeline(
+    spark: SparkSession, sf_dir: str, min_batches: int
+) -> DataFrame:
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias("bin"),
+    )
+    ref0 = (
+        binned.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    bt = (
+        binned.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("b", F.expr("(doc_id div 2) % 5"))
+        .groupBy("b", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    refg = (
+        bt.select("b").distinct()
+        .crossJoin(F.broadcast(ref0))
+        .select("b", "bin", "n")
+    )
+    psib = (
+        curation.psi_drift_counts_by_group(refg, bt, group_col="b", bins=10)
+        .groupBy("b")
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+    )
+    adm = psib.filter(F.col("psi") <= 0.25).select("b")
+    admc = bt.join(F.broadcast(adm), "b")
+    newref = curation.refreshed_reference_counts(
+        admc, ref0, window=3, min_batches=min_batches, batch_col="b"
+    )
+    probe = bt.filter(F.col("b") == 0).select("bin", "n")
+    return curation.psi_drift_counts(newref, probe, bins=10)
+
+
+@_q("q_drift_ref_refresh", _drift_refresh_sql(min_batches=2))
+def q_drift_ref_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh-then-gate, composed end to end in one declarative plan:
+    the odd-id stream arrives as 5 batches, each is PSI-admitted
+    against the frozen even-id reference, the newest 3 admitted
+    batches re-baseline the reference
+    (curation.refreshed_reference_counts, min_batches=2 satisfied),
+    and the probe batch (b=0) is gated against the REFRESHED
+    reference — the full psi_drift_counts relation is the output, so
+    the oracle pins both the refresh arithmetic and the downstream
+    gate. Every relation past the binned counts is bins- or
+    window-sized; the 1-row scalars (totals, window count) are
+    broadcast cross-joins."""
+    return _drift_refresh_pipeline(spark, sf_dir, min_batches=2)
+
+
+@_q("q_drift_ref_refresh_hysteresis", _drift_refresh_sql(min_batches=6))
+def q_drift_ref_refresh_hysteresis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The refusal path, pinned deterministically: min_batches=6 can
+    never be satisfied by a 3-batch window, so the refresh MUST fall
+    back to the frozen reference unchanged — the hysteresis that stops
+    a quarantine storm (or a cold start) from re-baselining the gate
+    onto a trickle. Identical plan shape to q_drift_ref_refresh; only
+    the scalar switch flips."""
+    return _drift_refresh_pipeline(spark, sf_dir, min_batches=6)

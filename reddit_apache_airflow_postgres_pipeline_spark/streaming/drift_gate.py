@@ -89,6 +89,55 @@ def write_reference(
     ).parquet(ref_path)
 
 
+def refresh_reference(
+    spark: SparkSession,
+    out_dir: str,
+    ref_path: str,
+    window: int = 5,
+    min_batches: int = 3,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> bool:
+    """Re-baseline the gate's frozen reference from the newest
+    ``window`` ADMITTED batches in ``out_dir`` — the refresh policy a
+    real corpus monitor runs on a schedule: distributions legitimately
+    move (seasonality, new sources), and a reference frozen forever
+    eventually quarantines the new normal.
+
+    Hysteresis: returns False (reference untouched) unless at least
+    ``min_batches`` admitted batches exist in the window — a gate that
+    has been quarantining nearly everything must not re-baseline from
+    the trickle that got through. Returns True after writing the new
+    ≤ ``bins``-row (bin, n) reference.
+
+    Shares the exact policy relation with
+    :func:`curation.refreshed_reference_counts` (oracle-paired in the
+    registry as q_drift_ref_refresh); this wrapper only does the store
+    plumbing. The batch-id listing is a decision-sized collect (one id
+    per admitted batch), the refresh itself is one aggregate over the
+    window's rows, and the written reference is pre-aggregated — same
+    scan economics as :func:`write_reference`."""
+    adm_dir = os.path.join(out_dir, "admitted")
+    if not os.path.isdir(adm_dir):
+        return False
+    adm = spark.read.parquet(adm_dir)
+    ids = sorted(
+        (int(r["batch_id"]) for r in adm.select("batch_id").distinct().collect()),
+        reverse=True,
+    )[:window]
+    if len(ids) < min_batches:
+        return False
+    write_reference(
+        adm.filter(F.col("batch_id").isin(ids)),
+        ref_path,
+        text_col,
+        bin_width,
+        bins,
+    )
+    return True
+
+
 def batch_psi_stats(
     batch_df: DataFrame,
     ref_counts: DataFrame,

@@ -330,3 +330,98 @@ def test_group_gate_ks_quarantines_only_the_shifted_feed(spark, tmp_path):
     dec = {r["lang"]: r for r in spark.read.parquet(f"{out}/decisions").collect()}
     assert dec["en"]["admitted"] and dec["en"]["ks"] == 0.0
     assert not dec["de"]["admitted"] and dec["de"]["ks"] == 1.0
+
+
+def test_refresh_reference_rebaselines_from_admitted_window(spark, tmp_path):
+    """refresh-then-gate == gate-on-new-reference: run the gate over a
+    mixed inbox, refresh the reference from the newest admitted
+    batches, and pin (a) the refreshed (bin, n) file equals the policy
+    relation computed in batch (curation.refreshed_reference_counts),
+    (b) gating a new batch against the refreshed file equals
+    batch_psi_stats against the batch-computed reference."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    drift_gate.write_reference(
+        spark.createDataFrame([(i, NORMAL) for i in range(100)], SCHEMA), ref
+    )
+    # three in-distribution batches (admitted), one drifted (quarantined)
+    _write(os.path.join(inbox, "f0.parquet"), [(i, NORMAL) for i in range(20)])
+    _write(os.path.join(inbox, "f1.parquet"), [(100 + i, SHORT) for i in range(20)])
+    _write(os.path.join(inbox, "f2.parquet"), [(200 + i, NORMAL) for i in range(30)])
+    _write(os.path.join(inbox, "f3.parquet"), [(300 + i, NORMAL) for i in range(10)])
+    drift_gate.run_drift_gate_available_now(
+        spark, inbox, SCHEMA, out, ref, ckpt, threshold=0.25
+    )
+    assert spark.read.parquet(f"{out}/admitted").count() == 60
+
+    # hysteresis first: more batches demanded than admitted → refuse,
+    # reference file byte-stable
+    before = sorted(map(tuple, spark.read.parquet(ref).collect()))
+    assert not drift_gate.refresh_reference(
+        spark, out, ref, window=5, min_batches=4
+    )
+    assert sorted(map(tuple, spark.read.parquet(ref).collect())) == before
+
+    # real refresh: newest 2 admitted batches re-baseline
+    assert drift_gate.refresh_reference(spark, out, ref, window=2, min_batches=2)
+    got = sorted(map(tuple, spark.read.parquet(ref).collect()))
+
+    # recompute via the policy relation on per-batch counts (the same
+    # binning contract the gate uses)
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    adm = spark.read.parquet(f"{out}/admitted")
+    per_batch = (
+        adm.select(
+            F.col("batch_id").alias("b"),
+            F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+        )
+        .groupBy("b", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # fallback arg = the ORIGINAL frozen ref (unused here — the window
+    # is satisfied — but passing the post-refresh file would be wrong)
+    ref0_df = spark.createDataFrame(before, "bin int, n bigint")
+    want_rel = curation.refreshed_reference_counts(
+        per_batch, ref0_df, window=2, min_batches=2
+    )
+    want = sorted(map(tuple, want_rel.collect()))
+    assert got == want
+
+    # (b) gate-on-new-reference parity: a fresh batch gated against the
+    # refreshed FILE equals gating against the batch-computed relation
+    probe = spark.createDataFrame(
+        [(900 + i, NORMAL) for i in range(15)], SCHEMA
+    )
+    psi_file, n_file = drift_gate.batch_psi_stats(
+        probe, spark.read.parquet(ref)
+    )
+    psi_rel, n_rel = drift_gate.batch_psi_stats(probe, want_rel)
+    assert (psi_file, n_file) == (psi_rel, n_rel)
+    assert n_file == 15
+
+
+def test_refresh_reference_no_admitted_output_refuses(spark, tmp_path):
+    assert not drift_gate.refresh_reference(
+        spark, str(tmp_path / "missing"), str(tmp_path / "ref")
+    )
+
+
+def test_refreshed_reference_counts_validates_params(spark):
+    import pytest
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+
+    ref = spark.createDataFrame([(0, 10)], "bin int, n bigint")
+    bc = spark.createDataFrame([(1, 0, 5)], "b int, bin int, n bigint")
+    with pytest.raises(ValueError, match="must be positive"):
+        curation.refreshed_reference_counts(bc, ref, window=0)
+    with pytest.raises(ValueError, match="must be positive"):
+        curation.refreshed_reference_counts(bc, ref, min_batches=0)

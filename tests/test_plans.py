@@ -263,6 +263,13 @@ BNLJ_ALLOWED = {
     "q_media_embed_ann": "bounded query set (8 media feature vectors)",
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
+    "q_drift_ref_refresh": (
+        "1-row snapshot-total + window-count scalars (the psi shape, "
+        "plus the refresh policy's 1-row hysteresis switch)"
+    ),
+    "q_drift_ref_refresh_hysteresis": (
+        "same scalars as q_drift_ref_refresh (only the switch flips)"
+    ),
     "q_corpus_ks_drift": "1-row snapshot-total scalars (the PSI shape)",
     "q_ingest_chain_decisions_ks": (
         "1-row per-batch ref/cur total scalars (the chain decisions "
