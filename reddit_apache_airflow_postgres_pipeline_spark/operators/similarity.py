@@ -1440,6 +1440,14 @@ def embed_text(
     shorter than ``n`` tokens contribute their full token-join) but
     WITHOUT the distinct — occurrence counts are the TF weights.
 
+    Reference analog: the pipeline derives every content-addressed
+    identity by salted hashing of text fields
+    (dags/Combine_send_to_postgresql.py:58, ``_sha256_hex``); this is
+    the same determinism discipline lifted from identity to GEOMETRY —
+    hash-derived signs instead of hash-derived keys — so the engine's
+    own ANN serving stack (IVF/PQ/SQ8/binary) can index raw text
+    without an external embedding model.
+
     Scale: ONE shuffle keyed on the doc id. The gram explode and the d
     sign hashes are map-side whole-stage codegen (``d`` is unrolled at
     plan-build time — no interpreted higher-order lambdas in the hot

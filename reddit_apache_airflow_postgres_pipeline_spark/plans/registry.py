@@ -431,7 +431,7 @@ def q_setops_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regexp_battery",
     r"""
     SELECT doc_id,
-           array_to_string(regexp_extract_all(coalesce(text,''), '[a-z]+a'), ',') AS a_words,
+           coalesce(array_to_string(regexp_extract_all(coalesce(text,''), '[a-z]+a'), ','), '') AS a_words,  -- DuckDB: array_to_string([]) is NULL; Spark array_join([]) is '' (sf0.1 gate, r10)
            regexp_extract(coalesce(text,''), '([a-z]+)\s+(table)', 1) AS before_table,
            CASE WHEN regexp_matches(coalesce(text,''), 'spark') THEN 1 ELSE 0 END AS has_spark,
            regexp_replace(coalesce(text,''), '[aeiou]', '', 'g') AS devoweled
@@ -932,9 +932,9 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(value AS DECIMAL(18,2))) AS v
       FROM events GROUP BY 1)
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           round(CAST(SUM(COALESCE(v, CAST(0 AS DECIMAL(18,2))))
-                      OVER w AS DOUBLE)
-                 / COUNT(*) OVER w, 2) AS avg_7d
+           ((2 * SUM(CAST(COALESCE(v, CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT)) OVER w
+             + COUNT(*) OVER w)
+            // (2 * COUNT(*) OVER w)) / 100.0 AS avg_7d
     FROM spine LEFT JOIN daily USING (day)
     WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
@@ -943,10 +943,13 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-frame window (ROWS BETWEEN 6 PRECEDING): 7-day moving
     average of daily value totals over a gap-filled date spine (missing
     days count as 0 — without the spine the frame would silently span
-    gaps). Decimal daily sums stay order-exact; the avg is
-    double(sum)/count because decimal-division scale rules differ
-    between engines at the rounding boundary. The window runs over
-    |days| rows, not |events|."""
+    gaps). The 2dp average is computed ENTIRELY in integer cents —
+    round_half_up(sum_cents / n) = (2·sum_cents + n) div (2·n), valid
+    because values are non-negative — after the first full sf0.1 gate
+    (r10) caught round(double, 2) landing on an exact half-cent
+    boundary, where Spark's BigDecimal-string HALF_UP and DuckDB's
+    multiply-round-divide disagree. The window runs over |days| rows,
+    not |events|."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -963,11 +966,18 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = spine.join(F.broadcast(daily), "day", "left").select(
         "day", F.coalesce("v", F.lit(0).cast("decimal(18,2)")).alias("v")
     )
-    return filled.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(
-            F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w), 2
-        ).alias("avg_7d"),
+    return (
+        filled.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.sum((F.col("v") * 100).cast("long")).over(w).alias("__sc"),
+            F.count(F.lit(1)).over(w).alias("__c"),
+        )
+        .select(
+            "day",
+            F.expr("((2 * __sc + __c) div (2 * __c)) / 100.0D").alias(
+                "avg_7d"
+            ),
+        )
     )
 
 
@@ -985,17 +995,20 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, the trailing-2-hours value sum
     at every event. Spark expresses interval ranges as a rangeBetween on
-    epoch seconds — identical frame membership to the oracle's
-    ``RANGE BETWEEN INTERVAL`` because both bounds are inclusive and the
-    data is micros-aligned. Frames are per-user partitions (small), so
-    the sort never goes global."""
+    epoch MICROSECONDS — the fixture's timestamps all carry sub-second
+    components, so an epoch-seconds order quantizes frame membership
+    and diverges from the oracle's ``RANGE BETWEEN INTERVAL`` once
+    events are dense enough that two fall within the same second of a
+    boundary (latent until the first full sf0.1 gate, r10). Both bounds
+    inclusive in both engines. Frames are per-user partitions (small),
+    so the sort never goes global."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7200, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7200 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
