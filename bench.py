@@ -29,7 +29,12 @@ from reddit_apache_airflow_postgres_pipeline_spark.session import get_spark
 # builds the session-memoized checkpointed replay, so the recorded
 # number is the steady-state consumer cost (the shape every one of the
 # 5+ chain consumers pays after the shared split).
-FAMILY_QUERIES = ["q_sim_ivfpq", "q_sim_sq8", "q_ingest_chain_decisions"]
+FAMILY_QUERIES = [
+    "q_sim_ivfpq",
+    "q_sim_sq8",
+    "q_ingest_chain_decisions",
+    "q_text_embed_ivfpq",  # r10: the raw-text -> vector -> serve loop
+]
 
 
 def main() -> None:
