@@ -82,3 +82,65 @@ def run_index_append_available_now(
         .start()
         .awaitTermination()
     )
+
+
+_DATA_STORE = {"ivf": "postings", "ivfpq": "codes", "binary": "sigs"}
+
+
+def run_index_delete_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    index_path: str,
+    checkpoint_dir: str,
+    kind: str = "ivfpq",
+    id_col: str = "vec_id",
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain erasure requests (parquet files of id rows) into a
+    persisted index's tombstone store, exactly-once — the streaming
+    half of the GDPR path (`sinks/vector_index.delete_from_index`):
+    a deletion queue is operationally identical to an ingest queue,
+    and the erasure SLA starts when the tombstone lands, not when the
+    bytes are physically gone.
+
+    Each micro-batch's ids become one tombstone batch dir named by the
+    stream's id (offset by ``STREAM_ID_BASE``, overwritten on retry —
+    the same idempotence contract as the append stream); from that
+    moment every probe read shadows the ids. When the tombstone
+    listing grows past ``compact_after_dirs`` the DATA store runs a
+    FULL compaction (the only kind that physically drops tombstoned
+    rows and GCs the absorbed tombstone dirs — a partial compaction
+    deliberately keeps tombstones live). ``kind`` picks which data
+    store that compaction folds; the tombstone store itself is
+    kind-agnostic. Single-writer discipline: don't run the full
+    compaction concurrently with an append stream on the same store
+    (same rule as the batch API's exclude_from contract)."""
+    if kind not in _DATA_STORE:
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
+    compact = {
+        "ivf": _vi.compact_postings,
+        "ivfpq": _vi.compact_codes,
+        "binary": _vi.compact_sigs,
+    }[kind]
+    tomb = _vi._tomb_store(index_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _delete(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _vi.STREAM_ID_BASE + batch_id
+        _vi.delete_from_index(batch_df, index_path, id_col, batch_id=sid)
+        if _cs.live_dir_count(tomb) > compact_after_dirs:
+            compact(batch_df.sparkSession, index_path)
+
+    (
+        stream.writeStream.foreachBatch(_delete)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

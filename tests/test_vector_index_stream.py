@@ -130,3 +130,66 @@ def test_streamed_binary_appends_equal_union_build(spark, tmp_path):
     # stream ids landed above the base so ad-hoc appends can't collide
     ids = set(cs.state_subdirs(f"{streamed}/sigs").values())
     assert any(i >= vi.STREAM_ID_BASE for i in ids)
+
+
+def test_streamed_deletes_shadow_then_threshold_compaction_drops(spark, tmp_path):
+    """The erasure queue: id files drain into tombstones exactly-once
+    (shadowed immediately), a restart reprocesses nothing, and crossing
+    the threshold triggers the FULL compaction that physically drops
+    the rows and GCs the absorbed tombstone dirs."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.vector_index_stream import (
+        run_index_delete_available_now,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 4)
+    ix = str(tmp_path / "ix")
+    vi.write_ivfpq_index(e, ix, n_cells=8)
+    inbox = str(tmp_path / "del_inbox")
+    os.makedirs(inbox)
+    served = vi.query_ivfpq_index(spark, ix, q, n_probe=8, k=5).collect()
+    victims = sorted({r["neighbor_id"] for r in served})[:2]
+    for i, v in enumerate(victims):
+        p = os.path.join(inbox, f"e{i}.parquet")
+        _write_delta_file(e.filter(F.col("vec_id") == v).select("vec_id"), p)
+        past = time.time() - (2 - i) * 10
+        os.utime(p, (past, past))
+    ckpt = str(tmp_path / "ckpt")
+    run_index_delete_available_now(
+        spark, inbox, "vec_id long", ix, ckpt, kind="ivfpq"
+    )
+    live = {
+        r["neighbor_id"]
+        for r in vi.query_ivfpq_index(spark, ix, q, n_probe=8, k=50).collect()
+    }
+    assert not (set(victims) & live)
+    # stream tombstone ids live in the reserved range
+    ids = set(cs.state_subdirs(f"{ix}/tombstones").values())
+    assert ids == {vi.STREAM_ID_BASE, vi.STREAM_ID_BASE + 1}
+
+    # restart: checkpoint drains nothing
+    run_index_delete_available_now(
+        spark, inbox, "vec_id long", ix, ckpt, kind="ivfpq"
+    )
+    assert set(cs.state_subdirs(f"{ix}/tombstones").values()) == ids
+
+    # threshold crossing (compact_after_dirs=1): a third erasure file
+    # triggers the full compaction — tombstones absorbed + GC'd, ids
+    # physically gone from the raw codes store
+    third = sorted({r["neighbor_id"] for r in served} - set(victims))[0]
+    p = os.path.join(inbox, "e2.parquet")
+    _write_delta_file(e.filter(F.col("vec_id") == third).select("vec_id"), p)
+    run_index_delete_available_now(
+        spark, inbox, "vec_id long", ix, ckpt, kind="ivfpq",
+        compact_after_dirs=1,
+    )
+    assert vi.read_tombstones(spark, ix) is None
+    raw = {r["neighbor_id"] for r in spark.read.parquet(f"{ix}/codes").collect()}
+    assert not ({*victims, third} & raw)
+    assert len(raw) == 500 - 3
+    # and the store still serves correctly post-GC
+    still = {
+        r["neighbor_id"]
+        for r in vi.query_ivfpq_index(spark, ix, q, n_probe=8, k=50).collect()
+    }
+    assert not ({*victims, third} & still) and len(still) > 0
