@@ -1130,10 +1130,13 @@ def sign_signature(
         words.append(acc.cast("bigint"))
     guarded = F.when(
         F.assert_true(
-            F.size(v) == d,
+            v.isNotNull() & (F.size(v) == d),
             F.concat(
-                F.lit(f"sign_signature: ragged corpus — expected dim {d}, got "),
-                F.size(v).cast("string"),
+                F.lit(
+                    f"sign_signature: null or ragged vector — expected dim "
+                    f"{d}, got "
+                ),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
             ),
         ).isNull(),
         F.array(*words),
@@ -1463,8 +1466,13 @@ def embed_text(
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     c = F.col(text_col)
-    norm_txt = F.regexp_replace(
-        F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+", " "
+    # collapse whitespace FIRST, then trim: trim() strips only spaces,
+    # so a leading tab/newline would otherwise survive as a leading
+    # space and (a) leave the '<n tokens' fallback counting a phantom
+    # empty edge token ('\tfoo' silently produced NO grams), (b) split
+    # differently from the oracle's regex tokenizer (r10 review catch)
+    norm_txt = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " ")
     )
     pat = "(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
     grams = F.regexp_extract_all(norm_txt, F.lit(pat), 1)

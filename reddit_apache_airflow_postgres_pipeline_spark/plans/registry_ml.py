@@ -2619,8 +2619,10 @@ _EMB_D, _EMB_N, _EMB_SALT = 8, 2, "emb"
 
 def _embed_ctes(src: str = "documents", d: int = _EMB_D, n: int = _EMB_N) -> str:
     """similarity.embed_text unrolled as CTEs ending at ``temb``
-    (vec_id, embedding): non-distinct word n-grams (the _SHINGLES_SQL
-    tokenizer without list_distinct — counts ARE the TF weights), one
+    (vec_id, embedding): non-distinct word n-grams (counts ARE the TF
+    weights; tokens come from a collapse-then-trim normalization so
+    edge tabs/newlines can't leave phantom empty tokens — r10 review
+    catch, stricter than _SHINGLES_SQL's split-then-filter), one
     md5-sign per (gram, output dim), integer component sums, and the
     FULL-PRECISION L2 normalization. Component sums are exact integers
     in both engines; the only float ops (sqrt, division) are
@@ -2646,7 +2648,7 @@ def _embed_ctes(src: str = "documents", d: int = _EMB_D, n: int = _EMB_N) -> str
           SELECT doc_id,
                  list_transform(generate_series(0, greatest(len(toks) - {n}, 0)),
                                 i -> array_to_string(toks[i+1:i+{n}], ' ')) AS grams
-          FROM (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+') AS toks
+          FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(coalesce(text,'')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS toks
                 FROM {src}) t) u) v
       WHERE g <> ''),
     tc AS (

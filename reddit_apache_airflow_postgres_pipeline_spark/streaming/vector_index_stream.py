@@ -84,9 +84,6 @@ def run_index_append_available_now(
     )
 
 
-_DATA_STORE = {"ivf": "postings", "ivfpq": "codes", "binary": "sigs"}
-
-
 def run_index_delete_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -116,13 +113,14 @@ def run_index_delete_available_now(
     kind-agnostic. Single-writer discipline: don't run the full
     compaction concurrently with an append stream on the same store
     (same rule as the batch API's exclude_from contract)."""
-    if kind not in _DATA_STORE:
-        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
-    compact = {
+    compactors = {
         "ivf": _vi.compact_postings,
         "ivfpq": _vi.compact_codes,
         "binary": _vi.compact_sigs,
-    }[kind]
+    }
+    if kind not in compactors:
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
+    compact = compactors[kind]
     tomb = _vi._tomb_store(index_path)
 
     stream = (

@@ -146,15 +146,26 @@ def test_sign_signature_empty_input_keeps_bigint_type(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "sigs")).count() == 0
 
 
-def test_sign_signature_null_embedding_probe_fails_loudly(spark):
-    """A NULL first-row embedding used to surface as an opaque
-    TypeError from int(None) in the dimension probe; now a clear
-    ValueError names the real problem (r9 ADVICE)."""
+def test_sign_signature_null_embedding_fails_loudly_any_row(spark):
+    """NULL vectors must fail loudly wherever they sit (r9 ADVICE +
+    r10 review): a null in the PROBED first row raises the clear
+    ValueError at build time; a null in any LATER row — which the
+    probe can't see — trips the per-row runtime assert instead of
+    silently packing a NULL sig into the store."""
     import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
-    nulled = spark.createDataFrame(
+    nulled_first = spark.createDataFrame(
         [(1, None), (2, [0.5] * 4)],
         "vec_id long, embedding array<double>",
     )
     with pytest.raises(ValueError, match="null embedding"):
-        sim.sign_signature(nulled)
+        sim.sign_signature(nulled_first)
+
+    nulled_later = spark.createDataFrame(
+        [(1, [0.5] * 4), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        sim.sign_signature(nulled_later).collect()

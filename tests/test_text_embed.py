@@ -103,3 +103,48 @@ def test_embed_components_are_scaled_integer_sums(spark):
             ok = True
             break
     assert ok, emb
+
+
+def test_embed_edge_whitespace_tokenization(spark):
+    """The r10 review catch: leading/trailing tabs/newlines must not
+    leave phantom empty edge tokens. '\\tfoo' is a 1-token doc (full
+    token-join fallback, NOT silently dropped); '\\tfoo bar' equals
+    'foo bar'; whitespace-only docs produce no row — verified against
+    the pure-Python reference AND the DuckDB oracle CTE."""
+    import duckdb
+    import pandas as pd
+
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import _embed_ctes
+
+    rows = [
+        (1, "\tfoo bar"),
+        (2, "foo bar"),
+        (3, "\tfoo"),
+        (4, " x  y\n"),
+        (5, " \t\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in sim.embed_text(df, d=8, n=2, salt="emb").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # whitespace-only doc 5: no row
+    assert got[1] == got[2]  # edge tab must not change the grams
+    for doc_id, text in rows[:4]:
+        ref = _py_embed(text, d=8, n=2, salt="emb")
+        assert all(
+            abs(a - b) < 1e-12 for a, b in zip(got[doc_id], ref)
+        ), (doc_id, got[doc_id], ref)
+
+    # cross-engine: the oracle CTE on the same rows must produce the
+    # identical embeddings (the exact divergence the review reproduced)
+    con = duckdb.connect()
+    con.register(
+        "edge_docs", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    sql = f"""
+    WITH {_embed_ctes(src="edge_docs")}
+    SELECT vec_id, embedding FROM temb
+    """
+    duck = {int(r[0]): list(r[1]) for r in con.execute(sql).fetchall()}
+    assert duck == got

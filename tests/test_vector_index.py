@@ -364,11 +364,6 @@ def test_binary_index_roundtrip_append_equality_and_compaction(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _never_surfaces(spark, path, query_fn, victim):
-    got = query_fn()
-    assert victim not in {r["neighbor_id"] for r in got.collect()}
-
-
 def test_ivf_delete_shadows_then_compaction_physically_drops(spark, tmp_path):
     import os
 
