@@ -694,6 +694,66 @@ def refreshed_reference_counts(
     return take_new.select("bin", "n").unionAll(keep_old.select("bin", "n"))
 
 
+def refreshed_reference_counts_by_group(
+    batch_counts: DataFrame,
+    ref_counts: DataFrame,
+    window: int = 5,
+    min_batches: int = 3,
+    group_col: str = "grp",
+    batch_col: str = "b",
+) -> DataFrame:
+    """:func:`refreshed_reference_counts` PER GROUP — each feed
+    re-baselines independently: given admitted per-batch counts
+    ``(group, batch, bin, n)`` and the frozen grouped reference
+    ``(group, bin, n)``, a group whose newest ``window`` admitted
+    batches number at least ``min_batches`` gets their summed counts
+    as its new reference; every other group (including groups with NO
+    admitted batches — e.g. one feed in a quarantine storm) keeps its
+    frozen rows unchanged. This is the property the scalar form can't
+    give a multi-source ingest: one drifting feed must not block the
+    healthy feeds' re-baseline, and a feed that got (almost) nothing
+    admitted must not poison its own reference.
+
+    Scale shape: the newest-window pick is a per-group row_number over
+    the ≤(groups × batches) distinct relation, the switch is a
+    groups-row join — nothing corpus-shaped, no global window."""
+    from pyspark.sql import Window
+
+    if window <= 0 or min_batches <= 0:
+        raise ValueError(
+            f"window and min_batches must be positive, got {window}, "
+            f"{min_batches}"
+        )
+    g, b = group_col, batch_col
+    win = Window.partitionBy(g).orderBy(F.desc(b))
+    newest = (
+        batch_counts.select(g, b)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= window)
+        .drop("__rn")
+    )
+    in_win = batch_counts.join(newest, [g, b])
+    cand = in_win.groupBy(g, "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    nwin = in_win.groupBy(g).agg(
+        F.countDistinct(b).cast("bigint").alias("__nb")
+    )
+    take_new = (
+        cand.join(nwin, g)
+        .filter(F.col("__nb") >= min_batches)
+        .select(g, "bin", "n")
+    )
+    keep_old = (
+        ref_counts.select(g, "bin", F.col("n").cast("bigint").alias("n"))
+        .join(nwin, g, "left")
+        .filter(F.coalesce(F.col("__nb"), F.lit(0)) < min_batches)
+        .select(g, "bin", "n")
+    )
+    return take_new.unionAll(keep_old)
+
+
 def psi_drift_counts_by_group(
     ref_counts: DataFrame,
     cur_counts: DataFrame,

@@ -1433,3 +1433,155 @@ def q_drift_ref_refresh_hysteresis(
     onto a trickle. Identical plan shape to q_drift_ref_refresh; only
     the scalar switch flips."""
     return _drift_refresh_pipeline(spark, sf_dir, min_batches=6)
+
+
+def _group_refresh_sql(min_batches: int) -> str:
+    """The grouped refresh in ANSI SQL: per-(lang, batch) PSI admission
+    against each lang's frozen even-id reference, per-lang newest-3
+    window, per-lang hysteresis switch. Output = the refreshed
+    (lang, bin, n) reference relation itself."""
+    return f"""
+    WITH t AS (SELECT doc_id, lang,
+                      least(CAST(len({_TOKENS_SQL}) // 20 AS INT), 9) AS bin
+               FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    r0 AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    bt AS (SELECT lang, (doc_id // 2) % 5 AS b, bin,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+    trg AS (SELECT lang, SUM(n) AS tr FROM r0 GROUP BY lang),
+    tcg AS (SELECT lang, b, SUM(n) AS tc FROM bt GROUP BY lang, b),
+    pb AS (SELECT gb.lang, gb.b, bi.bin,
+                  round(greatest(CASE WHEN trg.tr > 0
+                                 THEN COALESCE(r0.n, 0) * 1.0 / trg.tr
+                                 ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                  round(greatest(CASE WHEN tcg.tc > 0
+                                 THEN COALESCE(bt.n, 0) * 1.0 / tcg.tc
+                                 ELSE 0.0 END, 0.0001), 6) AS p_cur
+           FROM (SELECT DISTINCT lang, b FROM bt) gb
+           CROSS JOIN bins bi
+           LEFT JOIN r0 ON r0.lang = gb.lang AND r0.bin = bi.bin
+           LEFT JOIN bt ON bt.lang = gb.lang AND bt.b = gb.b
+                       AND bt.bin = bi.bin
+           LEFT JOIN trg ON trg.lang = gb.lang
+           JOIN tcg ON tcg.lang = gb.lang AND tcg.b = gb.b),
+    psib AS (SELECT lang, b,
+                    round(SUM(round((p_cur - p_ref)
+                                    * ln(p_cur / p_ref), 6)), 6) AS psi
+             FROM pb GROUP BY 1, 2),
+    adm AS (SELECT lang, b FROM psib WHERE psi <= 0.25),
+    admc AS (SELECT bt.* FROM bt JOIN adm USING (lang, b)),
+    win AS (SELECT lang, b FROM (
+              SELECT lang, b,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY b DESC) AS rn
+              FROM (SELECT DISTINCT lang, b FROM admc) z) w
+            WHERE rn <= 3),
+    inw AS (SELECT admc.* FROM admc JOIN win USING (lang, b)),
+    nbg AS (SELECT lang, COUNT(DISTINCT b) AS nb FROM inw GROUP BY lang)
+    SELECT i.lang, i.bin, CAST(SUM(i.n) AS BIGINT) AS n
+    FROM inw i JOIN nbg ON nbg.lang = i.lang
+    WHERE nbg.nb >= {min_batches} GROUP BY i.lang, i.bin
+    UNION ALL
+    SELECT r0.lang, r0.bin, r0.n
+    FROM r0 LEFT JOIN nbg ON nbg.lang = r0.lang
+    WHERE COALESCE(nbg.nb, 0) < {min_batches}
+    """
+
+
+def _group_refresh_counts(spark: SparkSession, sf_dir: str):
+    """Grouped twin of _refresh_counts: checkpointed (lang, bin, n)
+    frozen reference and (lang, b, bin, n) ADMITTED batch counts,
+    memoized per (application × sf_dir) — same persisted-state
+    rationale (the real gate's reference file and admitted dirs),
+    same plan-explosion avoidance. Admission runs the grouped PSI
+    contract on a composite (lang:b) key so each (feed, batch) is
+    judged against the feed's own reference."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import _memo_replay
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        binned = d.select(
+            "doc_id",
+            "lang",
+            F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+        )
+        ref0 = (
+            binned.filter(F.col("doc_id") % 2 == 0)
+            .groupBy("lang", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        bt = (
+            binned.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("b", F.expr("(doc_id div 2) % 5"))
+            .groupBy("lang", "b", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        key = F.concat_ws(":", "lang", F.col("b").cast("string"))
+        bset = bt.select("lang", "b").distinct()
+        refk = (
+            bset.join(ref0, "lang")
+            .select(key.alias("__k"), "bin", "n")
+        )
+        btk = bt.select(key.alias("__k"), "lang", "b", "bin", "n")
+        psib = (
+            curation.psi_drift_counts_by_group(
+                refk, btk.select("__k", "bin", "n"), group_col="__k", bins=10
+            )
+            .groupBy("__k")
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        )
+        adm = psib.filter(F.col("psi") <= 0.25).select("__k")
+        admc = (
+            btk.join(F.broadcast(adm), "__k")
+            .select("lang", "b", "bin", "n")
+            .localCheckpoint()
+        )
+        return ref0, admc
+
+    return _memo_replay(spark, sf_dir, "drift-refresh-counts-grouped", build)
+
+
+def _group_refresh_pipeline(
+    spark: SparkSession, sf_dir: str, min_batches: int
+) -> DataFrame:
+    ref0, admc = _group_refresh_counts(spark, sf_dir)
+    return curation.refreshed_reference_counts_by_group(
+        admc, ref0, window=3, min_batches=min_batches, group_col="lang"
+    )
+
+
+@_q("q_drift_ref_refresh_by_group", _group_refresh_sql(min_batches=2))
+def q_drift_ref_refresh_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-feed re-baselining (curation.refreshed_reference_counts_by_
+    group, the drift_gate.refresh_group_reference policy): each lang's
+    batches are PSI-admitted against that lang's own frozen reference,
+    and each lang whose newest-3 admitted batches number ≥ 2 gets a
+    fresh (bin, n) reference from them — langs that don't (e.g. a feed
+    the gate has been quarantining) keep their frozen rows. The scalar
+    refresh can't give a multi-source ingest this: one drifting feed
+    must not block the healthy feeds' re-baseline. Output is the
+    refreshed grouped reference relation."""
+    return _group_refresh_pipeline(spark, sf_dir, min_batches=2)
+
+
+@_q(
+    "q_drift_ref_refresh_by_group_hysteresis",
+    _group_refresh_sql(min_batches=6),
+)
+def q_drift_ref_refresh_by_group_hysteresis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The grouped refusal path, pinned deterministically: min_batches=6
+    is unsatisfiable by a 3-batch window, so EVERY lang falls back to
+    its frozen reference — the output must equal the even-id grouped
+    snapshot exactly."""
+    return _group_refresh_pipeline(spark, sf_dir, min_batches=6)

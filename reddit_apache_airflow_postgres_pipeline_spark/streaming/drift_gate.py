@@ -327,6 +327,61 @@ def write_group_reference(
     ).parquet(ref_path)
 
 
+def refresh_group_reference(
+    spark: SparkSession,
+    out_dir: str,
+    ref_path: str,
+    group_col: str = "lang",
+    window: int = 5,
+    min_batches: int = 3,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+) -> bool:
+    """Per-feed re-baselining: each group whose newest ``window``
+    admitted batches number at least ``min_batches`` gets a fresh
+    reference from those batches' rows; every other group — including
+    one in a quarantine storm, which by construction has few admitted
+    batches — keeps its frozen rows. The policy relation is
+    :func:`curation.refreshed_reference_counts_by_group`
+    (oracle-paired as q_drift_ref_refresh_by_group); this wrapper does
+    the store plumbing over the grouped gate's ``admitted`` output.
+    Returns False (file untouched) when there is no admitted output or
+    the refresh is a no-op (no group qualifies); the no-op check is a
+    groups×bins-row collect — decision-sized."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        refreshed_reference_counts_by_group,
+    )
+
+    adm_dir = os.path.join(out_dir, "admitted")
+    if not os.path.isdir(adm_dir):
+        return False
+    adm = spark.read.parquet(adm_dir)  # batch_id inferred (partition dirs)
+    per_batch = (
+        adm.select(
+            F.col(group_col),
+            F.col("batch_id").alias("b"),
+            F.least(
+                (token_count(text_col) / bin_width).cast("int"),
+                F.lit(bins - 1),
+            ).alias("bin"),
+        )
+        .groupBy(group_col, "b", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    old_ref = spark.read.parquet(ref_path)
+    new_ref = refreshed_reference_counts_by_group(
+        per_batch, old_ref, window, min_batches, group_col=group_col
+    )
+    new_rows = sorted(map(tuple, new_ref.collect()))
+    if new_rows == sorted(map(tuple, old_ref.collect())):
+        return False
+    spark.createDataFrame(
+        new_rows, old_ref.schema
+    ).write.mode("overwrite").parquet(ref_path)
+    return True
+
+
 def batch_group_psi(
     batch_df: DataFrame,
     ref_counts: DataFrame,

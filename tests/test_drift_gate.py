@@ -425,3 +425,81 @@ def test_refreshed_reference_counts_validates_params(spark):
         curation.refreshed_reference_counts(bc, ref, window=0)
     with pytest.raises(ValueError, match="must be positive"):
         curation.refreshed_reference_counts(bc, ref, min_batches=0)
+
+
+def test_refresh_group_reference_per_feed_hysteresis(spark, tmp_path):
+    """Per-feed re-baselining: en stays healthy across 2 admitted
+    batches and re-baselines; de drifts (quarantined both times, zero
+    admitted batches) and MUST keep its frozen reference — one bad
+    feed neither blocks the healthy feed's refresh nor poisons its
+    own reference. Then a no-op refresh returns False."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    drift_gate.write_group_reference(_gref(spark), ref, group_col="lang")
+    frozen = {
+        (r["lang"], r["bin"]): r["n"]
+        for r in spark.read.parquet(ref).collect()
+    }
+    for i in range(2):
+        _gwrite(
+            os.path.join(inbox, f"f{i}.parquet"),
+            [(100 * i + j, "en", NORMAL) for j in range(10)]
+            + [(100 * i + 50 + j, "de", SHORT) for j in range(10)],
+        )
+    drift_gate.run_group_drift_gate_available_now(
+        spark, inbox, GSCHEMA, out, ref, ckpt, group_col="lang"
+    )
+    adm = spark.read.parquet(f"{out}/admitted")
+    assert {r["lang"] for r in adm.select("lang").distinct().collect()} == {"en"}
+
+    assert drift_gate.refresh_group_reference(
+        spark, out, ref, group_col="lang", window=3, min_batches=2
+    )
+    got = {
+        (r["lang"], r["bin"]): r["n"]
+        for r in spark.read.parquet(ref).collect()
+    }
+    # de: frozen rows unchanged; en: re-baselined to the 20 admitted docs
+    assert {k: v for k, v in got.items() if k[0] == "de"} == {
+        k: v for k, v in frozen.items() if k[0] == "de"
+    }
+    assert sum(v for k, v in got.items() if k[0] == "en") == 20
+    # and the file equals the policy relation computed in batch
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+
+    per_batch = (
+        adm.select(
+            "lang",
+            F.col("batch_id").alias("b"),
+            F.least((token_count("text") / 20).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+        )
+        .groupBy("lang", "b", "bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    frozen_df = spark.createDataFrame(
+        [(k[0], k[1], v) for k, v in frozen.items()],
+        "lang string, bin int, n bigint",
+    )
+    want = {
+        (r["lang"], r["bin"]): r["n"]
+        for r in curation.refreshed_reference_counts_by_group(
+            per_batch, frozen_df, window=3, min_batches=2, group_col="lang"
+        ).collect()
+    }
+    assert got == want
+
+    # idempotent second call: nothing new admitted → no-op, file stable
+    assert not drift_gate.refresh_group_reference(
+        spark, out, ref, group_col="lang", window=3, min_batches=3
+    )
+    assert {
+        (r["lang"], r["bin"]): r["n"]
+        for r in spark.read.parquet(ref).collect()
+    } == got
