@@ -2149,12 +2149,14 @@ def q_sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(e, q, approx)
 
 
-def _binary_ctes() -> str:
+def _binary_ctes(src: str = "embeddings") -> str:
     """Sign signatures packed 32 bits per BIGINT word, Hamming
     XOR+popcount scan, and the exact-L2 rerank funnel — mirrors
     similarity.sign_signature / binary_hamming_topk /
     binary_rerank_topk. Ends at ``bhtop`` (hamming top-k) and
-    ``brtop`` (reranked top-k)."""
+    ``brtop`` (reranked top-k). ``src`` names the
+    (vec_id, embedding) relation — ``temb`` for the text-featurized
+    funnel."""
     return f"""
     sigs AS MATERIALIZED (
       SELECT vec_id, list(word ORDER BY w) AS sig FROM (
@@ -2165,7 +2167,7 @@ def _binary_ctes() -> str:
         FROM (SELECT vec_id,
                      unnest(generate_series(0, len(embedding) - 1)) AS dim,
                      unnest(embedding) AS v
-              FROM embeddings) z
+              FROM {src}) z
         GROUP BY vec_id, dim // 32) g
       GROUP BY vec_id),
     ham AS (
@@ -2190,8 +2192,8 @@ def _binary_ctes() -> str:
       SELECT b.query_id, b.neighbor_id,
              round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS dist
       FROM bcand b
-      JOIN embeddings c ON c.vec_id = b.neighbor_id
-      JOIN embeddings q ON q.vec_id = b.query_id),
+      JOIN {src} c ON c.vec_id = b.neighbor_id
+      JOIN {src} q ON q.vec_id = b.query_id),
     brtop AS (
       SELECT query_id, neighbor_id, dist FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2787,3 +2789,45 @@ def q_text_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.semantic_dedup(e, cents, threshold=0.9)
         .withColumnRenamed("vec_id", "doc_id")
     )
+
+
+@_q(
+    "q_text_embed_binary_rerank",
+    f"""
+    WITH {_embed_ctes()},
+    {_binary_ctes(src="temb")}
+    SELECT query_id, neighbor_id, dist FROM brtop
+    """,
+)
+def q_text_embed_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-text binary serving funnel: documents → embed_text →
+    sign signatures (32 bits/word, 32× compression) → Hamming-top-32
+    candidates → exact 6dp L2² rerank → top-5. With q_text_embed_ivfpq
+    and q_text_embed_semdedup this completes the text-native serving
+    ladder — every compression tier the engine offers now runs from
+    raw documents with no pre-provided vectors, over the same shared
+    checkpointed featurized corpus."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+
+
+@_q(
+    "q_text_embed_binary_recall",
+    f"""
+    WITH {_embed_ctes()},
+    {_binary_ctes(src="temb")},
+    {_exl2_recall_sql("brtop", src="temb")}
+    """,
+)
+def q_text_embed_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the text-native binary funnel against exact L2 over
+    the SAME featurized vectors — the audit that says whether 32×
+    sign-bit compression of the hashed-n-gram geometry keeps enough
+    signal to serve (vs q_text_embed_ivfpq_recall's code-compression
+    loss on identical inputs: one corpus, two compression tiers, two
+    measured recalls)."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+    return _recall_vs_exact_l2(e, q, approx)

@@ -337,6 +337,14 @@ BNLJ_ALLOWED = {
     "q_sim_binary_rerank_recall": (
         "bounded query set + the exact-L2 baseline scan"
     ),
+    "q_text_embed_binary_rerank": (
+        "bounded query set (Hamming stage) + |q|x32 rerank candidates "
+        "over the checkpointed featurized corpus"
+    ),
+    "q_text_embed_binary_recall": (
+        "bounded query set + the exact-L2 baseline scan "
+        "(featurized corpus)"
+    ),
     "q_sim_eval_funnel_ranking": (
         "bounded query set (Hamming stage + rerank candidates) + the "
         "exact-L2 truth-set scan"
