@@ -239,9 +239,12 @@ def append_to_ivf_index(
 
     Caller contract: delta ids must be disjoint from the indexed ids
     (dedup upstream — the engine's first-wins family — or the reader
-    sees duplicates, exactly as with any append-only store).
+    sees duplicates, exactly as with any append-only store). Appending
+    an id with a LIVE tombstone raises (see
+    :func:`_guard_live_tombstones`).
     """
     spark = new_vectors.sparkSession
+    _guard_live_tombstones(new_vectors, path, id_col)
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(new_vectors, cents, id_col, vec_col, out_id="neighbor_id")
     store = f"{path}/postings"
@@ -317,10 +320,12 @@ def append_to_ivfpq_index(
     codebooks and write it as the codes store's next batch dir — the
     same append contract as :func:`append_to_ivf_index` (disjoint ids,
     prior dirs untouched, idempotent per-dir overwrite, quantizer
-    drift accepted until the next rebuild)."""
+    drift accepted until the next rebuild), including the fail-loud
+    live-tombstone guard."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import pq_encode
 
     spark = new_vectors.sparkSession
+    _guard_live_tombstones(new_vectors, path, id_col)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
     m = _codes_m(spark, path, cb)
@@ -475,13 +480,15 @@ def append_to_binary_index(
 ) -> None:
     """Add a delta as the store's next batch dir. Same append contract
     as the IVF stores (disjoint ids, idempotent per-dir overwrite,
-    prior dirs untouched) with one upgrade: since signatures have no
-    trained parameters, an appended store is EXACTLY a fresh build on
-    the union corpus — pinned by tests/test_vector_index.py."""
+    prior dirs untouched, fail-loud live-tombstone guard) with one
+    upgrade: since signatures have no trained parameters, an appended
+    store is EXACTLY a fresh build on the union corpus — pinned by
+    tests/test_vector_index.py."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
         sign_signature,
     )
 
+    _guard_live_tombstones(new_vectors, path, id_col)
     sigs = sign_signature(new_vectors, vec_col, "sig").select(
         F.col(id_col).alias("neighbor_id"), "sig"
     )
@@ -587,7 +594,9 @@ def delete_from_index(
     until a FULL compaction (``exclude_from=None``) physically drops
     the rows and absorbs the tombstone. Re-adding a deleted id while
     its tombstone is live is unsupported (the anti-join would shadow
-    the new row too) — erase, compact, then re-add."""
+    the new row too) — erase, compact, then re-add; the appends
+    ENFORCE this by raising on any live-tombstoned id in the batch
+    (:func:`_guard_live_tombstones`)."""
     rows = ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     store = _tomb_store(path)
     _cs.stamp_meta(store, {"format": _TOMB_FORMAT})
@@ -614,14 +623,49 @@ def read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def _apply_tombstones(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
-    """Anti-join the live tombstones onto a data-store read. The
-    tombstone side is an erasure backlog — bounded between compactions
-    — so it broadcasts; the data side's partition pruning (cell dirs)
-    is untouched by an anti-join on neighbor_id."""
+    """Anti-join the live tombstones onto a data-store read. No forced
+    broadcast: the erasure backlog is USUALLY tiny between compactions
+    (AQE will pick a broadcast join on its own), but it is unbounded in
+    the worst case — a quarter's GDPR queue drained right before a
+    compaction — and the compaction path (``_compact_with_tombstones``)
+    already lets AQE choose for exactly that reason; forcing the hint
+    here would pin two code paths to contradictory assumptions about
+    the same relation (r10 ADVICE). The data side's partition pruning
+    (cell dirs) is untouched by an anti-join on neighbor_id."""
     tomb = read_tombstones(spark, path)
     if tomb is None:
         return df
-    return df.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+    return df.join(tomb, "neighbor_id", "left_anti")
+
+
+def _guard_live_tombstones(new_vectors: DataFrame, path: str, id_col: str) -> None:
+    """Fail-loud re-add guard shared by the three appends: an appended
+    id whose tombstone is still live would be SILENTLY shadowed by
+    every read until the next full compaction physically drops it —
+    data loss from the caller's perspective. The documented contract
+    (erase → full compact → re-add) is therefore enforced, matching
+    the repo's fail-loud discipline for ragged/null vectors (r10
+    verdict #2). Cost: zero when the index has no live tombstone dirs
+    (one directory listing); otherwise one semi-join of the bounded
+    append batch against the bounded erasure backlog."""
+    spark = new_vectors.sparkSession
+    tomb = read_tombstones(spark, path)
+    if tomb is None:
+        return
+    hit = (
+        new_vectors.select(F.col(id_col).alias("neighbor_id"))
+        .join(tomb, "neighbor_id", "semi")
+        .limit(5)
+        .collect()
+    )
+    if hit:
+        ids = sorted(r["neighbor_id"] for r in hit)
+        raise ValueError(
+            f"append to {path!r} contains ids with LIVE tombstones "
+            f"(sample: {ids}) — the rows would be invisibly shadowed "
+            "until the next full compaction drops them. Erase, run a "
+            "full compaction, then re-add (delete_from_index contract)."
+        )
 
 
 def _compact_with_tombstones(

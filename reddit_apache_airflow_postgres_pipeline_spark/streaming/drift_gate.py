@@ -39,6 +39,7 @@ write replays from it (the r5 three-pass shape is gone).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -108,8 +109,13 @@ def refresh_reference(
     Hysteresis: returns False (reference untouched) unless at least
     ``min_batches`` admitted batches exist in the window — a gate that
     has been quarantining nearly everything must not re-baseline from
-    the trickle that got through. Returns True after writing the new
-    ≤ ``bins``-row (bin, n) reference.
+    the trickle that got through. Returns True only when the new
+    ≤ ``bins``-row (bin, n) reference actually DIFFERS from the frozen
+    one (the same no-op contract as :func:`refresh_group_reference`,
+    r10 ADVICE — callers keying re-gating or alerts off the bool get
+    one semantics across both APIs); a window-satisfied refresh that
+    reproduces the old counts leaves the file byte-untouched and
+    returns False.
 
     Shares the exact policy relation with
     :func:`curation.refreshed_reference_counts` (oracle-paired in the
@@ -118,6 +124,14 @@ def refresh_reference(
     per admitted batch), the refresh itself is one aggregate over the
     window's rows, and the written reference is pre-aggregated — same
     scan economics as :func:`write_reference`."""
+    if window <= 0 or min_batches <= 0:
+        # mirror curation.refreshed_reference_counts: min_batches<=0
+        # would make the hysteresis check pass vacuously and overwrite
+        # the frozen reference with counts from zero batches
+        raise ValueError(
+            f"window and min_batches must be positive, got {window}, "
+            f"{min_batches}"
+        )
     adm_dir = os.path.join(out_dir, "admitted")
     if not os.path.isdir(adm_dir):
         return False
@@ -128,13 +142,35 @@ def refresh_reference(
     )[:window]
     if len(ids) < min_batches:
         return False
-    write_reference(
-        adm.filter(F.col("batch_id").isin(ids)),
-        ref_path,
-        text_col,
-        bin_width,
-        bins,
+    cand = reference_counts(
+        adm.filter(F.col("batch_id").isin(ids)), text_col, bin_width, bins
     )
+    return _swap_if_changed(spark, cand, ref_path)
+
+
+def _swap_if_changed(spark: SparkSession, new_ref: DataFrame, ref_path: str) -> bool:
+    """Shared refresh store plumbing: write the candidate reference to
+    a sibling tmp dir, compare the two FILES Spark-side (exceptAll
+    emptiness both ways — multiset equality, no driver materialization
+    of either relation: references are bins- or groups×bins-sized
+    today but grow with features in a real deployment, r10 verdict
+    watch #2), and swap the tmp dir into place only on a real change.
+    Writing BEFORE comparing also breaks any lazy-lineage dependence of
+    the candidate on the live file, so the swap never overwrites a
+    relation it is still reading. Crash between rmtree and rename loses
+    the old file but the fully-written tmp dir is adjacent for manual
+    recovery — same exposure window as the previous overwrite-in-place."""
+    tmp = ref_path.rstrip("/") + ".refresh-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new_ref.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(ref_path) or os.path.isfile(ref_path):
+        old = spark.read.parquet(ref_path)
+        new = spark.read.parquet(tmp)
+        if new.exceptAll(old).isEmpty() and old.exceptAll(new).isEmpty():
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        shutil.rmtree(ref_path)
+    os.rename(tmp, ref_path)
     return True
 
 
@@ -347,12 +383,20 @@ def refresh_group_reference(
     (oracle-paired as q_drift_ref_refresh_by_group); this wrapper does
     the store plumbing over the grouped gate's ``admitted`` output.
     Returns False (file untouched) when there is no admitted output or
-    the refresh is a no-op (no group qualifies); the no-op check is a
-    groups×bins-row collect — decision-sized."""
+    the refresh is a no-op (no group qualifies); the no-op check stays
+    Spark-side — :func:`_swap_if_changed` writes the candidate to a
+    tmp dir and compares the two files with exceptAll, so nothing
+    reference-shaped ever crosses the driver (r10 verdict watch #2:
+    references grow with bins×groups×features in a real deployment)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
         refreshed_reference_counts_by_group,
     )
 
+    if window <= 0 or min_batches <= 0:
+        raise ValueError(
+            f"window and min_batches must be positive, got {window}, "
+            f"{min_batches}"
+        )
     adm_dir = os.path.join(out_dir, "admitted")
     if not os.path.isdir(adm_dir):
         return False
@@ -373,13 +417,7 @@ def refresh_group_reference(
     new_ref = refreshed_reference_counts_by_group(
         per_batch, old_ref, window, min_batches, group_col=group_col
     )
-    new_rows = sorted(map(tuple, new_ref.collect()))
-    if new_rows == sorted(map(tuple, old_ref.collect())):
-        return False
-    spark.createDataFrame(
-        new_rows, old_ref.schema
-    ).write.mode("overwrite").parquet(ref_path)
-    return True
+    return _swap_if_changed(spark, new_ref, ref_path)
 
 
 def batch_group_psi(

@@ -503,3 +503,62 @@ def test_refresh_group_reference_per_feed_hysteresis(spark, tmp_path):
         (r["lang"], r["bin"]): r["n"]
         for r in spark.read.parquet(ref).collect()
     } == got
+
+
+def test_refresh_reference_validates_params_and_noop_returns_false(
+    spark, tmp_path
+):
+    """r10 ADVICE closures: (a) both refresh wrappers reject
+    non-positive window/min_batches BEFORE touching any file — a
+    min_batches<=0 would make the hysteresis vacuous and overwrite the
+    frozen reference with counts from zero batches; (b) the scalar
+    refresh now shares the grouped form's no-op contract: a
+    window-satisfied refresh that reproduces the live counts returns
+    False and leaves the file byte-untouched."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must be positive"):
+        drift_gate.refresh_reference(
+            spark, str(tmp_path / "o"), str(tmp_path / "r"), window=0
+        )
+    with pytest.raises(ValueError, match="must be positive"):
+        drift_gate.refresh_reference(
+            spark, str(tmp_path / "o"), str(tmp_path / "r"), min_batches=0
+        )
+    with pytest.raises(ValueError, match="must be positive"):
+        drift_gate.refresh_group_reference(
+            spark, str(tmp_path / "o"), str(tmp_path / "r"), min_batches=-1
+        )
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ref = str(tmp_path / "ref")
+    os.makedirs(inbox)
+    drift_gate.write_reference(
+        spark.createDataFrame([(i, NORMAL) for i in range(50)], SCHEMA), ref
+    )
+    for i in range(3):
+        _write(
+            os.path.join(inbox, f"f{i}.parquet"),
+            [(100 * i + j, NORMAL) for j in range(10)],
+        )
+    drift_gate.run_drift_gate_available_now(
+        spark, inbox, SCHEMA, out, ref, str(tmp_path / "ckpt")
+    )
+    # first refresh: counts change (150 docs -> 30 docs) -> True
+    assert drift_gate.refresh_reference(spark, out, ref, window=3, min_batches=3)
+    after = sorted(map(tuple, spark.read.parquet(ref).collect()))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(ref, f)) for f in os.listdir(ref)
+    }
+    # second refresh over the same admitted window: candidate == live
+    # reference -> no-op, False, file byte-untouched
+    assert not drift_gate.refresh_reference(
+        spark, out, ref, window=3, min_batches=3
+    )
+    assert sorted(map(tuple, spark.read.parquet(ref).collect())) == after
+    assert {
+        f: os.path.getmtime(os.path.join(ref, f)) for f in os.listdir(ref)
+    } == mtimes
+    # and no tmp dir left behind
+    assert not os.path.exists(ref + ".refresh-tmp")
