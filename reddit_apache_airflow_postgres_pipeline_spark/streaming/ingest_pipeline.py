@@ -116,7 +116,42 @@ _FULL_CHAIN_PATHS = (
     "ckpt_span",
     "ckpt_cms",
     "ckpt_hll",
+    "ckpt_index",
 )
+
+
+def _run_index_stage(
+    spark: SparkSession, p: dict[str, str], index_path: str | None
+) -> None:
+    """Optional stage 5 of the full chains: stream the span-CLEANED
+    corpus into a persisted text index
+    (streaming/vector_index_stream.run_text_index_append_available_now)
+    — the composition that closes the operational loop: a document
+    that survives drift → near-dup → span admission becomes SERVABLE
+    (embed → append → probe) with no manual embed hop, which is what
+    the reference's cron-driven fetch → combine → load pipeline
+    (dags/Combine_send_to_postgresql.py:301) would demand of this
+    engine at 100 TB. The index must pre-exist
+    (sinks/text_index.write_text_index on the validated snapshot — the
+    same snapshot that froze the drift reference trains the
+    quantizers); featurizer params come from the index's own meta, so
+    the chain adds NO embedding knobs. Skipped cleanly while no span
+    batch exists yet; its own checkpoint keeps it exactly-once and
+    independently re-runnable like every other stage."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        vector_index_stream,
+    )
+
+    if index_path is not None and _has_batches(p["spanned"]):
+        vector_index_stream.run_text_index_append_available_now(
+            spark,
+            os.path.join(p["spanned"], "batch_id=*"),
+            _SPANNED_SCHEMA,
+            index_path,
+            p["ckpt_index"],
+            id_col="doc_id",
+            text_col="text_clean",
+        )
 
 
 def _run_sketch_stage(
@@ -249,6 +284,7 @@ def run_full_ingest_available_now(
     text_col: str = "text",
     psi_threshold: float = 0.25,
     span_k: int = 8,
+    index_path: str | None = None,
 ) -> dict[str, str]:
     """The COMPLETE admission pipeline a Lee-et-al-style corpus run
     operates online: drift gate → MinHash near-dup gate → exact
@@ -258,9 +294,13 @@ def run_full_ingest_available_now(
     accepted corpus through streaming/span_gate.py (first-wins: a
     passage's first sighting survives, every later copy is cut out of
     its document), and the sketches summarize what a training run
-    would actually consume — the cleaned text. Same directory
-    chaining and exactly-once contract throughout; batch form
-    replayed by plans/registry_ingest.q_ingest_chain_spans_audit
+    would actually consume — the cleaned text. ``index_path`` arms the
+    optional stage 5 (:func:`_run_index_stage`): the span-cleaned
+    corpus streams into a pre-built persisted text index, so an
+    admitted document is served by the ANN store at the end of the
+    same drain. Same directory chaining and exactly-once contract
+    throughout; batch form replayed by
+    plans/registry_ingest.q_ingest_chain_spans_audit
     (full DuckDB oracle), parity-pinned by
     tests/test_ingest_pipeline.py."""
     p = _paths(work_dir, _FULL_CHAIN_PATHS)
@@ -277,6 +317,7 @@ def run_full_ingest_available_now(
     _run_dedup_stage(spark, schema, p, id_col, text_col)
     _run_span_stage(spark, schema, p, id_col, text_col, span_k)
     _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
+    _run_index_stage(spark, p, index_path)
     return p
 
 
@@ -291,6 +332,7 @@ def run_group_full_ingest_available_now(
     text_col: str = "text",
     psi_threshold: float = 0.25,
     span_k: int = 8,
+    index_path: str | None = None,
 ) -> dict[str, str]:
     """The complete MULTI-FEED admission pipeline: grouped drift gate
     (each feed PSI-judged against its own frozen reference — one broken
@@ -298,11 +340,12 @@ def run_group_full_ingest_available_now(
     duplicated-substring (span) gate → sketch maintenance over the
     span-cleaned corpus. The dedup and span gates keep ONE first-wins
     state across feeds: a near-duplicate or a repeated passage is
-    rejected/cut whichever feed resends it, in batch order. Same
-    directory chaining and exactly-once/restart contract as the other
-    chains; batch form replayed by
-    plans/registry_ingest.q_ingest_chain_group_spans (full DuckDB
-    oracle), parity-pinned by tests/test_ingest_pipeline.py."""
+    rejected/cut whichever feed resends it, in batch order.
+    ``index_path`` arms the same optional serving stage 5 as
+    :func:`run_full_ingest_available_now`. Same directory chaining and
+    exactly-once/restart contract as the other chains; batch form
+    replayed by plans/registry_ingest.q_ingest_chain_group_spans (full
+    DuckDB oracle), parity-pinned by tests/test_ingest_pipeline.py."""
     p = _paths(work_dir, _FULL_CHAIN_PATHS)
     drift_gate.run_group_drift_gate_available_now(
         spark,
@@ -318,4 +361,5 @@ def run_group_full_ingest_available_now(
     _run_dedup_stage(spark, schema, p, id_col, text_col)
     _run_span_stage(spark, schema, p, id_col, text_col, span_k)
     _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
+    _run_index_stage(spark, p, index_path)
     return p

@@ -84,6 +84,67 @@ def run_index_append_available_now(
     )
 
 
+def run_text_index_append_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain arriving DOCUMENT files (raw text, no vectors) into a
+    persisted text index, exactly-once — the composition the r10
+    verdict named as the one remaining seam between the batch serving
+    loop and production: admitted documents → ``embed_text`` →
+    ``append_to_*_index`` with no manual embed hop.
+
+    The index must already exist (``sinks/text_index.write_text_index``
+    on the validated snapshot — the same snapshot that froze the drift
+    gate's reference can train the quantizers). Featurizer params and
+    store kind come from the index's own ``text_meta.json``, so this
+    stream takes NO embedding arguments: a restarted or re-deployed
+    drain cannot drift the geometry. Micro-batch ids map above
+    ``STREAM_ID_BASE`` (idempotent per-dir overwrite on retry, no
+    collision with ad-hoc appends), and the live-dir threshold folds
+    the store exactly like the raw-vector append stream. Parity with
+    the batch path (same docs ⇒ identical served top-k) and restart
+    safety are pinned by tests/test_text_index_stream.py."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import text_index as _ti
+
+    meta = _ti.text_index_meta(index_path)  # fail loud before starting
+    store = _ti.text_index_store(index_path)
+    compact = {
+        "ivf": _vi.compact_postings,
+        "ivfpq": _vi.compact_codes,
+        "binary": _vi.compact_sigs,
+    }[meta["kind"]]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _vi.STREAM_ID_BASE + batch_id
+        _ti.append_text_to_index(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            batch_id=sid,
+        )
+        if _cs.live_dir_count(store) > compact_after_dirs:
+            compact(batch_df.sparkSession, index_path, exclude_from=sid)
+
+    (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_index_delete_available_now(
     spark: SparkSession,
     input_dir: str,
