@@ -2073,19 +2073,21 @@ def q_sim_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- SQ8 / binary-sign / Matryoshka: the remaining serving-layer shapes ------
 
 
-def _sq8_ctes() -> str:
+def _sq8_ctes(src: str = "embeddings") -> str:
     """SQ8 unrolled: per-dim 6dp min/max (the trained params), encode
     floor((v-mn)*256/(mx-mn)) clamped [0,255] (256 uniform buckets),
     reconstruct at the bucket midpoint mn+(code+0.5)(mx-mn)/256, score raw queries
     against reconstructions — mirrors similarity.sq8_minmax /
-    sq8_encode / sq8_dequant / sq8_topk. Ends at ``sq8top``."""
+    sq8_encode / sq8_dequant / sq8_topk. Ends at ``sq8top``. ``src``
+    names the (vec_id, embedding) relation — ``temb`` for the
+    text-featurized tier."""
     return f"""
     mm AS (
       SELECT dim, round(MIN(CAST(v AS DOUBLE)), 6) AS mn,
              round(MAX(CAST(v AS DOUBLE)), 6) AS mx
       FROM (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
                    unnest(embedding) AS v
-            FROM embeddings) z
+            FROM {src}) z
       GROUP BY dim),
     rq AS (
       SELECT e.vec_id, m.dim,
@@ -2094,13 +2096,13 @@ def _sq8_ctes() -> str:
                                  (CAST(e.embedding[m.dim + 1] AS DOUBLE) - m.mn)
                                  * 256.0 / (m.mx - m.mn)), 0), 255)
                           ELSE 0 END + 0.5) * (m.mx - m.mn) / 256.0 AS c
-      FROM embeddings e CROSS JOIN mm m),
+      FROM {src} e CROSS JOIN mm m),
     recon AS MATERIALIZED (
       SELECT vec_id, list(c ORDER BY dim) AS rv FROM rq GROUP BY vec_id),
     sq8d AS (
       SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
              round({_L2SQ_SQL.format(a="r.rv", b="q.embedding")}, 6) AS dist
-      FROM recon r, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      FROM recon r, (SELECT * FROM {src} WHERE vec_id < 8) q
       WHERE r.vec_id <> q.vec_id),
     sq8top AS (
       SELECT query_id, neighbor_id, dist FROM (
@@ -2257,29 +2259,33 @@ def q_sim_binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(e, q, approx)
 
 
-def _matryoshka_ctes() -> str:
-    """Prefix-dim coarse scan (first 16 components, 6dp L2²) keeping
-    32 candidates, exact full-d rerank — mirrors
-    similarity.matryoshka_topk. Ends at ``mrtop``."""
-    pfx = "embedding[1:16]"
+def _matryoshka_ctes(
+    src: str = "embeddings", prefix_dims: int = 16, rerank: int = 32
+) -> str:
+    """Prefix-dim coarse scan (first ``prefix_dims`` components, 6dp
+    L2²) keeping ``rerank`` candidates, exact full-d rerank — mirrors
+    similarity.matryoshka_topk. Ends at ``mrtop``. ``src`` names the
+    (vec_id, embedding) relation — ``temb`` for the text tier, whose
+    8-dim space uses a 4-dim prefix."""
+    pfx = f"embedding[1:{prefix_dims}]"
     return f"""
     mrc AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({_L2SQ_SQL.format(a=f"c.{pfx}", b=f"q.{pfx}")}, 6) AS cd
-      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+      FROM {src} c, (SELECT * FROM {src} WHERE vec_id < 8) q
       WHERE c.vec_id <> q.vec_id),
     mrcand AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cd, neighbor_id) AS rn
         FROM mrc) z
-      WHERE rn <= 32),
+      WHERE rn <= {rerank}),
     mrd AS (
       SELECT b.query_id, b.neighbor_id,
              round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS dist
       FROM mrcand b
-      JOIN embeddings c ON c.vec_id = b.neighbor_id
-      JOIN embeddings q ON q.vec_id = b.query_id),
+      JOIN {src} c ON c.vec_id = b.neighbor_id
+      JOIN {src} q ON q.vec_id = b.query_id),
     mrtop AS (
       SELECT query_id, neighbor_id, dist FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2830,4 +2836,87 @@ def q_text_embed_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _text_emb_corpus(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.binary_rerank_topk(e, q, k=_PQ_K, rerank=32)
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+@_q(
+    "q_text_embed_sq8",
+    f"""
+    WITH {_embed_ctes()},
+    {_sq8_ctes(src="temb")}
+    SELECT query_id, neighbor_id, dist FROM sq8top
+    """,
+)
+def q_text_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-native SQ8 tier (r10 verdict #4): raw documents →
+    embed_text → per-dim 8-bit scalar quantization → asymmetric top-k.
+    Same quantizer contract as q_sim_sq8 (256 midpoint buckets, 6dp
+    min/max, d-row trained params compiled map-side) over the ONE
+    checkpointed featurized corpus every text serving branch shares
+    (_text_emb_corpus) — the 4× tier between IVFPQ codes and raw
+    floats now runs from raw text too."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.sq8_topk(e, q, k=_PQ_K)
+
+
+@_q(
+    "q_text_embed_sq8_recall",
+    f"""
+    WITH {_embed_ctes()},
+    {_sq8_ctes(src="temb")},
+    {_exl2_recall_sql("sq8top", src="temb")}
+    """,
+)
+def q_text_embed_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of text-native SQ8 vs exact L2 over the same featurized
+    vectors — the near-lossless upper anchor of the text ladder,
+    against which q_text_embed_ivfpq_recall's code-compression loss and
+    q_text_embed_binary_recall's sign-bit loss are judged on IDENTICAL
+    inputs: one corpus, three compression tiers, three recalls."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.sq8_topk(e, q, k=_PQ_K)
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+@_q(
+    "q_text_embed_matryoshka",
+    f"""
+    WITH {_embed_ctes()},
+    {_matryoshka_ctes(src="temb", prefix_dims=4, rerank=16)}
+    SELECT query_id, neighbor_id, dist FROM mrtop
+    """,
+)
+def q_text_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka staged retrieval over the text featurization: coarse
+    scan on the FIRST 4 of 8 hashed-projection components (halving the
+    coarse-stage read), 16 candidates, exact full-d rerank — completing
+    the text-native serving ladder (IVFPQ codes, SQ8 bytes, sign bits,
+    prefix dims) over the shared checkpointed corpus. The hashed
+    projection has no MRL training, so the prefix is an unbiased
+    random half of the geometry — the recall twin below measures
+    exactly what that costs."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=4, rerank=16)
+
+
+@_q(
+    "q_text_embed_matryoshka_recall",
+    f"""
+    WITH {_embed_ctes()},
+    {_matryoshka_ctes(src="temb", prefix_dims=4, rerank=16)},
+    {_exl2_recall_sql("mrtop", src="temb")}
+    """,
+)
+def q_text_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 4-dim-prefix funnel vs exact full-d L2 on the
+    featurized corpus — on untrained hashed projections this is the
+    honest lower bound of the ladder (the prefix carries exactly half
+    the signed-sum signal), bracketing the text tiers: SQ8 ≥ IVFPQ ≥
+    binary ≥ prefix, all measured, all on one corpus."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=4, rerank=16)
     return _recall_vs_exact_l2(e, q, approx)
