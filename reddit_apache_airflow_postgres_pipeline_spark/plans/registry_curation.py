@@ -1585,3 +1585,239 @@ def q_drift_ref_refresh_by_group_hysteresis(
     its frozen reference — the output must equal the even-id grouped
     snapshot exactly."""
     return _group_refresh_pipeline(spark, sf_dir, min_batches=6)
+
+
+# -- refresh-then-gate composition: the admission flip, pinned ---------------
+
+_REGATE_ADM_T = 1.0   # batch-admission line (generous: batches drift mildly)
+_REGATE_GATE_T = 0.25  # the probe gate's admission line
+
+
+def _regate_sql() -> str:
+    """The full gate → per-feed refresh → re-gate loop in ANSI SQL.
+    Two engineered feeds over ``documents``: ``en`` drifts a growing
+    fraction of its bin-0 mass into bin 1 across 4 batches (20%·b) and
+    the probe batch continues the trend at 70%; ``rest`` is stationary.
+    The drift is a CONTROLLED transfer between the two most-occupied
+    token-length bins so its PSI is smooth in the fraction moved — an
+    up-shift of every bin would dump mass into near-empty bins and
+    explode the ratio terms (measured while designing this fixture).
+    Verified deterministic at sf0.001/0.01/0.1: en flips
+    (quarantined vs frozen, admitted vs refreshed), rest does not."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS feed,
+                      least(CAST(len({_TOKENS_SQL}) // 40 AS INT), 4) AS bin0,
+                      (doc_id % 20) // 2 AS dec
+               FROM documents),
+    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    r0 AS (SELECT feed, bin0 AS bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    bt AS (SELECT feed, (doc_id // 2) % 4 AS b,
+                  CASE WHEN feed = 'en' AND bin0 = 0
+                            AND dec < 2 * ((doc_id // 2) % 4)
+                       THEN 1 ELSE bin0 END AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM t WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+    probe AS (SELECT feed,
+                  CASE WHEN feed = 'en' AND bin0 = 0 AND dec < 7
+                       THEN 1 ELSE bin0 END AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS n
+              FROM t WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    trg AS (SELECT feed, SUM(n) AS tr FROM r0 GROUP BY feed),
+    tcg AS (SELECT feed, b, SUM(n) AS tc FROM bt GROUP BY feed, b),
+    pb AS (SELECT gb.feed, gb.b, bi.bin,
+                  round(greatest(CASE WHEN trg.tr > 0
+                                 THEN COALESCE(r0.n, 0) * 1.0 / trg.tr
+                                 ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                  round(greatest(CASE WHEN tcg.tc > 0
+                                 THEN COALESCE(bt.n, 0) * 1.0 / tcg.tc
+                                 ELSE 0.0 END, 0.0001), 6) AS p_cur
+           FROM (SELECT DISTINCT feed, b FROM bt) gb
+           CROSS JOIN bins bi
+           LEFT JOIN r0 ON r0.feed = gb.feed AND r0.bin = bi.bin
+           LEFT JOIN bt ON bt.feed = gb.feed AND bt.b = gb.b
+                       AND bt.bin = bi.bin
+           LEFT JOIN trg ON trg.feed = gb.feed
+           JOIN tcg ON tcg.feed = gb.feed AND tcg.b = gb.b),
+    psib AS (SELECT feed, b,
+                    round(SUM(round((p_cur - p_ref)
+                                    * ln(p_cur / p_ref), 6)), 6) AS psi
+             FROM pb GROUP BY 1, 2),
+    adm AS (SELECT feed, b FROM psib WHERE psi <= {_REGATE_ADM_T}),
+    admc AS (SELECT bt.* FROM bt JOIN adm USING (feed, b)),
+    win AS (SELECT feed, b FROM (
+              SELECT feed, b,
+                     ROW_NUMBER() OVER (PARTITION BY feed
+                                        ORDER BY b DESC) AS rn
+              FROM (SELECT DISTINCT feed, b FROM admc) z) w
+            WHERE rn <= 3),
+    inw AS (SELECT admc.* FROM admc JOIN win USING (feed, b)),
+    nbg AS (SELECT feed, COUNT(DISTINCT b) AS nb FROM inw GROUP BY feed),
+    newref AS (
+      SELECT i.feed, i.bin, CAST(SUM(i.n) AS BIGINT) AS n
+      FROM inw i JOIN nbg ON nbg.feed = i.feed
+      WHERE nbg.nb >= 2 GROUP BY i.feed, i.bin
+      UNION ALL
+      SELECT r0.feed, r0.bin, r0.n
+      FROM r0 LEFT JOIN nbg ON nbg.feed = r0.feed
+      WHERE COALESCE(nbg.nb, 0) < 2),
+    tpr AS (SELECT feed, SUM(n) AS tp FROM probe GROUP BY feed),
+    tnr AS (SELECT feed, SUM(n) AS tn FROM newref GROUP BY feed),
+    feeds AS (SELECT DISTINCT feed FROM t),
+    pf AS (SELECT g.feed, bi.bin,
+                  round(greatest(CASE WHEN trg.tr > 0
+                                 THEN COALESCE(r0.n, 0) * 1.0 / trg.tr
+                                 ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                  round(greatest(CASE WHEN tpr.tp > 0
+                                 THEN COALESCE(probe.n, 0) * 1.0 / tpr.tp
+                                 ELSE 0.0 END, 0.0001), 6) AS p_cur
+           FROM feeds g CROSS JOIN bins bi
+           LEFT JOIN r0 ON r0.feed = g.feed AND r0.bin = bi.bin
+           LEFT JOIN probe ON probe.feed = g.feed AND probe.bin = bi.bin
+           LEFT JOIN trg ON trg.feed = g.feed
+           LEFT JOIN tpr ON tpr.feed = g.feed),
+    psif AS (SELECT feed, round(SUM(round((p_cur - p_ref)
+                                          * ln(p_cur / p_ref), 6)), 6)
+                    AS psi_frozen
+             FROM pf GROUP BY feed),
+    pn AS (SELECT g.feed, bi.bin,
+                  round(greatest(CASE WHEN tnr.tn > 0
+                                 THEN COALESCE(newref.n, 0) * 1.0 / tnr.tn
+                                 ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                  round(greatest(CASE WHEN tpr.tp > 0
+                                 THEN COALESCE(probe.n, 0) * 1.0 / tpr.tp
+                                 ELSE 0.0 END, 0.0001), 6) AS p_cur
+           FROM feeds g CROSS JOIN bins bi
+           LEFT JOIN newref ON newref.feed = g.feed AND newref.bin = bi.bin
+           LEFT JOIN probe ON probe.feed = g.feed AND probe.bin = bi.bin
+           LEFT JOIN tnr ON tnr.feed = g.feed
+           LEFT JOIN tpr ON tpr.feed = g.feed),
+    psin AS (SELECT feed, round(SUM(round((p_cur - p_ref)
+                                          * ln(p_cur / p_ref), 6)), 6)
+                    AS psi_refreshed
+             FROM pn GROUP BY feed)
+    SELECT f.feed, f.psi_frozen, n.psi_refreshed,
+           f.psi_frozen <= {_REGATE_GATE_T} AS admitted_frozen,
+           n.psi_refreshed <= {_REGATE_GATE_T} AS admitted_refreshed
+    FROM psif f JOIN psin n USING (feed)
+    """
+
+
+def _regate_counts(spark: SparkSession, sf_dir: str):
+    """Checkpointed (feed, bin, n) frozen reference, (feed, b, bin, n)
+    drifting batch counts, and (feed, bin, n) probe counts — the
+    persisted state a real gate+refresh loop reads from disk, memoized
+    per (application × sf_dir) so the three PSI consumers below share
+    one corpus scan (the r10 refresh lesson: checkpoint what is
+    PERSISTED STATE in the real system, or every policy branch
+    re-embeds the corpus lineage)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import token_count
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import _memo_replay
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        t = d.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", "en").otherwise("rest").alias("feed"),
+            F.least((token_count("text") / 40).cast("int"), F.lit(4)).alias(
+                "bin0"
+            ),
+            F.expr("(doc_id % 20) div 2").alias("dec"),
+        )
+        ref0 = (
+            t.filter(F.col("doc_id") % 2 == 0)
+            .groupBy("feed", F.col("bin0").alias("bin"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        odd = t.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "b", F.expr("(doc_id div 2) % 4")
+        )
+        drift_bin = F.when(
+            (F.col("feed") == "en")
+            & (F.col("bin0") == 0)
+            & (F.col("dec") < 2 * F.col("b")),
+            F.lit(1),
+        ).otherwise(F.col("bin0"))
+        bt = (
+            odd.select("feed", "b", drift_bin.alias("bin"))
+            .groupBy("feed", "b", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        probe_bin = F.when(
+            (F.col("feed") == "en")
+            & (F.col("bin0") == 0)
+            & (F.col("dec") < 7),
+            F.lit(1),
+        ).otherwise(F.col("bin0"))
+        probe = (
+            t.filter(F.col("doc_id") % 2 == 0)
+            .select("feed", probe_bin.alias("bin"))
+            .groupBy("feed", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint()
+        )
+        return ref0, bt, probe
+
+    return _memo_replay(spark, sf_dir, "drift-regate-counts", build)
+
+
+def _feed_psi(ref: DataFrame, cur: DataFrame, out: str) -> DataFrame:
+    """(feed, <out>): total per-feed PSI of ``cur`` against ``ref`` —
+    one grouped-PSI pass reduced to the per-feed scalar."""
+    return (
+        curation.psi_drift_counts_by_group(ref, cur, group_col="feed", bins=5)
+        .groupBy("feed")
+        .agg(F.round(F.sum("psi_term"), 6).alias(out))
+    )
+
+
+@_q("q_drift_refresh_regate_by_group", _regate_sql())
+def q_drift_refresh_regate_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed admission loop the refresh machinery exists FOR,
+    pinned end to end (r10 verdict #5): per-feed gate over 4 drifting
+    batches → per-feed windowed refresh with hysteresis
+    (curation.refreshed_reference_counts_by_group, window=3,
+    min_batches=2) → re-gate the NEXT batch against BOTH references.
+    Output per feed: (psi_frozen, psi_refreshed, admitted_frozen,
+    admitted_refreshed). On this fixture the ``en`` feed's probe is
+    quarantined by the frozen reference but ADMITTED by the refreshed
+    one — the decision actually flips because of the refresh — while
+    the stationary ``rest`` feed admits under both (verified at all
+    three SFs; pinned by tests/test_drift_gate.py). Every relation
+    past the binned counts is feeds×bins-sized; the admission switch
+    and hysteresis are joins on feeds-row relations — nothing
+    corpus-shaped survives the first aggregates."""
+    ref0, bt, probe = _regate_counts(spark, sf_dir)
+    # admission of each (feed, batch) against the feed's frozen ref:
+    # grouped PSI on a composite feed:b key (each batch judged alone)
+    key = F.concat_ws(":", "feed", F.col("b").cast("string"))
+    bset = bt.select("feed", "b").distinct()
+    refk = bset.join(ref0, "feed").select(key.alias("__k"), "bin", "n")
+    btk = bt.select(key.alias("__k"), "feed", "b", "bin", "n")
+    psib = (
+        curation.psi_drift_counts_by_group(
+            refk, btk.select("__k", "bin", "n"), group_col="__k", bins=5
+        )
+        .groupBy("__k")
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+    )
+    adm = psib.filter(F.col("psi") <= _REGATE_ADM_T).select("__k")
+    admc = btk.join(F.broadcast(adm), "__k").select("feed", "b", "bin", "n")
+    newref = curation.refreshed_reference_counts_by_group(
+        admc, ref0, window=3, min_batches=2, group_col="feed"
+    )
+    out = _feed_psi(ref0, probe, "psi_frozen").join(
+        _feed_psi(newref, probe, "psi_refreshed"), "feed"
+    )
+    return out.select(
+        "feed",
+        "psi_frozen",
+        "psi_refreshed",
+        (F.col("psi_frozen") <= _REGATE_GATE_T).alias("admitted_frozen"),
+        (F.col("psi_refreshed") <= _REGATE_GATE_T).alias("admitted_refreshed"),
+    )

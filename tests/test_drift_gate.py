@@ -562,3 +562,27 @@ def test_refresh_reference_validates_params_and_noop_returns_false(
     } == mtimes
     # and no tmp dir left behind
     assert not os.path.exists(ref + ".refresh-tmp")
+
+
+def test_regate_query_pins_the_admission_flip(spark):
+    """q_drift_refresh_regate_by_group's reason to exist: the drifting
+    ``en`` feed's next batch is QUARANTINED by the frozen reference but
+    ADMITTED by the refreshed one (the refresh changed a real
+    decision), while the stationary ``rest`` feed admits under both —
+    one result exercising the flipped and unflipped paths (verified at
+    all three SFs while designing the fixture; this pins sf0.001)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_curation import (
+        q_drift_refresh_regate_by_group,
+    )
+
+    rows = {
+        r["feed"]: r
+        for r in q_drift_refresh_regate_by_group(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"en", "rest"}
+    en, rest = rows["en"], rows["rest"]
+    assert not en["admitted_frozen"] and en["admitted_refreshed"]
+    assert en["psi_refreshed"] < en["psi_frozen"]
+    assert rest["admitted_frozen"] and rest["admitted_refreshed"]
