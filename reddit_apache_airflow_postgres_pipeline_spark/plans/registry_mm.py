@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as MM
+from reddit_apache_airflow_postgres_pipeline_spark.plans import registry_ml as _ML
 from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _q
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
 
@@ -232,3 +233,77 @@ def q_media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc"), "sig"
     )
     return signature_near_dups(sig, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM)
+
+
+# -- media vectors as first-class ANN citizens (r10 verdict #6) --------------
+
+def _media_feat_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media corpus featurized to the stores' (vec_id, embedding)
+    contract: one Arrow-batched mapInPandas pass (the real-encoder
+    stand-in), zero-byte payloads dropped (their zero vector has no
+    direction). Column-renamed ONCE here so the similarity operators,
+    the recall audit, and the persisted stores all consume media
+    vectors through the exact machinery the text embeddings use."""
+    m = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        MM.byte_histogram_features(m)
+        .filter(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x) > 0)
+        .select(F.col("media_id").alias("vec_id"), F.col("feat").alias("embedding"))
+    )
+
+
+_MF_CTES = (
+    "media AS (" + _MEDIA_SQL + f"""),
+    mf AS MATERIALIZED (
+      SELECT media_id AS vec_id, {_FEAT_SQL} AS embedding
+      FROM media WHERE octet_length(payload) > 0)"""
+)
+
+
+@_q(
+    "q_media_ivfpq_topk",
+    "WITH " + _MF_CTES + f""",
+    {_ML._ivfpq_ctes(src="mf")}
+    SELECT query_id, neighbor_id, dist FROM ivfpqtop
+    """,
+)
+def q_media_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media modality served through the SAME composed index the
+    text path uses: payloads → byte-histogram features (mapInPandas,
+    the real-encoder stand-in) → IVFPQ (16 cells / 4 probes / m=4 /
+    16 codes) → top-5 ADC neighbors for the first 8 media items.
+    Replaces q_media_embed_ann's brute-force scan with the pruned +
+    compressed plan a billion-item media corpus actually runs; the
+    oracle replays featurization AND both quantizers bit-for-bit (the
+    histogram fractions are IEEE divisions of exact integer counts, so
+    the shared _ivfpq_ctes chain applies unchanged via src='mf')."""
+    feats = _media_feat_df(spark, sf_dir)
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+
+    q = feats.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(
+        feats, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    )
+
+
+@_q(
+    "q_media_ivfpq_recall",
+    "WITH " + _MF_CTES + f""",
+    {_ML._ivfpq_ctes(src="mf")},
+    {_ML._exl2_recall_sql("ivfpqtop", src="mf")}
+    """,
+)
+def q_media_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed media index against exact L2 over the
+    same features — the audit that says whether 16-dim byte-histogram
+    geometry survives cell pruning + code compression, measured with
+    the identical machinery as the text and raw-embedding ladders (one
+    audit definition, three modalities)."""
+    feats = _media_feat_df(spark, sf_dir)
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+
+    q = feats.filter(F.col("vec_id") < 8)
+    approx = ivfpq_topk(
+        feats, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    )
+    return _ML._recall_vs_exact_l2(feats, q, approx)

@@ -233,3 +233,58 @@ def test_ahash_near_dups_band_equals_quadratic(spark):
     }
     assert banded == quad
     assert banded[(0, 3)] == 0  # exact dup found at distance 0
+
+
+def test_media_vectors_through_persisted_stores(spark, tmp_path):
+    """Media features are first-class citizens of the maintained ANN
+    stores (r10 verdict #6): the same write/append/query/delete/compact
+    machinery the text embeddings use, driven with byte-histogram
+    vectors — persisted IVFPQ equals the in-memory operator, the binary
+    store serves, an erasure shadows immediately and a full compaction
+    physically drops it."""
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm import _media_feat_df
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+
+    feats = _media_feat_df(spark, "/root/testdata/sf0.001")
+    q = feats.filter(F.col("vec_id") < 8)
+
+    pq = str(tmp_path / "pq")
+    base = feats.filter(F.col("vec_id") < 300)
+    delta = feats.filter(F.col("vec_id") >= 300)
+    vi.write_ivfpq_index(base, pq, n_cells=16, m=4, n_codes=16, iters=1)
+    vi.append_to_ivfpq_index(delta, pq)
+    # persisted build+append over media vectors == the monolithic
+    # in-memory operator with the SAME quantizers? The quantizers are
+    # trained on `base` only, so compare against an index built the
+    # same way — the q_media_ivfpq_topk registry oracle pins the
+    # monolithic form; here we pin served-rows sanity + delete/compact
+    served = vi.query_ivfpq_index(spark, pq, q, n_probe=4, k=5)
+    assert served.count() == 8 * 5
+
+    full = str(tmp_path / "full")
+    vi.write_ivfpq_index(feats, full, n_cells=16, m=4, n_codes=16, iters=1)
+    got = sorted(map(tuple, vi.query_ivfpq_index(
+        spark, full, q, n_probe=4, k=5).collect()))
+    want = sorted(map(tuple, ivfpq_topk(
+        feats, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    ).collect()))
+    assert got == want
+
+    victim = got[0][1]
+    vi.delete_from_ivfpq_index(
+        feats.filter(F.col("vec_id") == victim).select("vec_id"), full
+    )
+    assert victim not in {
+        r["neighbor_id"]
+        for r in vi.query_ivfpq_index(spark, full, q, n_probe=4, k=5).collect()
+    }
+    vi.compact_codes(spark, full)
+    raw = {r["neighbor_id"] for r in spark.read.parquet(f"{full}/codes").collect()}
+    assert victim not in raw
+
+    bx = str(tmp_path / "bx")
+    vi.write_binary_index(feats, bx)
+    assert vi.query_binary_index(spark, bx, q, k=3).count() == 8 * 3
