@@ -222,7 +222,7 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql(bits: int, max_hamming: int) -> str:
+def _simhash_sql(bits: int, max_hamming: int, pred: str = "TRUE") -> str:
     # bit j of a token's md5: nibble = hex char 1 + j//4 (high bit first)
     bit_weights = ",\n           ".join(
         "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {idx}, 1)) - 1)"
@@ -251,7 +251,7 @@ def _simhash_sql(bits: int, max_hamming: int) -> str:
       SELECT doc_id AS doc, unnest(list_distinct(
                string_split_regex(trim(lower(coalesce(text,''))), '[ \\t\\n\\x0b\\f\\r]+'))) AS tok
       FROM documents
-      WHERE trim(lower(coalesce(text,''))) <> ''),
+      WHERE trim(lower(coalesce(text,''))) <> '' AND ({pred})),
     weights AS (
       SELECT doc,
            {bit_weights}
@@ -272,6 +272,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dups, Hamming ≤ 3, pigeonhole-banded."""
     d = load_table(spark, sf_dir, "documents")
     return neardup.simhash_near_dups(d, "doc_id", "text", bits=32, max_hamming=3)
+
+
+@_q("q_dedup_simhash_strict", _simhash_sql(32, 1, pred="doc_id % 5 = 0"))
+def q_simhash_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIAGNOSTIC SimHash row (r10 verdict watch #3): Hamming ≤ 1
+    over a deterministic 1-in-5 corpus slice. The ≤3 full-corpus form's
+    gate cost at sf0.1 is output-bound (~1.5 M pairs — the synthetic
+    corpus is deliberately self-similar; even ≤1 on the full corpus
+    still yields 272 k), so its number measures the FIXTURE. This
+    form's 2 × 16-bit bands over the slice collide at realistic
+    near-identical density (~11 k pairs at sf0.1 — pairs shrink
+    quadratically with the slice), making its gate row track the
+    banded-join machinery, not pair volume. Same plan shape — only the
+    band width, verify threshold, and input predicate change."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return neardup.simhash_near_dups(d, "doc_id", "text", bits=32, max_hamming=1)
 
 
 # ---------------------------------------------------------------------------
