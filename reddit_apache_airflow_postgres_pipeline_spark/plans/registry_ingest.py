@@ -1112,3 +1112,104 @@ def q_ingest_chain_by_group_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "admitted"
         ),
     )
+
+
+# -- the chain's serving tail: admitted corpus -> embed -> IVFPQ top-k -------
+# (the batch replay of streaming stage 5, ingest_pipeline._run_index_stage)
+
+from reddit_apache_airflow_postgres_pipeline_spark.plans import registry_ml as _ML
+
+_CHAIN_QPRED = "vec_id IN (SELECT vec_id FROM qids)"
+
+
+def _chain_serve_sql(tail: str) -> str:
+    """The composed oracle: the FULL chain replay nested inside a
+    ``sdocs`` subquery (its own WITH scope — the chain's unrolled
+    stage CTEs s1/s2 would otherwise collide with the PQ pipeline's),
+    the surviving corpus featurized by the shared embed CTEs, and the
+    composed-index chain over it. Queries are the 8 lowest SURVIVING
+    ids (``qids``) — admission decides who gets to ask, too."""
+    return f"""
+    WITH sdocs AS MATERIALIZED (
+      SELECT doc_id, text FROM (
+        WITH {_chain_ctes()}
+        SELECT acc.doc AS doc_id, t.text
+        FROM acc JOIN t ON t.doc = acc.doc AND t.b = acc.b) z),
+    {_ML._embed_ctes(src="sdocs")},
+    qids AS (SELECT vec_id FROM temb ORDER BY vec_id LIMIT 8),
+    {_ML._ivfpq_ctes(src="temb", qpred=_CHAIN_QPRED)}{tail}
+    """
+
+
+def _chain_text_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain-surviving corpus featurized and checkpointed ONCE per
+    (application × sf_dir): chain_replay's accepted (b, doc) relation
+    semi-joins the documents scan, embed_text featurizes the survivors
+    (one shuffle), and the localCheckpoint stops ivfpq_topk's several
+    lineage branches from re-running the 4-stage dedup unroll + the
+    tokenize/hash-agg per branch (the r7 multi-scan lesson applied to
+    the composed plan). Mirrors what streaming stage 5 persists: the
+    INDEX is the materialization in production."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import embed_text
+
+    def build():
+        _dec, acc = chain_replay(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        surv = docs.join(
+            acc.select(F.col("doc").alias("doc_id")), "doc_id", "left_semi"
+        )
+        return (
+            embed_text(surv, d=8, n=2, salt="emb")
+            .withColumnRenamed("doc_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    return _memo_replay(spark, sf_dir, "text-emb-chain", build)
+
+
+@_q(
+    "q_ingest_chain_text_serve",
+    _chain_serve_sql("\n    SELECT query_id, neighbor_id, dist FROM ivfpqtop"),
+)
+def q_ingest_chain_text_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission composed with serving, end to end in one declarative
+    plan — the batch replay of the full-chain index stage
+    (ingest_pipeline._run_index_stage): drift gate → near-dup gate →
+    surviving corpus → embed_text → IVFPQ (16 cells / 4 probes / m=4 /
+    16 codes) → top-5 for the 8 lowest surviving ids. A quarantined or
+    dup-rejected document can neither be SERVED nor ASK — exactly what
+    the streaming chain's stage-5 store serves after a drain
+    (parity of the store itself: tests/test_text_index_stream.py).
+    Scale shape: the replay's checkpointed skinny relations feed one
+    embed shuffle; everything downstream is the audited composed-index
+    plan (broadcast quantizers, banded candidate pruning)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+
+    e = _chain_text_emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(8)
+    return ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    )
+
+
+@_q(
+    "q_ingest_chain_text_serve_recall",
+    _chain_serve_sql(
+        ",\n    " + _ML._exl2_recall_sql("ivfpqtop", src="temb", qpred=_CHAIN_QPRED)
+    ),
+)
+def q_ingest_chain_text_serve_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@5 of the chain-composed served index against exact L2
+    over the same surviving featurized corpus — the end-to-end audit:
+    admission filtering, featurization, coarse cells, and code
+    compression all under one measured number."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import ivfpq_topk
+
+    e = _chain_text_emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(8)
+    approx = ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    )
+    return _ML._recall_vs_exact_l2(e, q, approx)

@@ -1591,12 +1591,12 @@ _PQ_M, _PQ_CODES, _PQ_K = 4, 16, 5
 # _exact_l2_topk_set). ``src`` names the (vec_id, embedding) relation
 # the truth is computed over — ``embeddings`` for the fixture-table
 # family, the ``temb`` CTE for the text-featurized loop.
-def _exl2_base_sql(src: str = "embeddings") -> str:
+def _exl2_base_sql(src: str = "embeddings", qpred: str = "vec_id < 8") -> str:
     return f"""
     exl2 AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({_L2SQ_SQL.format(a="c.embedding", b="q.embedding")}, 6) AS d
-      FROM {src} c, (SELECT * FROM {src} WHERE vec_id < 8) q
+      FROM {src} c, (SELECT * FROM {src} WHERE {qpred}) q
       WHERE c.vec_id <> q.vec_id),
     extop AS (
       SELECT query_id, neighbor_id FROM (
@@ -1609,11 +1609,13 @@ def _exl2_base_sql(src: str = "embeddings") -> str:
 _EXL2_BASE_SQL = _exl2_base_sql()
 
 
-def _exl2_recall_sql(top_cte: str, src: str = "embeddings") -> str:
+def _exl2_recall_sql(
+    top_cte: str, src: str = "embeddings", qpred: str = "vec_id < 8"
+) -> str:
     """The exact-L2 audit tail shared by every PQ-family recall query:
     the _exl2_base_sql baseline plus the final recall join against
     ``top_cte``."""
-    return f"""{_exl2_base_sql(src)}
+    return f"""{_exl2_base_sql(src, qpred)}
     SELECT e.query_id,
            CAST(COUNT(a.hit) AS BIGINT) AS hits,
            round(COUNT(a.hit) * 1.0 / {_PQ_K}, 6) AS recall_at_5
@@ -1646,7 +1648,7 @@ def _recall_vs_exact_l2(
     )
 
 
-def _pq_ctes(src: str = "embeddings") -> str:
+def _pq_ctes(src: str = "embeddings", qpred: str = "vec_id < 8") -> str:
     """The PQ pipeline unrolled as CTEs under the k-means rounding
     contract: subspace split → per-sub seed codebooks → one Lloyd step
     (6dp distances and components, code-asc tie-break) → corpus codes →
@@ -1698,7 +1700,7 @@ def _pq_ctes(src: str = "embeddings") -> str:
       SELECT v.vec_id AS query_id, c.sub, c.code,
              CAST(round({l2.format(a="v.svec", b="c.cv")}, 9) AS DECIMAL(28,12)) AS term
       FROM sv v JOIN cb1 c ON c.sub = v.sub
-      WHERE v.vec_id < 8),
+      WHERE v.{qpred}),
     adc AS (
       SELECT dt.query_id, x.vec_id AS neighbor_id,
              round(CAST(SUM(dt.term) AS DOUBLE), 6) AS dist
@@ -1834,13 +1836,13 @@ def q_sim_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(e, q, approx)
 
 
-def _ivfpq_ctes(src: str = "embeddings") -> str:
+def _ivfpq_ctes(src: str = "embeddings", qpred: str = "vec_id < 8") -> str:
     """The composed-index CTE chain: the PQ pipeline (_pq_ctes) plus
     coarse seed cells, corpus cell assignment, query probes, and the
     probed ADC ranking — ends at ``ivfpqtop``. Shared by q_sim_ivfpq,
     q_sim_ivfpq_recall, and (via ``src="temb"``) the text-featurized
     end-to-end loop q_text_embed_ivfpq(_recall)."""
-    return f"""{_pq_ctes(src)},
+    return f"""{_pq_ctes(src, qpred)},
     icents AS (
       SELECT vec_id AS cell, embedding AS icv FROM {src}
       ORDER BY vec_id LIMIT 16),
@@ -1860,7 +1862,7 @@ def _ivfpq_ctes(src: str = "embeddings") -> str:
                ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
                  / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
                c.cell) AS rn
-      FROM {src} e CROSS JOIN icents c WHERE e.vec_id < 8),
+      FROM {src} e CROSS JOIN icents c WHERE e.{qpred}),
     probes AS (SELECT query_id, cell FROM q_sc WHERE rn <= 4),
     adcq AS (
       SELECT p.query_id, x.vec_id AS neighbor_id,
