@@ -2350,15 +2350,16 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(e, q, approx)
 
 
-def _ivfsq_ctes() -> str:
+def _ivfsq_ctes(src: str = "embeddings") -> str:
     """IVF coarse cells (the _ivfpq_ctes quantizer contract) composed
     with the SQ8 reconstructions (_sq8_ctes' ``recon``): probed-cell
     pruning × midpoint scoring — mirrors similarity.ivfsq_topk. Ends
     at ``ivfsqtop``. The unreferenced sq8d/sq8top CTEs from _sq8_ctes
-    are pruned by DuckDB (not MATERIALIZED)."""
-    return f"""{_sq8_ctes()},
+    are pruned by DuckDB (not MATERIALIZED). ``src`` names the
+    (vec_id, embedding) relation — ``temb`` for the text tier."""
+    return f"""{_sq8_ctes(src)},
     icents AS (
-      SELECT vec_id AS cell, embedding AS icv FROM embeddings
+      SELECT vec_id AS cell, embedding AS icv FROM {src}
       ORDER BY vec_id LIMIT 16),
     c_sc AS (
       SELECT e.vec_id AS neighbor_id, c.cell,
@@ -2367,7 +2368,7 @@ def _ivfsq_ctes() -> str:
                ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
                  / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
                c.cell) AS rn
-      FROM embeddings e CROSS JOIN icents c),
+      FROM {src} e CROSS JOIN icents c),
     cells AS (SELECT neighbor_id, cell FROM c_sc WHERE rn = 1),
     q_sc AS (
       SELECT e.vec_id AS query_id, c.cell,
@@ -2376,7 +2377,7 @@ def _ivfsq_ctes() -> str:
                ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.icv')}
                  / ({_NORM_SQL.format(a='e.embedding')} * {_NORM_SQL.format(a='c.icv')}), 6) DESC,
                c.cell) AS rn
-      FROM embeddings e CROSS JOIN icents c WHERE e.vec_id < 8),
+      FROM {src} e CROSS JOIN icents c WHERE e.vec_id < 8),
     probes AS (SELECT query_id, cell FROM q_sc WHERE rn <= 4),
     sqp AS (
       SELECT p.query_id, r.vec_id AS neighbor_id,
@@ -2384,7 +2385,7 @@ def _ivfsq_ctes() -> str:
       FROM recon r
       JOIN cells cl ON cl.neighbor_id = r.vec_id
       JOIN probes p ON p.cell = cl.cell
-      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN {src} q ON q.vec_id = p.query_id
       WHERE r.vec_id <> p.query_id),
     ivfsqtop AS (
       SELECT query_id, neighbor_id, dist FROM (
@@ -2937,4 +2938,42 @@ def q_text_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFram
     e = _text_emb_corpus(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.matryoshka_topk(e, q, k=_PQ_K, prefix_dims=4, rerank=16)
+    return _recall_vs_exact_l2(e, q, approx)
+
+
+@_q(
+    "q_text_embed_ivfsq",
+    f"""
+    WITH {_embed_ctes()},
+    {_ivfsq_ctes(src="temb")}
+    SELECT query_id, neighbor_id, dist FROM ivfsqtop
+    """,
+)
+def q_text_embed_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF pruning × SQ8 byte storage over the text featurization —
+    the last composed tier of the text-native ladder: coarse cells
+    prune to ~4/16 of the featurized corpus, survivors score against
+    midpoint reconstructions. With q_text_embed_{{ivfpq,sq8,
+    binary_rerank,matryoshka}} every serving shape the engine offers
+    now runs raw-text-in, over the ONE checkpointed corpus."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
+
+
+@_q(
+    "q_text_embed_ivfsq_recall",
+    f"""
+    WITH {_embed_ctes()},
+    {_ivfsq_ctes(src="temb")},
+    {_exl2_recall_sql("ivfsqtop", src="temb")}
+    """,
+)
+def q_text_embed_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of text-native IVFSQ vs exact L2 — isolates the cell
+    pruning loss on the text geometry (q_text_embed_sq8_recall is the
+    same quantizer unpruned; the delta is what 4/16 probes cost)."""
+    e = _text_emb_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
     return _recall_vs_exact_l2(e, q, approx)
