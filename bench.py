@@ -34,6 +34,7 @@ FAMILY_QUERIES = [
     "q_sim_sq8",
     "q_ingest_chain_decisions",
     "q_text_embed_ivfpq",  # r10: the raw-text -> vector -> serve loop
+    "q_ingest_chain_text_serve",  # r11: admission composed with serving
 ]
 
 

@@ -363,6 +363,55 @@ BNLJ_ALLOWED = {
     "q_sim_matryoshka_recall": (
         "bounded query set + the exact-L2 baseline scan"
     ),
+    # r11: the text-native serving tiers — same shapes as their raw-
+    # embedding twins, over the checkpointed featurized corpus
+    "q_text_embed_sq8": (
+        "bounded query set (8 featurized queries vs reconstructions)"
+    ),
+    "q_text_embed_sq8_recall": (
+        "bounded query set + the exact-L2 baseline scan (featurized)"
+    ),
+    "q_text_embed_ivfsq": (
+        "n_cells coarse centroids broadcast (ivf_assign fan-out, same "
+        "shape as q_sim_ivfsq, featurized corpus)"
+    ),
+    "q_text_embed_ivfsq_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan "
+        "(featurized corpus)"
+    ),
+    "q_text_embed_matryoshka": (
+        "bounded query set (4-dim prefix stage) + |q|x16 rerank "
+        "candidates (featurized corpus)"
+    ),
+    "q_text_embed_matryoshka_recall": (
+        "bounded query set + the exact-L2 baseline scan (featurized)"
+    ),
+    # r11: media vectors through the composed index — q_sim_ivfpq's
+    # shapes with byte-histogram features
+    "q_media_ivfpq_topk": (
+        "n_cells coarse centroids broadcast (ivf_assign fan-out over "
+        "media features)"
+    ),
+    "q_media_ivfpq_recall": (
+        "coarse-centroid fan-out + the 8-query exact-L2 baseline scan "
+        "(media features)"
+    ),
+    # r11: the composed admission->serving replay (chain relations are
+    # checkpointed skinny; the serving tail is q_sim_ivfpq's shape)
+    "q_ingest_chain_text_serve": (
+        "n_cells coarse centroids broadcast + the 8-lowest-survivor "
+        "query-set broadcast (LIMIT 8 of the checkpointed corpus)"
+    ),
+    "q_ingest_chain_text_serve_recall": (
+        "coarse-centroid fan-out + survivor query set + the exact-L2 "
+        "baseline scan"
+    ),
+    # r11: refresh-then-gate composition — the refresh policy's
+    # hysteresis switch and the PSI totals are feeds-row scalars
+    "q_drift_refresh_regate_by_group": (
+        "1-row/feeds-row total + window-count scalars (the grouped "
+        "psi/refresh shapes composed; bins spine broadcast)"
+    ),
     "q_hh_tracker_audit": (
         "B-row replay-batch spine (theta cum join) + 1-row final-total "
         "scalar"
