@@ -113,13 +113,8 @@ def run_text_index_append_available_now(
     safety are pinned by tests/test_text_index_stream.py."""
     from reddit_apache_airflow_postgres_pipeline_spark.sinks import text_index as _ti
 
-    meta = _ti.text_index_meta(index_path)  # fail loud before starting
+    _ti.text_index_meta(index_path)  # fail loud before starting
     store = _ti.text_index_store(index_path)
-    compact = {
-        "ivf": _vi.compact_postings,
-        "ivfpq": _vi.compact_codes,
-        "binary": _vi.compact_sigs,
-    }[meta["kind"]]
 
     stream = (
         spark.readStream.schema(schema)
@@ -134,7 +129,9 @@ def run_text_index_append_available_now(
             batch_id=sid,
         )
         if _cs.live_dir_count(store) > compact_after_dirs:
-            compact(batch_df.sparkSession, index_path, exclude_from=sid)
+            _ti.compact_text_index(
+                batch_df.sparkSession, index_path, exclude_from=sid
+            )
 
     (
         stream.writeStream.foreachBatch(_append)
