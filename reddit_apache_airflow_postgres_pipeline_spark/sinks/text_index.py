@@ -52,28 +52,6 @@ from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as 
 _TEXT_META = "text_meta.json"
 _TEXT_FORMAT = "text-index/v1"
 
-_WRITERS = {
-    "ivf": _vi.write_ivf_index,
-    "ivfpq": _vi.write_ivfpq_index,
-    "binary": _vi.write_binary_index,
-}
-_APPENDERS = {
-    "ivf": _vi.append_to_ivf_index,
-    "ivfpq": _vi.append_to_ivfpq_index,
-    "binary": _vi.append_to_binary_index,
-}
-_QUERIES = {
-    "ivf": _vi.query_ivf_index,
-    "ivfpq": _vi.query_ivfpq_index,
-    "binary": _vi.query_binary_index,
-}
-_STORES = {"ivf": "postings", "ivfpq": "codes", "binary": "sigs"}
-_COMPACTORS = {
-    "ivf": _vi.compact_postings,
-    "ivfpq": _vi.compact_codes,
-    "binary": _vi.compact_sigs,
-}
-
 
 def text_index_meta(path: str) -> dict:
     """The index's frozen featurizer + kind record. Raises with a
@@ -120,11 +98,10 @@ def write_text_index(
     the quantizers — the same role the drift gate's validated snapshot
     plays for the frozen reference, so one curated corpus can seed both
     the admission gate and the serving index."""
-    if kind not in _WRITERS:
-        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
+    _vi.check_kind(kind)
     meta = {"format": _TEXT_FORMAT, "kind": kind, "d": d, "n": n, "salt": salt}
     emb = _embed(docs, meta, id_col, text_col)
-    _WRITERS[kind](emb, path, id_col=id_col, vec_col="embedding", **index_kwargs)
+    _vi.WRITERS[kind](emb, path, id_col=id_col, vec_col="embedding", **index_kwargs)
     with open(os.path.join(path, _TEXT_META), "w") as f:
         json.dump(meta, f)
 
@@ -145,7 +122,7 @@ def append_text_to_index(
     the batch featurizer's contract."""
     meta = text_index_meta(path)
     emb = _embed(docs, meta, id_col, text_col)
-    _APPENDERS[meta["kind"]](
+    _vi.APPENDERS[meta["kind"]](
         emb, path, id_col=id_col, vec_col="embedding", batch_id=batch_id
     )
 
@@ -165,7 +142,7 @@ def query_text_index(
     shape — (query_id, neighbor_id, score|dist|hamming)."""
     meta = text_index_meta(path)
     q = _embed(query_docs, meta, id_col, text_col)
-    return _QUERIES[meta["kind"]](
+    return _vi.QUERIES[meta["kind"]](
         spark, path, q, k=k, id_col=id_col, vec_col="embedding", **query_kwargs
     )
 
@@ -173,7 +150,7 @@ def query_text_index(
 def text_index_store(path: str) -> str:
     """The data store dir of a text index (kind-dispatched) — the
     directory whose live-dir count the streaming maintainer watches."""
-    return os.path.join(path, _STORES[text_index_meta(path)["kind"]])
+    return os.path.join(path, _vi.STORE_SUBDIR[text_index_meta(path)["kind"]])
 
 
 def compact_text_index(
@@ -181,4 +158,4 @@ def compact_text_index(
 ) -> None:
     """Kind-dispatched compaction of a text index's data store — same
     fold/tombstone/GC semantics as the raw-vector compactors."""
-    _COMPACTORS[text_index_meta(path)["kind"]](spark, path, exclude_from)
+    _vi.COMPACTORS[text_index_meta(path)["kind"]](spark, path, exclude_from)

@@ -712,3 +712,42 @@ def _compact_with_tombstones(
         # AFTER the snapshot stay live for the next cycle.
         for p in tdirs:
             shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Kind dispatch — THE one place the ivf | ivfpq | binary → function /
+# store-subdir mapping lives. The streaming drains
+# (streaming/vector_index_stream.py) and the text-index sink
+# (sinks/text_index.py) both consume these tables; encoding the mapping
+# locally in each consumer is how a fourth store kind ends up batch-
+# appendable but not streamable (r11 review catch).
+# ---------------------------------------------------------------------------
+
+STORE_SUBDIR = {"ivf": "postings", "ivfpq": "codes", "binary": "sigs"}
+WRITERS = {
+    "ivf": write_ivf_index,
+    "ivfpq": write_ivfpq_index,
+    "binary": write_binary_index,
+}
+APPENDERS = {
+    "ivf": append_to_ivf_index,
+    "ivfpq": append_to_ivfpq_index,
+    "binary": append_to_binary_index,
+}
+QUERIES = {
+    "ivf": query_ivf_index,
+    "ivfpq": query_ivfpq_index,
+    "binary": query_binary_index,
+}
+COMPACTORS = {
+    "ivf": compact_postings,
+    "ivfpq": compact_codes,
+    "binary": compact_sigs,
+}
+
+
+def check_kind(kind: str) -> str:
+    """Validate a store kind against the dispatch tables, fail-loud."""
+    if kind not in STORE_SUBDIR:
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
+    return kind

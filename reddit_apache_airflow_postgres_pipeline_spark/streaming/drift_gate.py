@@ -169,7 +169,12 @@ def _swap_if_changed(spark: SparkSession, new_ref: DataFrame, ref_path: str) -> 
         if new.exceptAll(old).isEmpty() and old.exceptAll(new).isEmpty():
             shutil.rmtree(tmp, ignore_errors=True)
             return False
-        shutil.rmtree(ref_path)
+        if os.path.isfile(ref_path):
+            # a single-file reference (Spark reads those fine) —
+            # rmtree raises NotADirectoryError on it (r11 review catch)
+            os.remove(ref_path)
+        else:
+            shutil.rmtree(ref_path)
     os.rename(tmp, ref_path)
     return True
 

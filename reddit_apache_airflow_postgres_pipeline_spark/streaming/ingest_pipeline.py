@@ -137,7 +137,17 @@ def _run_index_stage(
     quantizers); featurizer params come from the index's own meta, so
     the chain adds NO embedding knobs. Skipped cleanly while no span
     batch exists yet; its own checkpoint keeps it exactly-once and
-    independently re-runnable like every other stage."""
+    independently re-runnable like every other stage.
+
+    Id contract (r11 review): the chain's gates dedup by CONTENT
+    (MinHash bands, exact spans), never by doc id — the appends'
+    disjoint-id contract therefore falls on the FEED: doc ids must be
+    unique across the snapshot that built the index and every batch
+    (the reference pipeline's content-addressed ``thing_key`` gives
+    exactly this). A feed that re-mints an already-indexed id with new
+    text would be served twice under that id until the next rebuild —
+    same caveat as the raw-vector append stream, stated here because
+    the chain makes it easy to forget the snapshot counts too."""
     from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
         vector_index_stream,
     )

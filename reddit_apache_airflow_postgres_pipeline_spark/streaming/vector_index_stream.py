@@ -51,17 +51,10 @@ def run_index_append_available_now(
     binary kind has nothing to retrain at all). Caller contract
     unchanged from the batch appends: delta ids disjoint from indexed
     ids."""
-    if kind == "ivf":
-        append, store = _vi.append_to_ivf_index, f"{index_path}/postings"
-        compact = _vi.compact_postings
-    elif kind == "ivfpq":
-        append, store = _vi.append_to_ivfpq_index, f"{index_path}/codes"
-        compact = _vi.compact_codes
-    elif kind == "binary":
-        append, store = _vi.append_to_binary_index, f"{index_path}/sigs"
-        compact = _vi.compact_sigs
-    else:
-        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
+    _vi.check_kind(kind)
+    append = _vi.APPENDERS[kind]
+    compact = _vi.COMPACTORS[kind]
+    store = os.path.join(index_path, _vi.STORE_SUBDIR[kind])
 
     stream = (
         spark.readStream.schema(schema)
@@ -171,14 +164,7 @@ def run_index_delete_available_now(
     kind-agnostic. Single-writer discipline: don't run the full
     compaction concurrently with an append stream on the same store
     (same rule as the batch API's exclude_from contract)."""
-    compactors = {
-        "ivf": _vi.compact_postings,
-        "ivfpq": _vi.compact_codes,
-        "binary": _vi.compact_sigs,
-    }
-    if kind not in compactors:
-        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
-    compact = compactors[kind]
+    compact = _vi.COMPACTORS[_vi.check_kind(kind)]
     tomb = _vi._tomb_store(index_path)
 
     stream = (
