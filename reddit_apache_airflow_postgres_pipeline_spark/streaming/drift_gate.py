@@ -260,20 +260,40 @@ def run_drift_gate_available_now(
     bins: int = 10,
     threshold: float = _PSI_THRESHOLD,
     ks_threshold: float | None = None,
+    refresh_every: int | None = None,
+    refresh_window: int = 5,
+    refresh_min_batches: int = 3,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger; see the module docstring for the layout.
     ``ks_threshold`` arms the second drift metric: admission then
     requires psi <= threshold AND ks <= ks_threshold, and the decision
     rows gain a ``ks`` column (None leaves schema and semantics exactly
-    as before — existing decision readers are unaffected)."""
-    ref_counts = spark.read.parquet(ref_path)
-    if "n" not in ref_counts.columns:
+    as before — existing decision readers are unaffected).
+
+    ``refresh_every`` arms PERIODIC RE-BASELINING inside the drain —
+    the maintenance loop a long-running gate actually operates: after
+    every ``refresh_every``-th micro-batch's decision is committed,
+    :func:`refresh_reference` re-baselines the frozen reference from
+    the newest ``refresh_window`` ADMITTED batches (hysteresis:
+    ``refresh_min_batches``), and subsequent batches gate against the
+    refreshed file — so a legitimately-moving distribution keeps
+    flowing instead of sliding into a quarantine storm, while the
+    min-batch hysteresis still blocks re-baselining onto a trickle.
+    Equivalence with the manual sequence (drain → refresh_reference →
+    drain) and the admission flip itself are pinned by
+    tests/test_drift_gate.py. Crash contract: the refresh is DERIVED
+    state (recomputable from admitted dirs) — a crash between the
+    decision commit and the refresh skips that boundary, and the next
+    one re-derives from the same windows; decisions themselves stay
+    exactly-once via the per-dir overwrite + checkpoint."""
+    ref_holder = [spark.read.parquet(ref_path)]
+    if "n" not in ref_holder[0].columns:
         # the r5 format persisted one (bin) row per DOCUMENT; rather
         # than crash opaquely on every micro-batch, say what to do
         raise ValueError(
             f"reference at {ref_path!r} has columns "
-            f"{ref_counts.columns} — expected the pre-aggregated "
+            f"{ref_holder[0].columns} — expected the pre-aggregated "
             "(bin, n) counts form. Rebuild it once with "
             "write_reference() on the validated snapshot."
         )
@@ -284,6 +304,7 @@ def run_drift_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        ref_counts = ref_holder[0]
         # persist: the decision aggregate populates the cache and the
         # admit/quarantine write replays from it — ONE scan of the
         # batch's source files instead of three (ADVICE r5)
@@ -318,6 +339,18 @@ def run_drift_gate_available_now(
             )
         finally:
             batch_df.unpersist()
+        if refresh_every and (batch_id + 1) % refresh_every == 0:
+            if refresh_reference(
+                batch_df.sparkSession,
+                out_dir,
+                ref_path,
+                window=refresh_window,
+                min_batches=refresh_min_batches,
+                text_col=text_col,
+                bin_width=bin_width,
+                bins=bins,
+            ):
+                ref_holder[0] = batch_df.sparkSession.read.parquet(ref_path)
 
     (
         stream.writeStream.foreachBatch(_gate)
@@ -509,6 +542,9 @@ def run_group_drift_gate_available_now(
     bins: int = 10,
     threshold: float = _PSI_THRESHOLD,
     ks_threshold: float | None = None,
+    refresh_every: int | None = None,
+    refresh_window: int = 5,
+    refresh_min_batches: int = 3,
 ) -> None:
     """The drift gate at per-group granularity: each micro-batch is
     split so only the DRIFTED GROUPS' rows quarantine — the rest of
@@ -517,7 +553,12 @@ def run_group_drift_gate_available_now(
     ``ks_threshold`` arms the KS co-metric exactly as in the scalar
     gate: a group admits only if psi <= threshold AND ks <=
     ks_threshold, and decision rows gain a ``ks`` column (None keeps
-    the original schema and semantics).
+    the original schema and semantics). ``refresh_every`` arms the
+    same in-drain periodic re-baselining as the scalar runner, per
+    feed (:func:`refresh_group_reference`): healthy feeds re-baseline
+    on schedule, feeds failing the per-group hysteresis keep their
+    frozen rows — a gate that both quarantines broken feeds AND
+    follows legitimately-moving ones, unattended.
 
     Same layout as the ungrouped gate (``admitted/``, ``quarantined/``,
     ``decisions/`` per batch dir, idempotent overwrite + checkpoint),
@@ -526,10 +567,10 @@ def run_group_drift_gate_available_now(
     (no reference to judge them against). The per-group decision
     relation is ≤ |groups| rows — decision-sized — and is the only
     thing collected; binning and PSI run distributed."""
-    ref_counts = spark.read.parquet(ref_path)
-    if "n" not in ref_counts.columns or group_col not in ref_counts.columns:
+    ref_holder = [spark.read.parquet(ref_path)]
+    if "n" not in ref_holder[0].columns or group_col not in ref_holder[0].columns:
         raise ValueError(
-            f"reference at {ref_path!r} has columns {ref_counts.columns} — "
+            f"reference at {ref_path!r} has columns {ref_holder[0].columns} — "
             f"expected the ({group_col}, bin, n) grouped counts form. "
             "Rebuild it once with write_group_reference() on the "
             "validated snapshot."
@@ -541,6 +582,7 @@ def run_group_drift_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        ref_counts = ref_holder[0]
         batch_df.persist()
         try:
             if ks_threshold is None:
@@ -603,6 +645,19 @@ def run_group_drift_gate_available_now(
             )
         finally:
             batch_df.unpersist()
+        if refresh_every and (batch_id + 1) % refresh_every == 0:
+            if refresh_group_reference(
+                batch_df.sparkSession,
+                out_dir,
+                ref_path,
+                group_col=group_col,
+                window=refresh_window,
+                min_batches=refresh_min_batches,
+                text_col=text_col,
+                bin_width=bin_width,
+                bins=bins,
+            ):
+                ref_holder[0] = batch_df.sparkSession.read.parquet(ref_path)
 
     (
         stream.writeStream.foreachBatch(_gate)

@@ -5,6 +5,7 @@ across restarts."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -586,3 +587,145 @@ def test_regate_query_pins_the_admission_flip(spark):
     assert not en["admitted_frozen"] and en["admitted_refreshed"]
     assert en["psi_refreshed"] < en["psi_frozen"]
     assert rest["admitted_frozen"] and rest["admitted_refreshed"]
+
+
+def _mk_mix(spark, start_id, n_bin2, n_bin3):
+    """n_bin2 docs of 40 tokens (bin 2) + n_bin3 docs of 60 tokens
+    (bin 3) — exact engineered distributions, zero sampling noise."""
+    t2 = "tok " * 40
+    t3 = "tok " * 60
+    rows = [(start_id + i, t2) for i in range(n_bin2)] + [
+        (start_id + 1000 + i, t3) for i in range(n_bin3)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_in_drain_refresh_follows_legit_drift_and_matches_manual_sequence(
+    spark, tmp_path
+):
+    """refresh_every: the gate re-baselines ITSELF mid-drain. The feed
+    legitimately moves from 20% long-docs to 30% (admitted) and then
+    50%: vs the frozen reference the 50% batches are quarantined
+    (psi≈0.42 > 0.25), but after the in-drain refresh (triggered at
+    batch 3, re-baselining onto the 30% mix) they gate at psi≈0.17 and
+    ADMIT. Deterministic by construction (exact engineered counts).
+    Also pins: (a) the same drain WITHOUT refresh_every quarantines
+    those batches; (b) the composed drain equals the manual sequence
+    drain → refresh_reference → drain, decision for decision, and
+    leaves the identical reference file."""
+    snapshot = _mk_mix(spark, 0, 80, 20)  # frozen: 20% long docs
+
+    def _setup(tag):
+        base = tmp_path / tag
+        inbox = str(base / "inbox")
+        os.makedirs(inbox)
+        ref = str(base / "ref")
+        drift_gate.write_reference(snapshot, ref)
+        return inbox, str(base / "out"), ref, str(base / "ckpt")
+
+    def _files(inbox, upto):
+        # f0-f2: 30% long (mild, admitted); f3-f4: 50% long
+        mixes = [(14, 6), (14, 6), (14, 6), (10, 10), (10, 10)][:upto]
+        for i, (a, b) in enumerate(mixes):
+            df = _mk_mix(spark, 10_000 * (i + 1), a, b)
+            p = os.path.join(inbox, f"f{i}.parquet")
+            _write(p, [(r["doc_id"], r["text"]) for r in df.collect()])
+            past = time.time() - (10 - i) * 10
+            os.utime(p, (past, past))
+
+    # (a) plain gate: the 50% batches are quarantined vs frozen
+    inbox, out, ref, ckpt = _setup("plain")
+    _files(inbox, 5)
+    drift_gate.run_drift_gate_available_now(spark, inbox, SCHEMA, out, ref, ckpt)
+    dec = {
+        int(r["batch_id"]): r["admitted"]
+        for r in spark.read.parquet(f"{out}/decisions").collect()
+    }
+    assert dec == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+    # (b) refresh_every=3: refresh fires after batch 2 (3rd decision),
+    # re-baselines onto the 30% mix, and the 50% batches ADMIT
+    inbox, out, ref, ckpt = _setup("auto")
+    _files(inbox, 5)
+    drift_gate.run_drift_gate_available_now(
+        spark, inbox, SCHEMA, out, ref, ckpt,
+        refresh_every=3, refresh_window=3, refresh_min_batches=2,
+    )
+    dec_auto = {
+        int(r["batch_id"]): (r["psi"], r["admitted"])
+        for r in spark.read.parquet(f"{out}/decisions").collect()
+    }
+    assert {b: a for b, (_, a) in dec_auto.items()} == {
+        0: True, 1: True, 2: True, 3: True, 4: True
+    }
+    ref_auto = sorted(map(tuple, spark.read.parquet(ref).collect()))
+
+    # (c) manual sequence: drain 3 files, refresh by hand, drain the
+    # rest — identical decisions and identical final reference file
+    inbox, out, ref, ckpt = _setup("manual")
+    _files(inbox, 3)
+    drift_gate.run_drift_gate_available_now(spark, inbox, SCHEMA, out, ref, ckpt)
+    assert drift_gate.refresh_reference(
+        spark, out, ref, window=3, min_batches=2
+    )
+    _files(inbox, 5)  # f0-f2 rewritten byte-identical; checkpoint skips them
+    drift_gate.run_drift_gate_available_now(spark, inbox, SCHEMA, out, ref, ckpt)
+    dec_manual = {
+        int(r["batch_id"]): (r["psi"], r["admitted"])
+        for r in spark.read.parquet(f"{out}/decisions").collect()
+    }
+    assert dec_manual == dec_auto
+    assert sorted(map(tuple, spark.read.parquet(ref).collect())) == ref_auto
+
+
+def test_in_drain_group_refresh_per_feed(spark, tmp_path):
+    """The grouped runner's refresh_every: the moving feed re-baselines
+    and its later batches admit; the feed in a quarantine storm never
+    has admitted batches, fails the per-group hysteresis, keeps its
+    frozen reference, and stays quarantined."""
+    t2, t3, tshort = "tok " * 40, "tok " * 60, "x y"
+    snap = spark.createDataFrame(
+        [(i, "mv", t2) for i in range(80)]
+        + [(100 + i, "mv", t3) for i in range(20)]
+        + [(200 + i, "ok", t2) for i in range(100)],
+        GSCHEMA,
+    )
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    ref = str(tmp_path / "ref")
+    out = str(tmp_path / "out")
+    drift_gate.write_group_reference(snap, ref, group_col="lang")
+    frozen_ok = sorted(
+        (r["bin"], r["n"])
+        for r in spark.read.parquet(ref).filter(F.col("lang") == "ok").collect()
+    )
+    mixes = [(14, 6), (14, 6), (14, 6), (10, 10)]
+    for i, (a, b) in enumerate(mixes):
+        rows = (
+            [(10_000 * (i + 1) + j, "mv", t2) for j in range(a)]
+            + [(10_000 * (i + 1) + 500 + j, "mv", t3) for j in range(b)]
+            + [(10_000 * (i + 1) + 800 + j, "ok", tshort) for j in range(10)]
+        )
+        p = os.path.join(inbox, f"f{i}.parquet")
+        _gwrite(p, rows)
+        past = time.time() - (10 - i) * 10
+        os.utime(p, (past, past))
+    drift_gate.run_group_drift_gate_available_now(
+        spark, inbox, GSCHEMA, out, ref, str(tmp_path / "ckpt"),
+        group_col="lang",
+        refresh_every=3, refresh_window=3, refresh_min_batches=2,
+    )
+    dec = {
+        (int(r["batch_id"]), r["lang"]): r["admitted"]
+        for r in spark.read.parquet(f"{out}/decisions").collect()
+    }
+    # mv: mild batches admit, the post-refresh 50% batch admits too
+    assert dec[(0, "mv")] and dec[(1, "mv")] and dec[(2, "mv")]
+    assert dec[(3, "mv")]
+    # ok: drifted-short every batch -> quarantined throughout, and its
+    # reference rows stayed frozen (no admitted batches to refresh from)
+    assert not any(dec[(b, "ok")] for b in range(4))
+    assert sorted(
+        (r["bin"], r["n"])
+        for r in spark.read.parquet(ref).filter(F.col("lang") == "ok").collect()
+    ) == frozen_ok
