@@ -321,3 +321,48 @@ def q_media_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
     )
     return _ML._recall_vs_exact_l2(feats, q, approx)
+
+
+@_q(
+    "q_media_binary_rerank",
+    "WITH " + _MF_CTES + f""",
+    {_ML._binary_ctes(src="mf")}
+    SELECT query_id, neighbor_id, dist FROM brtop
+    """,
+)
+def q_media_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media modality through the binary serving funnel: payloads →
+    byte-histogram features → sign signatures (32 bits/word) → Hamming
+    top-32 candidates → exact 6dp L2² rerank → top-5. With
+    q_media_ivfpq_topk this gives media the same two compression tiers
+    raw embeddings and text both serve from — one funnel definition
+    (_binary_ctes, src-parameterized), three modalities."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        binary_rerank_topk,
+    )
+
+    feats = _media_feat_df(spark, sf_dir)
+    q = feats.filter(F.col("vec_id") < 8)
+    return binary_rerank_topk(feats, q, k=5, rerank=32)
+
+
+@_q(
+    "q_media_binary_recall",
+    "WITH " + _MF_CTES + f""",
+    {_ML._binary_ctes(src="mf")},
+    {_ML._exl2_recall_sql("brtop", src="mf")}
+    """,
+)
+def q_media_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the media binary funnel vs exact L2 over the same
+    features — with q_media_ivfpq_recall, two measured compression
+    recalls on identical media inputs (the same bracketing the text
+    and raw-embedding ladders carry)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        binary_rerank_topk,
+    )
+
+    feats = _media_feat_df(spark, sf_dir)
+    q = feats.filter(F.col("vec_id") < 8)
+    approx = binary_rerank_topk(feats, q, k=5, rerank=32)
+    return _ML._recall_vs_exact_l2(feats, q, approx)

@@ -396,6 +396,13 @@ BNLJ_ALLOWED = {
         "coarse-centroid fan-out + the 8-query exact-L2 baseline scan "
         "(media features)"
     ),
+    "q_media_binary_rerank": (
+        "bounded query set (Hamming stage) + |q|x32 rerank candidates "
+        "(media features)"
+    ),
+    "q_media_binary_recall": (
+        "bounded query set + the exact-L2 baseline scan (media features)"
+    ),
     # r11: the composed admission->serving replay (chain relations are
     # checkpointed skinny; the serving tail is q_sim_ivfpq's shape)
     "q_ingest_chain_text_serve": (
