@@ -135,6 +135,60 @@ def run_text_index_append_available_now(
     )
 
 
+def run_media_index_append_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain arriving MEDIA files (binary payloads + typed metadata, no
+    vectors) into a persisted media index, exactly-once — the media twin
+    of the text drain: an arriving image/audio/video payload becomes
+    servable with no manual feature hop.
+
+    The index must already exist (``sinks/media_index.write_media_index``
+    on the validated snapshot). The codec and store kind come from the
+    index's own ``media_meta.json``, so this stream takes NO
+    featurization arguments: a restarted or re-deployed drain cannot
+    drift the geometry. Micro-batch ids map above ``STREAM_ID_BASE``
+    (idempotent per-dir overwrite on retry, no collision with ad-hoc
+    appends), and the live-dir threshold folds the store exactly like
+    the raw-vector and text append streams. Parity with the batch path
+    (same media ⇒ identical served top-k) and restart safety are pinned
+    by tests/test_media_index_stream.py."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import media_index as _mi
+
+    _mi.media_index_meta(index_path)  # fail loud before starting
+    store = _mi.media_index_store(index_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        sid = _vi.STREAM_ID_BASE + batch_id
+        _mi.append_media_to_index(
+            batch_df, index_path, id_col=id_col, batch_id=sid
+        )
+        if _cs.live_dir_count(store) > compact_after_dirs:
+            _mi.compact_media_index(
+                batch_df.sparkSession, index_path, exclude_from=sid
+            )
+
+    (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_index_delete_available_now(
     spark: SparkSession,
     input_dir: str,
