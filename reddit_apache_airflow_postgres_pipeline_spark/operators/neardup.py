@@ -562,9 +562,21 @@ def minhash_band_keys(
     Shared by :func:`minhash_lsh_pairs` (batch pair mining) and the
     streaming dedup gate (streaming/dedup_gate.py), so both see the
     identical bucket universe."""
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    return band_keys_of_signature(sig, num_hashes, bands)
+
+
+def band_keys_of_signature(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, bk) band keys derived from an ALREADY-COMPUTED signature
+    relation (doc, mh_0..mh_{k-1}) — pure map work, no shuffle. Split
+    out of :func:`minhash_band_keys` so callers that RETAIN signatures
+    (the verified streaming gate's state store, where history's text is
+    gone and the signatures ARE the retained state) derive bucket keys
+    from stored sigs without re-reading any text."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
     band_keys = F.array(
         *[
             F.concat_ws(

@@ -2977,3 +2977,141 @@ def q_text_embed_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     approx = similarity.ivfsq_topk(e, q, n_cells=16, n_probe=4, k=_PQ_K)
     return _recall_vs_exact_l2(e, q, approx)
+
+
+# ---------------------------------------------------------------------------
+# Verified incremental admission: the streaming dedup gate's policy as a
+# relational replay
+# ---------------------------------------------------------------------------
+
+
+def _gate_replay_sql(
+    num_hashes: int, bands: int, threshold: float, n_gens: int
+) -> str:
+    """Unrolled-generation oracle for the VERIFIED dedup gate
+    (streaming/dedup_gate.gate_batch_verified): documents arrive in
+    ``n_gens`` deterministic generations (doc_id % n_gens); each
+    generation is gated against the signatures of earlier generations'
+    ACCEPTED docs (band-bucket candidates verified at matching-position
+    estimate ≥ threshold) plus the pessimistic smaller-id rule within
+    its own generation. Admission in generation g depends on admission
+    in g-1 — recursive in general, so the oracle unrolls a fixed number
+    of generations as chained CTEs, the same contract the k-means /
+    PageRank / BPE oracles use for their rounds."""
+    assert num_hashes <= 12, "reuse the md5||sha256 digest family"
+    r = num_hashes // bands
+    dg = "md5(s) || sha256(s)"
+    mins = ",\n         ".join(
+        f"min(substr({dg}, {i * 8 + 1}, 8)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_cols = ",\n         ".join(
+        "concat_ws('|', "
+        + ", ".join([f"'{b}'"] + [f"mh_{b * r + i}" for i in range(r)])
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.doc AS id_a, b.doc AS id_b FROM banded a JOIN banded b"
+        f" ON a.band_{b} = b.band_{b} AND a.doc <> b.doc"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    parts = [
+        "WITH sh AS (" + _SHINGLES_SQL + "),",
+        f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),",
+        f"banded AS (SELECT doc, {band_cols} FROM sig),",
+        f"cand AS ({cand_union}),",
+        "est AS (SELECT c.id_a, c.id_b,"
+        f" ({matches}) / {float(num_hashes)!r} AS est"
+        " FROM cand c JOIN sig sa ON sa.doc = c.id_a"
+        " JOIN sig sb ON sb.doc = c.id_b),",
+        "gens AS (SELECT doc_id AS doc,"
+        f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+    ]
+    for g in range(n_gens):
+        if g == 0:
+            prev = None
+        else:
+            prev = "\nUNION ALL\n".join(
+                f"SELECT doc FROM acc{j}" for j in range(g)
+            )
+        in_batch = (
+            f"(e.id_b < e.id_a AND e.id_b IN"
+            f" (SELECT doc FROM gens WHERE gen = {g}))"
+        )
+        vs_state = f"e.id_b IN ({prev})" if prev else None
+        cond = f"({vs_state} OR {in_batch})" if vs_state else in_batch
+        parts.append(
+            f"rej{g} AS (SELECT DISTINCT e.id_a AS doc FROM est e"
+            f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+            f" WHERE e.est >= {threshold!r} AND {cond}),"
+        )
+        parts.append(
+            f"acc{g} AS (SELECT doc FROM gens WHERE gen = {g}"
+            f" AND doc NOT IN (SELECT doc FROM rej{g})),"
+        )
+    all_rej = "\nUNION ALL\n".join(f"SELECT doc FROM rej{g}" for g in range(n_gens))
+    parts.append(f"rej AS ({all_rej})")
+    parts.append(
+        "SELECT g.doc AS doc, g.gen AS gen,"
+        " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g"
+    )
+    return "\n".join(parts)
+
+
+_GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS = 12, 4, 0.5, 3
+
+
+@_q(
+    "q_neardup_gate_replay",
+    _gate_replay_sql(_GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS),
+)
+def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified streaming dedup gate replayed as a batch relation:
+    documents arrive in 3 deterministic generations (doc_id % 3); each
+    generation is admitted against the SIGNATURES of earlier
+    generations' accepted docs — band buckets propose candidates, the
+    matching-position MinHash estimate (the only verification possible
+    at 100 TB, where history's text is gone and signatures are the
+    retained state) disposes at ≥ 0.5, plus the pessimistic smaller-id
+    rule within a generation. Runs the stream's own batch kernel
+    (streaming/dedup_gate.gate_batch_verified) per generation with the
+    state unioned + localCheckpointed between rounds (the repo's
+    standard bounded-lineage iteration contract); stream-vs-batch
+    parity of the same kernel is pinned by tests/test_dedup_gate.py.
+
+    Scale: per round, ONE skinny band-key equi-join against state plus
+    two signature joins, all output-proportional — never a cross join,
+    never a text re-read of history."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+        gate_batch_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
+    )
+    state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = docs.filter(F.col("gen") == g)
+        _, acc_sigs, dec = gate_batch_verified(
+            batch,
+            state,
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=_GATE_K,
+            bands=_GATE_BANDS,
+            threshold=_GATE_T,
+        )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+        if g < _GATE_GENS - 1:
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import minhash_band_keys
+from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+    band_keys_of_signature,
+    minhash_band_keys,
+    minhash_signature,
+)
 
 _BK_SCHEMA = "doc long, bk string"
 
@@ -263,3 +267,243 @@ def run_gate_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# -- signature-VERIFIED admission -------------------------------------------
+#
+# The raw bucket gate above rejects on ANY shared band bucket — cheap,
+# but one r-row collision (P ≈ j^r for similarity j, non-negligible well
+# below the dedup threshold) throws a document away. At 100 TB the
+# history's TEXT is gone — exact-Jaccard re-verification is impossible —
+# but the signatures themselves are retained state, and matching-position
+# fraction IS the unbiased MinHash estimate of Jaccard. The verified gate
+# stores full signatures instead of bare bucket keys and rejects only
+# when a band-bucket candidate's estimate clears ``threshold``:
+# bucket collision proposes, signature agreement disposes.
+
+
+def _sig_schema(num_hashes: int) -> str:
+    return "doc long, " + ", ".join(f"mh_{i} string" for i in range(num_hashes))
+
+
+def _load_sig_state(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """Read the accepted-signature store (same retry-exclusion contract
+    as :func:`_load_state`: a retried batch must not see its own failed
+    attempt's rows; negative generation ids are always included)."""
+    try:
+        df = spark.read.schema(
+            _sig_schema(num_hashes) + ", batch_id long"
+        ).parquet(state_dir)
+    except AnalysisException:
+        return spark.createDataFrame([], _sig_schema(num_hashes))
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.drop("batch_id")
+
+
+def _est_rejections(
+    keys: DataFrame,
+    sig: DataFrame,
+    other_keys: DataFrame,
+    other_sig: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    ordered: bool,
+) -> DataFrame:
+    """Docs from (keys, sig) rejected against (other_keys, other_sig):
+    band-bucket join proposes candidate pairs, matching-position count
+    over the k-column signatures disposes. ``ordered=True`` applies the
+    within-batch first-wins tiebreak (only a SMALLER doc id can reject);
+    cross-state the direction is already fixed by arrival time.
+
+    One skinny equi-join on bk + one distinct + two signature joins —
+    all output-proportional; signatures are k×8-hex strings, so the
+    estimate never touches text."""
+    cand = keys.join(
+        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
+    ).select("doc", "odoc")
+    cand = cand.filter(
+        F.col("odoc") < F.col("doc") if ordered else F.col("odoc") != F.col("doc")
+    ).distinct()
+    sa = sig.select(
+        "doc", *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)]
+    )
+    sb = other_sig.select(
+        F.col("doc").alias("odoc"),
+        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "doc")
+        .join(sb, "odoc")
+        .filter(matches / F.lit(float(num_hashes)) >= F.lit(float(threshold)))
+        .select("doc")
+        .distinct()
+    )
+
+
+def gate_batch_verified(
+    batch_df: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply the VERIFIED admission policy to one (batch, state) pair:
+    a doc is rejected iff a band-bucket candidate — from the accepted
+    store, or a smaller doc id inside its own batch (admitted or not,
+    the same pessimistic-on-chains rule as :func:`gate_batch`) — agrees
+    with it on ≥ ``threshold`` of the k signature positions.
+
+    Returns (accepted_rows, accepted_sigs, decisions): the second is
+    what the caller appends to the signature store; the third is the
+    full (doc, admitted) relation for decision auditing. Docs whose
+    text yields no shingle have no signature, claim no buckets, and are
+    admitted — identical to the raw gate's contract."""
+    sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
+    keys = band_keys_of_signature(sig, num_hashes, bands)
+    skeys = band_keys_of_signature(state_sigs, num_hashes, bands)
+    rejected = (
+        _est_rejections(keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False)
+        .unionAll(
+            _est_rejections(keys, sig, keys, sig, num_hashes, threshold, ordered=True)
+        )
+        .distinct()
+    )
+    accepted = batch_df.join(
+        rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+    accepted_sigs = sig.join(rejected, "doc", "left_anti")
+    decisions = batch_df.select(F.col(id_col).alias("doc")).join(
+        rejected.withColumn("__rej", F.lit(True)), "doc", "left"
+    ).select("doc", F.coalesce(F.col("__rej"), F.lit(False)).alias("rejected"))
+    decisions = decisions.select(
+        "doc", (~F.col("rejected")).alias("admitted")
+    )
+    return accepted, accepted_sigs, decisions
+
+
+def run_verified_gate_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain ``input_dir`` through the VERIFIED gate with an availableNow
+    trigger — same exactly-once layout as :func:`run_gate_available_now`
+    (accepted rows under ``out_dir/batch_id=<i>``, state under
+    ``state_dir/batch_id=<i>``, per-batch overwrite, checkpointed input),
+    but the state rows are full signatures and admission requires the
+    estimate to clear ``threshold``.
+
+    The gate's geometry (shingle n, k, bands, threshold) is stamped into
+    the state store's meta on first run and verified on every later one
+    (counting_state.stamp_meta): signatures written under a different
+    hash family or band split MUST NOT be silently merged — a restarted
+    drain cannot drift the policy. Compaction folds per-batch dirs into
+    a negative-id generation exactly like the raw gate (the state is a
+    SET of signature rows; duplicates never change a decision)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        counting_state as _cs,
+    )
+
+    _cs.stamp_meta(
+        state_dir,
+        {
+            "format": "verified-dedup-gate/v1",
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "threshold": threshold,
+        },
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_sig_state(
+            batch_df.sparkSession, state_dir, num_hashes, before_batch=batch_id
+        )
+        accepted, accepted_sigs, _ = gate_batch_verified(
+            batch_df, state, id_col, text_col, n, num_hashes, bands, threshold
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        accepted_sigs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+        if len(_state_subdirs(state_dir)) > compact_after_dirs:
+            compact_sig_state(
+                batch_df.sparkSession,
+                state_dir,
+                num_hashes,
+                exclude_from=batch_id,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_sig_state(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int,
+    exclude_from: int | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Fold per-batch signature dirs into one generation — the
+    :func:`compact_state` sequence (tmp write → rename as a reserved
+    negative-id generation → delete subsumed dirs, every step
+    superset-monotonic) over signature rows, hash-partitioned on
+    ``doc`` (the join key every gate batch probes)."""
+    all_dirs = _state_subdirs(state_dir)
+    ids = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
+    old_dirs = [
+        d for d, i in ids.items() if exclude_from is None or i < exclude_from
+    ]
+    if len(old_dirs) < 2:
+        return
+    next_gen = min(min(ids.values()), 0) - 1
+    tmp = state_dir.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded = _load_sig_state(
+        spark, state_dir, num_hashes, before_batch=exclude_from
+    ).distinct()
+    folded = (
+        folded.repartition(num_partitions, "doc")
+        if num_partitions is not None
+        else folded.repartition("doc")
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)

@@ -252,3 +252,150 @@ def test_gate_batch_quality_floor_composes_with_dedup(spark):
     # without the floor, the junk doc WOULD be admitted (control)
     acc_ctl, _ = dedup_gate.gate_batch(b1, state0)
     assert acc_ctl.count() == 1
+
+
+# -- signature-VERIFIED gate --------------------------------------------------
+
+# A crafted pair sharing exactly one MinHash band (bucket collision →
+# the raw gate rejects) while matching only 5/12 signature positions
+# (estimate 0.4167 < 0.5 → the verified gate admits). Found by
+# deterministic search over the shared digest family; the values are
+# stable because the hash family is content-addressed.
+BAND_BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon"
+)
+BAND_FP = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu w90x7 "
+    "w90x6 w90x5 w90x4 w90x3 w90x2 w90x1 w90x0"
+)
+
+
+def test_gate_verified_admits_bucket_collision_below_threshold(spark):
+    """The policy difference that justifies storing signatures: a
+    one-band false positive is ADMITTED by the verified gate (estimate
+    below threshold) but rejected by the raw bucket gate; a true
+    near-copy (estimate 1.0) is rejected by both."""
+    batch = spark.createDataFrame(
+        [(1, BAND_BASE), (2, BAND_FP), (3, BAND_BASE)], SCHEMA
+    )
+    raw_acc, _ = dedup_gate.gate_batch(
+        spark.createDataFrame([(1, BAND_BASE), (2, BAND_FP)], SCHEMA),
+        spark.createDataFrame([], "doc long, bk string"),
+        num_hashes=12,
+        bands=4,
+    )
+    assert [r["doc_id"] for r in raw_acc.collect()] == [1]
+
+    state = spark.createDataFrame([], dedup_gate._sig_schema(12))
+    acc, sigs, dec = dedup_gate.gate_batch_verified(batch, state)
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 2]
+    assert sorted(r["doc"] for r in sigs.collect()) == [1, 2]
+    got = {r["doc"]: r["admitted"] for r in dec.collect()}
+    assert got == {1: True, 2: True, 3: False}
+
+    # and against PRIOR state: a later arrival of the false-positive
+    # text is admitted, a later true copy is rejected
+    acc2, _, _ = dedup_gate.gate_batch_verified(
+        spark.createDataFrame([(10, BAND_FP), (11, BAND_BASE)], SCHEMA),
+        spark.createDataFrame(
+            [(1, BAND_BASE)], SCHEMA
+        ).transform(
+            lambda d: __import__(
+                "reddit_apache_airflow_postgres_pipeline_spark.operators.neardup",
+                fromlist=["minhash_signature"],
+            ).minhash_signature(d, "doc_id", "text", 3, 12)
+        ),
+    )
+    assert sorted(r["doc_id"] for r in acc2.collect()) == [10]
+
+
+def test_verified_gate_stream_matches_batch_replay(spark, tmp_path):
+    """Stream-vs-batch parity for the verified gate: sf0.001 documents
+    split into 3 generation files (doc_id % 3, the registry replay's
+    arrival order) and drained through run_verified_gate_available_now
+    admit EXACTLY the docs q_neardup_gate_replay admits; a restart
+    drains nothing."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        q_neardup_gate_replay,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for g in range(3):
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in docs.filter(docs.doc_id % 3 == g).collect()
+        ]
+        _write(spark, os.path.join(inbox, f"g{g}.parquet"), rows)
+        past = __import__("time").time() - (30 - 10 * g)
+        os.utime(os.path.join(inbox, f"g{g}.parquet"), (past, past))
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt
+    )
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=*")).collect()
+    }
+    want = {
+        r["doc"]
+        for r in q_neardup_gate_replay(spark, "/root/testdata/sf0.001").collect()
+        if r["admitted"]
+    }
+    assert streamed == want
+
+    before = sorted(os.listdir(state))
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt
+    )
+    assert sorted(os.listdir(state)) == before
+
+
+def test_verified_gate_meta_guard_and_compaction(spark, tmp_path):
+    """A redeployed drain cannot silently change the gate's geometry
+    (state meta mismatch fails loudly), and signature-state compaction
+    folds batch dirs into a negative generation without changing later
+    decisions."""
+    import pytest as _pt
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write(spark, os.path.join(inbox, "f0.parquet"), [(1, A), (2, B)])
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt
+    )
+    with _pt.raises(ValueError, match="format mismatch"):
+        dedup_gate.run_verified_gate_available_now(
+            spark, inbox, SCHEMA, out, state, str(tmp_path / "ckpt2"),
+            num_hashes=8, bands=4,
+        )
+
+    # more files than the compaction threshold: state folds, the gate
+    # still rejects a copy of an already-folded doc
+    for i, (did, txt) in enumerate([(10, C), (11, A), (12, BAND_BASE)]):
+        _write(spark, os.path.join(inbox, f"m{i}.parquet"), [(did, txt)])
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, compact_after_dirs=2
+    )
+    gens = [d for d in os.listdir(state) if d.startswith("batch_id=-")]
+    assert gens, "expected a folded generation dir"
+    _write(spark, os.path.join(inbox, "late.parquet"), [(20, A), (21, BAND_FP)])
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, compact_after_dirs=100
+    )
+    accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=*")).collect()
+    }
+    assert 20 not in accepted  # copy of folded doc 1/11 still rejected
+    assert 21 in accepted  # bucket-collision false positive admitted
