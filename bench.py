@@ -35,6 +35,8 @@ FAMILY_QUERIES = [
     "q_ingest_chain_decisions",
     "q_text_embed_ivfpq",  # r10: the raw-text -> vector -> serve loop
     "q_ingest_chain_text_serve",  # r11: admission composed with serving
+    "q_media_ivfpq_topk",  # r11: the media modality through the same index
+    "q_neardup_gate_replay",  # r11: verified incremental admission
 ]
 
 

@@ -3083,9 +3083,17 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard bounded-lineage iteration contract); stream-vs-batch
     parity of the same kernel is pinned by tests/test_dedup_gate.py.
 
-    Scale: per round, ONE skinny band-key equi-join against state plus
-    two signature joins, all output-proportional — never a cross join,
+    Scale: the corpus is scanned + signature-aggregated ONCE (memoized
+    checkpoint, the chain_meta contract) and every generation slices
+    it; per round, ONE skinny band-key equi-join against state plus two
+    signature joins, all output-proportional — never a cross join,
     never a text re-read of history."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
         _sig_schema,
         gate_batch_verified,
@@ -3093,6 +3101,12 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
+    )
+    sig_all = _memo_replay(
+        spark, sf_dir, "gate-replay-sigs",
+        lambda: minhash_signature(
+            docs, "doc_id", "text", 3, _GATE_K
+        ).localCheckpoint(),
     )
     state = spark.createDataFrame([], _sig_schema(_GATE_K))
     outs = []
@@ -3107,6 +3121,7 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=_GATE_K,
             bands=_GATE_BANDS,
             threshold=_GATE_T,
+            sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
         )
         outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
         if g < _GATE_GENS - 1:

@@ -94,15 +94,16 @@ _BYTES_SQL = (
 @_q(
     "q_media_decode_stats",
     "WITH media AS (" + _MEDIA_SQL + f"""),
+    mb AS (
+      SELECT media_id, kind, octet_length(payload) AS n_bytes,
+             {_BYTES_SQL} AS bys
+      FROM media),
     b AS (
-      SELECT media_id, kind,
-             octet_length(payload) AS n_bytes,
-             CASE WHEN octet_length(payload) = 0 THEN 0.0
-                  ELSE list_sum({_BYTES_SQL}) * 1.0 / octet_length(payload)
-             END AS byte_mean,
-             CASE WHEN octet_length(payload) = 0 THEN 0
-                  ELSE list_max({_BYTES_SQL}) END AS byte_max
-      FROM media)
+      SELECT media_id, kind, n_bytes,
+             CASE WHEN n_bytes = 0 THEN 0.0
+                  ELSE list_sum(bys) * 1.0 / n_bytes END AS byte_mean,
+             CASE WHEN n_bytes = 0 THEN 0 ELSE list_max(bys) END AS byte_max
+      FROM mb)
     SELECT kind, COUNT(*) AS n_media,
            CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            round(CAST(SUM(CAST(byte_mean AS DECIMAL(18,8))) AS DOUBLE)
@@ -135,6 +136,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Histogram over a PRE-UNPACKED byte list (the ``bys``/``nb`` columns a
+# wrapping CTE provides): the naive inline form re-ran the O(bytes)
+# hex-pair unpack once per bin (16×/row, the dominant oracle cost at
+# sf0.1 — flagged by the r11 full-SF gate's media rows); unpacking once
+# per row is value-identical (len of filter is unchanged) and keeps the
+# gate's media rows measuring Spark, not DuckDB list kernels.
+_FEAT_OF_BYS_SQL = (
+    "list_transform(generate_series(0, 15), bi ->"
+    " len(list_filter(bys, x -> x // 16 = bi)) * 1.0 / nb)"
+)
+
 _FEAT_SQL = (
     "list_transform(generate_series(0, 15), bi ->"
     f" len(list_filter({_BYTES_SQL}, x -> x // 16 = bi)) * 1.0"
@@ -151,9 +163,10 @@ _NORM16 = "sqrt(list_sum(list_transform({a}, zx -> CAST(zx AS DOUBLE) * CAST(zx 
 @_q(
     "q_media_embed_ann",
     "WITH media AS (" + _MEDIA_SQL + f"""),
-    nz AS (SELECT media_id, payload FROM media
-           WHERE octet_length(payload) > 0),
-    f AS (SELECT media_id, {_FEAT_SQL} AS feat FROM nz),
+    nz AS (SELECT media_id, octet_length(payload) AS nb,
+                  {_BYTES_SQL} AS bys
+           FROM media WHERE octet_length(payload) > 0),
+    f AS (SELECT media_id, {_FEAT_OF_BYS_SQL} AS feat FROM nz),
     q AS (SELECT media_id AS query_id, feat AS qv FROM f WHERE media_id < 8),
     scored AS (
       SELECT q.query_id, c.media_id AS neighbor_id,
@@ -268,9 +281,12 @@ def _media_feat_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MF_CTES = (
     "media AS (" + _MEDIA_SQL + f"""),
+    mbys AS (
+      SELECT media_id, octet_length(payload) AS nb, {_BYTES_SQL} AS bys
+      FROM media WHERE octet_length(payload) > 0),
     mf AS MATERIALIZED (
-      SELECT media_id AS vec_id, {_FEAT_SQL} AS embedding
-      FROM media WHERE octet_length(payload) > 0)"""
+      SELECT media_id AS vec_id, {_FEAT_OF_BYS_SQL} AS embedding
+      FROM mbys)"""
 )
 
 

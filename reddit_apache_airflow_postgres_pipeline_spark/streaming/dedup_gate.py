@@ -359,6 +359,7 @@ def gate_batch_verified(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply the VERIFIED admission policy to one (batch, state) pair:
     a doc is rejected iff a band-bucket candidate — from the accepted
@@ -370,8 +371,17 @@ def gate_batch_verified(
     what the caller appends to the signature store; the third is the
     full (doc, admitted) relation for decision auditing. Docs whose
     text yields no shingle have no signature, claim no buckets, and are
-    admitted — identical to the raw gate's contract."""
-    sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
+    admitted — identical to the raw gate's contract.
+
+    ``sig`` optionally supplies the batch's PRECOMPUTED signature
+    relation (doc, mh_0..mh_{k-1}) so a caller replaying many batches
+    from one corpus (plans/registry_ml.q_neardup_gate_replay) scans and
+    aggregates it once instead of once per batch; it must equal
+    ``minhash_signature(batch_df, ...)`` under the same geometry — the
+    candidate/estimate/rejection policy stays defined HERE either
+    way."""
+    if sig is None:
+        sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
     keys = band_keys_of_signature(sig, num_hashes, bands)
     skeys = band_keys_of_signature(state_sigs, num_hashes, bands)
     rejected = (
