@@ -1510,3 +1510,40 @@ def embed_text(
         F.col(id_col),
         F.when(nrm > 0.0, emb).otherwise(zero).alias(out_col),
     )
+
+
+def exact_l2_topk_set(
+    e: DataFrame,
+    q: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id): the exact-L2 truth set — 6dp L2²
+    distances, id-ascending tie-break, self-excluded. THE one Spark
+    copy of the recall-audit baseline: the registry's
+    _recall_vs_exact_l2 / ranking / budget-curve queries and the
+    persisted stores' staleness audit (sinks/vector_index.index_recall)
+    all consume this, so every recall number in the repo is measured
+    against the identical ground truth. Queries broadcast (the probe
+    set is bounded); the corpus side stays partitioned."""
+    from pyspark.sql import Window
+
+    qv = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        e.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+        .join(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d", F.round(l2sq("__cv", "__qv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id")
+    )

@@ -2507,30 +2507,12 @@ def q_sim_eval_hamming_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_l2_topk_set(e: DataFrame, q: DataFrame, k: int = _PQ_K) -> DataFrame:
-    """(query_id, neighbor_id): the exact-L2 truth set — THE one Spark
-    copy of the baseline (6dp L2², id-asc ties, self-excluded),
-    mirroring _EXL2_BASE_SQL; _recall_vs_exact_l2 and the ranking /
-    budget-curve queries all consume this."""
-    from pyspark.sql import Window
-
-    qv = q.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
-    )
-    scored = (
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("__cv"),
-        )
-        .join(F.broadcast(qv))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("__d", F.round(similarity.l2sq("__cv", "__qv"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    """(query_id, neighbor_id): the exact-L2 truth set, mirroring
+    _EXL2_BASE_SQL. Now a thin delegate to
+    similarity.exact_l2_topk_set — the ONE Spark copy of the baseline,
+    shared with the persisted stores' staleness audit
+    (sinks/vector_index.index_recall)."""
+    return similarity.exact_l2_topk_set(e, q, k)
 
 
 _FUNNEL_BUDGETS = (8, 16, 32)

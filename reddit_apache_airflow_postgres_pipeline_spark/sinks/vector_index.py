@@ -751,3 +751,111 @@ def check_kind(kind: str) -> str:
     if kind not in STORE_SUBDIR:
         raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq | binary)")
     return kind
+
+
+# -- staleness audit + drift-triggered rebuild --------------------------------
+#
+# Appends encode against FROZEN quantizers — the accepted trade of every
+# streaming maintainer above. The rebuild SIGNAL has always been "the
+# recall audit", but nothing made that signal operational: measure the
+# served store against exact ground truth, and retrain + replace only
+# when it has actually gone stale.
+
+
+def infer_kind(path: str) -> str:
+    """Which store kind lives at ``path``, from the store layout itself
+    (exactly one of postings/ codes/ sigs/ exists for a built index).
+    Fail-loud on none or several — a path that isn't a single built
+    index must not be silently audited as one."""
+    found = [k for k, sub in STORE_SUBDIR.items() if os.path.isdir(os.path.join(path, sub))]
+    if len(found) != 1:
+        raise ValueError(
+            f"{path!r} holds {found or 'no'} store dirs — expected exactly "
+            "one of postings/codes/sigs (a single built index)"
+        )
+    return found[0]
+
+
+def index_recall(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    kind: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **probe_kwargs,
+) -> float:
+    """Recall@k of the PERSISTED store's probe against the exact-L2
+    truth set over ``corpus`` (similarity.exact_l2_topk_set — the same
+    ground-truth definition every registry recall audit uses). The
+    probe runs the store's own pruned read path; the truth set
+    broadcasts the bounded query set; the returned scalar is the only
+    driver-side materialization."""
+    kind = check_kind(kind or infer_kind(path))
+    approx = QUERIES[kind](
+        spark, path, queries, k=k, id_col=id_col, vec_col=vec_col, **probe_kwargs
+    ).select("query_id", "neighbor_id")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        exact_l2_topk_set,
+    )
+
+    exact = exact_l2_topk_set(corpus, queries, k, id_col, vec_col)
+    counts = exact.join(
+        approx, ["query_id", "neighbor_id"], "left_semi"
+    ).count(), exact.count()
+    hits, total = counts
+    return hits / total if total else 1.0
+
+
+def rebuild_index_if_stale(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_recall: float,
+    k: int = 5,
+    kind: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_kwargs: dict | None = None,
+    build_kwargs: dict | None = None,
+) -> dict:
+    """The drift-triggered rebuild loop, closed: measure
+    :func:`index_recall` on a probe set; if it clears ``min_recall``
+    leave the store untouched, otherwise retrain quantizers and rewrite
+    the store from ``corpus`` (the writers' documented REPLACE
+    semantics — rebuilds on the same corpus are deterministic, so the
+    swap is idempotent) and re-measure.
+
+    ``corpus`` must be the SURVIVING corpus (the same relation a
+    rebuild-equivalence compaction would keep): after the new store
+    lands, the tombstone dir is GC'd — every erased id is already
+    physically absent from a store rebuilt from survivors, and a
+    tombstone left live would silently shadow a legitimately re-added
+    id (the fail-loud append guard keys off live tombstones). The GC
+    runs AFTER the write so a crash mid-rebuild never leaves deleted
+    ids un-shadowed.
+
+    Returns ``{"kind", "recall", "rebuilt", "recall_after"}`` —
+    ``recall_after`` is None when no rebuild ran. Single-writer
+    discipline: don't run concurrently with an append/delete stream on
+    the same store (the compaction rule)."""
+    kind = check_kind(kind or infer_kind(path))
+    probe_kwargs = probe_kwargs or {}
+    before = index_recall(
+        spark, path, corpus, queries, k, kind, id_col, vec_col, **probe_kwargs
+    )
+    if before >= min_recall:
+        return {"kind": kind, "recall": before, "rebuilt": False,
+                "recall_after": None}
+    WRITERS[kind](
+        corpus, path, id_col=id_col, vec_col=vec_col, **(build_kwargs or {})
+    )
+    shutil.rmtree(_tomb_store(path), ignore_errors=True)
+    after = index_recall(
+        spark, path, corpus, queries, k, kind, id_col, vec_col, **probe_kwargs
+    )
+    return {"kind": kind, "recall": before, "rebuilt": True,
+            "recall_after": after}

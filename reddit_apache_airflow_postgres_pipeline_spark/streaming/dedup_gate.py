@@ -360,6 +360,7 @@ def gate_batch_verified(
     bands: int = 4,
     threshold: float = 0.5,
     sig: DataFrame | None = None,
+    min_quality: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply the VERIFIED admission policy to one (batch, state) pair:
     a doc is rejected iff a band-bucket candidate — from the accepted
@@ -379,7 +380,23 @@ def gate_batch_verified(
     aggregates it once instead of once per batch; it must equal
     ``minhash_signature(batch_df, ...)`` under the same geometry — the
     candidate/estimate/rejection policy stays defined HERE either
-    way."""
+    way. ``min_quality`` prepends the curation quality floor exactly as
+    in :func:`gate_batch` (a below-floor doc claims no buckets, so a
+    later higher-quality near-copy can still be admitted); it composes
+    with ``sig`` by filtering the precomputed relation to the surviving
+    docs."""
+    if min_quality is not None:
+        from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+            quality_score,
+        )
+
+        batch_df = batch_df.filter(
+            quality_score(text_col) >= F.lit(float(min_quality))
+        )
+        if sig is not None:
+            sig = sig.join(
+                batch_df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+            )
     if sig is None:
         sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
     keys = band_keys_of_signature(sig, num_hashes, bands)
@@ -418,6 +435,7 @@ def run_verified_gate_available_now(
     bands: int = 4,
     threshold: float = 0.5,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+    min_quality: float | None = None,
 ) -> None:
     """Drain ``input_dir`` through the VERIFIED gate with an availableNow
     trigger — same exactly-once layout as :func:`run_gate_available_now`
@@ -458,7 +476,8 @@ def run_verified_gate_available_now(
             batch_df.sparkSession, state_dir, num_hashes, before_batch=batch_id
         )
         accepted, accepted_sigs, _ = gate_batch_verified(
-            batch_df, state, id_col, text_col, n, num_hashes, bands, threshold
+            batch_df, state, id_col, text_col, n, num_hashes, bands, threshold,
+            min_quality=min_quality,
         )
         accepted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")

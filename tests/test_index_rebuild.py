@@ -1,0 +1,107 @@
+"""Drift-triggered index rebuild: the recall audit made operational
+(sinks/vector_index.index_recall + rebuild_index_if_stale). Appends
+encode against frozen quantizers — the accepted streaming trade — and
+this is the loop that notices when that trade has gone bad and retrains
+only then."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+
+SF = "/root/testdata/sf0.001"
+
+
+def _base(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _drifted(spark, n=120, offset=1000):
+    """A far-away cluster the frozen quantizers never saw: constant
+    large components with a per-id wiggle, ids shifted past the base."""
+    e = _base(spark).filter(F.col("vec_id") < n)
+    wiggle = (F.col("vec_id") % 7).cast("double") / 10.0
+    return e.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * 0.01 + F.lit(50.0) + wiggle + i * 0.5
+        ).alias("embedding"),
+    )
+
+
+def test_infer_kind_and_recall_bounds(spark, tmp_path):
+    ix = str(tmp_path / "ix")
+    vi.write_ivfpq_index(_base(spark), ix, n_cells=8)
+    assert vi.infer_kind(ix) == "ivfpq"
+    with pytest.raises(ValueError, match="expected exactly"):
+        vi.infer_kind(str(tmp_path / "nothing"))
+    q = _base(spark).filter(F.col("vec_id") < 6)
+    r = vi.index_recall(spark, ix, _base(spark), q, k=5, n_probe=8)
+    assert 0.0 <= r <= 1.0
+
+
+def test_rebuild_triggers_on_drift_and_improves_recall(spark, tmp_path):
+    """Build on the base corpus, append a far-away drifted cluster
+    (frozen centroids/codebooks never saw it), probe FROM the drifted
+    region: recall is poor; the stale path rebuilds and the re-measured
+    recall improves. An above-threshold store is left untouched."""
+    ix = str(tmp_path / "ix")
+    base = _base(spark)
+    drift = _drifted(spark)
+    vi.write_ivfpq_index(base, ix, n_cells=8)
+    vi.append_to_ivfpq_index(drift, ix)
+    corpus = base.unionByName(drift)
+    probes = drift.filter(F.col("vec_id") % 11 == 0)
+
+    before = vi.index_recall(spark, ix, corpus, probes, k=5, n_probe=4)
+    res = vi.rebuild_index_if_stale(
+        spark, ix, corpus, probes, min_recall=min(before + 1e-6, 1.0),
+        k=5, probe_kwargs={"n_probe": 4}, build_kwargs={"n_cells": 8},
+    )
+    assert res["rebuilt"] is True and res["kind"] == "ivfpq"
+    assert res["recall"] == pytest.approx(before)
+    assert res["recall_after"] >= before
+
+    # healthy store: untouched (codes unchanged on disk)
+    snap = sorted(map(tuple, vi.read_codes(spark, ix).collect()))
+    res2 = vi.rebuild_index_if_stale(
+        spark, ix, corpus, probes, min_recall=0.0,
+        probe_kwargs={"n_probe": 4}, build_kwargs={"n_cells": 8},
+    )
+    assert res2["rebuilt"] is False and res2["recall_after"] is None
+    assert sorted(map(tuple, vi.read_codes(spark, ix).collect())) == snap
+
+
+def test_rebuild_from_survivors_gcs_tombstones_and_unblocks_readd(spark, tmp_path):
+    """The erase → rebuild → re-add loop: a live tombstone blocks
+    re-adding its id (the fail-loud guard); a rebuild from the
+    surviving corpus physically drops the id AND GCs the tombstone, so
+    the re-add then succeeds. min_recall > 1 forces the rebuild branch
+    deterministically."""
+    ix = str(tmp_path / "ix")
+    base = _base(spark)
+    vi.write_ivf_index(base, ix, n_cells=8)
+    gone = base.filter(F.col("vec_id") == 7).select("vec_id")
+    vi.delete_from_index(gone, ix)
+    with pytest.raises(ValueError, match="tombstone"):
+        vi.append_to_ivf_index(base.filter(F.col("vec_id") == 7), ix)
+
+    survivors = base.filter(F.col("vec_id") != 7)
+    probes = survivors.filter(F.col("vec_id") < 5)
+    res = vi.rebuild_index_if_stale(
+        spark, ix, survivors, probes, min_recall=1.1,
+        probe_kwargs={"n_probe": 8}, build_kwargs={"n_cells": 8},
+    )
+    assert res["rebuilt"] is True
+    assert not os.path.isdir(os.path.join(ix, "tombstones"))
+    live = {r["neighbor_id"] for r in vi.read_postings(spark, ix).collect()}
+    assert 7 not in live
+    vi.append_to_ivf_index(base.filter(F.col("vec_id") == 7), ix)
+    live = {r["neighbor_id"] for r in vi.read_postings(spark, ix).collect()}
+    assert 7 in live
