@@ -3002,23 +3002,73 @@ def _gate_replay_sql(
         for i in range(num_hashes)
     )
     parts = [
-        "WITH sh AS (" + _SHINGLES_SQL + "),",
-        f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),",
-        f"banded AS (SELECT doc, {band_cols} FROM sig),",
-        f"cand AS ({cand_union}),",
-        "est AS (SELECT c.id_a, c.id_b,"
-        f" ({matches}) / {float(num_hashes)!r} AS est"
-        " FROM cand c JOIN sig sa ON sa.doc = c.id_a"
-        " JOIN sig sb ON sb.doc = c.id_b),",
-        "gens AS (SELECT doc_id AS doc,"
-        f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+        "WITH " + _gate_common_ctes(num_hashes, bands, n_gens),
+        f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {threshold!r}),",
+        _gate_chain_ctes("vcand", "", n_gens),
     ]
+    parts.append(
+        "SELECT g.doc AS doc, g.gen AS gen,"
+        " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g"
+    )
+    return "\n".join(parts)
+
+
+def _gate_common_ctes(num_hashes: int, bands: int, n_gens: int) -> str:
+    """Shared CTE prefix of the gate-replay oracles: shingles →
+    signatures (md5||sha256 digest family) → band columns → banded
+    candidate pairs → matching-position estimates → generation
+    assignment. Ends with a trailing comma."""
+    assert num_hashes <= 12, "reuse the md5||sha256 digest family"
+    r = num_hashes // bands
+    dg = "md5(s) || sha256(s)"
+    mins = ",\n         ".join(
+        f"min(substr({dg}, {i * 8 + 1}, 8)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_cols = ",\n         ".join(
+        "concat_ws('|', "
+        + ", ".join([f"'{b}'"] + [f"mh_{b * r + i}" for i in range(r)])
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.doc AS id_a, b.doc AS id_b FROM banded a JOIN banded b"
+        f" ON a.band_{b} = b.band_{b} AND a.doc <> b.doc"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return "\n".join(
+        [
+            "sh AS (" + _SHINGLES_SQL + "),",
+            f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),",
+            f"banded AS (SELECT doc, {band_cols} FROM sig),",
+            f"cand AS ({cand_union}),",
+            "est AS (SELECT c.id_a, c.id_b,"
+            f" ({matches}) / {float(num_hashes)!r} AS est"
+            " FROM cand c JOIN sig sa ON sa.doc = c.id_a"
+            " JOIN sig sb ON sb.doc = c.id_b),",
+            "gens AS (SELECT doc_id AS doc,"
+            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+        ]
+    )
+
+
+def _gate_chain_ctes(rel: str, sfx: str, n_gens: int) -> str:
+    """The unrolled generation-ordered admission chain over a candidate
+    relation ``rel`` (columns id_a, id_b — symmetric): rej{g}{sfx} /
+    acc{g}{sfx} per generation plus the folded rej{sfx}. The SAME chain
+    serves both policies — the verified gate feeds the estimate-
+    filtered pairs, the raw bucket gate feeds every banded collision —
+    so a policy comparison differs ONLY in its candidate relation."""
+    parts = []
     for g in range(n_gens):
         if g == 0:
             prev = None
         else:
             prev = "\nUNION ALL\n".join(
-                f"SELECT doc FROM acc{j}" for j in range(g)
+                f"SELECT doc FROM acc{j}{sfx}" for j in range(g)
             )
         in_batch = (
             f"(e.id_b < e.id_a AND e.id_b IN"
@@ -3027,21 +3077,19 @@ def _gate_replay_sql(
         vs_state = f"e.id_b IN ({prev})" if prev else None
         cond = f"({vs_state} OR {in_batch})" if vs_state else in_batch
         parts.append(
-            f"rej{g} AS (SELECT DISTINCT e.id_a AS doc FROM est e"
+            f"rej{g}{sfx} AS (SELECT DISTINCT e.id_a AS doc FROM {rel} e"
             f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
-            f" WHERE e.est >= {threshold!r} AND {cond}),"
+            f" WHERE {cond}),"
         )
         parts.append(
-            f"acc{g} AS (SELECT doc FROM gens WHERE gen = {g}"
-            f" AND doc NOT IN (SELECT doc FROM rej{g})),"
+            f"acc{g}{sfx} AS (SELECT doc FROM gens WHERE gen = {g}"
+            f" AND doc NOT IN (SELECT doc FROM rej{g}{sfx})),"
         )
-    all_rej = "\nUNION ALL\n".join(f"SELECT doc FROM rej{g}" for g in range(n_gens))
-    parts.append(f"rej AS ({all_rej})")
-    parts.append(
-        "SELECT g.doc AS doc, g.gen AS gen,"
-        " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g"
+    all_rej = "\nUNION ALL\n".join(
+        f"SELECT doc FROM rej{g}{sfx}" for g in range(n_gens)
     )
-    return "\n".join(parts)
+    parts.append(f"rej{sfx} AS ({all_rej}),")
+    return "\n".join(parts).rstrip(",")
 
 
 _GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS = 12, 4, 0.5, 3
@@ -3112,3 +3160,123 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _gate_policy_audit_sql(
+    num_hashes: int, bands: int, threshold: float, n_gens: int
+) -> str:
+    """Dual unrolled replay — the SAME generation chain run twice, once
+    over estimate-verified candidates and once over raw banded
+    collisions — aggregated per generation into the operating-point
+    audit (how many docs each policy rejects, and how many the
+    verification SAVES from a false bucket collision)."""
+    return "\n".join(
+        [
+            "WITH " + _gate_common_ctes(num_hashes, bands, n_gens),
+            f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {threshold!r}),",
+            _gate_chain_ctes("vcand", "", n_gens) + ",",
+            _gate_chain_ctes("cand", "_b", n_gens) + ",",
+            """flags AS (
+              SELECT g.doc, g.gen,
+                     (g.doc IN (SELECT doc FROM rej)) AS rej_v,
+                     (g.doc IN (SELECT doc FROM rej_b)) AS rej_b
+              FROM gens g)
+            SELECT gen,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN rej_v THEN 1 ELSE 0 END) AS BIGINT)
+                     AS rejected_verified,
+                   CAST(SUM(CASE WHEN rej_b THEN 1 ELSE 0 END) AS BIGINT)
+                     AS rejected_bucket,
+                   CAST(SUM(CASE WHEN rej_b AND NOT rej_v THEN 1 ELSE 0 END)
+                     AS BIGINT) AS saved_by_verify
+            FROM flags GROUP BY gen""",
+        ]
+    )
+
+
+@_q(
+    "q_neardup_gate_policy_audit",
+    _gate_policy_audit_sql(_GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS),
+)
+def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point audit behind the verified gate: BOTH
+    admission policies — raw bucket-collision (streaming/dedup_gate.
+    gate_batch) and signature-verified (gate_batch_verified) — replayed
+    over the same 3-generation arrival, aggregated per generation into
+    (n_docs, rejected_verified, rejected_bucket, saved_by_verify).
+    ``saved_by_verify`` counts docs a single band collision would have
+    thrown away that the signature estimate exonerates — the number a
+    data-curation owner reads before picking a gate for a 100 TB
+    ingest, measured on their own corpus by the engine itself.
+
+    Both replays run the stream's own batch kernels with the corpus
+    signatures computed ONCE (shared memoized checkpoint with
+    q_neardup_gate_replay); band keys for the bucket policy derive from
+    the same checkpoint (band_keys_of_signature — map-side, no second
+    text pass)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        band_keys_of_signature,
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+        gate_batch,
+        gate_batch_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
+    )
+    sig_all = _memo_replay(
+        spark, sf_dir, "gate-replay-sigs",
+        lambda: minhash_signature(
+            docs, "doc_id", "text", 3, _GATE_K
+        ).localCheckpoint(),
+    )
+    keys_all = band_keys_of_signature(sig_all, _GATE_K, _GATE_BANDS)
+
+    state_v = spark.createDataFrame([], _sig_schema(_GATE_K))
+    state_b = spark.createDataFrame([], "doc long, bk string")
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = docs.filter(F.col("gen") == g)
+        gen_pred = (F.col("doc") % _GATE_GENS).cast("int") == g
+        _, acc_sigs, dec_v = gate_batch_verified(
+            batch, state_v, "doc_id", "text",
+            n=3, num_hashes=_GATE_K, bands=_GATE_BANDS, threshold=_GATE_T,
+            sig=sig_all.filter(gen_pred),
+        )
+        acc_b, acc_keys = gate_batch(
+            batch, state_b, "doc_id", "text",
+            n=3, num_hashes=_GATE_K, bands=_GATE_BANDS,
+            keys=keys_all.filter(gen_pred),
+        )
+        dec = dec_v.join(
+            acc_b.select(F.col("doc_id").alias("doc"))
+            .withColumn("__acc_b", F.lit(True)),
+            "doc",
+            "left",
+        ).select(
+            "doc",
+            F.lit(g).cast("int").alias("gen"),
+            (~F.col("admitted")).alias("rej_v"),
+            F.coalesce(F.col("__acc_b"), F.lit(False)).alias("__acc_b"),
+        )
+        outs.append(dec)
+        if g < _GATE_GENS - 1:
+            state_v = state_v.unionByName(acc_sigs).localCheckpoint()
+            state_b = state_b.unionByName(acc_keys).localCheckpoint()
+    flags = outs[0]
+    for o in outs[1:]:
+        flags = flags.unionByName(o)
+    return flags.groupBy("gen").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("rej_v").cast("long")).alias("rejected_verified"),
+        F.sum((~F.col("__acc_b")).cast("long")).alias("rejected_bucket"),
+        F.sum(
+            ((~F.col("__acc_b")) & (~F.col("rej_v"))).cast("long")
+        ).alias("saved_by_verify"),
+    )

@@ -165,6 +165,7 @@ def gate_batch(
     num_hashes: int = 16,
     bands: int = 4,
     min_quality: float | None = None,
+    keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply the admission policy to one (batch, state) pair.
 
@@ -179,7 +180,12 @@ def gate_batch(
     higher-quality near-copy can still be admitted. This composes the
     two ingest stages (quality filter → dedup gate) in one map pass
     over the batch; the filter is a codegen column expression, adding
-    zero shuffles."""
+    zero shuffles.
+
+    ``keys`` optionally supplies the batch's PRECOMPUTED (doc, bk) band
+    keys (same contract as gate_batch_verified's ``sig``: a replay over
+    many batches of one corpus derives them once); must equal
+    ``minhash_band_keys(batch_df, ...)`` under the same geometry."""
     if min_quality is not None:
         from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
             quality_score,
@@ -188,9 +194,14 @@ def gate_batch(
         batch_df = batch_df.filter(
             quality_score(text_col) >= F.lit(float(min_quality))
         )
-    keys = minhash_band_keys(
-        batch_df, id_col, text_col, n, num_hashes, bands
-    )
+        if keys is not None:
+            keys = keys.join(
+                batch_df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+            )
+    if keys is None:
+        keys = minhash_band_keys(
+            batch_df, id_col, text_col, n, num_hashes, bands
+        )
     hit_prev = (
         keys.join(state.select("bk").distinct(), "bk", "left_semi")
         .select("doc")
