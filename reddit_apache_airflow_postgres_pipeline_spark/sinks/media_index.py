@@ -152,3 +152,66 @@ def compact_media_index(
     """Kind-dispatched compaction of a media index's data store — same
     fold/tombstone/GC semantics as the raw-vector compactors."""
     _vi.COMPACTORS[media_index_meta(path)["kind"]](spark, path, exclude_from)
+
+
+def media_index_recall(
+    spark: SparkSession,
+    path: str,
+    media: DataFrame,
+    query_media: DataFrame,
+    k: int = 5,
+    id_col: str = "media_id",
+    **probe_kwargs,
+) -> float:
+    """Recall@k of the media store's probe vs exact L2 over the SAME
+    frozen-codec features of ``media`` — the staleness audit lifted to
+    payloads-in/payloads-probed."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import index_recall
+
+    meta = media_index_meta(path)
+    feats = _featurize(media, meta, id_col)
+    q = _featurize(query_media, meta, id_col)
+    return index_recall(
+        spark, path, feats, q, k, kind=meta["kind"], id_col=id_col,
+        vec_col="embedding", **probe_kwargs,
+    )
+
+
+def rebuild_media_index_if_stale(
+    spark: SparkSession,
+    path: str,
+    media: DataFrame,
+    query_media: DataFrame,
+    min_recall: float,
+    k: int = 5,
+    id_col: str = "media_id",
+    probe_kwargs: dict | None = None,
+    build_kwargs: dict | None = None,
+) -> dict:
+    """Drift-triggered rebuild for a MEDIA index: retrain quantizers on
+    the surviving media corpus below ``min_recall``; the codec stays
+    FROZEN (the index's identity), tombstones are GC'd after the new
+    store lands — the text index's rebuild contract, one modality
+    over."""
+    import shutil
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+
+    meta = media_index_meta(path)
+    probe_kwargs = probe_kwargs or {}
+    before = media_index_recall(
+        spark, path, media, query_media, k, id_col, **probe_kwargs
+    )
+    if before >= min_recall:
+        return {"kind": meta["kind"], "recall": before, "rebuilt": False,
+                "recall_after": None}
+    write_media_index(
+        media, path, kind=meta["kind"], codec=str(meta["codec"]),
+        id_col=id_col, **(build_kwargs or {}),
+    )
+    shutil.rmtree(vi._tomb_store(path), ignore_errors=True)
+    after = media_index_recall(
+        spark, path, media, query_media, k, id_col, **probe_kwargs
+    )
+    return {"kind": meta["kind"], "recall": before, "rebuilt": True,
+            "recall_after": after}

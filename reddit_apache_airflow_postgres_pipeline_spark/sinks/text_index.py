@@ -159,3 +159,73 @@ def compact_text_index(
     """Kind-dispatched compaction of a text index's data store — same
     fold/tombstone/GC semantics as the raw-vector compactors."""
     _vi.COMPACTORS[text_index_meta(path)["kind"]](spark, path, exclude_from)
+
+
+def text_index_recall(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **probe_kwargs,
+) -> float:
+    """Recall@k of the text store's probe vs exact L2 over the SAME
+    frozen-featurizer embeddings of ``docs`` — the raw-vector staleness
+    audit (vector_index.index_recall) lifted to text-in/text-probed."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import index_recall
+
+    meta = text_index_meta(path)
+    emb = _embed(docs, meta, id_col, text_col)
+    q = _embed(query_docs, meta, id_col, text_col)
+    return index_recall(
+        spark, path, emb, q, k, kind=meta["kind"], id_col=id_col,
+        vec_col="embedding", **probe_kwargs,
+    )
+
+
+def rebuild_text_index_if_stale(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    query_docs: DataFrame,
+    min_recall: float,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_kwargs: dict | None = None,
+    build_kwargs: dict | None = None,
+) -> dict:
+    """Drift-triggered rebuild for a TEXT index: measure
+    :func:`text_index_recall` on raw probe documents; below
+    ``min_recall``, retrain the QUANTIZERS on ``docs`` (the surviving
+    document corpus) and replace the store — the featurizer params
+    ``(d, n, salt)`` stay FROZEN across rebuilds (they are the index's
+    identity: changing them would silently re-geometrize every future
+    query, the exact drift the meta file exists to prevent; build a new
+    index to change geometry). Tombstones are GC'd after the new store
+    lands, same contract as vector_index.rebuild_index_if_stale."""
+    import shutil
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+
+    meta = text_index_meta(path)
+    probe_kwargs = probe_kwargs or {}
+    before = text_index_recall(
+        spark, path, docs, query_docs, k, id_col, text_col, **probe_kwargs
+    )
+    if before >= min_recall:
+        return {"kind": meta["kind"], "recall": before, "rebuilt": False,
+                "recall_after": None}
+    write_text_index(
+        docs, path, kind=meta["kind"], id_col=id_col, text_col=text_col,
+        d=int(meta["d"]), n=int(meta["n"]), salt=str(meta["salt"]),
+        **(build_kwargs or {}),
+    )
+    shutil.rmtree(vi._tomb_store(path), ignore_errors=True)
+    after = text_index_recall(
+        spark, path, docs, query_docs, k, id_col, text_col, **probe_kwargs
+    )
+    return {"kind": meta["kind"], "recall": before, "rebuilt": True,
+            "recall_after": after}

@@ -105,3 +105,67 @@ def test_rebuild_from_survivors_gcs_tombstones_and_unblocks_readd(spark, tmp_pat
     vi.append_to_ivf_index(base.filter(F.col("vec_id") == 7), ix)
     live = {r["neighbor_id"] for r in vi.read_postings(spark, ix).collect()}
     assert 7 in live
+
+
+def test_text_index_rebuild_keeps_frozen_featurizer(spark, tmp_path):
+    """The text-index staleness loop: quantizers retrain on rebuild,
+    the featurizer params stay FROZEN (the index's identity), and a
+    healthy store is untouched."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import text_index as ti
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    drift = docs.filter(F.col("doc_id") >= 300).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat(F.lit("zzqx wwvt uuyr ssnm "), F.reverse("text")).alias("text"),
+    )
+    ix = str(tmp_path / "tix")
+    ti.write_text_index(base, ix, kind="ivfpq", d=8, n=2, salt="emb", n_cells=8)
+    ti.append_text_to_index(drift, ix)
+    corpus = base.unionByName(drift)
+    probes = drift.filter(F.col("doc_id") % 17 == 0)
+
+    before = ti.text_index_recall(spark, ix, corpus, probes, k=5, n_probe=4)
+    res = ti.rebuild_text_index_if_stale(
+        spark, ix, corpus, probes, min_recall=min(before + 1e-6, 1.0),
+        probe_kwargs={"n_probe": 4}, build_kwargs={"n_cells": 8},
+    )
+    assert res["rebuilt"] is True
+    assert res["recall_after"] >= before
+    # featurizer identity survived the rebuild
+    meta = ti.text_index_meta(ix)
+    assert (meta["d"], meta["n"], meta["salt"]) == (8, 2, "emb")
+    res2 = ti.rebuild_text_index_if_stale(
+        spark, ix, corpus, probes, min_recall=0.0,
+        probe_kwargs={"n_probe": 4}, build_kwargs={"n_cells": 8},
+    )
+    assert res2["rebuilt"] is False and res2["recall_after"] is None
+
+
+def test_media_index_rebuild_keeps_frozen_codec(spark, tmp_path):
+    """Media twin: forced rebuild (min_recall > 1) replaces the store,
+    GCs tombstones, keeps the frozen codec."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as mm
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import media_index as mi
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    media = mm.media_from_documents(docs)
+    ix = str(tmp_path / "mix")
+    mi.write_media_index(media, ix, kind="ivfpq", n_cells=8)
+    vi2.delete_from_index(
+        media.filter(F.col("media_id") == 3).select(F.col("media_id").alias("vec_id")),
+        ix, id_col="vec_id",
+    )
+    probes = media.filter(F.col("media_id") < 4)
+    res = mi.rebuild_media_index_if_stale(
+        spark, ix,
+        media.filter(F.col("media_id") != 3), probes, min_recall=1.1,
+        id_col="media_id",
+        probe_kwargs={"n_probe": 8}, build_kwargs={"n_cells": 8},
+    )
+    assert res["rebuilt"] is True and res["kind"] == "ivfpq"
+    assert not os.path.isdir(os.path.join(ix, "tombstones"))
+    assert mi.media_index_meta(ix)["codec"] == "fake"
+    live = {r["neighbor_id"] for r in vi2.read_codes(spark, ix).collect()}
+    assert 3 not in live
