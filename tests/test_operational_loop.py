@@ -1,0 +1,128 @@
+"""The full operational loop in ONE scenario — the production narrative
+the reference's cron pipeline (fetch → combine → load,
+dags/Combine_send_to_postgresql.py:301) implies for this engine at
+scale: a validated snapshot seeds the admission gate AND the served
+index; the ingest chain quarantines drift and rejects near-dups; an
+erasure request lands as a tombstone and is honored by every probe;
+the staleness audit rebuilds from survivors and GCs the tombstone; the
+erased id can then legitimately return. Every stage here is an already
+individually-tested component — this pins that they COMPOSE."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import text_index as ti
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    drift_gate,
+    ingest_pipeline,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.vector_index_stream import (
+    run_index_delete_available_now,
+)
+
+DSCHEMA = "doc_id long, text string"
+NORMAL_A = "alpha beta gamma delta " * 10
+NORMAL_B = "epsilon zeta eta theta " * 10
+SHORT = "x y"
+
+
+def _write_file(spark, df, path, age_s=0.0):
+    df.toPandas().to_parquet(path)
+    if age_s:
+        past = time.time() - age_s
+        os.utime(path, (past, past))
+
+
+def test_operational_loop_ingest_erase_rebuild_readd(spark, tmp_path):
+    # 1. validated snapshot seeds BOTH the drift reference and the index
+    snapshot = spark.createDataFrame(
+        [(i, NORMAL_A) for i in range(50)]
+        + [(50 + i, NORMAL_B) for i in range(50)],
+        DSCHEMA,
+    )
+    ref = str(tmp_path / "ref")
+    drift_gate.write_reference(snapshot, ref)
+    ix = str(tmp_path / "ix")
+    ti.write_text_index(snapshot, ix, kind="ivfpq", n_cells=4, m=4, n_codes=8)
+
+    # 2. the chain drains an inbox: one good file, one drifted, one dup
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+
+    def _w(name, rows, age_s):
+        _write_file(
+            spark, spark.createDataFrame(rows, DSCHEMA),
+            os.path.join(inbox, name), age_s=age_s,
+        )
+
+    _w("f0.parquet", [(1001, NORMAL_A + "iota kappa"),
+                      (1002, NORMAL_B + "lambda mu")], 30)
+    _w("f1.parquet", [(1100 + i, SHORT) for i in range(20)], 20)
+    _w("f2.parquet", [(1201, NORMAL_A + "iota kappa")], 10)
+    work = str(tmp_path / "work")
+    ingest_pipeline.run_full_ingest_available_now(
+        spark, inbox, DSCHEMA, work, ref, index_path=ix
+    )
+    live = {r["neighbor_id"] for r in vi.read_codes(spark, ix).collect()}
+    assert live == set(range(100)) | {1001, 1002}
+
+    # 3. an erasure request for an ADMITTED doc streams in as a tombstone
+    erase_inbox = str(tmp_path / "erase")
+    os.makedirs(erase_inbox)
+    _write_file(
+        spark, spark.createDataFrame([(1001,)], "doc_id long"),
+        os.path.join(erase_inbox, "e0.parquet"), age_s=5,
+    )
+    run_index_delete_available_now(
+        spark, erase_inbox, "doc_id long", ix,
+        str(tmp_path / "eckpt"), kind="ivfpq", id_col="doc_id",
+    )
+    probe = spark.createDataFrame([(9001, NORMAL_A + "iota kappa")], DSCHEMA)
+    served = {
+        r["neighbor_id"]
+        for r in ti.query_text_index(spark, ix, probe, k=50, n_probe=4).collect()
+    }
+    assert 1001 not in served and served  # shadowed immediately
+
+    # 3b. while the tombstone is live, re-adding 1001 fails loudly
+    with pytest.raises(ValueError, match="tombstone"):
+        ti.append_text_to_index(
+            spark.createDataFrame([(1001, NORMAL_A)], DSCHEMA), ix
+        )
+
+    # 4. staleness loop rebuilds from SURVIVORS (erased id excluded),
+    #    GCs the tombstone
+    survivors = snapshot.unionByName(
+        spark.createDataFrame([(1002, NORMAL_B + "lambda mu")], DSCHEMA)
+    )
+    res = ti.rebuild_text_index_if_stale(
+        spark, ix, survivors, survivors.filter(F.col("doc_id") < 3),
+        min_recall=1.1,
+        probe_kwargs={"n_probe": 4},
+        build_kwargs={"n_cells": 4, "m": 4, "n_codes": 8},
+    )
+    assert res["rebuilt"] is True
+    assert not os.path.isdir(os.path.join(ix, "tombstones"))
+    live = {r["neighbor_id"] for r in vi.read_codes(spark, ix).collect()}
+    assert live == set(range(100)) | {1002}
+
+    # 5. the erased id may now legitimately return (fresh consent):
+    #    append succeeds and it serves again
+    ti.append_text_to_index(
+        spark.createDataFrame([(1001, NORMAL_A + "iota kappa")], DSCHEMA), ix
+    )
+    # k covers the whole store: the snapshot's 100 docs share two
+    # embeddings, so PQ distances tie in blocks and the id-ascending
+    # tie-break can push a larger id out of a small top-k — membership
+    # is the claim here, not rank
+    served = {
+        r["neighbor_id"]
+        for r in ti.query_text_index(spark, ix, probe, k=120, n_probe=4).collect()
+    }
+    assert 1001 in served
