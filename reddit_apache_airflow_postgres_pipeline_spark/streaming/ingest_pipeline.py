@@ -49,16 +49,45 @@ def _paths(work_dir: str, names: tuple[str, ...]) -> dict[str, str]:
 
 
 def _run_dedup_stage(
-    spark: SparkSession, schema: str, p: dict[str, str], id_col: str, text_col: str
+    spark: SparkSession,
+    schema: str,
+    p: dict[str, str],
+    id_col: str,
+    text_col: str,
+    dedup_policy: str = "bucket",
+    dedup_kwargs: dict | None = None,
 ) -> None:
     """Stage 2 of every chain: the MinHash dedup gate drains the drift
     gate's admitted dirs into ``accepted/`` — skipped cleanly when no
     batch was admitted yet. Shared so the chaining contract (the
     admitted glob, the skip guard, the state/checkpoint wiring) lives
-    in exactly one place across the three chain runners."""
+    in exactly one place across the three chain runners.
+
+    ``dedup_policy`` picks the admission rule: ``"bucket"`` (default,
+    the raw band-collision gate — cheapest state, strictest rejects) or
+    ``"verified"`` (full-signature state, rejection requires the
+    MinHash estimate to clear the verified gate's threshold — fewer
+    false discards at the cost of k columns per accepted doc; the
+    operating-point numbers are q_neardup_gate_policy_audit's). The two
+    policies write incompatible state rows under ``dedup_state``;
+    switching policy on an existing work_dir fails loudly (the verified
+    store's meta marker refuses unmarked/foreign state) rather than
+    silently merging. ``dedup_kwargs`` passes gate geometry through
+    (num_hashes/bands, the verified gate's threshold, min_quality) —
+    note the two gates' different k defaults (16 bucket, 12 verified),
+    so a policy comparison at fixed geometry must pin them here."""
+    if dedup_policy not in ("bucket", "verified"):
+        raise ValueError(
+            f"unknown dedup_policy {dedup_policy!r} (bucket | verified)"
+        )
     admitted = os.path.join(p["drift"], "admitted")
     if _has_batches(admitted):
-        dedup_gate.run_gate_available_now(
+        runner = (
+            dedup_gate.run_gate_available_now
+            if dedup_policy == "bucket"
+            else dedup_gate.run_verified_gate_available_now
+        )
+        runner(
             spark,
             os.path.join(admitted, "batch_id=*"),
             schema,
@@ -67,6 +96,7 @@ def _run_dedup_stage(
             p["ckpt_dedup"],
             id_col=id_col,
             text_col=text_col,
+            **(dedup_kwargs or {}),
         )
 
 
@@ -194,6 +224,8 @@ def run_ingest_pipeline_available_now(
     id_col: str = "doc_id",
     text_col: str = "text",
     psi_threshold: float = 0.25,
+    dedup_policy: str = "bucket",
+    dedup_kwargs: dict | None = None,
 ) -> dict[str, str]:
     """Drain ``input_dir`` through drift gate → dedup gate → sketches.
 
@@ -226,7 +258,7 @@ def run_ingest_pipeline_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_dedup_stage(spark, schema, p, id_col, text_col, dedup_policy, dedup_kwargs)
     _run_sketch_stage(spark, p["accepted"], schema, p, text_col)
     return p
 
@@ -241,6 +273,8 @@ def run_group_ingest_available_now(
     id_col: str = "doc_id",
     text_col: str = "text",
     psi_threshold: float = 0.25,
+    dedup_policy: str = "bucket",
+    dedup_kwargs: dict | None = None,
 ) -> dict[str, str]:
     """The multi-source ingest chain: GROUPED drift gate → dedup gate →
     sketches. Stage 1 is run_group_drift_gate_available_now — each
@@ -279,7 +313,7 @@ def run_group_ingest_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_dedup_stage(spark, schema, p, id_col, text_col, dedup_policy, dedup_kwargs)
     _run_sketch_stage(spark, p["accepted"], schema, p, text_col)
     return p
 
@@ -293,6 +327,8 @@ def run_full_ingest_available_now(
     id_col: str = "doc_id",
     text_col: str = "text",
     psi_threshold: float = 0.25,
+    dedup_policy: str = "bucket",
+    dedup_kwargs: dict | None = None,
     span_k: int = 8,
     index_path: str | None = None,
 ) -> dict[str, str]:
@@ -324,7 +360,7 @@ def run_full_ingest_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_dedup_stage(spark, schema, p, id_col, text_col, dedup_policy, dedup_kwargs)
     _run_span_stage(spark, schema, p, id_col, text_col, span_k)
     _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
     _run_index_stage(spark, p, index_path)
@@ -341,6 +377,8 @@ def run_group_full_ingest_available_now(
     id_col: str = "doc_id",
     text_col: str = "text",
     psi_threshold: float = 0.25,
+    dedup_policy: str = "bucket",
+    dedup_kwargs: dict | None = None,
     span_k: int = 8,
     index_path: str | None = None,
 ) -> dict[str, str]:
@@ -368,7 +406,7 @@ def run_group_full_ingest_available_now(
         text_col=text_col,
         threshold=psi_threshold,
     )
-    _run_dedup_stage(spark, schema, p, id_col, text_col)
+    _run_dedup_stage(spark, schema, p, id_col, text_col, dedup_policy, dedup_kwargs)
     _run_span_stage(spark, schema, p, id_col, text_col, span_k)
     _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
     _run_index_stage(spark, p, index_path)

@@ -549,3 +549,55 @@ def test_ks_decisions_match_streaming_gate_stats(spark):
             with_text.filter(F.col("b") == i), ref, "text"
         )
         assert got[i] == (psi, ks, n), (i, got[i], (psi, ks, n))
+
+
+def test_chain_dedup_policy_verified_vs_bucket(spark, tmp_path):
+    """The chain's dedup stage is policy-pluggable: the crafted
+    one-band-collision pair (est 5/12 < 0.5 — see test_dedup_gate) is
+    split by the bucket policy but passes whole under the verified one;
+    a true near-copy is rejected by both. Also the fail-loud policy
+    switch: re-draining a bucket-policy work_dir as verified refuses the
+    unmarked state."""
+    import pytest as _pt
+
+    from tests.test_dedup_gate import BAND_BASE, BAND_FP
+
+    ref = str(tmp_path / "ref")
+    refdocs = spark.createDataFrame(
+        [(900 + i, BAND_BASE) for i in range(40)]
+        + [(950 + i, BAND_FP) for i in range(40)],
+        SCHEMA,
+    )
+    drift_gate.write_reference(refdocs, ref)
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write(os.path.join(inbox, "f0.parquet"),
+           [(1, BAND_BASE), (2, BAND_FP), (3, BAND_BASE)])
+
+    accepted = {}
+    for policy in ("bucket", "verified"):
+        p = ingest_pipeline.run_ingest_pipeline_available_now(
+            spark, inbox, SCHEMA, str(tmp_path / f"work_{policy}"), ref,
+            dedup_policy=policy,
+            dedup_kwargs={"num_hashes": 12, "bands": 4},
+        )
+        accepted[policy] = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(p["accepted"], "batch_id=*")
+            ).collect()
+        }
+    assert accepted["bucket"] == {1}
+    assert accepted["verified"] == {1, 2}
+
+    with _pt.raises(ValueError, match="unknown dedup_policy"):
+        ingest_pipeline.run_ingest_pipeline_available_now(
+            spark, inbox, SCHEMA, str(tmp_path / "work_x"), ref,
+            dedup_policy="nope",
+        )
+    # policy switch on existing state fails loudly (unmarked state)
+    with _pt.raises(ValueError, match="no _meta.json|marker"):
+        ingest_pipeline.run_ingest_pipeline_available_now(
+            spark, inbox, SCHEMA, str(tmp_path / "work_bucket"), ref,
+            dedup_policy="verified",
+        )
