@@ -846,6 +846,35 @@ def simhash_near_dups(
     return signature_near_dups(sig, bits, max_hamming)
 
 
+def signature_band_keys(
+    sig: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """(doc, bk) pigeonhole band keys over a packed-long ``(doc, sig)``
+    relation: distance ≤ d ⇒ at least one of d+1 bands is identical.
+    One row per (doc, band), pure map work — factored out of
+    :func:`signature_near_dups` so the streaming media admission gate
+    derives bucket keys from STORED signatures exactly as
+    band_keys_of_signature does for MinHash state.
+
+    Band b covers string-bits [b·width, b·width+w) = long bits
+    [bits-b·width-w, bits-b·width); key = (sig >> shift) & mask, tagged
+    with the band index. Real corpora cluster hard on few-bit bands
+    (measured: a 2 400-doc bucket at sf0.1 → ~9M raw candidates), so
+    callers must thin candidates to DISTINCT id pairs before carrying
+    anything through the blowup."""
+    nbands = max_hamming + 1
+    width = bits // nbands
+
+    def band_key(b: int) -> Column:
+        w = width if b < nbands - 1 else bits - (nbands - 1) * width
+        shift = bits - b * width - w
+        return F.shiftright("sig", shift).bitwiseAND(F.lit((1 << w) - 1)) * nbands + b
+
+    return sig.select(
+        "doc", F.explode(F.array(*[band_key(b) for b in range(nbands)])).alias("bk")
+    )
+
+
 def signature_near_dups(
     sig: DataFrame, bits: int, max_hamming: int
 ) -> DataFrame:
@@ -865,24 +894,7 @@ def signature_near_dups(
             f"need 0 <= max_hamming < bits, got max_hamming={max_hamming}, "
             f"bits={bits}"
         )
-    nbands = max_hamming + 1
-    width = bits // nbands
-    # one (doc, band-key) row per band, single self-join (cf. minhash LSH).
-    # Band b covers string-bits [b·width, b·width+w) = long bits
-    # [bits-b·width-w, bits-b·width); key = (sig >> shift) & mask, tagged
-    # with the band index. Real corpora cluster hard on few-bit bands
-    # (measured: a 2 400-doc bucket at sf0.1 → ~9M raw candidates), so
-    # candidates are thinned to DISTINCT (id_a, id_b) LONG pairs before
-    # signatures are re-attached for the verify — never carrying payload
-    # through the blowup.
-    def band_key(b: int) -> Column:
-        w = width if b < nbands - 1 else bits - (nbands - 1) * width
-        shift = bits - b * width - w
-        return F.shiftright("sig", shift).bitwiseAND(F.lit((1 << w) - 1)) * nbands + b
-
-    banded = sig.select(
-        "doc", F.explode(F.array(*[band_key(b) for b in range(nbands)])).alias("bk")
-    )
+    banded = signature_band_keys(sig, bits, max_hamming)
     a = banded.select(F.col("doc").alias("id_a"), "bk")
     c = banded.select(F.col("doc").alias("id_b"), "bk")
     cands = (

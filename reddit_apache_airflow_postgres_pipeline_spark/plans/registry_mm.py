@@ -382,3 +382,99 @@ def q_media_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feats.filter(F.col("vec_id") < 8)
     approx = binary_rerank_topk(feats, q, k=5, rerank=32)
     return _ML._recall_vs_exact_l2(feats, q, approx)
+
+
+# -- media admission gate replay (streaming/media_gate.py) -------------------
+
+_GATE_GENS = 3
+
+
+def _media_gate_replay_sql(n: int, max_ham: int, n_gens: int) -> str:
+    """Unrolled-generation oracle for the media admission gate: the
+    SAME policy-agnostic generation chain the text gate replays
+    (registry_ml._gate_chain_ctes) over a candidate relation of aHash
+    pairs within ``max_ham`` bits — computed by the direct quadratic
+    filter, which defines the identical pair set as the gate's
+    pigeonhole banding (lossless for distance ≤ d with d+1 bands)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _gate_chain_ctes,
+    )
+
+    return "\n".join(
+        [
+            "WITH media AS (" + _MEDIA_SQL + "),",
+            f"""b AS (SELECT media_id,
+                 list_transform(generate_series(1, {n}),
+                   i -> CASE WHEN i <= octet_length(payload)
+                             THEN ('0x' || substr(hex(payload), i*2-1, 2))::BIGINT
+                             ELSE 0 END) AS b{n}
+              FROM media),""",
+            f"""s AS (SELECT media_id,
+                 list_sum(list_transform(generate_series(1, {n}),
+                   i -> CASE WHEN b{n}[i] > list_sum(b{n}) / {float(n)!r}
+                             THEN (1::BIGINT << ({n} - i)) ELSE 0 END)) AS sig
+              FROM b),""",
+            f"""mcand AS (
+              SELECT a.media_id AS id_a, c.media_id AS id_b
+              FROM s a JOIN s c ON c.media_id <> a.media_id
+              WHERE bit_count(xor(a.sig, c.sig)) <= {max_ham}),""",
+            "gens AS (SELECT doc_id AS doc,"
+            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+            _gate_chain_ctes("mcand", "", n_gens),
+            "SELECT g.doc AS doc, g.gen AS gen,"
+            " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g",
+        ]
+    )
+
+
+@_q("q_media_gate_replay", _media_gate_replay_sql(_AHASH_N, _AHASH_MAXHAM, _GATE_GENS))
+def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media admission gate (streaming/media_gate.gate_media_batch)
+    replayed as a batch relation: media arrives in 3 deterministic
+    generations (media_id % 3); each generation is admitted against the
+    aHash SIGNATURES of earlier generations' accepted items — banded
+    buckets propose, popcount(xor) ≤ 5 disposes — plus the family's
+    pessimistic smaller-id rule within a generation. Runs the stream's
+    own batch kernel per generation with the corpus signatures computed
+    ONCE (one Arrow-batched aHash pass, memoized checkpoint); the
+    oracle replays the identical policy through the shared unrolled
+    generation chain (registry_ml._gate_chain_ctes) over the direct
+    quadratic pair filter — band-equivalent by the pigeonhole bound.
+
+    The media half of the incremental-admission story: 8 bytes of
+    signature per accepted item is the ONLY state history keeps, so
+    media dedup against all of history stays feasible at 100 TB."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA,
+        gate_media_batch,
+    )
+
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    sig_all = _memo_replay(
+        spark, sf_dir, "media-gate-sigs",
+        lambda: ahash_signatures(media, n=_AHASH_N)
+        .select(F.col("media_id").alias("doc"), "sig")
+        .localCheckpoint(),
+    )
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    state = spark.createDataFrame([], _SIG_SCHEMA)
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = media.filter(gen_of("media_id") == g)
+        _, acc_sigs, dec = gate_media_batch(
+            batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
+            sig=sig_all.filter(gen_of("doc") == g),
+        )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+        if g < _GATE_GENS - 1:
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

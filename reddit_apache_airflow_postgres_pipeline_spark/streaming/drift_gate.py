@@ -41,7 +41,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
@@ -53,27 +53,49 @@ _PSI_THRESHOLD = 0.25  # the "major drift" alerting line
 
 
 def token_length_bins(
-    df: DataFrame, text_col: str = "text", bin_width: int = 20, bins: int = 10
+    df: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+    metric: Column | None = None,
 ) -> DataFrame:
     """The gate's default binning: integer fixed-width token-length bins
     (the float-boundary-free contract q_corpus_psi_drift uses). Every
     document lands in a bin in [0, bins) — token_count is never NULL —
-    so Σ bin-counts = document count."""
+    so Σ bin-counts = document count.
+
+    ``metric`` swaps the per-row scalar being binned (default
+    ``token_count(text_col)``) — the seam that lets the SAME gate
+    monitor non-text modalities: :func:`payload_size_metric` bins
+    binary payload sizes, and any never-NULL integer Column works. The
+    metric is part of the reference's identity exactly like bin_width:
+    a reference and its gate must bin the same scalar."""
+    m = metric if metric is not None else token_count(text_col)
     return df.select(
-        F.least(
-            (token_count(text_col) / bin_width).cast("int"), F.lit(bins - 1)
-        ).alias("bin")
+        F.least((m / bin_width).cast("int"), F.lit(bins - 1)).alias("bin")
     )
+
+
+def payload_size_metric(payload_col: str = "payload") -> Column:
+    """The media gate's binning metric: payload size in bytes — the
+    first distribution a broken media feed disturbs (truncated files,
+    switched codec/resolution), computable JVM-side on BinaryType with
+    no decode, exactly as token counts are for text."""
+    return F.length(payload_col)
 
 
 def reference_counts(
-    df: DataFrame, text_col: str = "text", bin_width: int = 20, bins: int = 10
+    df: DataFrame,
+    text_col: str = "text",
+    bin_width: int = 20,
+    bins: int = 10,
+    metric: Column | None = None,
 ) -> DataFrame:
     """A snapshot's binned distribution as a ≤ ``bins``-row ``(bin, n)``
     count relation — the gate's persisted-reference form."""
-    return token_length_bins(df, text_col, bin_width, bins).groupBy("bin").agg(
-        F.count("*").cast("bigint").alias("n")
-    )
+    return token_length_bins(
+        df, text_col, bin_width, bins, metric
+    ).groupBy("bin").agg(F.count("*").cast("bigint").alias("n"))
 
 
 def write_reference(
@@ -82,10 +104,11 @@ def write_reference(
     text_col: str = "text",
     bin_width: int = 20,
     bins: int = 10,
+    metric: Column | None = None,
 ) -> None:
     """Freeze a validated snapshot's binned distribution as the gate's
     ≤ ``bins``-row pre-aggregated reference relation."""
-    reference_counts(df, text_col, bin_width, bins).write.mode(
+    reference_counts(df, text_col, bin_width, bins, metric).write.mode(
         "overwrite"
     ).parquet(ref_path)
 
@@ -99,6 +122,7 @@ def refresh_reference(
     text_col: str = "text",
     bin_width: int = 20,
     bins: int = 10,
+    metric: Column | None = None,
 ) -> bool:
     """Re-baseline the gate's frozen reference from the newest
     ``window`` ADMITTED batches in ``out_dir`` — the refresh policy a
@@ -143,7 +167,8 @@ def refresh_reference(
     if len(ids) < min_batches:
         return False
     cand = reference_counts(
-        adm.filter(F.col("batch_id").isin(ids)), text_col, bin_width, bins
+        adm.filter(F.col("batch_id").isin(ids)), text_col, bin_width, bins,
+        metric,
     )
     return _swap_if_changed(spark, cand, ref_path)
 
@@ -185,13 +210,14 @@ def batch_psi_stats(
     text_col: str = "text",
     bin_width: int = 20,
     bins: int = 10,
+    metric: Column | None = None,
 ) -> tuple[float, int]:
     """(total PSI, document count) of one batch against the reference
     ``(bin, n)`` counts — ONE aggregate job yields both the admission
     scalar and the decision-log count (every doc lands in a spine bin,
     so Σ n_cur is the batch size). Pure function of two relations, so
     the batch path is unit-testable without a stream."""
-    cur = reference_counts(batch_df, text_col, bin_width, bins)
+    cur = reference_counts(batch_df, text_col, bin_width, bins, metric)
     row = (
         psi_drift_counts(ref_counts, cur, bins=bins)
         .agg(
@@ -221,6 +247,7 @@ def batch_drift_stats(
     text_col: str = "text",
     bin_width: int = 20,
     bins: int = 10,
+    metric: Column | None = None,
 ) -> tuple[float, float, int]:
     """(total PSI, KS statistic, document count) of one batch against
     the reference counts — BOTH drift metrics from ONE binned-count
@@ -263,6 +290,7 @@ def run_drift_gate_available_now(
     refresh_every: int | None = None,
     refresh_window: int = 5,
     refresh_min_batches: int = 3,
+    metric: Column | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger; see the module docstring for the layout.
@@ -312,7 +340,7 @@ def run_drift_gate_available_now(
         try:
             if ks_threshold is None:
                 psi, n = batch_psi_stats(
-                    batch_df, ref_counts, text_col, bin_width, bins
+                    batch_df, ref_counts, text_col, bin_width, bins, metric
                 )
                 admitted = psi <= threshold
                 decision, dschema = [(psi, admitted, n)], (
@@ -320,7 +348,7 @@ def run_drift_gate_available_now(
                 )
             else:
                 psi, ks, n = batch_drift_stats(
-                    batch_df, ref_counts, text_col, bin_width, bins
+                    batch_df, ref_counts, text_col, bin_width, bins, metric
                 )
                 admitted = psi <= threshold and ks <= ks_threshold
                 decision, dschema = [(psi, ks, admitted, n)], (
@@ -349,6 +377,7 @@ def run_drift_gate_available_now(
                 text_col=text_col,
                 bin_width=bin_width,
                 bins=bins,
+                metric=metric,
             ):
                 ref_holder[0] = batch_df.sparkSession.read.parquet(ref_path)
 

@@ -411,3 +411,102 @@ def run_group_full_ingest_available_now(
     _run_sketch_stage(spark, p["spanned"], _SPANNED_SCHEMA, p, "text_clean")
     _run_index_stage(spark, p, index_path)
     return p
+
+
+# -- media modality chain -----------------------------------------------------
+
+
+def write_media_reference(
+    media,
+    ref_path: str,
+    bin_width: int = 256,
+    bins: int = 10,
+) -> None:
+    """Freeze a validated MEDIA snapshot's payload-size distribution as
+    the media chain's drift reference — the text gate's pre-aggregated
+    (bin, n) contract with :func:`drift_gate.payload_size_metric` as
+    the binned scalar (size is the first distribution a broken feed
+    disturbs: truncated files, switched codec/resolution)."""
+    drift_gate.write_reference(
+        media, ref_path, bin_width=bin_width, bins=bins,
+        metric=drift_gate.payload_size_metric(),
+    )
+
+
+def run_media_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    ref_path: str,
+    id_col: str = "media_id",
+    psi_threshold: float = 0.25,
+    size_bin_width: int = 256,
+    size_bins: int = 10,
+    bits: int = 60,
+    max_hamming: int = 5,
+    index_path: str | None = None,
+) -> dict[str, str]:
+    """The ingest chain for the MEDIA modality: payload-size drift gate
+    → aHash near-dup gate → (optional) persisted media index — the
+    text chain's shape with each stage swapped for its binary-payload
+    twin, sharing the SAME gate machinery (drift_gate with
+    payload_size_metric binning; media_gate's pigeonhole admission;
+    vector_index_stream's media drain with the featurization inside).
+    The reference must pre-exist (:func:`write_media_reference` on the
+    validated snapshot — the same snapshot that trains the media
+    index's quantizers). Directory chaining, per-stage checkpoints,
+    and the exactly-once/restart contract are the text chains',
+    verbatim; batch form of the near-dup stage replayed by
+    plans/registry_mm.q_media_gate_replay (oracle-paired)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        media_gate,
+        vector_index_stream,
+    )
+
+    p = _paths(
+        work_dir,
+        (
+            "drift",
+            "accepted",
+            "media_state",
+            "ckpt_drift",
+            "ckpt_media",
+            "ckpt_index",
+        ),
+    )
+    drift_gate.run_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        ref_path,
+        p["ckpt_drift"],
+        bin_width=size_bin_width,
+        bins=size_bins,
+        threshold=psi_threshold,
+        metric=drift_gate.payload_size_metric(),
+    )
+    admitted = os.path.join(p["drift"], "admitted")
+    if _has_batches(admitted):
+        media_gate.run_media_gate_available_now(
+            spark,
+            os.path.join(admitted, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["media_state"],
+            p["ckpt_media"],
+            id_col=id_col,
+            bits=bits,
+            max_hamming=max_hamming,
+        )
+    if index_path is not None and _has_batches(p["accepted"]):
+        vector_index_stream.run_media_index_append_available_now(
+            spark,
+            os.path.join(p["accepted"], "batch_id=*"),
+            schema,
+            index_path,
+            p["ckpt_index"],
+            id_col=id_col,
+        )
+    return p

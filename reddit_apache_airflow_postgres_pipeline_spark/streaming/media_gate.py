@@ -1,0 +1,224 @@
+"""Streaming MEDIA near-duplicate admission gate: aHash pigeonhole
+banding of a binary-payload stream against the already-accepted corpus.
+
+The dedup gate family's third member — exact content keys
+(dedup_gate.gate_batch's MinHash buckets on text), estimate-verified
+signatures (gate_batch_verified), and now perceptual signatures for the
+media modality: each arriving image/audio/video payload is aHashed
+(operators/multimodal.ahash_signatures — first ``bits`` decoded samples
+mean-thresholded into one packed long, through the real Arrow-batched
+codec stage) and REJECTED iff a banded candidate from the accepted
+state, or a smaller id inside its own batch (pessimistic-on-chains, the
+family rule), sits within ``max_hamming`` bits.
+
+Candidate generation is the pigeonhole machinery every bit-signature
+path shares (neardup.signature_band_keys: distance ≤ d ⇒ one of d+1
+bands equal — LOSSLESS, so the relational replay's direct quadratic
+filter defines the identical pair set), and verification is one
+``bit_count(xor)`` on packed longs — never a payload comparison, never
+a cross join. State is one long per accepted media item: at 100 TB of
+accepted media the store is ~8 bytes/item of signatures, the property
+that makes incremental media dedup against ALL history feasible.
+Batch replay oracle-paired as plans/registry_mm.q_media_gate_replay.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import ahash_signatures
+from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+    signature_band_keys,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
+from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+    _COMPACT_AFTER_DIRS,
+    _state_subdirs,
+)
+
+_SIG_SCHEMA = "doc long, sig long"
+
+
+def _load_media_state(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """Read the accepted-signature store (the family's retry-exclusion
+    contract: a retried batch must not see its own failed attempt's
+    rows; negative generation ids always included)."""
+    try:
+        df = spark.read.schema(_SIG_SCHEMA + ", batch_id long").parquet(
+            state_dir
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], _SIG_SCHEMA)
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.select("doc", "sig")
+
+
+def _ham_rejections(
+    keys: DataFrame,
+    sig: DataFrame,
+    other_keys: DataFrame,
+    other_sig: DataFrame,
+    max_hamming: int,
+    ordered: bool,
+) -> DataFrame:
+    """Docs from (keys, sig) rejected against (other_keys, other_sig):
+    banded buckets propose, ``bit_count(xor)`` ≤ max_hamming disposes.
+    ``ordered=True`` applies the within-batch smaller-id rule."""
+    cand = keys.join(
+        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
+    ).select("doc", "odoc")
+    cand = cand.filter(
+        F.col("odoc") < F.col("doc") if ordered else F.col("odoc") != F.col("doc")
+    ).distinct()
+    sa = sig.select("doc", F.col("sig").alias("__sa"))
+    sb = other_sig.select(F.col("doc").alias("odoc"), F.col("sig").alias("__sb"))
+    return (
+        cand.join(sa, "doc")
+        .join(sb, "odoc")
+        .filter(
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            <= F.lit(max_hamming)
+        )
+        .select("doc")
+        .distinct()
+    )
+
+
+def gate_media_batch(
+    batch_df: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str = "media_id",
+    bits: int = 60,
+    max_hamming: int = 5,
+    sig: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply the media admission policy to one (batch, state) pair:
+    rejected iff a banded candidate — from the accepted store, or a
+    smaller id in its own batch (admitted or not) — is within
+    ``max_hamming`` bits of the item's aHash.
+
+    Returns (accepted_rows, accepted_sigs, decisions). ``sig``
+    optionally supplies the batch's precomputed (doc, sig) relation
+    (the replay contract shared with the text kernels); the policy
+    stays defined here either way. Every media row has a signature
+    (zero-length payloads hash to sig 0 and therefore dedup against
+    each other — the first empty payload wins, the rest are rejected
+    as its duplicates)."""
+    if sig is None:
+        sig = ahash_signatures(batch_df, n=bits).select(
+            F.col("media_id").alias("doc"), "sig"
+        )
+    keys = signature_band_keys(sig, bits, max_hamming)
+    skeys = signature_band_keys(state_sigs, bits, max_hamming)
+    rejected = (
+        _ham_rejections(keys, sig, skeys, state_sigs, max_hamming, ordered=False)
+        .unionAll(_ham_rejections(keys, sig, keys, sig, max_hamming, ordered=True))
+        .distinct()
+    )
+    accepted = batch_df.join(
+        rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+    accepted_sigs = sig.join(rejected, "doc", "left_anti")
+    decisions = batch_df.select(F.col(id_col).alias("doc")).join(
+        rejected.withColumn("__rej", F.lit(True)), "doc", "left"
+    ).select(
+        "doc", (~F.coalesce(F.col("__rej"), F.lit(False))).alias("admitted")
+    )
+    return accepted, accepted_sigs, decisions
+
+
+def run_media_gate_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    bits: int = 60,
+    max_hamming: int = 5,
+    compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+) -> None:
+    """Drain ``input_dir`` (parquet files of media rows) through the
+    media gate with an availableNow trigger — the family's exactly-once
+    layout (accepted rows under ``out_dir/batch_id=<i>``, signatures
+    under ``state_dir/batch_id=<i>``, per-batch overwrite, checkpointed
+    input). Geometry (bits, max_hamming) is stamped into the state meta
+    on first run and verified on every later one — a redeployed drain
+    cannot silently re-band the state."""
+    _cs.stamp_meta(
+        state_dir,
+        {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        state = _load_media_state(
+            batch_df.sparkSession, state_dir, before_batch=batch_id
+        )
+        accepted, accepted_sigs, _ = gate_media_batch(
+            batch_df, state, id_col, bits, max_hamming
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        accepted_sigs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+        if len(_state_subdirs(state_dir)) > compact_after_dirs:
+            compact_media_state(
+                batch_df.sparkSession, state_dir, exclude_from=batch_id
+            )
+
+    (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def compact_media_state(
+    spark: SparkSession,
+    state_dir: str,
+    exclude_from: int | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Fold per-batch signature dirs into one negative-id generation —
+    the family's superset-monotonic sequence (tmp write → rename →
+    delete subsumed), hash-partitioned on ``doc``."""
+    all_dirs = _state_subdirs(state_dir)
+    ids = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
+    old_dirs = [
+        d for d, i in ids.items() if exclude_from is None or i < exclude_from
+    ]
+    if len(old_dirs) < 2:
+        return
+    next_gen = min(min(ids.values()), 0) - 1
+    tmp = state_dir.rstrip("/") + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded = _load_media_state(
+        spark, state_dir, before_batch=exclude_from
+    ).distinct()
+    folded = (
+        folded.repartition(num_partitions, "doc")
+        if num_partitions is not None
+        else folded.repartition("doc")
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)

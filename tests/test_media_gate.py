@@ -1,0 +1,177 @@
+"""Streaming media admission gate (aHash pigeonhole banding) and the
+media ingest chain: payload-size drift gate → near-dup gate → persisted
+media index, parity-pinned against the batch replay."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as mm
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    ingest_pipeline,
+    media_gate,
+)
+
+SF = "/root/testdata/sf0.001"
+MSCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int,height:int,sample_rate:int,n_frames:int,fmt:string>"
+)
+
+
+def _media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    return mm.media_from_documents(docs)
+
+
+def _write_file(df, path, age_s: float = 0.0):
+    tmp = path + "__tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    if age_s:
+        past = time.time() - age_s
+        os.utime(path, (past, past))
+
+
+def test_gate_media_batch_first_wins_and_state(spark):
+    """An exact payload copy (hamming 0) is rejected first-wins within
+    a batch and against prior state; a distinct payload passes."""
+    media = _media(spark)
+    m0 = media.filter(F.col("media_id") == 0)
+    copy = m0.select(
+        F.lit(900).alias("media_id"), "kind", "payload", "meta"
+    )
+    other = media.filter(F.col("media_id") == 5)
+    batch = m0.unionByName(copy).unionByName(other)
+    state = spark.createDataFrame([], media_gate._SIG_SCHEMA)
+    acc, sigs, dec = media_gate.gate_media_batch(batch, state)
+    got = {r["doc"]: r["admitted"] for r in dec.collect()}
+    assert got[0] is True and got[900] is False
+    assert sorted(r["doc"] for r in sigs.collect()) == sorted(
+        r["media_id"] for r in acc.collect()
+    )
+
+    # vs prior state: the copy of an accepted item is rejected later
+    acc2, _, _ = media_gate.gate_media_batch(
+        copy, sigs.filter(F.col("doc") == 0)
+    )
+    assert acc2.count() == 0
+
+
+def test_media_gate_stream_matches_batch_replay(spark, tmp_path):
+    """sf0.001 media split into 3 generation files (media_id % 3)
+    drained through run_media_gate_available_now admit EXACTLY what
+    q_media_gate_replay admits; restart drains nothing; geometry switch
+    on existing state fails loudly."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm import (
+        q_media_gate_replay,
+    )
+
+    media = _media(spark)
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for g in range(3):
+        _write_file(
+            media.filter(media.media_id % 3 == g),
+            os.path.join(inbox, f"g{g}.parquet"),
+            age_s=30 - 10 * g,
+        )
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    media_gate.run_media_gate_available_now(
+        spark, inbox, MSCHEMA, out, state, ckpt
+    )
+    streamed = {
+        r["media_id"]
+        for r in spark.read.parquet(os.path.join(out, "batch_id=*")).collect()
+    }
+    want = {
+        r["doc"]
+        for r in q_media_gate_replay(spark, SF).collect()
+        if r["admitted"]
+    }
+    assert streamed == want
+
+    before = sorted(os.listdir(state))
+    media_gate.run_media_gate_available_now(
+        spark, inbox, MSCHEMA, out, state, ckpt
+    )
+    assert sorted(os.listdir(state)) == before
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        media_gate.run_media_gate_available_now(
+            spark, inbox, MSCHEMA, out, state, str(tmp_path / "c2"),
+            bits=32, max_hamming=3,
+        )
+
+
+def test_media_ingest_chain_drift_dedup_index(spark, tmp_path):
+    """The media chain end-to-end: a normal-size batch is admitted and
+    indexed, a truncated-feed batch (sizes collapsed) is quarantined by
+    the payload-size drift gate, a duplicate batch is rejected by the
+    aHash gate — and the index serves exactly snapshot ∪ survivors."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import media_index as mi
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+
+    media = _media(spark)
+    snapshot = media.filter(F.col("media_id") < 300)
+    ref = str(tmp_path / "ref")
+    ingest_pipeline.write_media_reference(snapshot, ref)
+    ix = str(tmp_path / "ix")
+    mi.write_media_index(snapshot, ix, kind="ivfpq", n_cells=8)
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    good = media.filter(
+        (F.col("media_id") >= 300) & (F.col("media_id") < 320)
+    )
+    _write_file(good, os.path.join(inbox, "f0.parquet"), age_s=30)
+    # truncated feed: every payload cut to 3 bytes — size distribution
+    # collapses into bin 0, PSI blows past the threshold
+    broken = media.filter(
+        (F.col("media_id") >= 320) & (F.col("media_id") < 340)
+    ).withColumn("payload", F.substring("payload", 1, 3).cast("binary"))
+    _write_file(broken, os.path.join(inbox, "f1.parquet"), age_s=20)
+    # duplicate payloads of already-admitted items under new ids
+    dup = good.select(
+        (F.col("media_id") + 9000).alias("media_id"), "kind", "payload", "meta"
+    )
+    _write_file(dup, os.path.join(inbox, "f2.parquet"), age_s=10)
+
+    p = ingest_pipeline.run_media_ingest_available_now(
+        spark, inbox, MSCHEMA, str(tmp_path / "work"), ref, index_path=ix
+    )
+    quarantined = {
+        r["media_id"]
+        for r in spark.read.parquet(
+            os.path.join(p["drift"], "quarantined", "batch_id=*")
+        ).collect()
+    }
+    assert quarantined == set(range(320, 340))
+    accepted = {
+        r["media_id"]
+        for r in spark.read.parquet(
+            os.path.join(p["accepted"], "batch_id=*")
+        ).collect()
+    }
+    assert accepted == set(range(300, 320))
+    live = {r["neighbor_id"] for r in vi.read_codes(spark, ix).collect()}
+    assert live == set(range(300)) | set(range(300, 320))
+
+    # restart: whole chain drains nothing, index untouched
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as cs
+
+    ids = set(cs.state_subdirs(f"{ix}/codes").values())
+    ingest_pipeline.run_media_ingest_available_now(
+        spark, inbox, MSCHEMA, str(tmp_path / "work"), ref, index_path=ix
+    )
+    assert set(cs.state_subdirs(f"{ix}/codes").values()) == ids
