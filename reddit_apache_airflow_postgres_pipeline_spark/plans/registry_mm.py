@@ -478,3 +478,66 @@ def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_SIZE_BIN_W, _SIZE_BINS = 256, 10
+
+
+@_q(
+    "q_media_size_drift",
+    "WITH media AS (" + _MEDIA_SQL + f"""),
+    t AS (SELECT media_id,
+                 least(CAST(octet_length(payload) // {_SIZE_BIN_W} AS INT),
+                       {_SIZE_BINS - 1}) AS bin
+          FROM media),
+    bins AS (SELECT unnest(generate_series(0, {_SIZE_BINS - 1})) AS bin),
+    r AS (SELECT bin, COUNT(*) AS n_ref FROM t WHERE media_id % 2 = 0 GROUP BY bin),
+    c AS (SELECT bin, COUNT(*) AS n_cur FROM t WHERE media_id % 2 = 1 GROUP BY bin),
+    tot AS (SELECT (SELECT COUNT(*) FROM t WHERE media_id % 2 = 0) AS tr,
+                   (SELECT COUNT(*) FROM t WHERE media_id % 2 = 1) AS tc),
+    p AS (
+      SELECT b.bin,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+             round(greatest(CASE WHEN tot.tr > 0
+                            THEN COALESCE(r.n_ref, 0) * 1.0 / tot.tr
+                            ELSE 0.0 END, 0.0001), 6) AS p_ref,
+             round(greatest(CASE WHEN tot.tc > 0
+                            THEN COALESCE(c.n_cur, 0) * 1.0 / tot.tc
+                            ELSE 0.0 END, 0.0001), 6) AS p_cur
+      FROM bins b LEFT JOIN r ON r.bin = b.bin
+                  LEFT JOIN c ON c.bin = b.bin
+      CROSS JOIN tot)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           p_ref, p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM p
+    """,
+)
+def q_media_size_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the payload-SIZE distribution between the even-id
+    media snapshot (reference) and the odd-id one (current) — the
+    batch form of the media chain's stage-1 gate
+    (streaming/ingest_pipeline.run_media_ingest_available_now with
+    drift_gate.payload_size_metric): size is the first distribution a
+    broken media feed disturbs, and it bins JVM-side on BinaryType
+    with no decode. Same integer fixed-width binning, smoothing, and
+    per-bin psi_term contract as the text monitor q_corpus_psi_drift —
+    one drift operator, two modalities."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import curation
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.drift_gate import (
+        payload_size_metric,
+    )
+
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    binned = media.select(
+        "media_id",
+        F.least(
+            (payload_size_metric() / _SIZE_BIN_W).cast("int"),
+            F.lit(_SIZE_BINS - 1),
+        ).alias("bin"),
+    )
+    return curation.psi_drift(
+        binned.filter(F.col("media_id") % 2 == 0),
+        binned.filter(F.col("media_id") % 2 == 1),
+        bins=_SIZE_BINS,
+    )
