@@ -862,6 +862,16 @@ def signature_band_keys(
     (measured: a 2 400-doc bucket at sf0.1 → ~9M raw candidates), so
     callers must thin candidates to DISTINCT id pairs before carrying
     anything through the blowup."""
+    if not 0 <= max_hamming < bits:
+        # max_hamming >= bits makes every band zero-width: all docs
+        # share every band key and the "banded" join degenerates into
+        # the full quadratic cross product this design exists to avoid.
+        # Guard lives HERE so every caller (signature_near_dups, the
+        # streaming media gate) inherits it (r11 review).
+        raise ValueError(
+            f"need 0 <= max_hamming < bits, got max_hamming={max_hamming}, "
+            f"bits={bits}"
+        )
     nbands = max_hamming + 1
     width = bits // nbands
 
@@ -886,14 +896,6 @@ def signature_near_dups(
     the exact Hamming popcount only runs on the thinned pair set.
     Output (id_a, id_b, hamming).
     """
-    if not 0 <= max_hamming < bits:
-        # max_hamming >= bits makes every band zero-width: all docs
-        # share every band key and the "banded" join degenerates into
-        # the full quadratic cross product this design exists to avoid
-        raise ValueError(
-            f"need 0 <= max_hamming < bits, got max_hamming={max_hamming}, "
-            f"bits={bits}"
-        )
     banded = signature_band_keys(sig, bits, max_hamming)
     a = banded.select(F.col("doc").alias("id_a"), "bk")
     c = banded.select(F.col("doc").alias("id_b"), "bk")

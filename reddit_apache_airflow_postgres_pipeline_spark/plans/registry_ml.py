@@ -2980,27 +2980,6 @@ def _gate_replay_sql(
     in g-1 — recursive in general, so the oracle unrolls a fixed number
     of generations as chained CTEs, the same contract the k-means /
     PageRank / BPE oracles use for their rounds."""
-    assert num_hashes <= 12, "reuse the md5||sha256 digest family"
-    r = num_hashes // bands
-    dg = "md5(s) || sha256(s)"
-    mins = ",\n         ".join(
-        f"min(substr({dg}, {i * 8 + 1}, 8)) AS mh_{i}" for i in range(num_hashes)
-    )
-    band_cols = ",\n         ".join(
-        "concat_ws('|', "
-        + ", ".join([f"'{b}'"] + [f"mh_{b * r + i}" for i in range(r)])
-        + f") AS band_{b}"
-        for b in range(bands)
-    )
-    cand_union = "\nUNION\n".join(
-        f"SELECT a.doc AS id_a, b.doc AS id_b FROM banded a JOIN banded b"
-        f" ON a.band_{b} = b.band_{b} AND a.doc <> b.doc"
-        for b in range(bands)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
     parts = [
         "WITH " + _gate_common_ctes(num_hashes, bands, n_gens),
         f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {threshold!r}),",

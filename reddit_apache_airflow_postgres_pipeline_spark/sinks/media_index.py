@@ -75,7 +75,12 @@ def media_index_meta(path: str) -> dict:
 def _featurize(media: DataFrame, meta: dict, id_col: str) -> DataFrame:
     """Non-empty payloads → (id_col, embedding). The empty-payload drop
     is a pushable length predicate (JVM-side, before the Python stage),
-    not a post-hoc vector-sum filter."""
+    not a post-hoc vector-sum filter. ``id_col`` is resolved on the
+    INPUT (the codec stage's Arrow batches read ``media_id``, so a
+    custom id column is renamed into that slot first, not merely
+    relabeled on the output — r11 review)."""
+    if id_col != "media_id":
+        media = media.withColumnRenamed(id_col, "media_id")
     nz = media.filter(F.length("payload") > 0)
     return _mm.byte_histogram_features(nz, codec=str(meta["codec"])).select(
         F.col("media_id").alias(id_col), F.col("feat").alias("embedding")
@@ -193,25 +198,21 @@ def rebuild_media_index_if_stale(
     FROZEN (the index's identity), tombstones are GC'd after the new
     store lands — the text index's rebuild contract, one modality
     over."""
-    import shutil
-
-    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        staleness_rebuild,
+    )
 
     meta = media_index_meta(path)
     probe_kwargs = probe_kwargs or {}
-    before = media_index_recall(
-        spark, path, media, query_media, k, id_col, **probe_kwargs
+    return staleness_rebuild(
+        path,
+        meta["kind"],
+        min_recall,
+        lambda: media_index_recall(
+            spark, path, media, query_media, k, id_col, **probe_kwargs
+        ),
+        lambda: write_media_index(
+            media, path, kind=meta["kind"], codec=str(meta["codec"]),
+            id_col=id_col, **(build_kwargs or {}),
+        ),
     )
-    if before >= min_recall:
-        return {"kind": meta["kind"], "recall": before, "rebuilt": False,
-                "recall_after": None}
-    write_media_index(
-        media, path, kind=meta["kind"], codec=str(meta["codec"]),
-        id_col=id_col, **(build_kwargs or {}),
-    )
-    shutil.rmtree(vi._tomb_store(path), ignore_errors=True)
-    after = media_index_recall(
-        spark, path, media, query_media, k, id_col, **probe_kwargs
-    )
-    return {"kind": meta["kind"], "recall": before, "rebuilt": True,
-            "recall_after": after}

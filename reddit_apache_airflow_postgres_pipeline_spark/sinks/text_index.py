@@ -206,26 +206,23 @@ def rebuild_text_index_if_stale(
     query, the exact drift the meta file exists to prevent; build a new
     index to change geometry). Tombstones are GC'd after the new store
     lands, same contract as vector_index.rebuild_index_if_stale."""
-    import shutil
-
-    from reddit_apache_airflow_postgres_pipeline_spark.sinks import vector_index as vi
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.vector_index import (
+        staleness_rebuild,
+    )
 
     meta = text_index_meta(path)
     probe_kwargs = probe_kwargs or {}
-    before = text_index_recall(
-        spark, path, docs, query_docs, k, id_col, text_col, **probe_kwargs
+    return staleness_rebuild(
+        path,
+        meta["kind"],
+        min_recall,
+        lambda: text_index_recall(
+            spark, path, docs, query_docs, k, id_col, text_col,
+            **probe_kwargs,
+        ),
+        lambda: write_text_index(
+            docs, path, kind=meta["kind"], id_col=id_col, text_col=text_col,
+            d=int(meta["d"]), n=int(meta["n"]), salt=str(meta["salt"]),
+            **(build_kwargs or {}),
+        ),
     )
-    if before >= min_recall:
-        return {"kind": meta["kind"], "recall": before, "rebuilt": False,
-                "recall_after": None}
-    write_text_index(
-        docs, path, kind=meta["kind"], id_col=id_col, text_col=text_col,
-        d=int(meta["d"]), n=int(meta["n"]), salt=str(meta["salt"]),
-        **(build_kwargs or {}),
-    )
-    shutil.rmtree(vi._tomb_store(path), ignore_errors=True)
-    after = text_index_recall(
-        spark, path, docs, query_docs, k, id_col, text_col, **probe_kwargs
-    )
-    return {"kind": meta["kind"], "recall": before, "rebuilt": True,
-            "recall_after": after}

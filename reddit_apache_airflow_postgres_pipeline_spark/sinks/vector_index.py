@@ -802,11 +802,20 @@ def index_recall(
     )
 
     exact = exact_l2_topk_set(corpus, queries, k, id_col, vec_col)
-    counts = exact.join(
-        approx, ["query_id", "neighbor_id"], "left_semi"
-    ).count(), exact.count()
-    hits, total = counts
-    return hits / total if total else 1.0
+    # ONE action: the exact truth set (broadcast join + per-query window
+    # over the full corpus) is the expensive relation here, and the
+    # staleness loop evaluates recall repeatedly — hits and total come
+    # out of a single left-join aggregate instead of two jobs that each
+    # recompute it (r11 review).
+    hit = approx.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "__hit", F.lit(1)
+    )
+    row = (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .agg(F.count("*").alias("total"), F.count("__hit").alias("hits"))
+        .first()
+    )
+    return row["hits"] / row["total"] if row["total"] else 1.0
 
 
 def rebuild_index_if_stale(
@@ -844,18 +853,45 @@ def rebuild_index_if_stale(
     the same store (the compaction rule)."""
     kind = check_kind(kind or infer_kind(path))
     probe_kwargs = probe_kwargs or {}
-    before = index_recall(
-        spark, path, corpus, queries, k, kind, id_col, vec_col, **probe_kwargs
+
+    def _recall() -> float:
+        return index_recall(
+            spark, path, corpus, queries, k, kind, id_col, vec_col,
+            **probe_kwargs,
+        )
+
+    return staleness_rebuild(
+        path,
+        kind,
+        min_recall,
+        _recall,
+        lambda: WRITERS[kind](
+            corpus, path, id_col=id_col, vec_col=vec_col,
+            **(build_kwargs or {}),
+        ),
     )
+
+
+def staleness_rebuild(
+    path: str,
+    kind: str,
+    min_recall: float,
+    recall_fn,
+    rebuild_fn,
+) -> dict:
+    """THE one copy of the staleness loop's measure → compare → rebuild
+    → GC-tombstones → re-measure skeleton (r11 review: the raw-vector,
+    text, and media wrappers each encoded it separately). The ordering
+    contract that matters for correctness lives here exactly once: the
+    tombstone dir is GC'd strictly AFTER ``rebuild_fn`` has landed the
+    new store, so a crash mid-rebuild never leaves erased ids
+    un-shadowed. ``rebuild_fn`` must write from the SURVIVING corpus
+    (the wrappers' documented contract)."""
+    before = recall_fn()
     if before >= min_recall:
         return {"kind": kind, "recall": before, "rebuilt": False,
                 "recall_after": None}
-    WRITERS[kind](
-        corpus, path, id_col=id_col, vec_col=vec_col, **(build_kwargs or {})
-    )
+    rebuild_fn()
     shutil.rmtree(_tomb_store(path), ignore_errors=True)
-    after = index_recall(
-        spark, path, corpus, queries, k, kind, id_col, vec_col, **probe_kwargs
-    )
     return {"kind": kind, "recall": before, "rebuilt": True,
-            "recall_after": after}
+            "recall_after": recall_fn()}

@@ -83,26 +83,32 @@ def _state_subdirs(state_dir: str) -> list[str]:
     ]
 
 
-def compact_state(
+def _fold_state_dirs(
     spark: SparkSession,
     state_dir: str,
+    loader,
+    partition_col: str,
     exclude_from: int | None = None,
     num_partitions: int | None = None,
 ) -> None:
-    """Fold per-batch state directories into one generation dir.
+    """THE one copy of the gate family's state fold (r11 review: three
+    near-verbatim compactors encoded this crash-safety-critical
+    sequence separately). Fold per-batch state dirs into one
+    generation dir.
 
     Generations occupy reserved NEGATIVE batch_id partitions (real
     micro-batch ids are checkpoint-monotonic and never negative), each
     one lower than the last, so a generation can never collide with a
-    future batch write. The sequence is crash-safe because the state is
-    a SET consumed through distinct semi-joins — duplicates never
+    future batch write. The sequence is crash-safe because every gate
+    state is a SET consumed through distinct joins — duplicates never
     change admission decisions — so it only needs superset-monotonic
     steps:
 
-    1. read the whole store, write it (distinct, hash-partitioned on
-       ``bk`` with normal parallelism — the fold is a full shuffle
-       across the cluster, never a single task) to a tmp dir OUTSIDE
-       the store;
+    1. read the whole store via ``loader(spark, state_dir,
+       before_batch)``, write it (distinct, hash-partitioned on
+       ``partition_col`` with normal parallelism — the fold is a full
+       shuffle across the cluster, never a single task) to a tmp dir
+       OUTSIDE the store;
     2. rename tmp into the store as the new generation (duplicate rows
        now exist — harmless);
     3. delete the subsumed per-batch dirs (a crash mid-delete leaves a
@@ -110,13 +116,18 @@ def compact_state(
 
     Local-FS ops here (the streaming tests' hermetic path); on a real
     deployment these become storage renames/deletes, or the state store
-    is a table format (Delta/Iceberg) whose OPTIMIZE does the same
-    fold transactionally.
+    is a table format (Delta/Iceberg) whose OPTIMIZE does the same fold
+    transactionally.
 
     ``exclude_from`` (set to the in-flight batch id by the streaming
     caller) keeps not-yet-committed state OUT of the fold: the current
-    batch's keys must stay in their own ``batch_id=<i>`` dir so a retry
-    can still exclude them (see :func:`_load_state`).
+    batch's rows must stay in their own ``batch_id=<i>`` dir so a retry
+    can still exclude them. With ``num_partitions=None`` AQE sizes the
+    shuffle by bytes (locally that may legitimately fold a tiny state
+    into one file; on a large store it yields thousands of write
+    tasks); an explicit ``num_partitions`` pins the task count.
+    Repartitioning on the store's probe key also pre-clusters it for
+    the bucketed-table layout the module docstring prescribes at scale.
     """
     all_dirs = _state_subdirs(state_dir)
     ids = {
@@ -132,28 +143,28 @@ def compact_state(
     next_gen = min(min(ids.values()), 0) - 1
     tmp = state_dir.rstrip("/") + "__compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    # Hash-partition the fold on the bucket key: every task writes its
-    # own slice of the set (a multi-file generation dir is just as
-    # correct as one file — the state is only ever consumed through
-    # distinct semi-joins), and at a 100 TB accepted corpus the fold is
-    # a cluster-wide shuffle instead of a single-task serialization.
-    # With ``num_partitions=None`` AQE sizes the shuffle by bytes
-    # (locally that may legitimately fold a tiny state into one file;
-    # on a large store it yields thousands of write tasks); an explicit
-    # ``num_partitions`` pins the task count, bypassing AQE coalescing.
-    # repartition on "bk" also pre-clusters the keys for the bucketed-
-    # table layout the module docstring prescribes at scale.
-    folded = _load_state(
-        spark, state_dir, before_batch=exclude_from
-    ).distinct()
+    folded = loader(spark, state_dir, exclude_from).distinct()
     if num_partitions is not None:
-        folded = folded.repartition(num_partitions, "bk")
+        folded = folded.repartition(num_partitions, partition_col)
     else:
-        folded = folded.repartition("bk")
+        folded = folded.repartition(partition_col)
     folded.write.mode("overwrite").parquet(tmp)
     os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    exclude_from: int | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Fold the raw gate's (doc, bk) store — :func:`_fold_state_dirs`
+    on the bucket key, the store's probe key."""
+    _fold_state_dirs(
+        spark, state_dir, _load_state, "bk", exclude_from, num_partitions
+    )
 
 
 def gate_batch(
@@ -245,7 +256,31 @@ def run_gate_available_now(
     file is gated exactly once across restarts. When the state store
     exceeds ``compact_after_dirs`` directories it is folded into a
     single generation (:func:`compact_state`), bounding per-batch
-    listing/open cost over an unbounded run."""
+    listing/open cost over an unbounded run.
+
+    The gate's geometry is stamped into the state meta exactly as the
+    verified gate's is (r11 review: the guard was one-directional — a
+    verified store re-drained under the DEFAULT bucket policy read
+    signature rows with a (doc, bk) schema, got all-NULL keys, silently
+    admitted every duplicate of history, and then corrupted the store
+    with bucket rows; now either direction of a policy or geometry
+    switch fails loudly at the marker). Pre-marker bucket stores are
+    legacy state of unknown geometry — rebuild them, or stamp once via
+    counting_state.stamp_meta(..., migrate=True) if their parameters
+    are known."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        counting_state as _cs,
+    )
+
+    _cs.stamp_meta(
+        state_dir,
+        {
+            "format": "dedup-gate/v1",
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+        },
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -520,30 +555,14 @@ def compact_sig_state(
     exclude_from: int | None = None,
     num_partitions: int | None = None,
 ) -> None:
-    """Fold per-batch signature dirs into one generation — the
-    :func:`compact_state` sequence (tmp write → rename as a reserved
-    negative-id generation → delete subsumed dirs, every step
-    superset-monotonic) over signature rows, hash-partitioned on
-    ``doc`` (the join key every gate batch probes)."""
-    all_dirs = _state_subdirs(state_dir)
-    ids = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
-    old_dirs = [
-        d for d, i in ids.items() if exclude_from is None or i < exclude_from
-    ]
-    if len(old_dirs) < 2:
-        return
-    next_gen = min(min(ids.values()), 0) - 1
-    tmp = state_dir.rstrip("/") + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded = _load_sig_state(
-        spark, state_dir, num_hashes, before_batch=exclude_from
-    ).distinct()
-    folded = (
-        folded.repartition(num_partitions, "doc")
-        if num_partitions is not None
-        else folded.repartition("doc")
+    """Fold the verified gate's signature store —
+    :func:`_fold_state_dirs` on ``doc``, the join key every gate batch
+    probes."""
+    _fold_state_dirs(
+        spark,
+        state_dir,
+        lambda sp, sd, bb: _load_sig_state(sp, sd, num_hashes, bb),
+        "doc",
+        exclude_from,
+        num_partitions,
     )
-    folded.write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)

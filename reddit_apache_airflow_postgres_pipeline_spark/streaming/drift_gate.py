@@ -261,7 +261,7 @@ def batch_drift_stats(
     )
 
     cur = batch_df.sparkSession.createDataFrame(
-        reference_counts(batch_df, text_col, bin_width, bins).collect(),
+        reference_counts(batch_df, text_col, bin_width, bins, metric).collect(),
         "bin int, n bigint",
     )
     p = psi_drift_counts(ref_counts, cur, bins=bins).agg(

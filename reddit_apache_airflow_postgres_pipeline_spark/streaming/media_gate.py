@@ -25,7 +25,6 @@ Batch replay oracle-paired as plans/registry_mm.q_media_gate_replay.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +37,7 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
 from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
     _COMPACT_AFTER_DIRS,
+    _fold_state_dirs,
     _state_subdirs,
 )
 
@@ -197,28 +197,10 @@ def compact_media_state(
     exclude_from: int | None = None,
     num_partitions: int | None = None,
 ) -> None:
-    """Fold per-batch signature dirs into one negative-id generation —
-    the family's superset-monotonic sequence (tmp write → rename →
-    delete subsumed), hash-partitioned on ``doc``."""
-    all_dirs = _state_subdirs(state_dir)
-    ids = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
-    old_dirs = [
-        d for d, i in ids.items() if exclude_from is None or i < exclude_from
-    ]
-    if len(old_dirs) < 2:
-        return
-    next_gen = min(min(ids.values()), 0) - 1
-    tmp = state_dir.rstrip("/") + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded = _load_media_state(
-        spark, state_dir, before_batch=exclude_from
-    ).distinct()
-    folded = (
-        folded.repartition(num_partitions, "doc")
-        if num_partitions is not None
-        else folded.repartition("doc")
+    """Fold the media gate's (doc, sig) store —
+    dedup_gate._fold_state_dirs on ``doc``, the join key every gate
+    batch probes."""
+    _fold_state_dirs(
+        spark, state_dir, _load_media_state, "doc", exclude_from,
+        num_partitions,
     )
-    folded.write.mode("overwrite").parquet(tmp)
-    os.replace(tmp, os.path.join(state_dir, f"batch_id={next_gen}"))
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)

@@ -595,9 +595,16 @@ def test_chain_dedup_policy_verified_vs_bucket(spark, tmp_path):
             spark, inbox, SCHEMA, str(tmp_path / "work_x"), ref,
             dedup_policy="nope",
         )
-    # policy switch on existing state fails loudly (unmarked state)
-    with _pt.raises(ValueError, match="no _meta.json|marker"):
+    # policy switch on existing state fails loudly IN BOTH DIRECTIONS
+    # (r11 review: the verified->bucket direction used to silently read
+    # signature rows as NULL bucket keys and admit every duplicate)
+    with _pt.raises(ValueError, match="format mismatch"):
         ingest_pipeline.run_ingest_pipeline_available_now(
             spark, inbox, SCHEMA, str(tmp_path / "work_bucket"), ref,
             dedup_policy="verified",
+        )
+    with _pt.raises(ValueError, match="format mismatch"):
+        ingest_pipeline.run_ingest_pipeline_available_now(
+            spark, inbox, SCHEMA, str(tmp_path / "work_verified"), ref,
+            dedup_policy="bucket",
         )
