@@ -263,6 +263,7 @@ BNLJ_ALLOWED = {
     "q_media_embed_ann": "bounded query set (8 media feature vectors)",
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
+    "q_media_size_drift": "1-row snapshot-total scalars (psi_drift)",
     "q_drift_ref_refresh": (
         "1-row snapshot-total + window-count scalars (the psi shape, "
         "plus the refresh policy's 1-row hysteresis switch)"
