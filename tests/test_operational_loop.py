@@ -126,3 +126,87 @@ def test_operational_loop_ingest_erase_rebuild_readd(spark, tmp_path):
         for r in ti.query_text_index(spark, ix, probe, k=120, n_probe=4).collect()
     }
     assert 1001 in served
+
+
+def test_media_operational_loop_chain_erase_rebuild_readd(spark, tmp_path):
+    """The media twin of the loop above: media chain (size-drift gate →
+    aHash gate → index) admits and serves a batch; a streamed erasure
+    request shadows one item and blocks its re-add; the staleness
+    rebuild from survivors GCs the tombstone; a fresh append serves it
+    again."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as mm
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import media_index as mi
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import ingest_pipeline
+
+    MSCHEMA = (
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,fmt:string>"
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    media = mm.media_from_documents(docs)
+    snapshot = media.filter(F.col("media_id") < 300)
+    ref = str(tmp_path / "ref")
+    ingest_pipeline.write_media_reference(snapshot, ref)
+    ix = str(tmp_path / "ix")
+    mi.write_media_index(snapshot, ix, kind="ivfpq", n_cells=8)
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    good = media.filter((F.col("media_id") >= 300) & (F.col("media_id") < 320))
+    tmp_dir = str(tmp_path / "w")
+    good.coalesce(1).write.parquet(tmp_dir)
+    shutil.move(
+        glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0],
+        os.path.join(inbox, "f0.parquet"),
+    )
+    past = time.time() - 20
+    os.utime(os.path.join(inbox, "f0.parquet"), (past, past))
+    ingest_pipeline.run_media_ingest_available_now(
+        spark, inbox, MSCHEMA, str(tmp_path / "work"), ref, index_path=ix
+    )
+    live = {r["neighbor_id"] for r in vi.read_codes(spark, ix).collect()}
+    assert 305 in live
+
+    # streamed erasure of an admitted item
+    erase_inbox = str(tmp_path / "erase")
+    os.makedirs(erase_inbox)
+    _write_file(
+        spark, spark.createDataFrame([(305,)], "media_id long"),
+        os.path.join(erase_inbox, "e0.parquet"), age_s=5,
+    )
+    run_index_delete_available_now(
+        spark, erase_inbox, "media_id long", ix,
+        str(tmp_path / "eckpt"), kind="ivfpq", id_col="media_id",
+    )
+    probe = media.filter(F.col("media_id") == 305).select(
+        (F.col("media_id") + 9000).alias("media_id"), "kind", "payload", "meta"
+    )
+    served = {
+        r["neighbor_id"]
+        for r in mi.query_media_index(spark, ix, probe, k=400, n_probe=8).collect()
+    }
+    assert 305 not in served and served
+    with pytest.raises(ValueError, match="tombstone"):
+        mi.append_media_to_index(media.filter(F.col("media_id") == 305), ix)
+
+    survivors = snapshot.unionByName(good).filter(F.col("media_id") != 305)
+    res = mi.rebuild_media_index_if_stale(
+        spark, ix, survivors, survivors.filter(F.col("media_id") < 4),
+        min_recall=1.1,
+        probe_kwargs={"n_probe": 8}, build_kwargs={"n_cells": 8},
+    )
+    assert res["rebuilt"] is True
+    assert not os.path.isdir(os.path.join(ix, "tombstones"))
+    mi.append_media_to_index(media.filter(F.col("media_id") == 305), ix)
+    served = {
+        r["neighbor_id"]
+        for r in mi.query_media_index(spark, ix, probe, k=400, n_probe=8).collect()
+    }
+    assert 305 in served
