@@ -10,7 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_apache_airflow_postgres_pipeline_spark.operators import neardup, similarity
-from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import _q
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+    _TOKENS_SQL as _TOKENS_SQL_ML,
+    _q,
+)
 from reddit_apache_airflow_postgres_pipeline_spark.sources.tables import load_table
 
 # Shared shingle definition (must match operators.neardup.word_shingles):
@@ -2992,11 +2995,17 @@ def _gate_replay_sql(
     return "\n".join(parts)
 
 
-def _gate_common_ctes(num_hashes: int, bands: int, n_gens: int) -> str:
+def _gate_common_ctes(
+    num_hashes: int, bands: int, n_gens: int, restrict: str | None = None
+) -> str:
     """Shared CTE prefix of the gate-replay oracles: shingles →
     signatures (md5||sha256 digest family) → band columns → banded
     candidate pairs → matching-position estimates → generation
-    assignment. Ends with a trailing comma."""
+    assignment. Ends with a trailing comma. ``restrict`` names an
+    ALREADY-DEFINED single-column (doc) CTE; when given, only those
+    docs shingle, band, and enter the generation spine — the replay of
+    a pre-admission filter (the kernels' min_quality contract: a
+    filtered-out doc claims no buckets)."""
     assert num_hashes <= 12, "reuse the md5||sha256 digest family"
     r = num_hashes // bands
     dg = "md5(s) || sha256(s)"
@@ -3018,9 +3027,19 @@ def _gate_common_ctes(num_hashes: int, bands: int, n_gens: int) -> str:
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes)
     )
+    sh_cte = "sh AS (" + _SHINGLES_SQL + "),"
+    gens_src = "documents"
+    if restrict is not None:
+        sh_cte = (
+            "sh AS (SELECT * FROM (" + _SHINGLES_SQL + ") shb"
+            f" WHERE doc IN (SELECT doc FROM {restrict})),"
+        )
+        gens_src = (
+            f"(SELECT doc AS doc_id FROM {restrict})"
+        )
     return "\n".join(
         [
-            "sh AS (" + _SHINGLES_SQL + "),",
+            sh_cte,
             f"sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),",
             f"banded AS (SELECT doc, {band_cols} FROM sig),",
             f"cand AS ({cand_union}),",
@@ -3029,7 +3048,7 @@ def _gate_common_ctes(num_hashes: int, bands: int, n_gens: int) -> str:
             " FROM cand c JOIN sig sa ON sa.doc = c.id_a"
             " JOIN sig sb ON sb.doc = c.id_b),",
             "gens AS (SELECT doc_id AS doc,"
-            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM {gens_src}),",
         ]
     )
 
@@ -3259,3 +3278,91 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((~F.col("__acc_b")) & (~F.col("rej_v"))).cast("long")
         ).alias("saved_by_verify"),
     )
+
+
+_GATE_QFLOOR = 0.5
+
+# The composite quality score, unrounded, operation-ordered to mirror
+# textstats.quality_score exactly (0.4*content + 0.3*(1-punct) +
+# 0.3*stopword-density, each factor the same IEEE divisions of the same
+# integer lengths/counts both engines compute — q_doc_quality pins the
+# components, this composes them bit-identically for the >= floor).
+_QUALITY_SQL = f"""
+  SELECT doc_id AS doc FROM (
+    SELECT doc_id,
+           0.4 * least(len({_TOKENS_SQL_ML}) / 100.0, 1.0)
+         + 0.3 * (1.0 - CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+               ELSE (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+                    / length(coalesce(text,'')) END)
+         + 0.3 * least((CASE WHEN len({_TOKENS_SQL_ML}) = 0 THEN 0.0
+               ELSE len(list_filter({_TOKENS_SQL_ML}, t -> t IN ('the','and','of','to','a','in','is','that','it','for'))) * 1.0
+                    / len({_TOKENS_SQL_ML}) END) * 5.0, 1.0) AS quality
+    FROM documents) qq
+  WHERE quality >= {_GATE_QFLOOR!r}
+"""
+
+
+@_q(
+    "q_neardup_gate_replay_quality",
+    "WITH goodq AS (" + _QUALITY_SQL + "),\n"
+    + _gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS, restrict="goodq")
+    + f"\nvcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),\n"
+    + _gate_chain_ctes("vcand", "", _GATE_GENS)
+    + "\nSELECT g.doc AS doc, g.gen AS gen,"
+    " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g",
+)
+def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified gate replay under the chain's REAL configuration:
+    the curation quality floor (textstats.quality_score >= 0.5) runs
+    BEFORE admission, so a below-floor doc claims no buckets and a
+    later higher-quality near-copy can still be admitted — exactly the
+    min_quality contract both streaming kernels implement. Decisions
+    cover quality-surviving docs only (the kernels drop the rest before
+    signatures exist); the oracle replays the composite score with the
+    identical operation order, so the >= floor agrees bit-for-bit."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+        quality_score,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+        gate_batch_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
+    )
+    good = docs.filter(quality_score("text") >= F.lit(_GATE_QFLOOR))
+    sig_all = _memo_replay(
+        spark, sf_dir, "gate-replay-quality-sigs",
+        lambda: minhash_signature(
+            good, "doc_id", "text", 3, _GATE_K
+        ).localCheckpoint(),
+    )
+    state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = good.filter(F.col("gen") == g)
+        _, acc_sigs, dec = gate_batch_verified(
+            batch,
+            state,
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=_GATE_K,
+            bands=_GATE_BANDS,
+            threshold=_GATE_T,
+            sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
+        )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+        if g < _GATE_GENS - 1:
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
