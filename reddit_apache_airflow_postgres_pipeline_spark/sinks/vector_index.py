@@ -895,3 +895,47 @@ def staleness_rebuild(
     shutil.rmtree(_tomb_store(path), ignore_errors=True)
     return {"kind": kind, "recall": before, "rebuilt": True,
             "recall_after": recall_fn()}
+
+
+def index_stats(spark: SparkSession, path: str, kind: str | None = None) -> dict:
+    """The served store's ops view, decision-sized: per-cell posting/
+    code counts (fill skew is what degrades probe latency — a hot cell
+    makes every n_probe read pay for it), live batch-dir count (the
+    compaction trigger), tombstone backlog (the erasure SLA meter and
+    the anti-join size every probe pays until the next full
+    compaction), and total live rows. One aggregate job over the pruned
+    raw reader; the returned dict is ≤ n_cells entries — the dashboard
+    relation for a store, computed by the store's own read path.
+
+    Returns ``{"kind", "rows", "live_dirs", "tombstones", "cells":
+    {cell: n, ...} | None}`` — ``cells`` is None for the flat binary
+    store (no cell level to skew)."""
+    kind = check_kind(kind or infer_kind(path))
+    readers = {"ivf": read_postings, "ivfpq": read_codes, "binary": read_sigs}
+    df = readers[kind](spark, path)
+    store = os.path.join(path, STORE_SUBDIR[kind])
+    if kind == "binary":
+        rows = df.count()
+        cells = None
+    else:
+        # ivfpq counts CODE rows per cell; normalize to vectors by the
+        # distinct neighbor count per cell (m sub-codes per vector)
+        per = (
+            df.select("cell", "neighbor_id")
+            .distinct()
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        cells = {int(r["cell"]): int(r["count"]) for r in per}
+        rows = sum(cells.values())
+    return {
+        "kind": kind,
+        "rows": rows,
+        "live_dirs": _cs.live_dir_count(store),
+        "tombstones": (
+            0 if (tomb := read_tombstones(spark, path)) is None
+            else tomb.count()
+        ),
+        "cells": cells,
+    }

@@ -482,6 +482,7 @@ def run_verified_gate_available_now(
     threshold: float = 0.5,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
     min_quality: float | None = None,
+    decisions_dir: str | None = None,
 ) -> None:
     """Drain ``input_dir`` through the VERIFIED gate with an availableNow
     trigger — same exactly-once layout as :func:`run_gate_available_now`
@@ -521,7 +522,7 @@ def run_verified_gate_available_now(
         state = _load_sig_state(
             batch_df.sparkSession, state_dir, num_hashes, before_batch=batch_id
         )
-        accepted, accepted_sigs, _ = gate_batch_verified(
+        accepted, accepted_sigs, decisions = gate_batch_verified(
             batch_df, state, id_col, text_col, n, num_hashes, bands, threshold,
             min_quality=min_quality,
         )
@@ -531,6 +532,10 @@ def run_verified_gate_available_now(
         accepted_sigs.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
+        if decisions_dir is not None:
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch_id={batch_id}")
+            )
         if len(_state_subdirs(state_dir)) > compact_after_dirs:
             compact_sig_state(
                 batch_df.sparkSession,

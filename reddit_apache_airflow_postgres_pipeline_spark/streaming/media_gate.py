@@ -146,6 +146,7 @@ def run_media_gate_available_now(
     bits: int = 60,
     max_hamming: int = 5,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
+    decisions_dir: str | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files of media rows) through the
     media gate with an availableNow trigger — the family's exactly-once
@@ -153,7 +154,10 @@ def run_media_gate_available_now(
     under ``state_dir/batch_id=<i>``, per-batch overwrite, checkpointed
     input). Geometry (bits, max_hamming) is stamped into the state meta
     on first run and verified on every later one — a redeployed drain
-    cannot silently re-band the state."""
+    cannot silently re-band the state. ``decisions_dir`` arms the
+    monitoring log (the family contract): every batch's full
+    (doc, admitted) relation lands under ``decisions_dir/batch_id=<i>``
+    with the same exactly-once per-dir overwrite."""
     _cs.stamp_meta(
         state_dir,
         {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
@@ -168,7 +172,7 @@ def run_media_gate_available_now(
         state = _load_media_state(
             batch_df.sparkSession, state_dir, before_batch=batch_id
         )
-        accepted, accepted_sigs, _ = gate_media_batch(
+        accepted, accepted_sigs, decisions = gate_media_batch(
             batch_df, state, id_col, bits, max_hamming
         )
         accepted.write.mode("overwrite").parquet(
@@ -177,6 +181,10 @@ def run_media_gate_available_now(
         accepted_sigs.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
+        if decisions_dir is not None:
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch_id={batch_id}")
+            )
         if len(_state_subdirs(state_dir)) > compact_after_dirs:
             compact_media_state(
                 batch_df.sparkSession, state_dir, exclude_from=batch_id

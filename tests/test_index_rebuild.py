@@ -169,3 +169,88 @@ def test_media_index_rebuild_keeps_frozen_codec(spark, tmp_path):
     assert mi.media_index_meta(ix)["codec"] == "fake"
     live = {r["neighbor_id"] for r in vi2.read_codes(spark, ix).collect()}
     assert 3 not in live
+
+
+def test_index_stats_ops_view(spark, tmp_path):
+    """The store dashboard: rows/cells reflect builds+appends, the
+    tombstone backlog meters pending erasures and drops to zero after a
+    FULL compaction, live_dirs counts the compaction pressure; the flat
+    binary store reports no cell map."""
+    base = _base(spark)
+    ix = str(tmp_path / "six")
+    vi.write_ivf_index(base.filter(F.col("vec_id") < 400), ix, n_cells=8)
+    vi.append_to_ivf_index(base.filter(F.col("vec_id") >= 400), ix)
+    st = vi.index_stats(spark, ix)
+    assert st["kind"] == "ivf" and st["rows"] == 500
+    assert sum(st["cells"].values()) == 500 and len(st["cells"]) <= 8
+    assert st["live_dirs"] == 2 and st["tombstones"] == 0
+
+    vi.delete_from_index(
+        base.filter(F.col("vec_id") < 3).select("vec_id"), ix
+    )
+    st = vi.index_stats(spark, ix)
+    assert st["tombstones"] == 3 and st["rows"] == 497
+    vi.compact_postings(spark, ix)  # FULL: physical drop + tombstone GC
+    st = vi.index_stats(spark, ix)
+    assert st["tombstones"] == 0 and st["rows"] == 497
+
+    bix = str(tmp_path / "bix")
+    vi.write_binary_index(base, bix)
+    stb = vi.index_stats(spark, bix)
+    assert stb["kind"] == "binary" and stb["rows"] == 500 and stb["cells"] is None
+
+
+def test_verified_and_media_gate_decision_logs(spark, tmp_path):
+    """decisions_dir arms the drift gate's monitoring contract on both
+    content gates: per-batch (doc, admitted) relations land exactly-once
+    and agree with the accepted outputs."""
+    import glob
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F2
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import multimodal as mm
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        dedup_gate,
+        media_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    inbox = str(tmp_path / "in")
+    os.makedirs(inbox)
+    docs.limit(100).toPandas().to_parquet(os.path.join(inbox, "f0.parquet"))
+    dec_dir = str(tmp_path / "dec")
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, "doc_id long, text string", str(tmp_path / "out"),
+        str(tmp_path / "state"), str(tmp_path / "ck"),
+        decisions_dir=dec_dir,
+    )
+    dec = spark.read.parquet(os.path.join(dec_dir, "batch_id=*"))
+    acc = spark.read.parquet(str(tmp_path / "out") + "/batch_id=*")
+    assert dec.count() == 100
+    assert dec.filter("admitted").count() == acc.count()
+
+    media = mm.media_from_documents(docs.limit(80))
+    minbox = str(tmp_path / "min")
+    os.makedirs(minbox)
+    tmpd = str(tmp_path / "t")
+    media.coalesce(1).write.parquet(tmpd)
+    shutil.move(
+        glob.glob(os.path.join(tmpd, "part-*.parquet"))[0],
+        os.path.join(minbox, "m0.parquet"),
+    )
+    past = _t.time() - 10
+    os.utime(os.path.join(minbox, "m0.parquet"), (past, past))
+    mdec_dir = str(tmp_path / "mdec")
+    media_gate.run_media_gate_available_now(
+        spark, minbox,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,fmt:string>",
+        str(tmp_path / "mout"), str(tmp_path / "mstate"), str(tmp_path / "mck"),
+        decisions_dir=mdec_dir,
+    )
+    mdec = spark.read.parquet(os.path.join(mdec_dir, "batch_id=*"))
+    macc = spark.read.parquet(str(tmp_path / "mout") + "/batch_id=*")
+    assert mdec.count() == 80
+    assert mdec.filter("admitted").count() == macc.count()
