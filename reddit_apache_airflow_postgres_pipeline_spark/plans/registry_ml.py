@@ -3366,3 +3366,129 @@ def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _gate_dup_of_sql(
+    num_hashes: int, bands: int, threshold: float, n_gens: int
+) -> str:
+    """Attribution oracle: for every REJECTED doc of the verified
+    replay, the blocker set is every above-threshold candidate that was
+    eligible to reject it (earlier-generation ACCEPTED docs, or
+    smaller ids in its own generation), and ``dup_of`` is the blocker
+    with the highest estimate (smallest id on ties) — deterministic,
+    so both engines agree exactly."""
+    parts = [
+        "WITH " + _gate_common_ctes(num_hashes, bands, n_gens),
+        f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {threshold!r}),",
+        _gate_chain_ctes("vcand", "", n_gens) + ",",
+    ]
+    blks = []
+    for g in range(n_gens):
+        prev = (
+            "\nUNION ALL\n".join(f"SELECT doc FROM acc{j}" for j in range(g))
+            if g
+            else None
+        )
+        in_batch = (
+            f"(e.id_b < e.id_a AND e.id_b IN"
+            f" (SELECT doc FROM gens WHERE gen = {g}))"
+        )
+        cond = (
+            f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
+        )
+        parts.append(
+            f"blk{g} AS (SELECT e.id_a AS doc, {g} AS gen,"
+            " e.id_b AS blocker, e.est FROM est e"
+            f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+            f" WHERE e.est >= {threshold!r} AND {cond}),"
+        )
+        blks.append(f"SELECT * FROM blk{g}")
+    parts.append("blk AS (" + "\nUNION ALL\n".join(blks) + "),")
+    parts.append(
+        """ranked AS (
+          SELECT doc, gen, blocker, est,
+                 ROW_NUMBER() OVER (PARTITION BY doc
+                                    ORDER BY est DESC, blocker ASC) AS rn
+          FROM blk)
+        SELECT doc, CAST(gen AS INT) AS gen, blocker AS dup_of,
+               round(est, 6) AS est
+        FROM ranked WHERE rn = 1"""
+    )
+    return "\n".join(parts)
+
+
+@_q(
+    "q_neardup_gate_dup_of",
+    _gate_dup_of_sql(_GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS),
+)
+def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection ATTRIBUTION for the verified gate replay: every
+    rejected doc with the accepted (or smaller in-batch) candidate that
+    blocked it — highest estimate wins, smallest id on ties. The
+    relation an ingest operator reads when a contributor asks why
+    their document was dropped, and the input to any dedup appeals /
+    cluster-canonicalization process downstream. Runs the stream
+    kernel's own blocker relation (dedup_gate._est_blockers — the same
+    candidate/estimate machinery _est_rejections keeps only the doc
+    set of) per generation off the ONE memoized signature checkpoint
+    shared with q_neardup_gate_replay."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        band_keys_of_signature,
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _est_blockers,
+        _sig_schema,
+        gate_batch_verified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
+    )
+    sig_all = _memo_replay(
+        spark, sf_dir, "gate-replay-sigs",
+        lambda: minhash_signature(
+            docs, "doc_id", "text", 3, _GATE_K
+        ).localCheckpoint(),
+    )
+    state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = docs.filter(F.col("gen") == g)
+        sig_g = sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g)
+        keys_g = band_keys_of_signature(sig_g, _GATE_K, _GATE_BANDS)
+        skeys = band_keys_of_signature(state, _GATE_K, _GATE_BANDS)
+        blockers = _est_blockers(
+            keys_g, sig_g, skeys, state, _GATE_K, _GATE_T, ordered=False
+        ).unionAll(
+            _est_blockers(
+                keys_g, sig_g, keys_g, sig_g, _GATE_K, _GATE_T, ordered=True
+            )
+        )
+        outs.append(blockers.select(
+            "doc", F.lit(g).cast("int").alias("gen"), "odoc", "est"
+        ))
+        if g < _GATE_GENS - 1:
+            _, acc_sigs, _ = gate_batch_verified(
+                batch, state, "doc_id", "text",
+                n=3, num_hashes=_GATE_K, bands=_GATE_BANDS, threshold=_GATE_T,
+                sig=sig_g,
+            )
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    blk = outs[0]
+    for o in outs[1:]:
+        blk = blk.unionByName(o)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("est"), F.asc("odoc"))
+    return (
+        blk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc", "gen", F.col("odoc").alias("dup_of"),
+            F.round("est", 6).alias("est"),
+        )
+    )

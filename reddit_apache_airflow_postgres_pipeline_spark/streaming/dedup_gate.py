@@ -370,6 +370,28 @@ def _est_rejections(
     One skinny equi-join on bk + one distinct + two signature joins —
     all output-proportional; signatures are k×8-hex strings, so the
     estimate never touches text."""
+    return (
+        _est_blockers(
+            keys, sig, other_keys, other_sig, num_hashes, threshold, ordered
+        )
+        .select("doc")
+        .distinct()
+    )
+
+
+def _est_blockers(
+    keys: DataFrame,
+    sig: DataFrame,
+    other_keys: DataFrame,
+    other_sig: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    ordered: bool,
+) -> DataFrame:
+    """(doc, odoc, est): every above-threshold blocking pair — the
+    attribution relation behind :func:`_est_rejections` (which keeps
+    only the rejected doc set). Exposed separately so the replay
+    queries can answer WHY a doc was rejected, not just that it was."""
     cand = keys.join(
         other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
     ).select("doc", "odoc")
@@ -387,12 +409,12 @@ def _est_rejections(
         (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
         for i in range(num_hashes)
     )
+    est = (matches / F.lit(float(num_hashes))).alias("est")
     return (
         cand.join(sa, "doc")
         .join(sb, "odoc")
-        .filter(matches / F.lit(float(num_hashes)) >= F.lit(float(threshold)))
-        .select("doc")
-        .distinct()
+        .select("doc", "odoc", est)
+        .filter(F.col("est") >= F.lit(float(threshold)))
     )
 
 
