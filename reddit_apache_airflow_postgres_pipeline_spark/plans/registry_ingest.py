@@ -19,6 +19,8 @@ same split (chain-vs-batch-form parity).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1213,3 +1215,248 @@ def q_ingest_chain_text_serve_recall(
         e, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
     )
     return _ML._recall_vs_exact_l2(e, q, approx)
+
+
+# -- the serving-estate ops catalog (sinks/catalog.py) ------------------------
+#
+# One relation over every store an ingest deployment runs: served
+# indexes (text + media), gate signature state, gate decision logs.
+# The registry fixture builds a small deterministic estate from the
+# documents table (memoized per application x sf_dir; on-disk layout
+# keyed by a version tag so a code change can never re-read a stale
+# estate), then reads it back through the catalog — so the oracle can
+# pin every data-derived number (row counts, admission counts) from
+# the same parquet tables.
+
+_ESTATE_VERSION = "v1"
+_EST_APPEND_LT = 60  # text append slice: vec_id % 3 = 1 AND vec_id < 60
+_EST_TOMBS = 3  # lowest 3 embedable build ids get tombstoned
+
+
+def _estate_params() -> tuple[str, str, str]:
+    """The frozen-params JSON literals the catalog reads back from the
+    estate's meta files — computed from the sinks' own format constants
+    so the oracle literal can never drift from the writers."""
+    import json as _json
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.media_index import (
+        _MEDIA_FORMAT,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.text_index import (
+        _TEXT_FORMAT,
+    )
+
+    text = _json.dumps(
+        {"format": _TEXT_FORMAT, "kind": "ivfpq", "d": 8, "n": 2, "salt": "emb"},
+        sort_keys=True,
+    )
+    media = _json.dumps(
+        {"format": _MEDIA_FORMAT, "kind": "binary", "codec": "fake"},
+        sort_keys=True,
+    )
+    gate = _json.dumps(
+        {
+            "format": "verified-dedup-gate/v1",
+            "n": 3,
+            "num_hashes": 12,
+            "bands": 4,
+            "threshold": 0.5,
+        },
+        sort_keys=True,
+    )
+    return text, media, gate
+
+
+def _estate_roots(sf_dir: str) -> dict[str, str]:
+    import hashlib
+    import tempfile
+
+    h = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"rapp_spark_estate_{_ESTATE_VERSION}_{h}"
+    )
+    return {
+        "gate_decisions": os.path.join(root, "gate_decisions"),
+        "gate_state": os.path.join(root, "gate_state"),
+        "media_idx": os.path.join(root, "media_idx"),
+        "text_idx": os.path.join(root, "text_idx"),
+    }
+
+
+def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build the fixture estate once per on-disk version: a text IVFPQ
+    index (build + append + 3 tombstones), a media binary index, and
+    the verified gate's state + decision logs from the standard
+    3-generation replay (the same arrival order every gate oracle
+    unrolls). All inputs slice the documents table deterministically,
+    so every count below is a DuckDB-expressible function of it."""
+    import shutil as _sh
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators import (
+        multimodal as _mm,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        embed_text,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        media_index as _mi,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        text_index as _ti,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        vector_index as _vi,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        counting_state as _cs,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+        gate_batch_verified,
+    )
+
+    roots = _estate_roots(sf_dir)
+    root = os.path.dirname(roots["text_idx"])
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return roots
+    _sh.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod3 = (F.col("doc_id") % 3).cast("int")
+
+    # text index: build on doc_id%3==0, append %3==1 under _EST_APPEND_LT,
+    # tombstone the 3 lowest embedable build ids
+    build = docs.filter(mod3 == 0)
+    _ti.write_text_index(
+        build, roots["text_idx"], kind="ivfpq",
+        n_cells=16, m=4, n_codes=16, iters=1,
+    )
+    _ti.append_text_to_index(
+        docs.filter((mod3 == 1) & (F.col("doc_id") < _EST_APPEND_LT)),
+        roots["text_idx"], batch_id=1,
+    )
+    tomb = (
+        embed_text(build, d=8, n=2, salt="emb")
+        .select(F.col("doc_id").alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(_EST_TOMBS)
+    )
+    _vi.delete_from_index(tomb, roots["text_idx"], id_col="vec_id", batch_id=2)
+
+    # media index: binary store over media_id%3==2 (fake codec)
+    media = _mm.media_from_documents(docs).filter((F.col("media_id") % 3) == 2)
+    _mi.write_media_index(media, roots["media_idx"], kind="binary", codec="fake")
+
+    # gate state + decision logs: the standard 3-generation verified
+    # replay, persisted in the drain's own layout
+    _cs.stamp_meta(
+        roots["gate_state"],
+        {
+            "format": "verified-dedup-gate/v1",
+            "n": 3,
+            "num_hashes": 12,
+            "bands": 4,
+            "threshold": 0.5,
+        },
+    )
+    sig_all = minhash_signature(docs, "doc_id", "text", 3, 12).localCheckpoint()
+    state = spark.createDataFrame([], _sig_schema(12))
+    for g in range(3):
+        batch = docs.filter(mod3 == g)
+        sig_g = sig_all.filter((F.col("doc") % 3).cast("int") == g)
+        _, acc_sigs, dec = gate_batch_verified(batch, state, sig=sig_g)
+        acc_sigs.write.mode("overwrite").parquet(
+            os.path.join(roots["gate_state"], f"batch_id={g}")
+        )
+        dec.write.mode("overwrite").parquet(
+            os.path.join(roots["gate_decisions"], f"batch_id={g}")
+        )
+        if g < 2:
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    with open(done, "w") as f:
+        f.write("ok")
+    return roots
+
+
+def _estate_catalog_sql() -> str:
+    """The catalog oracle: every data-derived cell (row counts,
+    admission counts, tombstone backlog) recomputed from the documents
+    table through the SAME CTE families the per-operator oracles use
+    (embed -> temb, gate chain -> rej/acc); layout cells (live_dirs,
+    categories, frozen-params JSON) are the writers' code-defined
+    constants."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_BANDS,
+        _GATE_GENS,
+        _GATE_K,
+        _GATE_T,
+        _embed_ctes,
+        _gate_chain_ctes,
+        _gate_common_ctes,
+    )
+
+    p_text, p_media, p_gate = _estate_params()
+    text_pred = (
+        f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
+    )
+    return f"""
+    WITH {_embed_ctes()},
+    {_gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS)}
+    vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),
+    {_gate_chain_ctes("vcand", "", _GATE_GENS)},
+    adm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej)),
+    tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
+              ORDER BY vec_id LIMIT {_EST_TOMBS})
+    SELECT * FROM (
+      SELECT 'gate_decisions' AS name, 'decision-log' AS category,
+             'decisions' AS kind, CAST(NULL AS VARCHAR) AS modality,
+             '{{}}' AS params,
+             (SELECT COUNT(*) FROM documents) AS n_rows,
+             3 AS live_dirs, CAST(NULL AS BIGINT) AS tombstones,
+             (SELECT COUNT(*) FROM adm) AS n_admitted,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM adm)
+               AS n_rejected
+      UNION ALL
+      SELECT 'gate_state', 'gate-state', 'verified-dedup-gate/v1', 'text',
+             '{p_gate}',
+             (SELECT COUNT(*) FROM adm WHERE doc IN (SELECT doc FROM sig)),
+             3, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT 'media_idx', 'vector-index', 'binary', 'media',
+             '{p_media}',
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 2
+              AND octet_length(encode(coalesce(text, ''))) > 0),
+             1, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT 'text_idx', 'vector-index', 'ivfpq', 'text',
+             '{p_text}',
+             (SELECT COUNT(*) FROM temb WHERE {text_pred}
+              AND vec_id NOT IN (SELECT vec_id FROM tombs)),
+             2, {_EST_TOMBS}, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    ) est_rel
+    """
+
+
+@_q("q_ops_catalog", _estate_catalog_sql())
+def q_ops_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole serving estate as ONE relation (sinks/catalog.catalog):
+    served text + media indexes with their frozen featurizer/codec
+    params, live batch-dir counts and tombstone backlogs, gate
+    signature state, and gate decision-log admission accounting — the
+    dashboard an ingest operator reads instead of running index_stats
+    per store and replaying gates for drop rates. Every store is
+    classified from its own on-disk markers (the same ones the read
+    paths verify), and every data-derived cell is pinned against the
+    documents table by the oracle."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.catalog import catalog
+
+    roots = _memo_replay(
+        spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
+    )
+    return catalog(spark, roots)

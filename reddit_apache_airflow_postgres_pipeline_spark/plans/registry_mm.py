@@ -389,7 +389,42 @@ def q_media_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_GENS = 3
 
 
-def _media_gate_replay_sql(n: int, max_ham: int, n_gens: int) -> str:
+def _media_gate_sig_ctes(n: int, max_ham: int, min_bytes: int | None = None) -> str:
+    """Shared CTE prefix of the media-gate oracles: media → byte list →
+    aHash signature → within-distance pair relation ``mdist`` (with the
+    popcount distance kept for attribution). Ends WITHOUT a trailing
+    comma. ``min_bytes`` replays the kernels' payload-size quality
+    floor: a below-floor item never signatures, so it claims no
+    buckets — the media analog of the text gate's restrict contract."""
+    src = "media"
+    if min_bytes is not None:
+        src = f"(SELECT * FROM media WHERE octet_length(payload) >= {min_bytes})"
+    return "\n".join(
+        [
+            "media AS (" + _MEDIA_SQL + "),",
+            f"""b AS (SELECT media_id,
+                 list_transform(generate_series(1, {n}),
+                   i -> CASE WHEN i <= octet_length(payload)
+                             THEN ('0x' || substr(hex(payload), i*2-1, 2))::BIGINT
+                             ELSE 0 END) AS b{n}
+              FROM {src}),""",
+            f"""s AS (SELECT media_id,
+                 list_sum(list_transform(generate_series(1, {n}),
+                   i -> CASE WHEN b{n}[i] > list_sum(b{n}) / {float(n)!r}
+                             THEN (1::BIGINT << ({n} - i)) ELSE 0 END)) AS sig
+              FROM b),""",
+            f"""mdist AS (
+              SELECT a.media_id AS id_a, c.media_id AS id_b,
+                     CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS dist
+              FROM s a JOIN s c ON c.media_id <> a.media_id
+              WHERE bit_count(xor(a.sig, c.sig)) <= {max_ham})""",
+        ]
+    )
+
+
+def _media_gate_replay_sql(
+    n: int, max_ham: int, n_gens: int, min_bytes: int | None = None
+) -> str:
     """Unrolled-generation oracle for the media admission gate: the
     SAME policy-agnostic generation chain the text gate replays
     (registry_ml._gate_chain_ctes) over a candidate relation of aHash
@@ -400,26 +435,15 @@ def _media_gate_replay_sql(n: int, max_ham: int, n_gens: int) -> str:
         _gate_chain_ctes,
     )
 
+    gens_src = "documents"
+    if min_bytes is not None:
+        gens_src = "(SELECT media_id AS doc_id FROM s)"
     return "\n".join(
         [
-            "WITH media AS (" + _MEDIA_SQL + "),",
-            f"""b AS (SELECT media_id,
-                 list_transform(generate_series(1, {n}),
-                   i -> CASE WHEN i <= octet_length(payload)
-                             THEN ('0x' || substr(hex(payload), i*2-1, 2))::BIGINT
-                             ELSE 0 END) AS b{n}
-              FROM media),""",
-            f"""s AS (SELECT media_id,
-                 list_sum(list_transform(generate_series(1, {n}),
-                   i -> CASE WHEN b{n}[i] > list_sum(b{n}) / {float(n)!r}
-                             THEN (1::BIGINT << ({n} - i)) ELSE 0 END)) AS sig
-              FROM b),""",
-            f"""mcand AS (
-              SELECT a.media_id AS id_a, c.media_id AS id_b
-              FROM s a JOIN s c ON c.media_id <> a.media_id
-              WHERE bit_count(xor(a.sig, c.sig)) <= {max_ham}),""",
+            "WITH " + _media_gate_sig_ctes(n, max_ham, min_bytes) + ",",
+            "mcand AS (SELECT id_a, id_b FROM mdist),",
             "gens AS (SELECT doc_id AS doc,"
-            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM {gens_src}),",
             _gate_chain_ctes("mcand", "", n_gens),
             "SELECT g.doc AS doc, g.gen AS gen,"
             " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g",
@@ -467,6 +491,186 @@ def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for g in range(_GATE_GENS):
         batch = media.filter(gen_of("media_id") == g)
+        _, acc_sigs, dec = gate_media_batch(
+            batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
+            sig=sig_all.filter(gen_of("doc") == g),
+        )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+        if g < _GATE_GENS - 1:
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _media_gate_dup_of_sql(n: int, max_ham: int, n_gens: int) -> str:
+    """Attribution oracle for the media gate: for every REJECTED item
+    of the replay, every within-distance candidate eligible to reject
+    it (earlier-generation ACCEPTED items, or smaller ids in its own
+    generation), ranked smallest distance first (smallest id on ties) —
+    deterministic, so both engines agree exactly. Mirrors
+    registry_ml._gate_dup_of_sql over the aHash pair relation."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _gate_chain_ctes,
+    )
+
+    parts = [
+        "WITH " + _media_gate_sig_ctes(n, max_ham) + ",",
+        "mcand AS (SELECT id_a, id_b FROM mdist),",
+        "gens AS (SELECT doc_id AS doc,"
+        f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+        _gate_chain_ctes("mcand", "", n_gens) + ",",
+    ]
+    blks = []
+    for g in range(n_gens):
+        prev = (
+            "\nUNION ALL\n".join(f"SELECT doc FROM acc{j}" for j in range(g))
+            if g
+            else None
+        )
+        in_batch = (
+            f"(e.id_b < e.id_a AND e.id_b IN"
+            f" (SELECT doc FROM gens WHERE gen = {g}))"
+        )
+        cond = f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
+        parts.append(
+            f"blk{g} AS (SELECT e.id_a AS doc, {g} AS gen,"
+            " e.id_b AS blocker, e.dist FROM mdist e"
+            f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+            f" WHERE {cond}),"
+        )
+        blks.append(f"SELECT * FROM blk{g}")
+    parts.append("blk AS (" + "\nUNION ALL\n".join(blks) + "),")
+    parts.append(
+        """ranked AS (
+          SELECT doc, gen, blocker, dist,
+                 ROW_NUMBER() OVER (PARTITION BY doc
+                                    ORDER BY dist ASC, blocker ASC) AS rn
+          FROM blk)
+        SELECT doc, CAST(gen AS INT) AS gen, blocker AS dup_of,
+               CAST(dist AS INT) AS dist
+        FROM ranked WHERE rn = 1"""
+    )
+    return "\n".join(parts)
+
+
+@_q(
+    "q_media_gate_dup_of",
+    _media_gate_dup_of_sql(_AHASH_N, _AHASH_MAXHAM, _GATE_GENS),
+)
+def q_media_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection ATTRIBUTION for the media gate replay: every rejected
+    item with the accepted (or smaller in-batch) candidate that blocked
+    it — minimum Hamming distance wins, smallest id on ties. Family
+    parity with q_neardup_gate_dup_of: the relation a media-ingest
+    operator reads when a contributor asks which accepted item their
+    upload duplicates. Runs the stream kernel's own blocker relation
+    (streaming/media_gate._ham_blockers — the same machinery the drain
+    persists under dup_of_dir) per generation off the ONE memoized
+    aHash checkpoint shared with q_media_gate_replay."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_band_keys,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA,
+        _ham_blockers,
+        gate_media_batch,
+    )
+
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    sig_all = _memo_replay(
+        spark, sf_dir, "media-gate-sigs",
+        lambda: ahash_signatures(media, n=_AHASH_N)
+        .select(F.col("media_id").alias("doc"), "sig")
+        .localCheckpoint(),
+    )
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    state = spark.createDataFrame([], _SIG_SCHEMA)
+    outs = []
+    for g in range(_GATE_GENS):
+        sig_g = sig_all.filter(gen_of("doc") == g)
+        keys_g = signature_band_keys(sig_g, _AHASH_N, _AHASH_MAXHAM)
+        skeys = signature_band_keys(state, _AHASH_N, _AHASH_MAXHAM)
+        blockers = _ham_blockers(
+            keys_g, sig_g, skeys, state, _AHASH_MAXHAM, ordered=False
+        ).unionAll(
+            _ham_blockers(keys_g, sig_g, keys_g, sig_g, _AHASH_MAXHAM, ordered=True)
+        )
+        outs.append(
+            blockers.select("doc", F.lit(g).cast("int").alias("gen"), "odoc", "dist")
+        )
+        if g < _GATE_GENS - 1:
+            batch = media.filter(gen_of("media_id") == g)
+            _, acc_sigs, _ = gate_media_batch(
+                batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM, sig=sig_g
+            )
+            state = state.unionByName(acc_sigs).localCheckpoint()
+    blk = outs[0]
+    for o in outs[1:]:
+        blk = blk.unionByName(o)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.asc("dist"), F.asc("odoc"))
+    return (
+        blk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc", "gen", F.col("odoc").alias("dup_of"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+_MEDIA_MIN_BYTES = 200
+
+
+@_q(
+    "q_media_gate_replay_quality",
+    _media_gate_replay_sql(
+        _AHASH_N, _AHASH_MAXHAM, _GATE_GENS, min_bytes=_MEDIA_MIN_BYTES
+    ),
+)
+def q_media_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media gate replay under the composed QUALITY FLOOR — the
+    modality's cheapest health signal, payload size ≥ 200 bytes, the
+    min_bytes contract of streaming/media_gate.gate_media_batch: a
+    below-floor item is dropped before signatures exist, claims no
+    buckets, and a later full-size near-copy can still be admitted.
+    Decisions cover floor-surviving items only — family parity with
+    q_neardup_gate_replay_quality (text's quality_score floor)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA,
+        gate_media_batch,
+    )
+
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    good = media.filter(
+        F.length(F.col("payload")) >= F.lit(_MEDIA_MIN_BYTES)
+    )
+    sig_all = _memo_replay(
+        spark, sf_dir, "media-gate-quality-sigs",
+        lambda: ahash_signatures(good, n=_AHASH_N)
+        .select(F.col("media_id").alias("doc"), "sig")
+        .localCheckpoint(),
+    )
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    state = spark.createDataFrame([], _SIG_SCHEMA)
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = good.filter(gen_of("media_id") == g)
         _, acc_sigs, dec = gate_media_batch(
             batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
             sig=sig_all.filter(gen_of("doc") == g),

@@ -391,13 +391,24 @@ def _est_blockers(
     """(doc, odoc, est): every above-threshold blocking pair — the
     attribution relation behind :func:`_est_rejections` (which keeps
     only the rejected doc set). Exposed separately so the replay
-    queries can answer WHY a doc was rejected, not just that it was."""
+    queries can answer WHY a doc was rejected, not just that it was.
+
+    The cross-state direction (``ordered=False``) keeps the self-pair
+    ``odoc == doc``: a batch doc whose id ALREADY exists in the accepted
+    state is a re-delivery (same text, new file name — the checkpoint
+    only dedupes files, not rows), and its own prior signature must be
+    allowed to block it. Excluding the pair would silently admit the
+    re-delivery and land a duplicate row in out/ and the signature
+    store, diverging from the raw bucket gate (whose bk semi-join
+    rejects it). A same-id doc whose content DIFFERS below threshold is
+    admitted as new — id uniqueness upstream is the caller's contract,
+    identical for both gate policies."""
     cand = keys.join(
         other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
     ).select("doc", "odoc")
-    cand = cand.filter(
-        F.col("odoc") < F.col("doc") if ordered else F.col("odoc") != F.col("doc")
-    ).distinct()
+    if ordered:
+        cand = cand.filter(F.col("odoc") < F.col("doc"))
+    cand = cand.distinct()
     sa = sig.select(
         "doc", *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)]
     )
@@ -453,6 +464,41 @@ def gate_batch_verified(
     later higher-quality near-copy can still be admitted); it composes
     with ``sig`` by filtering the precomputed relation to the surviving
     docs."""
+    acc, sigs, dec, _ = gate_batch_verified_attributed(
+        batch_df, state_sigs, id_col, text_col, n, num_hashes, bands,
+        threshold, sig=sig, min_quality=min_quality,
+    )
+    return acc, sigs, dec
+
+
+def gate_batch_verified_attributed(
+    batch_df: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    sig: DataFrame | None = None,
+    min_quality: float | None = None,
+    checkpoint_blockers: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """:func:`gate_batch_verified` plus the BLOCKER relation: the fourth
+    element is (doc, odoc, est) — every above-threshold pair that was
+    eligible to reject ``doc`` (state signatures, or a smaller id in
+    its own batch). A doc appears iff it was rejected, so
+    ``blockers.select("doc").distinct()`` IS the rejected set; the
+    drain persists this relation so "why was my doc dropped" is a read
+    against the decision logs, not a replay (the reference logs
+    per-file used/skipped attribution at every combine run —
+    Combine_send_to_postgresql.py:151-166 — drop accounting is an
+    operational artifact there too).
+
+    ``checkpoint_blockers=True`` localCheckpoints the blocker relation
+    BEFORE deriving the other three from it, so a caller that writes
+    all four (the dup_of-armed drain) runs the candidate/estimate joins
+    once instead of once per sink."""
     if min_quality is not None:
         from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
             quality_score,
@@ -469,13 +515,14 @@ def gate_batch_verified(
         sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
     keys = band_keys_of_signature(sig, num_hashes, bands)
     skeys = band_keys_of_signature(state_sigs, num_hashes, bands)
-    rejected = (
-        _est_rejections(keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False)
-        .unionAll(
-            _est_rejections(keys, sig, keys, sig, num_hashes, threshold, ordered=True)
-        )
-        .distinct()
+    blockers = _est_blockers(
+        keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False
+    ).unionAll(
+        _est_blockers(keys, sig, keys, sig, num_hashes, threshold, ordered=True)
     )
+    if checkpoint_blockers:
+        blockers = blockers.localCheckpoint()
+    rejected = blockers.select("doc").distinct()
     accepted = batch_df.join(
         rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
@@ -486,7 +533,7 @@ def gate_batch_verified(
     decisions = decisions.select(
         "doc", (~F.col("rejected")).alias("admitted")
     )
-    return accepted, accepted_sigs, decisions
+    return accepted, accepted_sigs, decisions, blockers
 
 
 def run_verified_gate_available_now(
@@ -505,6 +552,7 @@ def run_verified_gate_available_now(
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
     min_quality: float | None = None,
     decisions_dir: str | None = None,
+    dup_of_dir: str | None = None,
 ) -> None:
     """Drain ``input_dir`` through the VERIFIED gate with an availableNow
     trigger — same exactly-once layout as :func:`run_gate_available_now`
@@ -512,6 +560,14 @@ def run_verified_gate_available_now(
     ``state_dir/batch_id=<i>``, per-batch overwrite, checkpointed input),
     but the state rows are full signatures and admission requires the
     estimate to clear ``threshold``.
+
+    ``dup_of_dir`` persists the BLOCKER relation (doc, odoc, est) per
+    batch under ``dup_of_dir/batch_id=<i>`` — idempotent per-dir
+    overwrite like decisions — so rejection attribution against the
+    LIVE stream state is a read, not a batch re-derivation: the replay
+    query q_neardup_gate_dup_of answers the same question analytically,
+    this log answers it operationally (the reference writes per-file
+    used/skipped attribution at every combine run).
 
     The gate's geometry (shingle n, k, bands, threshold) is stamped into
     the state store's meta on first run and verified on every later one
@@ -544,9 +600,12 @@ def run_verified_gate_available_now(
         state = _load_sig_state(
             batch_df.sparkSession, state_dir, num_hashes, before_batch=batch_id
         )
-        accepted, accepted_sigs, decisions = gate_batch_verified(
-            batch_df, state, id_col, text_col, n, num_hashes, bands, threshold,
-            min_quality=min_quality,
+        accepted, accepted_sigs, decisions, blockers = (
+            gate_batch_verified_attributed(
+                batch_df, state, id_col, text_col, n, num_hashes, bands,
+                threshold, min_quality=min_quality,
+                checkpoint_blockers=dup_of_dir is not None,
+            )
         )
         accepted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -557,6 +616,10 @@ def run_verified_gate_available_now(
         if decisions_dir is not None:
             decisions.write.mode("overwrite").parquet(
                 os.path.join(decisions_dir, f"batch_id={batch_id}")
+            )
+        if dup_of_dir is not None:
+            blockers.write.mode("overwrite").parquet(
+                os.path.join(dup_of_dir, f"batch_id={batch_id}")
             )
         if len(_state_subdirs(state_dir)) > compact_after_dirs:
             compact_sig_state(

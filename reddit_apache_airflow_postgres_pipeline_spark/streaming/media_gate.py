@@ -61,6 +61,43 @@ def _load_media_state(
     return df.select("doc", "sig")
 
 
+def _ham_blockers(
+    keys: DataFrame,
+    sig: DataFrame,
+    other_keys: DataFrame,
+    other_sig: DataFrame,
+    max_hamming: int,
+    ordered: bool,
+) -> DataFrame:
+    """(doc, odoc, dist): every within-distance blocking pair — the
+    media analog of dedup_gate._est_blockers, exposed so rejection
+    attribution (WHY was this item dropped) is a relation, not a
+    re-derivation. Banded buckets propose, ``bit_count(xor)`` ≤
+    max_hamming disposes. ``ordered=True`` applies the within-batch
+    smaller-id rule; the cross-state direction keeps the self-pair
+    ``odoc == doc`` so a re-delivered already-accepted media_id is
+    blocked by its own prior signature (the family contract —
+    dedup_gate._est_blockers documents the failure mode)."""
+    cand = keys.join(
+        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
+    ).select("doc", "odoc")
+    if ordered:
+        cand = cand.filter(F.col("odoc") < F.col("doc"))
+    cand = cand.distinct()
+    sa = sig.select("doc", F.col("sig").alias("__sa"))
+    sb = other_sig.select(F.col("doc").alias("odoc"), F.col("sig").alias("__sb"))
+    return (
+        cand.join(sa, "doc")
+        .join(sb, "odoc")
+        .select(
+            "doc",
+            "odoc",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_hamming))
+    )
+
+
 def _ham_rejections(
     keys: DataFrame,
     sig: DataFrame,
@@ -69,24 +106,10 @@ def _ham_rejections(
     max_hamming: int,
     ordered: bool,
 ) -> DataFrame:
-    """Docs from (keys, sig) rejected against (other_keys, other_sig):
-    banded buckets propose, ``bit_count(xor)`` ≤ max_hamming disposes.
-    ``ordered=True`` applies the within-batch smaller-id rule."""
-    cand = keys.join(
-        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
-    ).select("doc", "odoc")
-    cand = cand.filter(
-        F.col("odoc") < F.col("doc") if ordered else F.col("odoc") != F.col("doc")
-    ).distinct()
-    sa = sig.select("doc", F.col("sig").alias("__sa"))
-    sb = other_sig.select(F.col("doc").alias("odoc"), F.col("sig").alias("__sb"))
+    """Docs from (keys, sig) rejected against (other_keys, other_sig) —
+    the rejected-doc projection of :func:`_ham_blockers`."""
     return (
-        cand.join(sa, "doc")
-        .join(sb, "odoc")
-        .filter(
-            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-            <= F.lit(max_hamming)
-        )
+        _ham_blockers(keys, sig, other_keys, other_sig, max_hamming, ordered)
         .select("doc")
         .distinct()
     )
@@ -99,6 +122,7 @@ def gate_media_batch(
     bits: int = 60,
     max_hamming: int = 5,
     sig: DataFrame | None = None,
+    min_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply the media admission policy to one (batch, state) pair:
     rejected iff a banded candidate — from the accepted store, or a
@@ -111,18 +135,56 @@ def gate_media_batch(
     stays defined here either way. Every media row has a signature
     (zero-length payloads hash to sig 0 and therefore dedup against
     each other — the first empty payload wins, the rest are rejected
-    as its duplicates)."""
+    as its duplicates). ``min_bytes`` is the media quality floor (the
+    text kernels' min_quality analog on the modality's cheapest
+    health signal, payload size): a below-floor item is dropped BEFORE
+    signatures exist, claims no buckets, and a later full-size
+    near-copy can still be admitted."""
+    acc, sigs, dec, _ = gate_media_batch_attributed(
+        batch_df, state_sigs, id_col, bits, max_hamming, sig=sig,
+        min_bytes=min_bytes,
+    )
+    return acc, sigs, dec
+
+
+def gate_media_batch_attributed(
+    batch_df: DataFrame,
+    state_sigs: DataFrame,
+    id_col: str = "media_id",
+    bits: int = 60,
+    max_hamming: int = 5,
+    sig: DataFrame | None = None,
+    checkpoint_blockers: bool = False,
+    min_bytes: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """:func:`gate_media_batch` plus the BLOCKER relation (doc, odoc,
+    dist): every within-distance pair eligible to reject ``doc`` —
+    the media analog of dedup_gate.gate_batch_verified_attributed, so
+    rejection attribution ("which accepted item is my upload a
+    duplicate of") is persisted by the drain and readable without a
+    replay. ``checkpoint_blockers=True`` localCheckpoints the relation
+    before the other three derive from it (one candidate-join pass for
+    a four-sink caller)."""
+    if min_bytes is not None:
+        batch_df = batch_df.filter(
+            F.length(F.col("payload")) >= F.lit(int(min_bytes))
+        )
+        if sig is not None:
+            sig = sig.join(
+                batch_df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+            )
     if sig is None:
         sig = ahash_signatures(batch_df, n=bits).select(
             F.col("media_id").alias("doc"), "sig"
         )
     keys = signature_band_keys(sig, bits, max_hamming)
     skeys = signature_band_keys(state_sigs, bits, max_hamming)
-    rejected = (
-        _ham_rejections(keys, sig, skeys, state_sigs, max_hamming, ordered=False)
-        .unionAll(_ham_rejections(keys, sig, keys, sig, max_hamming, ordered=True))
-        .distinct()
-    )
+    blockers = _ham_blockers(
+        keys, sig, skeys, state_sigs, max_hamming, ordered=False
+    ).unionAll(_ham_blockers(keys, sig, keys, sig, max_hamming, ordered=True))
+    if checkpoint_blockers:
+        blockers = blockers.localCheckpoint()
+    rejected = blockers.select("doc").distinct()
     accepted = batch_df.join(
         rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
@@ -132,7 +194,7 @@ def gate_media_batch(
     ).select(
         "doc", (~F.coalesce(F.col("__rej"), F.lit(False))).alias("admitted")
     )
-    return accepted, accepted_sigs, decisions
+    return accepted, accepted_sigs, decisions, blockers
 
 
 def run_media_gate_available_now(
@@ -147,6 +209,8 @@ def run_media_gate_available_now(
     max_hamming: int = 5,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
     decisions_dir: str | None = None,
+    dup_of_dir: str | None = None,
+    min_bytes: int | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files of media rows) through the
     media gate with an availableNow trigger — the family's exactly-once
@@ -157,7 +221,9 @@ def run_media_gate_available_now(
     cannot silently re-band the state. ``decisions_dir`` arms the
     monitoring log (the family contract): every batch's full
     (doc, admitted) relation lands under ``decisions_dir/batch_id=<i>``
-    with the same exactly-once per-dir overwrite."""
+    with the same exactly-once per-dir overwrite; ``dup_of_dir``
+    likewise persists the blocker relation (doc, odoc, dist) so "what
+    is my upload a duplicate of" reads from the log, never replays."""
     _cs.stamp_meta(
         state_dir,
         {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
@@ -172,8 +238,12 @@ def run_media_gate_available_now(
         state = _load_media_state(
             batch_df.sparkSession, state_dir, before_batch=batch_id
         )
-        accepted, accepted_sigs, decisions = gate_media_batch(
-            batch_df, state, id_col, bits, max_hamming
+        accepted, accepted_sigs, decisions, blockers = (
+            gate_media_batch_attributed(
+                batch_df, state, id_col, bits, max_hamming,
+                checkpoint_blockers=dup_of_dir is not None,
+                min_bytes=min_bytes,
+            )
         )
         accepted.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
@@ -184,6 +254,10 @@ def run_media_gate_available_now(
         if decisions_dir is not None:
             decisions.write.mode("overwrite").parquet(
                 os.path.join(decisions_dir, f"batch_id={batch_id}")
+            )
+        if dup_of_dir is not None:
+            blockers.write.mode("overwrite").parquet(
+                os.path.join(dup_of_dir, f"batch_id={batch_id}")
             )
         if len(_state_subdirs(state_dir)) > compact_after_dirs:
             compact_media_state(

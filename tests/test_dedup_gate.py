@@ -399,3 +399,94 @@ def test_verified_gate_meta_guard_and_compaction(spark, tmp_path):
     }
     assert 20 not in accepted  # copy of folded doc 1/11 still rejected
     assert 21 in accepted  # bucket-collision false positive admitted
+
+
+def test_gate_verified_rejects_redelivered_accepted_id(spark):
+    """A re-delivered file carrying an ALREADY-ACCEPTED doc_id (same
+    text, new file name — the checkpoint dedupes files, not rows) must
+    be rejected by its own prior signature, exactly like the raw bucket
+    gate's bk semi-join. Regression pin for the cross-state self-pair
+    exclusion (odoc != doc) that silently admitted the duplicate."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+
+    state = minhash_signature(
+        spark.createDataFrame([(1, A), (2, B)], SCHEMA), "doc_id", "text", 3, 12
+    )
+    # batch re-delivers doc 1 verbatim plus one novel doc
+    batch = spark.createDataFrame([(1, A), (3, C)], SCHEMA)
+    acc, sigs, dec = dedup_gate.gate_batch_verified(batch, state)
+    assert [r["doc_id"] for r in acc.collect()] == [3]
+    assert [r["doc"] for r in sigs.collect()] == [3]
+    got = {r["doc"]: r["admitted"] for r in dec.collect()}
+    assert got == {1: False, 3: True}
+
+    # raw bucket gate agrees on the same re-delivery
+    raw_state = dedup_gate.minhash_band_keys(
+        spark.createDataFrame([(1, A), (2, B)], SCHEMA)
+    ).select("doc", "bk")
+    raw_acc, _ = dedup_gate.gate_batch(batch, raw_state)
+    assert [r["doc_id"] for r in raw_acc.collect()] == [3]
+
+
+def test_verified_gate_stream_persists_dup_of_attribution(spark, tmp_path):
+    """dup_of_dir arms streaming rejection ATTRIBUTION: the drained
+    blocker logs, ranked exactly like the replay oracle (highest est,
+    smallest blocker id on ties), equal q_neardup_gate_dup_of on the
+    same 3-generation arrival order — and a restart drains nothing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        q_neardup_gate_dup_of,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for g in range(3):
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in docs.filter(docs.doc_id % 3 == g).collect()
+        ]
+        _write(spark, os.path.join(inbox, f"g{g}.parquet"), rows)
+        past = __import__("time").time() - (30 - 10 * g)
+        os.utime(os.path.join(inbox, f"g{g}.parquet"), (past, past))
+
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dup_of = str(tmp_path / "dup_of")
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, dup_of_dir=dup_of
+    )
+    logs = spark.read.parquet(os.path.join(dup_of, "batch_id=*"))
+    w = Window.partitionBy("doc").orderBy(F.desc("est"), F.asc("odoc"))
+    got = {
+        (r["doc"], r["dup_of"], r["est"])
+        for r in logs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc", F.col("odoc").alias("dup_of"), F.round("est", 6).alias("est"))
+        .collect()
+    }
+    want = {
+        (r["doc"], r["dup_of"], r["est"])
+        for r in q_neardup_gate_dup_of(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want and got
+
+    before = {
+        d: sorted(os.listdir(os.path.join(dup_of, d)))
+        for d in os.listdir(dup_of)
+    }
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, dup_of_dir=dup_of
+    )
+    after = {
+        d: sorted(os.listdir(os.path.join(dup_of, d)))
+        for d in os.listdir(dup_of)
+    }
+    assert after == before

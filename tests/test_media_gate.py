@@ -175,3 +175,105 @@ def test_media_ingest_chain_drift_dedup_index(spark, tmp_path):
         spark, inbox, MSCHEMA, str(tmp_path / "work"), ref, index_path=ix
     )
     assert set(cs.state_subdirs(f"{ix}/codes").values()) == ids
+
+
+def test_media_gate_rejects_redelivered_accepted_id(spark):
+    """Family contract with the text gates: a re-delivered file carrying
+    an already-accepted media_id (same payload) is blocked by its own
+    prior signature — the cross-state direction keeps the self-pair."""
+    media = _media(spark)
+    first = media.filter(F.col("media_id").isin(0, 5))
+    state = spark.createDataFrame([], media_gate._SIG_SCHEMA)
+    _, sigs0, _ = media_gate.gate_media_batch(first, state)
+    # re-deliver item 0 verbatim alongside a novel item
+    batch = media.filter(F.col("media_id").isin(0, 7))
+    acc, sigs, dec = media_gate.gate_media_batch(batch, sigs0)
+    got = {r["doc"]: r["admitted"] for r in dec.collect()}
+    assert got[0] is False and got[7] is True
+    assert [r["media_id"] for r in acc.collect()] == [7]
+    assert [r["doc"] for r in sigs.collect()] == [7]
+
+
+def test_media_gate_stream_persists_dup_of_attribution(spark, tmp_path):
+    """dup_of_dir arms streaming media rejection attribution: drained
+    blocker logs ranked like the oracle (min distance, smallest blocker
+    id on ties) equal q_media_gate_dup_of on the same 3-generation
+    arrival order; restart drains nothing."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm import (
+        q_media_gate_dup_of,
+    )
+
+    media = _media(spark)
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for g in range(3):
+        _write_file(
+            media.filter(media.media_id % 3 == g),
+            os.path.join(inbox, f"g{g}.parquet"),
+            age_s=30 - 10 * g,
+        )
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dup_of = str(tmp_path / "dup_of")
+    media_gate.run_media_gate_available_now(
+        spark, inbox, MSCHEMA, out, state, ckpt, dup_of_dir=dup_of
+    )
+    logs = spark.read.parquet(os.path.join(dup_of, "batch_id=*"))
+    w = Window.partitionBy("doc").orderBy(F.asc("dist"), F.asc("odoc"))
+    got = {
+        (r["doc"], r["dup_of"], r["dist"])
+        for r in logs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc", F.col("odoc").alias("dup_of"), "dist")
+        .collect()
+    }
+    want = {
+        (r["doc"], r["dup_of"], r["dist"])
+        for r in q_media_gate_dup_of(spark, SF).collect()
+    }
+    assert got == want and got
+
+    before = {
+        d: sorted(os.listdir(os.path.join(dup_of, d)))
+        for d in os.listdir(dup_of)
+    }
+    media_gate.run_media_gate_available_now(
+        spark, inbox, MSCHEMA, out, state, ckpt, dup_of_dir=dup_of
+    )
+    after = {
+        d: sorted(os.listdir(os.path.join(dup_of, d)))
+        for d in os.listdir(dup_of)
+    }
+    assert after == before
+
+
+def test_media_gate_min_bytes_floor_claims_no_buckets(spark):
+    """The media quality floor composes like text's min_quality: a
+    below-floor item is dropped BEFORE signatures exist, so a later
+    above-floor copy of its payload is still admitted — and the floor
+    itself never rejects an above-floor item."""
+    media = _media(spark)
+    sizes = {
+        r["media_id"]: r["n"]
+        for r in media.select(
+            "media_id", F.length("payload").alias("n")
+        ).collect()
+    }
+    small = next(i for i, n in sorted(sizes.items()) if n < 200)
+    big = next(i for i, n in sorted(sizes.items()) if n >= 200)
+    state = spark.createDataFrame([], media_gate._SIG_SCHEMA)
+    # batch 1: a small item (below floor) — dropped, claims no buckets
+    b1 = media.filter(F.col("media_id") == small)
+    acc1, sigs1, dec1 = media_gate.gate_media_batch(
+        b1, state, min_bytes=200
+    )
+    assert acc1.count() == 0 and sigs1.count() == 0 and dec1.count() == 0
+    # batch 2: an above-floor item against the (empty) post-floor state —
+    # admitted; the floor never rejects an above-floor item
+    acc2, _, _ = media_gate.gate_media_batch(
+        media.filter(F.col("media_id") == big), sigs1, min_bytes=200
+    )
+    assert [r["media_id"] for r in acc2.collect()] == [big]

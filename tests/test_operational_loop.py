@@ -210,3 +210,80 @@ def test_media_operational_loop_chain_erase_rebuild_readd(spark, tmp_path):
         for r in mi.query_media_index(spark, ix, probe, k=400, n_probe=8).collect()
     }
     assert 305 in served
+
+
+def test_estate_catalog_over_loop_end_state(spark, tmp_path):
+    """The ops catalog reads the loop's END STATE as one relation:
+    served index (kind + frozen params + live dirs + tombstone
+    backlog), gate signature state, and the gate's decision log with
+    admission accounting — classified purely from on-disk markers."""
+    import json
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.catalog import (
+        catalog,
+        catalog_entry,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import dedup_gate
+
+    # a served text index with one tombstone
+    snapshot = spark.createDataFrame(
+        [(i, NORMAL_A) for i in range(10)]
+        + [(10 + i, NORMAL_B) for i in range(10)],
+        DSCHEMA,
+    )
+    ix = str(tmp_path / "ix")
+    ti.write_text_index(snapshot, ix, kind="ivfpq", n_cells=4, m=4, n_codes=8)
+    vi.delete_from_index(
+        spark.createDataFrame([(3,)], "vec_id long"), ix, batch_id=1
+    )
+
+    # a verified-gate drain with decision + dup_of logs: 2 files,
+    # second re-delivers doc 1 (rejected) plus a novel doc
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write_file(
+        spark,
+        spark.createDataFrame([(1, NORMAL_A), (2, NORMAL_B)], DSCHEMA),
+        os.path.join(inbox, "f0.parquet"), age_s=20,
+    )
+    _write_file(
+        spark,
+        spark.createDataFrame(
+            [(1, NORMAL_A), (5, NORMAL_A + " nu xi omicron pi rho sigma")],
+            DSCHEMA,
+        ),
+        os.path.join(inbox, "f1.parquet"), age_s=10,
+    )
+    gstate = str(tmp_path / "gstate")
+    gdec = str(tmp_path / "gdec")
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, DSCHEMA, str(tmp_path / "gout"), gstate,
+        str(tmp_path / "gckpt"), decisions_dir=gdec,
+    )
+
+    rel = catalog(spark, {"idx": ix, "gate": gstate, "dec": gdec})
+    rows = {r["name"]: r.asDict() for r in rel.collect()}
+    assert set(rows) == {"idx", "gate", "dec"}
+
+    idx = rows["idx"]
+    assert idx["category"] == "vector-index" and idx["kind"] == "ivfpq"
+    assert idx["modality"] == "text" and idx["tombstones"] == 1
+    assert idx["n_rows"] == 19 and idx["live_dirs"] == 1
+    assert json.loads(idx["params"])["salt"] == "emb"
+
+    gate = rows["gate"]
+    assert gate["category"] == "gate-state"
+    assert gate["kind"] == "verified-dedup-gate/v1" and gate["modality"] == "text"
+    assert gate["n_rows"] == 3  # 1, 2 admitted in b0; 5 in b1; re-del 1 rejected
+    assert gate["live_dirs"] == 2
+    assert json.loads(gate["params"])["threshold"] == 0.5
+
+    dec = rows["dec"]
+    assert dec["category"] == "decision-log"
+    assert dec["n_rows"] == 4 and dec["n_admitted"] == 3 and dec["n_rejected"] == 1
+
+    # fail-loud on an unclassifiable root
+    bogus = str(tmp_path / "bogus")
+    os.makedirs(bogus)
+    with pytest.raises(ValueError, match="no known layout"):
+        catalog_entry(spark, "bogus", bogus)
