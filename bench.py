@@ -150,6 +150,19 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
 
+    if explain:
+        # emitted by --explain itself so a snapshot regeneration can
+        # never drop the scope note again (r11 advice)
+        print(
+            "# HEADLINE-ONLY SNAPSHOT (10 queries) — bench.py --explain"
+            " output.\n"
+            "# This file intentionally covers ONLY the bench headline"
+            " queries; the\n"
+            "# full-registry plan audit (every registered query,"
+            " exchange/scan/\n"
+            "# cartesian counts) lives in PLAN_AUDIT_sf0.01.md."
+            " (r9 verdict #3)\n"
+        )
     for name, fn in qs.items():
         if explain:
             print(f"==== {name} ====")

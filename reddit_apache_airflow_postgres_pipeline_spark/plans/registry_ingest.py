@@ -1228,7 +1228,7 @@ def q_ingest_chain_text_serve_recall(
 # pin every data-derived number (row counts, admission counts) from
 # the same parquet tables.
 
-_ESTATE_VERSION = "v1"
+_ESTATE_VERSION = "v2"
 _EST_APPEND_LT = 60  # text append slice: vec_id % 3 = 1 AND vec_id < 60
 _EST_TOMBS = 3  # lowest 3 embedable build ids get tombstoned
 
@@ -1264,7 +1264,11 @@ def _estate_params() -> tuple[str, str, str]:
         },
         sort_keys=True,
     )
-    return text, media, gate
+    mgate = _json.dumps(
+        {"format": "media-gate/v1", "bits": 60, "max_hamming": 5},
+        sort_keys=True,
+    )
+    return text, media, gate, mgate
 
 
 def _estate_roots(sf_dir: str) -> dict[str, str]:
@@ -1278,6 +1282,8 @@ def _estate_roots(sf_dir: str) -> dict[str, str]:
     return {
         "gate_decisions": os.path.join(root, "gate_decisions"),
         "gate_state": os.path.join(root, "gate_state"),
+        "media_gate_decisions": os.path.join(root, "media_gate_decisions"),
+        "media_gate_state": os.path.join(root, "media_gate_state"),
         "media_idx": os.path.join(root, "media_idx"),
         "text_idx": os.path.join(root, "text_idx"),
     }
@@ -1378,6 +1384,40 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
         if g < 2:
             state = state.unionByName(acc_sigs).localCheckpoint()
+    # media gate state + decision logs: the media replay's 3 generations
+    # (media_id % 3) in the drain's layout — the catalog's fifth
+    # classification branch (media-modality gate state)
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA as _M_SIG_SCHEMA,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        gate_media_batch,
+    )
+
+    _cs.stamp_meta(
+        roots["media_gate_state"],
+        {"format": "media-gate/v1", "bits": 60, "max_hamming": 5},
+    )
+    all_media = _mm.media_from_documents(docs)
+    msig_all = ahash_signatures(all_media, n=60).select(
+        F.col("media_id").alias("doc"), "sig"
+    ).localCheckpoint()
+    mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
+    for g in range(3):
+        mbatch = all_media.filter((F.col("media_id") % 3).cast("int") == g)
+        msig_g = msig_all.filter((F.col("doc") % 3).cast("int") == g)
+        _, m_acc_sigs, mdec = gate_media_batch(mbatch, mstate, sig=msig_g)
+        m_acc_sigs.write.mode("overwrite").parquet(
+            os.path.join(roots["media_gate_state"], f"batch_id={g}")
+        )
+        mdec.write.mode("overwrite").parquet(
+            os.path.join(roots["media_gate_decisions"], f"batch_id={g}")
+        )
+        if g < 2:
+            mstate = mstate.unionByName(m_acc_sigs).localCheckpoint()
     with open(done, "w") as f:
         f.write("ok")
     return roots
@@ -1399,8 +1439,21 @@ def _estate_catalog_sql() -> str:
         _gate_chain_ctes,
         _gate_common_ctes,
     )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm import (
+        _media_gate_sig_ctes,
+    )
 
-    p_text, p_media, p_gate = _estate_params()
+    p_text, p_media, p_gate, p_mgate = _estate_params()
+    media_adm = f"""
+      SELECT doc FROM (
+        WITH {_media_gate_sig_ctes(60, 5)},
+        mcand AS (SELECT id_a, id_b FROM mdist),
+        gens AS (SELECT doc_id AS doc,
+                        CAST(doc_id % {_GATE_GENS} AS INT) AS gen
+                 FROM documents),
+        {_gate_chain_ctes("mcand", "", _GATE_GENS)}
+        SELECT g.doc AS doc FROM gens g
+        WHERE g.doc NOT IN (SELECT doc FROM rej)) mgz"""
     text_pred = (
         f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
     )
@@ -1410,6 +1463,7 @@ def _estate_catalog_sql() -> str:
     vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),
     {_gate_chain_ctes("vcand", "", _GATE_GENS)},
     adm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej)),
+    madm AS MATERIALIZED ({media_adm}),
     tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
               ORDER BY vec_id LIMIT {_EST_TOMBS})
     SELECT * FROM (
@@ -1426,6 +1480,17 @@ def _estate_catalog_sql() -> str:
              '{p_gate}',
              (SELECT COUNT(*) FROM adm WHERE doc IN (SELECT doc FROM sig)),
              3, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT 'media_gate_decisions', 'decision-log', 'decisions',
+             CAST(NULL AS VARCHAR), '{{}}',
+             (SELECT COUNT(*) FROM documents), 3, CAST(NULL AS BIGINT),
+             (SELECT COUNT(*) FROM madm),
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM madm)
+      UNION ALL
+      SELECT 'media_gate_state', 'gate-state', 'media-gate/v1', 'media',
+             '{p_mgate}',
+             (SELECT COUNT(*) FROM madm), 3, CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 'media_idx', 'vector-index', 'binary', 'media',
@@ -1447,10 +1512,10 @@ def _estate_catalog_sql() -> str:
 def q_ops_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole serving estate as ONE relation (sinks/catalog.catalog):
     served text + media indexes with their frozen featurizer/codec
-    params, live batch-dir counts and tombstone backlogs, gate
-    signature state, and gate decision-log admission accounting — the
-    dashboard an ingest operator reads instead of running index_stats
-    per store and replaying gates for drop rates. Every store is
+    params, live batch-dir counts and tombstone backlogs, BOTH
+    modalities' gate signature state, and both decision-log admission
+    accountings — the dashboard an ingest operator reads instead of
+    running index_stats per store and replaying gates for drop rates. Every store is
     classified from its own on-disk markers (the same ones the read
     paths verify), and every data-derived cell is pinned against the
     documents table by the oracle."""

@@ -3492,3 +3492,72 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("est", 6).alias("est"),
         )
     )
+
+
+def _gate_admission_drift_sql(
+    num_hashes: int, bands: int, threshold: float, n_gens: int
+) -> str:
+    """PSI between generation 0's and generation {n_gens-1}'s 2-bin
+    admitted/rejected distributions, with the family's exact smoothing
+    and rounding contract (q_media_size_drift / curation.psi_drift)."""
+    parts = [
+        "WITH " + _gate_common_ctes(num_hashes, bands, n_gens),
+        f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {threshold!r}),",
+        _gate_chain_ctes("vcand", "", n_gens) + ",",
+        "d AS (SELECT g.doc, g.gen,"
+        " CASE WHEN g.doc NOT IN (SELECT doc FROM rej) THEN 1 ELSE 0 END"
+        " AS bin FROM gens g),",
+        "bins AS (SELECT unnest(generate_series(0, 1)) AS bin),",
+        "r AS (SELECT bin, COUNT(*) AS n_ref FROM d WHERE gen = 0 GROUP BY bin),",
+        f"c AS (SELECT bin, COUNT(*) AS n_cur FROM d"
+        f" WHERE gen = {n_gens - 1} GROUP BY bin),",
+        "tot AS (SELECT (SELECT COUNT(*) FROM d WHERE gen = 0) AS tr,"
+        f" (SELECT COUNT(*) FROM d WHERE gen = {n_gens - 1}) AS tc),",
+        """p AS (
+          SELECT b.bin,
+                 COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur,
+                 round(greatest(CASE WHEN tot.tr > 0
+                                THEN COALESCE(r.n_ref, 0) * 1.0 / tot.tr
+                                ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                 round(greatest(CASE WHEN tot.tc > 0
+                                THEN COALESCE(c.n_cur, 0) * 1.0 / tot.tc
+                                ELSE 0.0 END, 0.0001), 6) AS p_cur
+          FROM bins b LEFT JOIN r ON r.bin = b.bin
+                      LEFT JOIN c ON c.bin = b.bin
+          CROSS JOIN tot)
+        SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur,
+               round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+        FROM p""",
+    ]
+    return "\n".join(parts)
+
+
+@_q(
+    "q_gate_admission_drift",
+    _gate_admission_drift_sql(_GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS),
+)
+def q_gate_admission_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-RATE drift — the decision logs fed into the standard
+    PSI monitor: generation 0 of the verified-gate replay is the
+    reference admission distribution (gated only within itself), the
+    last generation the current one (gated against all accumulated
+    state, so its rejection share is structurally higher) — a pinned
+    drifted-vs-stable series. The streaming form
+    (dedup_gate.admission_rate_drift / admission_drift_alert) computes
+    the SAME relation from the drained decision logs
+    (tests/test_dedup_gate.py parity); a rejection spike — the #1
+    dedup-gate incident — is one decision-sized aggregate away from an
+    alert, never a gate replay."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        psi_drift,
+    )
+
+    dec = q_neardup_gate_replay(spark, sf_dir).select(
+        "gen", F.col("admitted").cast("int").alias("bin")
+    )
+    return psi_drift(
+        dec.filter(F.col("gen") == 0).select("bin"),
+        dec.filter(F.col("gen") == _GATE_GENS - 1).select("bin"),
+        bins=2,
+    )

@@ -745,3 +745,124 @@ def q_media_size_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.filter(F.col("media_id") % 2 == 1),
         bins=_SIZE_BINS,
     )
+
+
+# -- cross-modal retrieval: one query over both served modalities ------------
+
+_XM_K = 5  # per-modality depth AND fused output depth
+
+
+def _multimodal_topk_sql() -> str:
+    """Each modality's FULL composed-index pipeline nested in its own
+    WITH scope (the chain-serve precedent — _ivfpq_ctes' CTE names
+    would collide if inlined twice), then the registry's standard RRF
+    fusion (registry_ml._rrf_sql's full-join form, damping K=60) over
+    the two per-query rankings."""
+    text_top = f"""
+      SELECT query_id, neighbor_id, dist FROM (
+        WITH {_ML._embed_ctes()},
+        {_ML._ivfpq_ctes(src="temb")}
+        SELECT query_id, neighbor_id, dist FROM ivfpqtop) tz"""
+    media_top = f"""
+      SELECT query_id, neighbor_id, dist FROM (
+        WITH {_MF_CTES},
+        {_ML._ivfpq_ctes(src="mf")}
+        SELECT query_id, neighbor_id, dist FROM ivfpqtop) mz"""
+    return f"""
+    WITH ttop AS MATERIALIZED ({text_top}),
+    mtop AS MATERIALIZED ({media_top}),
+    tr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rnk
+           FROM ttop),
+    mr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rnk
+           FROM mtop),
+    fused AS (
+      SELECT coalesce(t.query_id, m.query_id) AS query_id,
+             coalesce(t.neighbor_id, m.neighbor_id) AS neighbor_id,
+             CAST(t.rnk AS BIGINT) AS text_rank,
+             CAST(m.rnk AS BIGINT) AS media_rank,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({_ML._RRF_K} + t.rnk), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / ({_ML._RRF_K} + m.rnk), 0.0),
+                   6) AS rrf
+      FROM tr t FULL JOIN mr m
+        ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id)
+    SELECT query_id, neighbor_id, text_rank, media_rank, rrf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id) AS rn
+      FROM fused)
+    WHERE rn <= {_XM_K}
+    """
+
+
+@_q("q_multimodal_topk", _multimodal_topk_sql())
+def q_multimodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval over ONE corpus with kind-dispatched
+    featurization: every document exists as text (hashed-n-gram
+    embedding) and as a media payload (byte-histogram features through
+    the Arrow codec stage); each modality is served by its own composed
+    IVFPQ index (16 cells / 4 probes / m=4 / 16 codes, top-5), and the
+    two per-query rankings are rank-fused with standard RRF (K=60,
+    full-join form — the q_hybrid_rrf_retrieval machinery applied
+    across modalities instead of across lexical/dense). A neighbor
+    strong in both modalities outranks one strong in either alone —
+    the multimodal-dedup/retrieval north star as one declarative plan.
+
+    Scale shape: ONE memoized featurization per modality
+    (_text_emb_corpus / _media_feat_df localCheckpoints, shared with
+    every other index query), two audited composed-index plans, then a
+    skinny (query, neighbor, rank) full join — fusion adds no
+    corpus-sized work."""
+    from pyspark.sql import Window
+
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    def ranked(feats: DataFrame) -> DataFrame:
+        q = feats.filter(F.col("vec_id") < 8)
+        top = ivfpq_topk(
+            feats, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=_XM_K, iters=1
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("dist"), F.asc("neighbor_id")
+        )
+        return top.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("rnk")
+        )
+
+    tr = ranked(_ML._text_emb_corpus(spark, sf_dir))
+    mr = ranked(_media_feat_df(spark, sf_dir))
+    fused = (
+        tr.withColumnRenamed("rnk", "text_rank")
+        .join(
+            mr.withColumnRenamed("rnk", "media_rank"),
+            ["query_id", "neighbor_id"],
+            "full",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("text_rank").cast("long").alias("text_rank"),
+            F.col("media_rank").cast("long").alias("media_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_ML._RRF_K) + F.col("text_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_ML._RRF_K) + F.col("media_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _XM_K)
+        .select("query_id", "neighbor_id", "text_rank", "media_rank", "rrf")
+    )

@@ -167,6 +167,70 @@ def compact_state(
     )
 
 
+def bucket_state(
+    spark: SparkSession,
+    state_dir: str,
+    table: str,
+    path: str,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Materialize the raw gate's accepted-band store as an EXTERNAL
+    bucketed + sorted table on ``bk`` — the module docstring's 100 TB
+    layout made real instead of documented. Every per-batch probe
+    (``keys ⟕ state.select("bk").distinct()``) against the returned
+    table reads co-located buckets: the state-side distinct runs
+    partial+final over the bucketed scan with NO Exchange, so the
+    dominant per-batch cost stops being a full-store shuffle and
+    becomes a scan of only the state's own files (tests/test_dedup_gate
+    asserts the plan). Re-run after compactions to refresh; admission
+    decisions are IDENTICAL to the flat layout (the state is a set —
+    same rows, different physical clustering)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    write_bucketed(
+        _load_state(spark, state_dir).select("doc", "bk"),
+        table, ["bk"], num_buckets, path, sort_cols=["bk"],
+    )
+    return spark.table(table)
+
+
+def bucket_sig_state(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int,
+    bands: int,
+    table_prefix: str,
+    path: str,
+    num_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The VERIFIED gate's bucketed layout: TWO external tables —
+    ``<prefix>_sigs`` bucketed on ``doc`` (the verification joins'
+    probe key) and ``<prefix>_keys``, the DERIVED band keys bucketed on
+    ``bk`` (the candidate semi-join's probe key). Pass them to
+    :func:`gate_batch_verified_attributed` as (state_keys, state_sigs):
+    per batch, the candidate join reads only matching ``bk`` buckets
+    and the signature join only matching ``doc`` buckets, neither side
+    re-shuffling the store. Returns (keys_table, sigs_table)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    sigs = _load_sig_state(spark, state_dir, num_hashes)
+    write_bucketed(
+        sigs, f"{table_prefix}_sigs", ["doc"], num_buckets,
+        os.path.join(path, "sigs"), sort_cols=["doc"],
+    )
+    sigs_t = spark.table(f"{table_prefix}_sigs")
+    write_bucketed(
+        band_keys_of_signature(sigs_t, num_hashes, bands),
+        f"{table_prefix}_keys", ["bk"], num_buckets,
+        os.path.join(path, "keys"), sort_cols=["bk"],
+    )
+    return spark.table(f"{table_prefix}_keys"), sigs_t
+
+
 def gate_batch(
     batch_df: DataFrame,
     state: DataFrame,
@@ -247,6 +311,7 @@ def run_gate_available_now(
     bands: int = 4,
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
     min_quality: float | None = None,
+    decisions_dir: str | None = None,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger. Accepted rows land under
@@ -256,7 +321,13 @@ def run_gate_available_now(
     file is gated exactly once across restarts. When the state store
     exceeds ``compact_after_dirs`` directories it is folded into a
     single generation (:func:`compact_state`), bounding per-batch
-    listing/open cost over an unbounded run.
+    listing/open cost over an unbounded run. ``decisions_dir`` arms the
+    family's monitoring log — per-batch (doc, admitted) under
+    ``decisions_dir/batch_id=<i>`` with the same exactly-once per-dir
+    overwrite, derived from the COMMITTED accepted dir (one id
+    anti-join against what was just written, never a gate recompute) so
+    the raw bucket policy feeds :func:`admission_rate_drift` exactly
+    like the verified and media gates.
 
     The gate's geometry is stamped into the state meta exactly as the
     verified gate's is (r11 review: the guard was one-directional — a
@@ -295,12 +366,39 @@ def run_gate_available_now(
             batch_df, state, id_col, text_col, n, num_hashes, bands,
             min_quality=min_quality,
         )
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        out_sub = os.path.join(out_dir, f"batch_id={batch_id}")
+        accepted.write.mode("overwrite").parquet(out_sub)
         accepted_keys.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
+        if decisions_dir is not None:
+            sp = batch_df.sparkSession
+            gated = batch_df
+            if min_quality is not None:
+                # the family contract: a quality-dropped doc never
+                # reached the gate, so it has no decision row (same as
+                # gate_batch_verified's filtered decisions)
+                from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
+                    quality_score,
+                )
+
+                gated = gated.filter(
+                    quality_score(text_col) >= F.lit(float(min_quality))
+                )
+            acc_ids = sp.read.parquet(out_sub).select(
+                F.col(id_col).alias("doc"), F.lit(True).alias("__a")
+            )
+            dec = (
+                gated.select(F.col(id_col).alias("doc"))
+                .join(acc_ids, "doc", "left")
+                .select(
+                    "doc",
+                    F.coalesce(F.col("__a"), F.lit(False)).alias("admitted"),
+                )
+            )
+            dec.write.mode("overwrite").parquet(
+                os.path.join(decisions_dir, f"batch_id={batch_id}")
+            )
         if len(_state_subdirs(state_dir)) > compact_after_dirs:
             compact_state(
                 batch_df.sparkSession, state_dir, exclude_from=batch_id
@@ -483,6 +581,7 @@ def gate_batch_verified_attributed(
     sig: DataFrame | None = None,
     min_quality: float | None = None,
     checkpoint_blockers: bool = False,
+    state_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`gate_batch_verified` plus the BLOCKER relation: the fourth
     element is (doc, odoc, est) — every above-threshold pair that was
@@ -498,7 +597,14 @@ def gate_batch_verified_attributed(
     ``checkpoint_blockers=True`` localCheckpoints the blocker relation
     BEFORE deriving the other three from it, so a caller that writes
     all four (the dup_of-armed drain) runs the candidate/estimate joins
-    once instead of once per sink."""
+    once instead of once per sink.
+
+    ``state_keys`` optionally supplies the state's PRECOMPUTED band-key
+    relation (doc, bk) — e.g. :func:`bucket_sig_state`'s bucketed
+    table, so the candidate probe reads co-located ``bk`` buckets
+    instead of re-deriving and re-shuffling keys from the signature
+    store every batch; must equal ``band_keys_of_signature(state_sigs,
+    num_hashes, bands)``."""
     if min_quality is not None:
         from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
             quality_score,
@@ -514,7 +620,11 @@ def gate_batch_verified_attributed(
     if sig is None:
         sig = minhash_signature(batch_df, id_col, text_col, n, num_hashes)
     keys = band_keys_of_signature(sig, num_hashes, bands)
-    skeys = band_keys_of_signature(state_sigs, num_hashes, bands)
+    skeys = (
+        state_keys
+        if state_keys is not None
+        else band_keys_of_signature(state_sigs, num_hashes, bands)
+    )
     blockers = _est_blockers(
         keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False
     ).unionAll(
@@ -656,3 +766,73 @@ def compact_sig_state(
         exclude_from,
         num_partitions,
     )
+
+
+# -- admission-rate drift: the decision logs feeding the drift machinery -----
+#
+# A sudden rejection spike is the #1 real-world dedup-gate incident (a
+# re-crawled shard, a broken upstream dedup, a feed looping on itself).
+# The gates already persist per-batch (doc, admitted) decision logs;
+# these hooks run the standard PSI monitor (operators/curation.psi_drift
+# — the same smoothing/rounding contract every drift gate shares) over
+# the admitted/rejected distribution of a reference batch window vs the
+# current one, so the alert is a read over decision-sized logs, never a
+# replay of the gate.
+
+
+def admission_rate_drift(
+    spark: SparkSession,
+    decisions_dir: str,
+    ref_max_batch: int,
+    cur_min_batch: int | None = None,
+) -> DataFrame:
+    """PSI relation (bin, n_ref, n_cur, p_ref, p_cur, psi_term) over
+    the 2-bin admitted/rejected distribution: reference = decisions
+    with ``batch_id <= ref_max_batch``, current = decisions with
+    ``batch_id > (cur_min_batch or ref_max_batch)``. Total PSI =
+    Σ psi_term; 0.25 is the family's major-drift convention."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        psi_drift,
+    )
+
+    dec = spark.read.parquet(decisions_dir).select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("admitted").cast("int").alias("bin"),
+    )
+    ref = dec.filter(F.col("batch_id") <= ref_max_batch)
+    cur = dec.filter(
+        F.col("batch_id")
+        > (ref_max_batch if cur_min_batch is None else cur_min_batch - 1)
+    )
+    return psi_drift(ref.select("bin"), cur.select("bin"), bins=2)
+
+
+def admission_drift_alert(
+    spark: SparkSession,
+    decisions_dir: str,
+    ref_max_batch: int,
+    threshold: float = 0.25,
+    cur_min_batch: int | None = None,
+) -> dict:
+    """The operational form — the gate-side analog of
+    sinks/vector_index.rebuild_index_if_stale's measure-then-act loop:
+    one decision-sized aggregate over the logs, returning
+    ``{"psi", "drifted", "n_ref", "n_cur"}``. An operator wires
+    ``drifted`` to its remediation (quarantine the feed, refresh the
+    drift reference, or trigger the index rebuild ladder) — measuring
+    is this function's whole job, deciding what to do is the caller's."""
+    rel = admission_rate_drift(
+        spark, decisions_dir, ref_max_batch, cur_min_batch
+    )
+    row = rel.agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+    ).collect()[0]
+    psi = float(row["psi"] or 0.0)
+    return {
+        "psi": psi,
+        "drifted": psi > threshold,
+        "n_ref": int(row["n_ref"] or 0),
+        "n_cur": int(row["n_cur"] or 0),
+    }

@@ -446,6 +446,7 @@ def run_media_ingest_available_now(
     bits: int = 60,
     max_hamming: int = 5,
     index_path: str | None = None,
+    gate_kwargs: dict | None = None,
 ) -> dict[str, str]:
     """The ingest chain for the MEDIA modality: payload-size drift gate
     → aHash near-dup gate → (optional) persisted media index — the
@@ -458,7 +459,13 @@ def run_media_ingest_available_now(
     index's quantizers). Directory chaining, per-stage checkpoints,
     and the exactly-once/restart contract are the text chains',
     verbatim; batch form of the near-dup stage replayed by
-    plans/registry_mm.q_media_gate_replay (oracle-paired)."""
+    plans/registry_mm.q_media_gate_replay (oracle-paired).
+
+    ``gate_kwargs`` passes through to the media gate runner — the text
+    chains' dedup_kwargs contract: the payload-size quality floor
+    (``min_bytes``), the monitoring logs (``decisions_dir``,
+    ``dup_of_dir``), or compaction tuning, without the chain spelling
+    every gate option."""
     from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
         media_gate,
         vector_index_stream,
@@ -499,6 +506,7 @@ def run_media_ingest_available_now(
             id_col=id_col,
             bits=bits,
             max_hamming=max_hamming,
+            **(gate_kwargs or {}),
         )
     if index_path is not None and _has_batches(p["accepted"]):
         vector_index_stream.run_media_index_append_available_now(

@@ -490,3 +490,199 @@ def test_verified_gate_stream_persists_dup_of_attribution(spark, tmp_path):
         for d in os.listdir(dup_of)
     }
     assert after == before
+
+
+def test_bucketed_state_identical_admissions_no_state_shuffle(spark, tmp_path):
+    """The 100 TB state layout made real: the raw gate's accepted-band
+    store as a bucketed table on bk gives (a) IDENTICAL admissions to
+    the flat layout and (b) a per-batch probe whose state side runs
+    with NO Exchange — the distinct folds partial+final directly over
+    the bucketed scan, so the store is scanned, never re-shuffled."""
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write(spark, os.path.join(inbox, "f0.parquet"),
+           [(1, A), (2, B), (3, C)])
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dedup_gate.run_gate_available_now(spark, inbox, SCHEMA, out, state, ckpt)
+
+    bucketed = dedup_gate.bucket_state(
+        spark, state, "t_gate_state_b", str(tmp_path / "bstate"), num_buckets=4
+    )
+    flat = dedup_gate._load_state(spark, state)
+    batch = spark.createDataFrame([(10, A), (11, "totally new doc text")], SCHEMA)
+    acc_flat, _ = dedup_gate.gate_batch(batch, flat)
+    acc_bkt, _ = dedup_gate.gate_batch(batch, bucketed)
+    assert (
+        sorted(r["doc_id"] for r in acc_flat.collect())
+        == sorted(r["doc_id"] for r in acc_bkt.collect())
+        == [11]
+    )
+
+    # plan: the probe against the bucketed table must not shuffle the
+    # state side — no Exchange on bk anywhere (the flat layout needs
+    # one for the same distinct)
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_band_keys,
+    )
+
+    keys = minhash_band_keys(batch).select("doc", "bk").localCheckpoint()
+
+    def _probe_plan(st):
+        probe = keys.join(st.select("bk").distinct(), "bk", "left_semi")
+        return spark._jvm.PythonSQLUtils.explainString(
+            probe._jdf.queryExecution(), "formatted"
+        )
+
+    bplan = _probe_plan(bucketed)
+    assert "Bucketed: true" in bplan
+    assert "hashpartitioning(bk" not in bplan
+    fplan = _probe_plan(flat)
+    assert "hashpartitioning(bk" in fplan
+
+    spark.sql("DROP TABLE IF EXISTS t_gate_state_b")
+
+
+def test_bucketed_sig_state_verified_gate_parity(spark, tmp_path):
+    """Verified-gate bucketed layout: the derived band-key table (on
+    bk) and signature table (on doc) drive gate_batch_verified to the
+    SAME admissions and blocker attribution as the flat store, with
+    both probes reading bucketed scans."""
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write(spark, os.path.join(inbox, "f0.parquet"),
+           [(1, A), (2, B), (3, BAND_BASE)])
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt
+    )
+
+    keys_t, sigs_t = dedup_gate.bucket_sig_state(
+        spark, state, 12, 4, "t_vgate", str(tmp_path / "bsig"), num_buckets=4
+    )
+    flat = dedup_gate._load_sig_state(spark, state, 12)
+    batch = spark.createDataFrame(
+        [(10, A), (11, "totally new doc text"), (12, BAND_BASE)], SCHEMA
+    )
+    accs = {}
+    for label, st, skeys in (("flat", flat, None), ("bucketed", sigs_t, keys_t)):
+        acc, _, _, blk = dedup_gate.gate_batch_verified_attributed(
+            batch, st, state_keys=skeys
+        )
+        accs[label] = (
+            sorted(r["doc_id"] for r in acc.collect()),
+            sorted((r["doc"], r["odoc"]) for r in blk.collect()),
+        )
+    assert accs["flat"] == accs["bucketed"]
+    assert accs["flat"][0] == [11]  # 10 dups state doc 1, 12 dups doc 3
+
+    _, _, _, blk = dedup_gate.gate_batch_verified_attributed(
+        batch, sigs_t, state_keys=keys_t
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        blk._jdf.queryExecution(), "formatted"
+    )
+    # at fixture scale autoBucketedScan bypasses bucketing on a side
+    # that gets broadcast anyway; at least one state probe must read
+    # bucketed, and BOTH tables must carry bucket metadata (the layout
+    # the planner uses whenever the side is too big to broadcast)
+    assert "Bucketed: true" in plan
+    for t in ("t_vgate_keys", "t_vgate_sigs"):
+        desc = "\n".join(
+            f"{r['col_name']} {r['data_type']}"
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        )
+        assert "Num Buckets 4" in desc, desc
+
+    spark.sql("DROP TABLE IF EXISTS t_vgate_keys")
+    spark.sql("DROP TABLE IF EXISTS t_vgate_sigs")
+
+
+def test_admission_rate_drift_stream_matches_replay(spark, tmp_path):
+    """The admission-rate monitor over DRAINED decision logs equals the
+    oracle-paired replay relation (q_gate_admission_drift: gen 0 as
+    reference, last gen as current), and the alert hook reports the
+    summed PSI with the threshold decision."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        q_gate_admission_drift,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for g in range(3):
+        rows = [
+            (r["doc_id"], r["text"])
+            for r in docs.filter(docs.doc_id % 3 == g).collect()
+        ]
+        _write(spark, os.path.join(inbox, f"g{g}.parquet"), rows)
+        past = __import__("time").time() - (30 - 10 * g)
+        os.utime(os.path.join(inbox, f"g{g}.parquet"), (past, past))
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dec_dir = str(tmp_path / "decisions")
+    dedup_gate.run_verified_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, decisions_dir=dec_dir
+    )
+
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in dedup_gate.admission_rate_drift(
+            spark, dec_dir, ref_max_batch=0, cur_min_batch=2
+        ).collect()
+    }
+    want = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in q_gate_admission_drift(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want and set(got) == {0, 1}
+
+    alert = dedup_gate.admission_drift_alert(
+        spark, dec_dir, ref_max_batch=0, cur_min_batch=2, threshold=0.0
+    )
+    assert alert["psi"] == round(
+        sum(v[4] for v in want.values()), 6
+    )
+    assert alert["drifted"] is (alert["psi"] > 0.0)
+    assert alert["n_ref"] == sum(v[0] for v in want.values())
+    assert alert["n_cur"] == sum(v[1] for v in want.values())
+
+
+def test_raw_gate_decisions_log_feeds_admission_drift(spark, tmp_path):
+    """The raw bucket gate (the chains' default policy) persists the
+    family decision log too: per-batch (doc, admitted) matching the
+    drained accepted set, consumable by admission_rate_drift."""
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    _write(spark, os.path.join(inbox, "f0.parquet"), [(1, A), (2, A), (3, B)])
+    _write(spark, os.path.join(inbox, "f1.parquet"), [(4, A), (5, C)])
+    os.utime(os.path.join(inbox, "f0.parquet"),
+             (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(inbox, "f1.parquet"),
+             (1_700_000_060, 1_700_000_060))
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    dec_dir = str(tmp_path / "decisions")
+    dedup_gate.run_gate_available_now(
+        spark, inbox, SCHEMA, out, state, ckpt, decisions_dir=dec_dir
+    )
+    dec = {
+        (r["batch_id"], r["doc"]): r["admitted"]
+        for r in spark.read.parquet(dec_dir).collect()
+    }
+    assert dec == {
+        (0, 1): True, (0, 2): False, (0, 3): True,
+        (1, 4): False, (1, 5): True,
+    }
+    alert = dedup_gate.admission_drift_alert(
+        spark, dec_dir, ref_max_batch=0, threshold=10.0
+    )
+    assert alert["n_ref"] == 3 and alert["n_cur"] == 2
+    assert alert["drifted"] is False

@@ -277,3 +277,57 @@ def test_media_gate_min_bytes_floor_claims_no_buckets(spark):
         media.filter(F.col("media_id") == big), sigs1, min_bytes=200
     )
     assert [r["media_id"] for r in acc2.collect()] == [big]
+
+
+def test_media_chain_gate_kwargs_logs_and_floor(spark, tmp_path):
+    """gate_kwargs flows through the media ingest chain to the gate
+    runner: the quality floor drops a tiny payload before it claims
+    buckets, and decision + dup_of logs land under the caller's dirs."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        drift_gate,
+        ingest_pipeline,
+    )
+
+    media = _media(spark)
+    sizes = {
+        r["media_id"]: r["n"]
+        for r in media.select("media_id", F.length("payload").alias("n")).collect()
+    }
+    small = next(i for i, n in sorted(sizes.items()) if n < 200)
+    bigs = [i for i, n in sorted(sizes.items()) if n >= 200][:3]
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    batch = media.filter(F.col("media_id").isin([small] + bigs))
+    ref = str(tmp_path / "ref")
+    # reference = the batch's own size distribution → PSI 0, stage-1
+    # admits everything; this test is about stage-2's gate_kwargs
+    drift_gate.write_reference(
+        batch, ref, metric=drift_gate.payload_size_metric(),
+        bin_width=256, bins=10,
+    )
+    _write_file(batch, os.path.join(inbox, "f0.parquet"), age_s=10)
+
+    dec_dir = str(tmp_path / "gdec")
+    dup_dir = str(tmp_path / "gdup")
+    p = ingest_pipeline.run_media_ingest_available_now(
+        spark, inbox, MSCHEMA, str(tmp_path / "work"), ref,
+        gate_kwargs={
+            "min_bytes": 200,
+            "decisions_dir": dec_dir,
+            "dup_of_dir": dup_dir,
+        },
+    )
+    accepted = {
+        r["media_id"]
+        for r in spark.read.parquet(
+            os.path.join(p["accepted"], "batch_id=*")
+        ).collect()
+    }
+    assert small not in accepted and set(bigs) <= accepted | set()
+    dec = {r["doc"]: r["admitted"] for r in spark.read.parquet(dec_dir).collect()}
+    assert small not in dec  # quality-dropped: no decision row
+    assert all(dec.get(b) is not None for b in bigs)
+    assert os.path.isdir(dup_dir) or not any(
+        not v for v in dec.values()
+    )  # dup_of rows exist only if something was rejected

@@ -264,6 +264,14 @@ BNLJ_ALLOWED = {
     "q_bpe_learn_merges": "1-row argmax merge broadcast per round",
     "q_corpus_psi_drift": "1-row snapshot-total scalars",
     "q_media_size_drift": "1-row snapshot-total scalars (psi_drift)",
+    "q_gate_admission_drift": (
+        "1-row snapshot-total scalars (psi_drift over the replay's "
+        "2-bin admitted/rejected counts)"
+    ),
+    "q_multimodal_topk": (
+        "n_cells coarse centroids broadcast in BOTH modalities' "
+        "composed-index plans (the q_sim_ivfpq fan-out, twice)"
+    ),
     "q_drift_ref_refresh": (
         "1-row snapshot-total + window-count scalars (the psi shape, "
         "plus the refresh policy's 1-row hysteresis switch)"
