@@ -1228,7 +1228,7 @@ def q_ingest_chain_text_serve_recall(
 # pin every data-derived number (row counts, admission counts) from
 # the same parquet tables.
 
-_ESTATE_VERSION = "v2"
+_ESTATE_VERSION = "v3"
 _EST_APPEND_LT = 60  # text append slice: vec_id % 3 = 1 AND vec_id < 60
 _EST_TOMBS = 3  # lowest 3 embedable build ids get tombstoned
 
@@ -1281,8 +1281,10 @@ def _estate_roots(sf_dir: str) -> dict[str, str]:
     )
     return {
         "gate_decisions": os.path.join(root, "gate_decisions"),
+        "gate_dup_of": os.path.join(root, "gate_dup_of"),
         "gate_state": os.path.join(root, "gate_state"),
         "media_gate_decisions": os.path.join(root, "media_gate_decisions"),
+        "media_gate_dup_of": os.path.join(root, "media_gate_dup_of"),
         "media_gate_state": os.path.join(root, "media_gate_state"),
         "media_idx": os.path.join(root, "media_idx"),
         "text_idx": os.path.join(root, "text_idx"),
@@ -1321,7 +1323,7 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     )
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
         _sig_schema,
-        gate_batch_verified,
+        gate_batch_verified_attributed,
     )
 
     roots = _estate_roots(sf_dir)
@@ -1375,12 +1377,17 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     for g in range(3):
         batch = docs.filter(mod3 == g)
         sig_g = sig_all.filter((F.col("doc") % 3).cast("int") == g)
-        _, acc_sigs, dec = gate_batch_verified(batch, state, sig=sig_g)
+        _, acc_sigs, dec, blk = gate_batch_verified_attributed(
+            batch, state, sig=sig_g, checkpoint_blockers=True
+        )
         acc_sigs.write.mode("overwrite").parquet(
             os.path.join(roots["gate_state"], f"batch_id={g}")
         )
         dec.write.mode("overwrite").parquet(
             os.path.join(roots["gate_decisions"], f"batch_id={g}")
+        )
+        blk.write.mode("overwrite").parquet(
+            os.path.join(roots["gate_dup_of"], f"batch_id={g}")
         )
         if g < 2:
             state = state.unionByName(acc_sigs).localCheckpoint()
@@ -1394,7 +1401,7 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         _SIG_SCHEMA as _M_SIG_SCHEMA,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        gate_media_batch,
+        gate_media_batch_attributed,
     )
 
     _cs.stamp_meta(
@@ -1409,12 +1416,17 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     for g in range(3):
         mbatch = all_media.filter((F.col("media_id") % 3).cast("int") == g)
         msig_g = msig_all.filter((F.col("doc") % 3).cast("int") == g)
-        _, m_acc_sigs, mdec = gate_media_batch(mbatch, mstate, sig=msig_g)
+        _, m_acc_sigs, mdec, mblk = gate_media_batch_attributed(
+            mbatch, mstate, sig=msig_g, checkpoint_blockers=True
+        )
         m_acc_sigs.write.mode("overwrite").parquet(
             os.path.join(roots["media_gate_state"], f"batch_id={g}")
         )
         mdec.write.mode("overwrite").parquet(
             os.path.join(roots["media_gate_decisions"], f"batch_id={g}")
+        )
+        mblk.write.mode("overwrite").parquet(
+            os.path.join(roots["media_gate_dup_of"], f"batch_id={g}")
         )
         if g < 2:
             mstate = mstate.unionByName(m_acc_sigs).localCheckpoint()
@@ -1444,26 +1456,52 @@ def _estate_catalog_sql() -> str:
     )
 
     p_text, p_media, p_gate, p_mgate = _estate_params()
-    media_adm = f"""
-      SELECT doc FROM (
-        WITH {_media_gate_sig_ctes(60, 5)},
-        mcand AS (SELECT id_a, id_b FROM mdist),
-        gens AS (SELECT doc_id AS doc,
-                        CAST(doc_id % {_GATE_GENS} AS INT) AS gen
-                 FROM documents),
-        {_gate_chain_ctes("mcand", "", _GATE_GENS)}
-        SELECT g.doc AS doc FROM gens g
-        WHERE g.doc NOT IN (SELECT doc FROM rej)) mgz"""
     text_pred = (
         f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
+    )
+
+    # per-generation blocker CTEs for BOTH modalities — the dup_of
+    # stores' row counts; conditions identical to the dup_of oracles
+    # (registry_ml._gate_dup_of_sql / registry_mm._media_gate_dup_of_sql)
+    def _blk(tag: str, rel: str, pred: str, sfx: str) -> list[str]:
+        parts, sels = [], []
+        for g in range(_GATE_GENS):
+            prev = (
+                "\nUNION ALL\n".join(
+                    f"SELECT doc FROM acc{j}{sfx}" for j in range(g)
+                )
+                if g
+                else None
+            )
+            in_batch = (
+                f"(e.id_b < e.id_a AND e.id_b IN"
+                f" (SELECT doc FROM gens WHERE gen = {g}))"
+            )
+            cond = f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
+            parts.append(
+                f"{tag}{g} AS (SELECT e.id_a AS doc FROM {rel} e"
+                f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+                f" WHERE {pred}{cond}),"
+            )
+            sels.append(f"SELECT * FROM {tag}{g}")
+        parts.append(f"{tag} AS (" + "\nUNION ALL\n".join(sels) + "),")
+        return parts
+
+    blk_ctes = "\n".join(
+        _blk("tblk", "est", f"e.est >= {_GATE_T!r} AND ", "")
+        + _blk("mblk", "mdist", "", "_m")
     )
     return f"""
     WITH {_embed_ctes()},
     {_gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS)}
     vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),
     {_gate_chain_ctes("vcand", "", _GATE_GENS)},
+    {_media_gate_sig_ctes(60, 5)},
+    mcand AS (SELECT id_a, id_b FROM mdist),
+    {_gate_chain_ctes("mcand", "_m", _GATE_GENS)},
     adm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej)),
-    madm AS MATERIALIZED ({media_adm}),
+    madm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej_m)),
+    {blk_ctes}
     tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
               ORDER BY vec_id LIMIT {_EST_TOMBS})
     SELECT * FROM (
@@ -1476,6 +1514,10 @@ def _estate_catalog_sql() -> str:
              (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM adm)
                AS n_rejected
       UNION ALL
+      SELECT 'gate_dup_of', 'attribution-log', 'dup_of', 'text', '{{}}',
+             (SELECT COUNT(*) FROM tblk), 3, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
       SELECT 'gate_state', 'gate-state', 'verified-dedup-gate/v1', 'text',
              '{p_gate}',
              (SELECT COUNT(*) FROM adm WHERE doc IN (SELECT doc FROM sig)),
@@ -1487,6 +1529,11 @@ def _estate_catalog_sql() -> str:
              (SELECT COUNT(*) FROM documents), 3, CAST(NULL AS BIGINT),
              (SELECT COUNT(*) FROM madm),
              (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM madm)
+      UNION ALL
+      SELECT 'media_gate_dup_of', 'attribution-log', 'dup_of', 'media',
+             '{{}}',
+             (SELECT COUNT(*) FROM mblk), 3, CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 'media_gate_state', 'gate-state', 'media-gate/v1', 'media',
              '{p_mgate}',

@@ -866,3 +866,78 @@ def q_multimodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _XM_K)
         .select("query_id", "neighbor_id", "text_rank", "media_rank", "rrf")
     )
+
+
+def _media_admission_drift_sql(n: int, max_ham: int, n_gens: int) -> str:
+    """PSI between generation 0's and the last generation's 2-bin
+    admitted/rejected distributions of the MEDIA gate replay — the
+    family smoothing/rounding contract (q_gate_admission_drift's SQL
+    over the media candidate relation)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _gate_chain_ctes,
+    )
+
+    return "\n".join(
+        [
+            "WITH " + _media_gate_sig_ctes(n, max_ham) + ",",
+            "mcand AS (SELECT id_a, id_b FROM mdist),",
+            "gens AS (SELECT doc_id AS doc,"
+            f" CAST(doc_id % {n_gens} AS INT) AS gen FROM documents),",
+            _gate_chain_ctes("mcand", "", n_gens) + ",",
+            "d AS (SELECT g.doc, g.gen,"
+            " CASE WHEN g.doc NOT IN (SELECT doc FROM rej) THEN 1 ELSE 0 END"
+            " AS bin FROM gens g),",
+            "bins AS (SELECT unnest(generate_series(0, 1)) AS bin),",
+            "r AS (SELECT bin, COUNT(*) AS n_ref FROM d WHERE gen = 0"
+            " GROUP BY bin),",
+            f"c AS (SELECT bin, COUNT(*) AS n_cur FROM d"
+            f" WHERE gen = {n_gens - 1} GROUP BY bin),",
+            "tot AS (SELECT (SELECT COUNT(*) FROM d WHERE gen = 0) AS tr,"
+            f" (SELECT COUNT(*) FROM d WHERE gen = {n_gens - 1}) AS tc),",
+            """p AS (
+              SELECT b.bin,
+                     COALESCE(r.n_ref, 0) AS n_ref,
+                     COALESCE(c.n_cur, 0) AS n_cur,
+                     round(greatest(CASE WHEN tot.tr > 0
+                                    THEN COALESCE(r.n_ref, 0) * 1.0 / tot.tr
+                                    ELSE 0.0 END, 0.0001), 6) AS p_ref,
+                     round(greatest(CASE WHEN tot.tc > 0
+                                    THEN COALESCE(c.n_cur, 0) * 1.0 / tot.tc
+                                    ELSE 0.0 END, 0.0001), 6) AS p_cur
+              FROM bins b LEFT JOIN r ON r.bin = b.bin
+                          LEFT JOIN c ON c.bin = b.bin
+              CROSS JOIN tot)
+            SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur,
+                   round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+            FROM p""",
+        ]
+    )
+
+
+@_q(
+    "q_media_admission_drift",
+    _media_admission_drift_sql(_AHASH_N, _AHASH_MAXHAM, _GATE_GENS),
+)
+def q_media_admission_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-rate drift for the MEDIA gate — the decision logs of
+    the media replay fed into the standard PSI monitor, exactly the
+    text gate's q_gate_admission_drift with the aHash candidate
+    relation swapped in: generation 0 (self-gated) is the reference
+    distribution, the last generation (gated against all accumulated
+    state) the current. The streaming hooks
+    (dedup_gate.admission_rate_drift / admission_drift_alert) are
+    modality-agnostic — they read any (doc, admitted) decision log, so
+    one monitor covers both gates."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        psi_drift,
+    )
+
+    dec = q_media_gate_replay(spark, sf_dir).select(
+        "gen", F.col("admitted").cast("int").alias("bin")
+    )
+    return psi_drift(
+        dec.filter(F.col("gen") == 0).select("bin"),
+        dec.filter(F.col("gen") == _GATE_GENS - 1).select("bin"),
+        bins=2,
+    )

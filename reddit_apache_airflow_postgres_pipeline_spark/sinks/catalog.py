@@ -72,7 +72,11 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
     - ``_meta.json`` whose format is a gate family → gate state (rows =
       live signature/band rows, the estate's dedup memory);
     - ``batch_id=*`` parquet dirs whose schema has ``admitted`` → a
-      gate DECISION LOG (admission accounting, the drop-rate meter).
+      gate DECISION LOG (admission accounting, the drop-rate meter);
+    - ``batch_id=*`` parquet dirs whose schema has ``odoc`` → a gate
+      ATTRIBUTION LOG (the dup_of blocker relation; ``est`` marks the
+      text gate's MinHash-estimate form, ``dist`` the media gate's
+      Hamming form).
 
     Fail-loud on anything else — an unclassifiable root must not be
     silently reported healthy."""
@@ -159,6 +163,24 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
                 "tombstones": None,
                 "n_admitted": adm,
                 "n_rejected": n - adm,
+            }
+        if "odoc" in df.columns:
+            modality = (
+                "text" if "est" in df.columns
+                else "media" if "dist" in df.columns
+                else None
+            )
+            return {
+                "name": name,
+                "category": "attribution-log",
+                "kind": "dup_of",
+                "modality": modality,
+                "params": _params_json({}),
+                "n_rows": df.count(),
+                "live_dirs": len(_batch_dirs(path)),
+                "tombstones": None,
+                "n_admitted": None,
+                "n_rejected": None,
             }
     raise ValueError(
         f"estate root {path!r} matches no known layout (text/media index "

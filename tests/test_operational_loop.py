@@ -256,14 +256,17 @@ def test_estate_catalog_over_loop_end_state(spark, tmp_path):
     )
     gstate = str(tmp_path / "gstate")
     gdec = str(tmp_path / "gdec")
+    gdup = str(tmp_path / "gdup")
     dedup_gate.run_verified_gate_available_now(
         spark, inbox, DSCHEMA, str(tmp_path / "gout"), gstate,
-        str(tmp_path / "gckpt"), decisions_dir=gdec,
+        str(tmp_path / "gckpt"), decisions_dir=gdec, dup_of_dir=gdup,
     )
 
-    rel = catalog(spark, {"idx": ix, "gate": gstate, "dec": gdec})
+    rel = catalog(
+        spark, {"idx": ix, "gate": gstate, "dec": gdec, "dup": gdup}
+    )
     rows = {r["name"]: r.asDict() for r in rel.collect()}
-    assert set(rows) == {"idx", "gate", "dec"}
+    assert set(rows) == {"idx", "gate", "dec", "dup"}
 
     idx = rows["idx"]
     assert idx["category"] == "vector-index" and idx["kind"] == "ivfpq"
@@ -281,6 +284,11 @@ def test_estate_catalog_over_loop_end_state(spark, tmp_path):
     dec = rows["dec"]
     assert dec["category"] == "decision-log"
     assert dec["n_rows"] == 4 and dec["n_admitted"] == 3 and dec["n_rejected"] == 1
+
+    dup = rows["dup"]
+    assert dup["category"] == "attribution-log" and dup["kind"] == "dup_of"
+    assert dup["modality"] == "text"
+    assert dup["n_rows"] == 1  # the one rejection: re-delivered doc 1
 
     # fail-loud on an unclassifiable root
     bogus = str(tmp_path / "bogus")

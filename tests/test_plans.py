@@ -268,6 +268,10 @@ BNLJ_ALLOWED = {
         "1-row snapshot-total scalars (psi_drift over the replay's "
         "2-bin admitted/rejected counts)"
     ),
+    "q_media_admission_drift": (
+        "same scalars as q_gate_admission_drift (media candidate "
+        "relation swapped in)"
+    ),
     "q_multimodal_topk": (
         "n_cells coarse centroids broadcast in BOTH modalities' "
         "composed-index plans (the q_sim_ivfpq fan-out, twice)"
