@@ -231,6 +231,115 @@ def bucket_sig_state(
     return spark.table(f"{table_prefix}_keys"), sigs_t
 
 
+# -- hybrid bucketed + flat state for the VERIFIED drain ----------------------
+#
+# The production split at 100 TB: the folded history (one generation
+# dir, ~everything) lives as bucketed tables the per-batch probes scan
+# without re-shuffling; only the small post-fold tail of per-batch dirs
+# is read flat. Refresh happens at compaction time (the only moment the
+# generation changes), and a marker records WHICH generation the tables
+# mirror — a stale or missing marker falls back to the flat read, so
+# the hybrid path can change performance but never admissions.
+
+_BUCKETED_MARKER = "_bucketed_gen.json"
+
+
+def _newest_gen_id(state_dir: str) -> int | None:
+    gens = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _state_subdirs(state_dir)
+        if os.path.basename(d).startswith("batch_id=-")
+    ]
+    return min(gens) if gens else None
+
+
+def refresh_bucketed_sig_state(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int,
+    bands: int,
+    table_prefix: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Rebuild the verified gate's bucketed tables from the CURRENT
+    generation dirs only (the folded history — per-batch tail dirs stay
+    flat) and stamp the marker with the generation id they mirror. A
+    no-op when the store has no generation yet."""
+    import json as _json
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    gen = _newest_gen_id(state_dir)
+    if gen is None:
+        return
+    sigs = (
+        spark.read.schema(_sig_schema(num_hashes) + ", batch_id long")
+        .parquet(state_dir)
+        .filter(F.col("batch_id") < 0)
+        .drop("batch_id")
+    )
+    write_bucketed(
+        sigs, f"{table_prefix}_sigs", ["doc"], num_buckets,
+        os.path.join(path, "sigs"), sort_cols=["doc"],
+    )
+    write_bucketed(
+        band_keys_of_signature(
+            spark.table(f"{table_prefix}_sigs"), num_hashes, bands
+        ),
+        f"{table_prefix}_keys", ["bk"], num_buckets,
+        os.path.join(path, "keys"), sort_cols=["bk"],
+    )
+    tmp = os.path.join(path, _BUCKETED_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"gen": gen}, f)
+    os.replace(tmp, os.path.join(path, _BUCKETED_MARKER))
+
+
+def _load_sig_state_hybrid(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int,
+    bands: int,
+    table_prefix: str,
+    path: str,
+    before_batch: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(state_sigs, state_keys) for one gate batch: bucketed tables for
+    the folded generation + flat reads for the per-batch tail, IF the
+    marker proves the tables mirror the store's current generation;
+    otherwise the plain flat load (state_keys None → the kernel
+    derives them). The fallback means a crash between fold and refresh
+    degrades to the flat plan, never to a wrong admission."""
+    import json as _json
+
+    marker = os.path.join(path, _BUCKETED_MARKER)
+    gen = _newest_gen_id(state_dir)
+    if gen is None or not os.path.exists(marker):
+        return _load_sig_state(spark, state_dir, num_hashes, before_batch), None
+    with open(marker) as f:
+        mirrored = _json.load(f).get("gen")
+    if mirrored != gen:
+        return _load_sig_state(spark, state_dir, num_hashes, before_batch), None
+    tail = (
+        spark.read.schema(_sig_schema(num_hashes) + ", batch_id long")
+        .parquet(state_dir)
+        .filter(F.col("batch_id") >= 0)
+    )
+    if before_batch is not None:
+        tail = tail.filter(F.col("batch_id") < before_batch)
+    tail = tail.drop("batch_id")
+    sigs_t = spark.table(f"{table_prefix}_sigs")
+    keys_t = spark.table(f"{table_prefix}_keys")
+    state_sigs = sigs_t.unionByName(tail)
+    state_keys = keys_t.unionByName(
+        band_keys_of_signature(tail, num_hashes, bands)
+    )
+    return state_sigs, state_keys
+
+
 def gate_batch(
     batch_df: DataFrame,
     state: DataFrame,
@@ -663,6 +772,7 @@ def run_verified_gate_available_now(
     min_quality: float | None = None,
     decisions_dir: str | None = None,
     dup_of_dir: str | None = None,
+    bucketed: dict | None = None,
 ) -> None:
     """Drain ``input_dir`` through the VERIFIED gate with an availableNow
     trigger — same exactly-once layout as :func:`run_gate_available_now`
@@ -670,6 +780,16 @@ def run_verified_gate_available_now(
     ``state_dir/batch_id=<i>``, per-batch overwrite, checkpointed input),
     but the state rows are full signatures and admission requires the
     estimate to clear ``threshold``.
+
+    ``bucketed`` — ``{"table_prefix": str, "path": str, "num_buckets":
+    int}`` — arms the hybrid state layout: every batch probes the
+    folded history through bucketed tables (no store re-shuffle; the
+    bucket_sig_state plan) plus a flat read of only the post-fold tail
+    dirs, and each compaction refreshes the tables
+    (:func:`refresh_bucketed_sig_state`). Admissions are identical to
+    the flat layout by construction: a stale/missing table marker falls
+    back to the flat read, so the hybrid is purely a physical-plan
+    choice (parity pinned in tests/test_dedup_gate.py).
 
     ``dup_of_dir`` persists the BLOCKER relation (doc, odoc, est) per
     batch under ``dup_of_dir/batch_id=<i>`` — idempotent per-dir
@@ -707,14 +827,24 @@ def run_verified_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        state = _load_sig_state(
-            batch_df.sparkSession, state_dir, num_hashes, before_batch=batch_id
-        )
+        sp = batch_df.sparkSession
+        if bucketed is None:
+            state = _load_sig_state(
+                sp, state_dir, num_hashes, before_batch=batch_id
+            )
+            skeys = None
+        else:
+            state, skeys = _load_sig_state_hybrid(
+                sp, state_dir, num_hashes, bands,
+                bucketed["table_prefix"], bucketed["path"],
+                before_batch=batch_id,
+            )
         accepted, accepted_sigs, decisions, blockers = (
             gate_batch_verified_attributed(
                 batch_df, state, id_col, text_col, n, num_hashes, bands,
                 threshold, min_quality=min_quality,
                 checkpoint_blockers=dup_of_dir is not None,
+                state_keys=skeys,
             )
         )
         accepted.write.mode("overwrite").parquet(
@@ -738,6 +868,12 @@ def run_verified_gate_available_now(
                 num_hashes,
                 exclude_from=batch_id,
             )
+            if bucketed is not None:
+                refresh_bucketed_sig_state(
+                    sp, state_dir, num_hashes, bands,
+                    bucketed["table_prefix"], bucketed["path"],
+                    bucketed.get("num_buckets", 8),
+                )
 
     q = (
         stream.writeStream.foreachBatch(_gate)

@@ -686,3 +686,75 @@ def test_raw_gate_decisions_log_feeds_admission_drift(spark, tmp_path):
     )
     assert alert["n_ref"] == 3 and alert["n_cur"] == 2
     assert alert["drifted"] is False
+
+
+def test_hybrid_bucketed_drain_parity_refresh_and_fallback(spark, tmp_path):
+    """The hybrid state layout in the DRAIN: with aggressive compaction
+    and `bucketed` armed, (a) admissions equal the flat drain and the
+    oracle replay, (b) each fold refreshes the bucketed tables and the
+    marker tracks the generation, (c) a deliberately-stale marker falls
+    back to the flat read without changing a decision."""
+    import json
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    def _drain(tag, bucketed):
+        inbox = str(tmp_path / f"inbox_{tag}")
+        os.makedirs(inbox)
+        for g in range(3):
+            rows = [
+                (r["doc_id"], r["text"])
+                for r in docs.filter(docs.doc_id % 3 == g).collect()
+            ]
+            p = os.path.join(inbox, f"g{g}.parquet")
+            _write(spark, p, rows)
+            os.utime(p, (1_700_000_000 + 60 * g,) * 2)
+        out = str(tmp_path / f"out_{tag}")
+        dedup_gate.run_verified_gate_available_now(
+            spark, inbox, SCHEMA, out,
+            str(tmp_path / f"state_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            compact_after_dirs=1, bucketed=bucketed,
+        )
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(out, "batch_id=*")).collect()
+        }
+
+    bopt = {
+        "table_prefix": "t_hybrid",
+        "path": str(tmp_path / "btables"),
+        "num_buckets": 4,
+    }
+    got_hybrid = _drain("hyb", bopt)
+    got_flat = _drain("flat", None)
+    assert got_hybrid == got_flat
+
+    # the fold refreshed the tables: marker mirrors the newest generation
+    marker = os.path.join(bopt["path"], dedup_gate._BUCKETED_MARKER)
+    with open(marker) as f:
+        mirrored = json.load(f)["gen"]
+    assert mirrored == dedup_gate._newest_gen_id(str(tmp_path / "state_hyb"))
+    assert spark.table("t_hybrid_sigs").count() > 0
+
+    # stale marker → flat fallback, identical decisions
+    with open(marker, "w") as f:
+        json.dump({"gen": -999}, f)
+    batch = spark.createDataFrame([(9001, A), (9002, "fresh text")], SCHEMA)
+    st, sk = dedup_gate._load_sig_state_hybrid(
+        spark, str(tmp_path / "state_hyb"), 12, 4,
+        bopt["table_prefix"], bopt["path"], before_batch=None,
+    )
+    assert sk is None  # fell back to flat
+    acc, _, _ = dedup_gate.gate_batch_verified(batch, st)
+    flat_state = dedup_gate._load_sig_state(
+        spark, str(tmp_path / "state_hyb"), 12
+    )
+    acc_flat, _, _ = dedup_gate.gate_batch_verified(batch, flat_state)
+    assert sorted(r["doc_id"] for r in acc.collect()) == sorted(
+        r["doc_id"] for r in acc_flat.collect()
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_hybrid_sigs")
+    spark.sql("DROP TABLE IF EXISTS t_hybrid_keys")
