@@ -350,6 +350,7 @@ def gate_batch(
     bands: int = 4,
     min_quality: float | None = None,
     keys: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Apply the admission policy to one (batch, state) pair.
 
@@ -369,7 +370,18 @@ def gate_batch(
     ``keys`` optionally supplies the batch's PRECOMPUTED (doc, bk) band
     keys (same contract as gate_batch_verified's ``sig``: a replay over
     many batches of one corpus derives them once); must equal
-    ``minhash_band_keys(batch_df, ...)`` under the same geometry."""
+    ``minhash_band_keys(batch_df, ...)`` under the same geometry.
+
+    ``broadcast_batch`` flips the state probe for the BIG-state regime:
+    the default form distincts the state's bucket keys before the
+    semi-join — a full-store SHUFFLE every micro-batch, the cost that
+    dominates once accepted history is orders of magnitude larger than
+    a batch. The flipped form broadcasts the batch's keys and STREAMS
+    the state through a map-side hash join (state scanned, never
+    shuffled or aggregated; the distinct folds the join's output, which
+    is batch-sized). Decisions are identical — it is the same semi-join
+    evaluated from the other side; composes with a bucketed/columnar
+    state layout for scan pruning."""
     if min_quality is not None:
         from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
             quality_score,
@@ -386,11 +398,19 @@ def gate_batch(
         keys = minhash_band_keys(
             batch_df, id_col, text_col, n, num_hashes, bands
         )
-    hit_prev = (
-        keys.join(state.select("bk").distinct(), "bk", "left_semi")
-        .select("doc")
-        .distinct()
-    )
+    if broadcast_batch:
+        hit_prev = (
+            state.select("bk")
+            .join(F.broadcast(keys.select("doc", "bk")), "bk")
+            .select("doc")
+            .distinct()
+        )
+    else:
+        hit_prev = (
+            keys.join(state.select("bk").distinct(), "bk", "left_semi")
+            .select("doc")
+            .distinct()
+        )
     min_per_bucket = keys.groupBy("bk").agg(F.min("doc").alias("min_doc"))
     hit_batch = (
         keys.join(min_per_bucket, "bk")
@@ -421,6 +441,7 @@ def run_gate_available_now(
     compact_after_dirs: int = _COMPACT_AFTER_DIRS,
     min_quality: float | None = None,
     decisions_dir: str | None = None,
+    broadcast_batch: bool = False,
 ) -> None:
     """Drain ``input_dir`` (parquet files) through the gate with an
     availableNow trigger. Accepted rows land under
@@ -473,7 +494,7 @@ def run_gate_available_now(
         )
         accepted, accepted_keys = gate_batch(
             batch_df, state, id_col, text_col, n, num_hashes, bands,
-            min_quality=min_quality,
+            min_quality=min_quality, broadcast_batch=broadcast_batch,
         )
         out_sub = os.path.join(out_dir, f"batch_id={batch_id}")
         accepted.write.mode("overwrite").parquet(out_sub)

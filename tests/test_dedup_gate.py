@@ -758,3 +758,53 @@ def test_hybrid_bucketed_drain_parity_refresh_and_fallback(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS t_hybrid_sigs")
     spark.sql("DROP TABLE IF EXISTS t_hybrid_keys")
+
+
+def test_broadcast_batch_probe_parity_and_no_state_shuffle(spark, tmp_path):
+    """The big-state probe flip: broadcast_batch=True evaluates the
+    same state semi-join from the other side — identical admissions,
+    but the state store is SCANNED through a map-side hash join instead
+    of being distinct-shuffled every micro-batch."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_band_keys,
+    )
+
+    state_keys = minhash_band_keys(docs.filter("doc_id % 2 = 0"))
+    state_path = str(tmp_path / "state_flat")
+    state_keys.select("doc", "bk").write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    batch = docs.filter("doc_id % 2 = 1").limit(40)
+
+    acc_a, keys_a = dedup_gate.gate_batch(batch, state)
+    acc_b, keys_b = dedup_gate.gate_batch(batch, state, broadcast_batch=True)
+    assert sorted(r["doc_id"] for r in acc_a.collect()) == sorted(
+        r["doc_id"] for r in acc_b.collect()
+    )
+    assert sorted(r["doc"] for r in keys_a.collect()) == sorted(
+        r["doc"] for r in keys_b.collect()
+    )
+
+    # plan: the flipped probe must not shuffle the state on bk — the
+    # only bk exchange allowed is the batch side's own key derivation
+    bkeys = minhash_band_keys(batch).select("doc", "bk").localCheckpoint()
+    from pyspark.sql import functions as F
+
+    flipped = (
+        state.select("bk")
+        .join(F.broadcast(bkeys), "bk")
+        .select("doc")
+        .distinct()
+    )
+    fplan = spark._jvm.PythonSQLUtils.explainString(
+        flipped._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(bk" not in fplan
+    assert "BroadcastHashJoin" in fplan
+    default = bkeys.join(state.select("bk").distinct(), "bk", "left_semi")
+    dplan = spark._jvm.PythonSQLUtils.explainString(
+        default._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(bk" in dplan  # the shuffle the flip removes
