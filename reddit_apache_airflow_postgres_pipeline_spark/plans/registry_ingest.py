@@ -1435,13 +1435,15 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return roots
 
 
-def _estate_catalog_sql() -> str:
+def _estate_catalog_sql(select: str = "*") -> str:
     """The catalog oracle: every data-derived cell (row counts,
     admission counts, tombstone backlog) recomputed from the documents
     table through the SAME CTE families the per-operator oracles use
     (embed -> temb, gate chain -> rej/acc); layout cells (live_dirs,
     categories, frozen-params JSON) are the writers' code-defined
-    constants."""
+    constants. ``select`` lets catalog CONSUMERS (the maintenance
+    planner) project/derive over the same estate relation without
+    duplicating any of it."""
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
         _GATE_BANDS,
         _GATE_GENS,
@@ -1504,7 +1506,7 @@ def _estate_catalog_sql() -> str:
     {blk_ctes}
     tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
               ORDER BY vec_id LIMIT {_EST_TOMBS})
-    SELECT * FROM (
+    SELECT {select} FROM (
       SELECT 'gate_decisions' AS name, 'decision-log' AS category,
              'decisions' AS kind, CAST(NULL AS VARCHAR) AS modality,
              '{{}}' AS params,
@@ -1572,3 +1574,75 @@ def q_ops_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
     )
     return catalog(spark, roots)
+
+
+# maintenance-planner policy for the fixture estate: thresholds chosen
+# so BOTH compaction triggers demonstrably fire on it (the gate states
+# run 3 generations > 2; the text index carries a live tombstone
+# backlog, so ratio > 0.0 fires at every SF) while the admission floor
+# exercises the decision-log rule with whatever rate the corpus's dup
+# density yields — the oracle recomputes the same rate either way.
+_MAINT_LIVE, _MAINT_RATIO, _MAINT_ADM = 2, 0.0, 0.9
+
+
+def _maintenance_plan_sql() -> str:
+    acc = (
+        "category IN ('vector-index', 'gate-state') "
+        f"AND live_dirs > {_MAINT_LIVE}"
+    )
+    blg = (
+        "category = 'vector-index' AND tombstones > 0 AND "
+        f"tombstones / (n_rows + tombstones) > {_MAINT_RATIO!r}"
+    )
+    flr = (
+        "category = 'decision-log' AND "
+        f"n_admitted / n_rows < {_MAINT_ADM!r}"
+    )
+    proj = f"""name, category, kind, modality,
+      CASE WHEN {acc} THEN 'COMPACT'
+           WHEN {blg} THEN 'COMPACT'
+           WHEN {flr} THEN 'INVESTIGATE'
+           ELSE 'OK' END AS action,
+      CASE WHEN {acc} THEN 'batch-dir accretion'
+           WHEN {blg} THEN 'tombstone backlog'
+           WHEN {flr} THEN 'admission rate below floor'
+           ELSE 'healthy' END AS reason,
+      CASE WHEN {acc} THEN CAST(live_dirs AS DOUBLE)
+           WHEN {blg} THEN tombstones / (n_rows + tombstones)
+           WHEN {flr} THEN n_admitted / n_rows
+           ELSE CAST(NULL AS DOUBLE) END AS metric,
+      CASE WHEN {acc} THEN CAST({_MAINT_LIVE} AS DOUBLE)
+           WHEN {blg} THEN {_MAINT_RATIO!r}
+           WHEN {flr} THEN {_MAINT_ADM!r}
+           ELSE CAST(NULL AS DOUBLE) END AS threshold"""
+    return _estate_catalog_sql(select=proj)
+
+
+@_q("q_ops_maintenance_plan", _maintenance_plan_sql())
+def q_ops_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog's consumer: sinks/maintenance.maintenance_plan over
+    the fixture estate — one action row per store (first-match rule
+    chain: dir-accretion COMPACT, tombstone-backlog COMPACT, admission
+    INVESTIGATE, else OK) with the firing metric and threshold in the
+    row. The oracle replays the whole decision from the documents
+    table through the SAME estate CTEs as q_ops_catalog, so a planner
+    rule can never silently drift from what the stores actually
+    contain. execute_maintenance dispatches these rows to the store
+    families' own compactors (tests/test_maintenance.py pins the
+    plan -> execute -> replan loop reaching all-OK)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.catalog import catalog
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.maintenance import (
+        maintenance_plan,
+    )
+
+    roots = _memo_replay(
+        spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
+    )
+    return maintenance_plan(
+        catalog(spark, roots),
+        policy={
+            "max_live_dirs": _MAINT_LIVE,
+            "max_tombstone_ratio": _MAINT_RATIO,
+            "min_admission_rate": _MAINT_ADM,
+        },
+    )
