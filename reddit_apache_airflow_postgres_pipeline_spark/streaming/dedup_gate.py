@@ -615,6 +615,7 @@ def _est_blockers(
     num_hashes: int,
     threshold: float,
     ordered: bool,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """(doc, odoc, est): every above-threshold blocking pair — the
     attribution relation behind :func:`_est_rejections` (which keeps
@@ -630,10 +631,25 @@ def _est_blockers(
     store, diverging from the raw bucket gate (whose bk semi-join
     rejects it). A same-id doc whose content DIFFERS below threshold is
     admitted as new — id uniqueness upstream is the caller's contract,
-    identical for both gate policies."""
-    cand = keys.join(
-        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
-    ).select("doc", "odoc")
+    identical for both gate policies.
+
+    ``broadcast_batch`` flips BOTH state-side joins for the big-state
+    regime (meaningful only for the cross-state direction, where
+    ``other_*`` is the accepted history): the batch's band keys
+    broadcast into the candidate join and the batch-sized
+    candidates-with-signatures relation broadcasts into the
+    verification join, so the state's keys AND signatures are each
+    SCANNED through a map-side hash join — never shuffled. Identical
+    pairs — the same equi-joins evaluated from the other side; composes
+    with the bucketed state tables (a bucketed scan feeding a broadcast
+    probe is scan-pruned AND shuffle-free)."""
+    okeys = other_keys.select(F.col("doc").alias("odoc"), "bk")
+    if broadcast_batch:
+        cand = okeys.join(
+            F.broadcast(keys.select("doc", "bk")), "bk"
+        ).select("doc", "odoc")
+    else:
+        cand = keys.join(okeys, "bk").select("doc", "odoc")
     if ordered:
         cand = cand.filter(F.col("odoc") < F.col("doc"))
     cand = cand.distinct()
@@ -649,10 +665,13 @@ def _est_blockers(
         for i in range(num_hashes)
     )
     est = (matches / F.lit(float(num_hashes))).alias("est")
+    probe = cand.join(sa, "doc")
+    if broadcast_batch:
+        joined = sb.join(F.broadcast(probe), "odoc")
+    else:
+        joined = probe.join(sb, "odoc")
     return (
-        cand.join(sa, "doc")
-        .join(sb, "odoc")
-        .select("doc", "odoc", est)
+        joined.select("doc", "odoc", est)
         .filter(F.col("est") >= F.lit(float(threshold)))
     )
 
@@ -668,6 +687,7 @@ def gate_batch_verified(
     threshold: float = 0.5,
     sig: DataFrame | None = None,
     min_quality: float | None = None,
+    broadcast_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply the VERIFIED admission policy to one (batch, state) pair:
     a doc is rejected iff a band-bucket candidate — from the accepted
@@ -695,6 +715,7 @@ def gate_batch_verified(
     acc, sigs, dec, _ = gate_batch_verified_attributed(
         batch_df, state_sigs, id_col, text_col, n, num_hashes, bands,
         threshold, sig=sig, min_quality=min_quality,
+        broadcast_batch=broadcast_batch,
     )
     return acc, sigs, dec
 
@@ -712,6 +733,7 @@ def gate_batch_verified_attributed(
     min_quality: float | None = None,
     checkpoint_blockers: bool = False,
     state_keys: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`gate_batch_verified` plus the BLOCKER relation: the fourth
     element is (doc, odoc, est) — every above-threshold pair that was
@@ -734,7 +756,13 @@ def gate_batch_verified_attributed(
     table, so the candidate probe reads co-located ``bk`` buckets
     instead of re-deriving and re-shuffling keys from the signature
     store every batch; must equal ``band_keys_of_signature(state_sigs,
-    num_hashes, bands)``."""
+    num_hashes, bands)``.
+
+    ``broadcast_batch`` flips the cross-state probes for the big-state
+    regime exactly as in :func:`gate_batch` — the batch side broadcasts
+    and the signature store streams through map-side hash joins (see
+    :func:`_est_blockers`); identical admissions, plan-asserted in
+    tests/test_dedup_gate.py."""
     if min_quality is not None:
         from reddit_apache_airflow_postgres_pipeline_spark.operators.textstats import (
             quality_score,
@@ -756,7 +784,8 @@ def gate_batch_verified_attributed(
         else band_keys_of_signature(state_sigs, num_hashes, bands)
     )
     blockers = _est_blockers(
-        keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False
+        keys, sig, skeys, state_sigs, num_hashes, threshold, ordered=False,
+        broadcast_batch=broadcast_batch,
     ).unionAll(
         _est_blockers(keys, sig, keys, sig, num_hashes, threshold, ordered=True)
     )
@@ -794,6 +823,7 @@ def run_verified_gate_available_now(
     decisions_dir: str | None = None,
     dup_of_dir: str | None = None,
     bucketed: dict | None = None,
+    broadcast_batch: bool = False,
 ) -> None:
     """Drain ``input_dir`` through the VERIFIED gate with an availableNow
     trigger — same exactly-once layout as :func:`run_gate_available_now`
@@ -865,7 +895,7 @@ def run_verified_gate_available_now(
                 batch_df, state, id_col, text_col, n, num_hashes, bands,
                 threshold, min_quality=min_quality,
                 checkpoint_blockers=dup_of_dir is not None,
-                state_keys=skeys,
+                state_keys=skeys, broadcast_batch=broadcast_batch,
             )
         )
         accepted.write.mode("overwrite").parquet(

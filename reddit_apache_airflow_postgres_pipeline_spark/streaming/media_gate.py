@@ -36,8 +36,10 @@ from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
 )
 from reddit_apache_airflow_postgres_pipeline_spark.streaming import counting_state as _cs
 from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+    _BUCKETED_MARKER,
     _COMPACT_AFTER_DIRS,
     _fold_state_dirs,
+    _newest_gen_id,
     _state_subdirs,
 )
 
@@ -68,6 +70,7 @@ def _ham_blockers(
     other_sig: DataFrame,
     max_hamming: int,
     ordered: bool,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """(doc, odoc, dist): every within-distance blocking pair — the
     media analog of dedup_gate._est_blockers, exposed so rejection
@@ -77,19 +80,34 @@ def _ham_blockers(
     smaller-id rule; the cross-state direction keeps the self-pair
     ``odoc == doc`` so a re-delivered already-accepted media_id is
     blocked by its own prior signature (the family contract —
-    dedup_gate._est_blockers documents the failure mode)."""
-    cand = keys.join(
-        other_keys.select(F.col("doc").alias("odoc"), "bk"), "bk"
-    ).select("doc", "odoc")
+    dedup_gate._est_blockers documents the failure mode).
+
+    ``broadcast_batch`` flips both state-side joins for the big-state
+    regime exactly as dedup_gate._est_blockers does: the batch's band
+    keys broadcast into the candidate join, the batch-sized
+    candidates-with-signatures relation broadcasts into the Hamming
+    verification join, and the accepted-media store is SCANNED through
+    map-side hash joins — never shuffled."""
+    okeys = other_keys.select(F.col("doc").alias("odoc"), "bk")
+    if broadcast_batch:
+        cand = okeys.join(
+            F.broadcast(keys.select("doc", "bk")), "bk"
+        ).select("doc", "odoc")
+    else:
+        cand = keys.join(okeys, "bk").select("doc", "odoc")
     if ordered:
         cand = cand.filter(F.col("odoc") < F.col("doc"))
     cand = cand.distinct()
     sa = sig.select("doc", F.col("sig").alias("__sa"))
     sb = other_sig.select(F.col("doc").alias("odoc"), F.col("sig").alias("__sb"))
+    probe = cand.join(sa, "doc")
+    joined = (
+        sb.join(F.broadcast(probe), "odoc")
+        if broadcast_batch
+        else probe.join(sb, "odoc")
+    )
     return (
-        cand.join(sa, "doc")
-        .join(sb, "odoc")
-        .select(
+        joined.select(
             "doc",
             "odoc",
             F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("dist"),
@@ -123,6 +141,7 @@ def gate_media_batch(
     max_hamming: int = 5,
     sig: DataFrame | None = None,
     min_bytes: int | None = None,
+    broadcast_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Apply the media admission policy to one (batch, state) pair:
     rejected iff a banded candidate — from the accepted store, or a
@@ -139,10 +158,12 @@ def gate_media_batch(
     text kernels' min_quality analog on the modality's cheapest
     health signal, payload size): a below-floor item is dropped BEFORE
     signatures exist, claims no buckets, and a later full-size
-    near-copy can still be admitted."""
+    near-copy can still be admitted. ``broadcast_batch`` flips the
+    cross-state probes for the big-state regime (see
+    :func:`_ham_blockers`); identical admissions by construction."""
     acc, sigs, dec, _ = gate_media_batch_attributed(
         batch_df, state_sigs, id_col, bits, max_hamming, sig=sig,
-        min_bytes=min_bytes,
+        min_bytes=min_bytes, broadcast_batch=broadcast_batch,
     )
     return acc, sigs, dec
 
@@ -156,6 +177,8 @@ def gate_media_batch_attributed(
     sig: DataFrame | None = None,
     checkpoint_blockers: bool = False,
     min_bytes: int | None = None,
+    state_keys: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """:func:`gate_media_batch` plus the BLOCKER relation (doc, odoc,
     dist): every within-distance pair eligible to reject ``doc`` —
@@ -164,7 +187,15 @@ def gate_media_batch_attributed(
     duplicate of") is persisted by the drain and readable without a
     replay. ``checkpoint_blockers=True`` localCheckpoints the relation
     before the other three derive from it (one candidate-join pass for
-    a four-sink caller)."""
+    a four-sink caller).
+
+    ``state_keys`` optionally supplies the state's PRECOMPUTED band-key
+    relation (doc, bk) — e.g. :func:`bucket_media_state`'s bucketed
+    table, so the candidate probe reads co-located ``bk`` buckets
+    instead of re-deriving and re-shuffling keys from the signature
+    store every batch; must equal ``signature_band_keys(state_sigs,
+    bits, max_hamming)``. ``broadcast_batch`` flips the cross-state
+    probes for the big-state regime (see :func:`_ham_blockers`)."""
     if min_bytes is not None:
         batch_df = batch_df.filter(
             F.length(F.col("payload")) >= F.lit(int(min_bytes))
@@ -178,9 +209,14 @@ def gate_media_batch_attributed(
             F.col("media_id").alias("doc"), "sig"
         )
     keys = signature_band_keys(sig, bits, max_hamming)
-    skeys = signature_band_keys(state_sigs, bits, max_hamming)
+    skeys = (
+        state_keys
+        if state_keys is not None
+        else signature_band_keys(state_sigs, bits, max_hamming)
+    )
     blockers = _ham_blockers(
-        keys, sig, skeys, state_sigs, max_hamming, ordered=False
+        keys, sig, skeys, state_sigs, max_hamming, ordered=False,
+        broadcast_batch=broadcast_batch,
     ).unionAll(_ham_blockers(keys, sig, keys, sig, max_hamming, ordered=True))
     if checkpoint_blockers:
         blockers = blockers.localCheckpoint()
@@ -211,6 +247,8 @@ def run_media_gate_available_now(
     decisions_dir: str | None = None,
     dup_of_dir: str | None = None,
     min_bytes: int | None = None,
+    bucketed: dict | None = None,
+    broadcast_batch: bool = False,
 ) -> None:
     """Drain ``input_dir`` (parquet files of media rows) through the
     media gate with an availableNow trigger — the family's exactly-once
@@ -223,7 +261,17 @@ def run_media_gate_available_now(
     (doc, admitted) relation lands under ``decisions_dir/batch_id=<i>``
     with the same exactly-once per-dir overwrite; ``dup_of_dir``
     likewise persists the blocker relation (doc, odoc, dist) so "what
-    is my upload a duplicate of" reads from the log, never replays."""
+    is my upload a duplicate of" reads from the log, never replays.
+
+    ``bucketed`` — ``{"table_prefix": str, "path": str, "num_buckets":
+    int}`` — arms the hybrid state layout exactly as the verified text
+    drain's: the folded history is probed through bucketed tables
+    (sigs on ``doc``, derived band keys on ``bk`` — no store
+    re-shuffle) plus a flat read of only the post-fold tail dirs; each
+    compaction refreshes the tables, and a stale/missing marker falls
+    back to the flat read, so the hybrid can change the physical plan
+    but never an admission. ``broadcast_batch`` flips the cross-state
+    probes so the state streams map-side (see :func:`_ham_blockers`)."""
     _cs.stamp_meta(
         state_dir,
         {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
@@ -235,14 +283,22 @@ def run_media_gate_available_now(
     )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        state = _load_media_state(
-            batch_df.sparkSession, state_dir, before_batch=batch_id
-        )
+        sp = batch_df.sparkSession
+        if bucketed is None:
+            state = _load_media_state(sp, state_dir, before_batch=batch_id)
+            skeys = None
+        else:
+            state, skeys = _load_media_state_hybrid(
+                sp, state_dir, bits, max_hamming,
+                bucketed["table_prefix"], bucketed["path"],
+                before_batch=batch_id,
+            )
         accepted, accepted_sigs, decisions, blockers = (
             gate_media_batch_attributed(
                 batch_df, state, id_col, bits, max_hamming,
                 checkpoint_blockers=dup_of_dir is not None,
-                min_bytes=min_bytes,
+                min_bytes=min_bytes, state_keys=skeys,
+                broadcast_batch=broadcast_batch,
             )
         )
         accepted.write.mode("overwrite").parquet(
@@ -263,6 +319,12 @@ def run_media_gate_available_now(
             compact_media_state(
                 batch_df.sparkSession, state_dir, exclude_from=batch_id
             )
+            if bucketed is not None:
+                refresh_bucketed_media_state(
+                    sp, state_dir, bits, max_hamming,
+                    bucketed["table_prefix"], bucketed["path"],
+                    bucketed.get("num_buckets", 8),
+                )
 
     (
         stream.writeStream.foreachBatch(_gate)
@@ -286,3 +348,133 @@ def compact_media_state(
         spark, state_dir, _load_media_state, "doc", exclude_from,
         num_partitions,
     )
+
+
+# -- bucketed + hybrid state for the MEDIA drain ------------------------------
+#
+# Same production split as the verified text gate (dedup_gate.py): the
+# folded history lives as bucketed external tables the per-batch probes
+# scan without re-shuffling — sigs on ``doc`` (the Hamming-verification
+# join's key), derived band keys on ``bk`` (the candidate semi-join's
+# key) — while only the small post-fold tail of per-batch dirs is read
+# flat. The marker/fallback protocol is shared with the text gate, so
+# the hybrid is a physical-plan choice that can never change an
+# admission.
+
+
+def bucket_media_state(
+    spark: SparkSession,
+    state_dir: str,
+    bits: int,
+    max_hamming: int,
+    table_prefix: str,
+    path: str,
+    num_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the media gate's CURRENT state as the two bucketed
+    tables (``<prefix>_keys`` on bk, ``<prefix>_sigs`` on doc); pass
+    them to :func:`gate_media_batch_attributed` as (state_keys,
+    state_sigs). Returns (keys_table, sigs_table)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    sigs = _load_media_state(spark, state_dir)
+    write_bucketed(
+        sigs, f"{table_prefix}_sigs", ["doc"], num_buckets,
+        os.path.join(path, "sigs"), sort_cols=["doc"],
+    )
+    sigs_t = spark.table(f"{table_prefix}_sigs")
+    write_bucketed(
+        signature_band_keys(sigs_t, bits, max_hamming),
+        f"{table_prefix}_keys", ["bk"], num_buckets,
+        os.path.join(path, "keys"), sort_cols=["bk"],
+    )
+    return spark.table(f"{table_prefix}_keys"), sigs_t
+
+
+def refresh_bucketed_media_state(
+    spark: SparkSession,
+    state_dir: str,
+    bits: int,
+    max_hamming: int,
+    table_prefix: str,
+    path: str,
+    num_buckets: int = 8,
+) -> None:
+    """Rebuild the media gate's bucketed tables from the CURRENT
+    generation dirs only and stamp the marker with the generation id
+    they mirror — dedup_gate.refresh_bucketed_sig_state's contract for
+    the media layout. A no-op when the store has no generation yet."""
+    import json as _json
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.bucketed import (
+        write_bucketed,
+    )
+
+    gen = _newest_gen_id(state_dir)
+    if gen is None:
+        return
+    sigs = (
+        spark.read.schema(_SIG_SCHEMA + ", batch_id long")
+        .parquet(state_dir)
+        .filter(F.col("batch_id") < 0)
+        .drop("batch_id")
+    )
+    write_bucketed(
+        sigs, f"{table_prefix}_sigs", ["doc"], num_buckets,
+        os.path.join(path, "sigs"), sort_cols=["doc"],
+    )
+    write_bucketed(
+        signature_band_keys(
+            spark.table(f"{table_prefix}_sigs"), bits, max_hamming
+        ),
+        f"{table_prefix}_keys", ["bk"], num_buckets,
+        os.path.join(path, "keys"), sort_cols=["bk"],
+    )
+    tmp = os.path.join(path, _BUCKETED_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"gen": gen}, f)
+    os.replace(tmp, os.path.join(path, _BUCKETED_MARKER))
+
+
+def _load_media_state_hybrid(
+    spark: SparkSession,
+    state_dir: str,
+    bits: int,
+    max_hamming: int,
+    table_prefix: str,
+    path: str,
+    before_batch: int | None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(state_sigs, state_keys) for one media gate batch: bucketed
+    tables for the folded generation + flat reads for the per-batch
+    tail IF the marker proves the tables mirror the store's current
+    generation; otherwise the plain flat load (state_keys None → the
+    kernel derives them). A crash between fold and refresh degrades to
+    the flat plan, never to a wrong admission."""
+    import json as _json
+
+    marker = os.path.join(path, _BUCKETED_MARKER)
+    gen = _newest_gen_id(state_dir)
+    if gen is None or not os.path.exists(marker):
+        return _load_media_state(spark, state_dir, before_batch), None
+    with open(marker) as f:
+        mirrored = _json.load(f).get("gen")
+    if mirrored != gen:
+        return _load_media_state(spark, state_dir, before_batch), None
+    tail = (
+        spark.read.schema(_SIG_SCHEMA + ", batch_id long")
+        .parquet(state_dir)
+        .filter(F.col("batch_id") >= 0)
+    )
+    if before_batch is not None:
+        tail = tail.filter(F.col("batch_id") < before_batch)
+    tail = tail.drop("batch_id")
+    sigs_t = spark.table(f"{table_prefix}_sigs")
+    keys_t = spark.table(f"{table_prefix}_keys")
+    state_sigs = sigs_t.unionByName(tail)
+    state_keys = keys_t.unionByName(
+        signature_band_keys(tail, bits, max_hamming)
+    )
+    return state_sigs, state_keys

@@ -808,3 +808,48 @@ def test_broadcast_batch_probe_parity_and_no_state_shuffle(spark, tmp_path):
         default._jdf.queryExecution(), "formatted"
     )
     assert "hashpartitioning(bk" in dplan  # the shuffle the flip removes
+
+
+def test_verified_broadcast_batch_parity_and_no_state_shuffle(spark):
+    """The VERIFIED gate's big-state probe flip: broadcast_batch=True
+    yields identical admissions and blocker attribution, with the
+    signature store's keys AND signatures streamed through map-side
+    hash joins — no bk or odoc exchange on the state side."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        band_keys_of_signature,
+        minhash_signature,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    state = minhash_signature(
+        docs.filter("doc_id % 2 = 0"), "doc_id", "text", 3, 12
+    ).localCheckpoint()
+    batch = docs.filter("doc_id % 2 = 1").limit(40)
+
+    got = {}
+    for label, bb in (("default", False), ("flipped", True)):
+        acc, _, _, blk = dedup_gate.gate_batch_verified_attributed(
+            batch, state, broadcast_batch=bb
+        )
+        got[label] = (
+            sorted(r["doc_id"] for r in acc.collect()),
+            sorted((r["doc"], r["odoc"]) for r in blk.collect()),
+        )
+    assert got["default"] == got["flipped"]
+
+    # plan: the cross-state direction alone must not shuffle the state
+    bsig = minhash_signature(batch, "doc_id", "text", 3, 12).localCheckpoint()
+    bkeys = band_keys_of_signature(bsig, 12, 4).localCheckpoint()
+    skeys = band_keys_of_signature(state, 12, 4)
+    blk = dedup_gate._est_blockers(
+        bkeys, bsig, skeys, state, 12, 0.5, ordered=False,
+        broadcast_batch=True,
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        blk._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(bk" not in plan
+    assert "hashpartitioning(odoc" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -331,3 +331,161 @@ def test_media_chain_gate_kwargs_logs_and_floor(spark, tmp_path):
     assert os.path.isdir(dup_dir) or not any(
         not v for v in dec.values()
     )  # dup_of rows exist only if something was rejected
+
+
+def test_media_bucketed_state_parity(spark, tmp_path):
+    """Media-gate bucketed layout (family parity with the verified text
+    gate): the derived band-key table (on bk) + signature table (on
+    doc) drive gate_media_batch to the SAME admissions and blocker
+    attribution as the flat store."""
+    media = _media(spark)
+    state_dir = str(tmp_path / "mstate")
+    sigs0 = mm.ahash_signatures(
+        media.filter(F.col("media_id") % 2 == 0), n=60
+    ).select(F.col("media_id").alias("doc"), "sig")
+    sigs0.withColumn("batch_id", F.lit(0)).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "batch_id=0")
+    )
+
+    keys_t, sigs_t = media_gate.bucket_media_state(
+        spark, state_dir, 60, 5, "t_mgate", str(tmp_path / "bm"), num_buckets=4
+    )
+    flat = media_gate._load_media_state(spark, state_dir)
+    batch = media.filter(F.col("media_id") % 2 == 1).limit(30)
+    copy = media.filter(F.col("media_id") == 0).select(
+        F.lit(901).alias("media_id"), "kind", "payload", "meta"
+    )
+    batch = batch.unionByName(copy)
+    accs = {}
+    for label, st, sk in (("flat", flat, None), ("bucketed", sigs_t, keys_t)):
+        acc, _, _, blk = media_gate.gate_media_batch_attributed(
+            batch, st, state_keys=sk
+        )
+        accs[label] = (
+            sorted(r["media_id"] for r in acc.collect()),
+            sorted((r["doc"], r["odoc"]) for r in blk.collect()),
+        )
+    assert accs["flat"] == accs["bucketed"]
+    assert 901 not in accs["flat"][0]  # the copy of state item 0 is blocked
+
+    for t in ("t_mgate_keys", "t_mgate_sigs"):
+        desc = "\n".join(
+            f"{r['col_name']} {r['data_type']}"
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        )
+        assert "Num Buckets 4" in desc, desc
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_media_hybrid_bucketed_drain_parity_refresh_and_fallback(
+    spark, tmp_path
+):
+    """The hybrid state layout in the MEDIA drain: with aggressive
+    compaction and `bucketed` armed, admissions equal the flat drain;
+    each fold refreshes the tables and the marker tracks the
+    generation; a stale marker falls back to the flat read."""
+    import json
+
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import dedup_gate
+
+    media = _media(spark)
+
+    def _drain(tag, bucketed):
+        inbox = str(tmp_path / f"inbox_{tag}")
+        os.makedirs(inbox)
+        for g in range(3):
+            p = os.path.join(inbox, f"g{g}.parquet")
+            _write_file(
+                media.filter(F.col("media_id") % 3 == g), p,
+                age_s=60 * (3 - g),
+            )
+        out = str(tmp_path / f"out_{tag}")
+        media_gate.run_media_gate_available_now(
+            spark, inbox, MSCHEMA, out,
+            str(tmp_path / f"state_{tag}"), str(tmp_path / f"ckpt_{tag}"),
+            compact_after_dirs=1, bucketed=bucketed,
+        )
+        return {
+            r["media_id"]
+            for r in spark.read.parquet(os.path.join(out, "batch_id=*")).collect()
+        }
+
+    bopt = {
+        "table_prefix": "t_mhybrid",
+        "path": str(tmp_path / "bmt"),
+        "num_buckets": 4,
+    }
+    got_hybrid = _drain("hyb", bopt)
+    got_flat = _drain("flat", None)
+    assert got_hybrid == got_flat and got_hybrid
+
+    marker = os.path.join(bopt["path"], dedup_gate._BUCKETED_MARKER)
+    with open(marker) as f:
+        mirrored = json.load(f)["gen"]
+    assert mirrored == dedup_gate._newest_gen_id(str(tmp_path / "state_hyb"))
+    assert spark.table("t_mhybrid_sigs").count() > 0
+
+    # stale marker → flat fallback, identical decisions
+    with open(marker, "w") as f:
+        json.dump({"gen": -999}, f)
+    st, sk = media_gate._load_media_state_hybrid(
+        spark, str(tmp_path / "state_hyb"), 60, 5,
+        bopt["table_prefix"], bopt["path"], before_batch=None,
+    )
+    assert sk is None
+    probe = media.filter(F.col("media_id") == 1).select(
+        F.lit(950).alias("media_id"), "kind", "payload", "meta"
+    )
+    acc, _, _ = media_gate.gate_media_batch(probe, st)
+    assert acc.count() == 0  # re-copy of an accepted item stays blocked
+
+    spark.sql("DROP TABLE IF EXISTS t_mhybrid_sigs")
+    spark.sql("DROP TABLE IF EXISTS t_mhybrid_keys")
+
+
+def test_media_broadcast_batch_parity_and_no_state_shuffle(spark):
+    """The media gate's big-state probe flip: broadcast_batch=True
+    yields identical admissions and attribution, with the state's keys
+    AND signatures streamed through map-side hash joins — no bk or
+    odoc exchange on the state side."""
+    media = _media(spark)
+    state = mm.ahash_signatures(
+        media.filter(F.col("media_id") % 2 == 0), n=60
+    ).select(F.col("media_id").alias("doc"), "sig").localCheckpoint()
+    batch = media.filter(F.col("media_id") % 2 == 1).limit(30)
+    copy = media.filter(F.col("media_id") == 0).select(
+        F.lit(902).alias("media_id"), "kind", "payload", "meta"
+    )
+    batch = batch.unionByName(copy)
+
+    got = {}
+    for label, bb in (("default", False), ("flipped", True)):
+        acc, _, _, blk = media_gate.gate_media_batch_attributed(
+            batch, state, broadcast_batch=bb
+        )
+        got[label] = (
+            sorted(r["media_id"] for r in acc.collect()),
+            sorted((r["doc"], r["odoc"], r["dist"]) for r in blk.collect()),
+        )
+    assert got["default"] == got["flipped"]
+    assert 902 not in got["default"][0]
+
+    # plan: the cross-state direction alone must not shuffle the state
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_band_keys,
+    )
+
+    bsig = mm.ahash_signatures(batch, n=60).select(
+        F.col("media_id").alias("doc"), "sig"
+    ).localCheckpoint()
+    bkeys = signature_band_keys(bsig, 60, 5).localCheckpoint()
+    skeys = signature_band_keys(state, 60, 5)
+    blk = media_gate._ham_blockers(
+        bkeys, bsig, skeys, state, 5, ordered=False, broadcast_batch=True
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        blk._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(bk" not in plan
+    assert "hashpartitioning(odoc" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
