@@ -941,3 +941,109 @@ def q_media_admission_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.filter(F.col("gen") == _GATE_GENS - 1).select("bin"),
         bins=2,
     )
+
+
+# -- unified multimodal admission gate (streaming/multimodal_gate.py) --------
+
+
+def _multimodal_gate_replay_sql() -> str:
+    """Unrolled-generation oracle for the UNIFIED gate: the shared
+    policy-agnostic chain (registry_ml._gate_chain_ctes) over the UNION
+    of the two modalities' candidate relations — verified MinHash pairs
+    (est ≥ t) and within-Hamming aHash pairs — which IS the atomic
+    either-modality-rejects policy: one accepted set, one state spine.
+    Text CTEs come from registry_ml._gate_common_ctes, media CTEs from
+    _media_gate_sig_ctes (media_id = doc_id by construction of the
+    media fixture), exactly as the estate catalog oracle already
+    composes them."""
+    return "\n".join(
+        [
+            "WITH "
+            + _ML._gate_common_ctes(_ML._GATE_K, _ML._GATE_BANDS, _GATE_GENS),
+            _media_gate_sig_ctes(_AHASH_N, _AHASH_MAXHAM) + ",",
+            "xcand AS (SELECT id_a, id_b FROM est"
+            f" WHERE est >= {_ML._GATE_T!r}"
+            " UNION SELECT id_a, id_b FROM mdist),",
+            _ML._gate_chain_ctes("xcand", "", _GATE_GENS),
+            "SELECT g.doc AS doc, g.gen AS gen,"
+            " (g.doc NOT IN (SELECT doc FROM rej)) AS admitted FROM gens g",
+        ]
+    )
+
+
+@_q("q_multimodal_gate_replay", _multimodal_gate_replay_sql())
+def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified multimodal admission gate
+    (streaming/multimodal_gate.gate_multimodal_batch) replayed as a
+    batch relation: every document arrives with BOTH its text and its
+    media payload in 3 deterministic generations (doc_id % 3) and is
+    admitted iff NEITHER modality blocks it — no verified MinHash
+    blocker (est ≥ 0.5) against the unified corpus's accepted text
+    signatures or a smaller in-batch id, and no aHash blocker (≤ 5
+    bits) against its accepted media signatures. Atomicity is the
+    point (and what running the two gates separately gets wrong): a
+    doc rejected by either modality enters NEITHER state, so the
+    accepted set is ONE corpus. Runs the stream's own batch kernel per
+    generation with both signature relations computed once (memoized
+    checkpoints); the oracle replays the identical policy through the
+    shared unrolled chain over the UNION of the two candidate
+    relations."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA as _M_SIG_SCHEMA,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.multimodal_gate import (
+        gate_multimodal_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    mm_docs = docs.select("doc_id", "text").join(
+        media.withColumnRenamed("media_id", "doc_id"), "doc_id"
+    )
+    tsig_all = _memo_replay(
+        spark, sf_dir, "mm-gate-tsigs",
+        lambda: minhash_signature(
+            docs, "doc_id", "text", 3, _ML._GATE_K
+        ).localCheckpoint(),
+    )
+    msig_all = _memo_replay(
+        spark, sf_dir, "media-gate-sigs",
+        lambda: ahash_signatures(media, n=_AHASH_N)
+        .select(F.col("media_id").alias("doc"), "sig")
+        .localCheckpoint(),
+    )
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    tstate = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
+    mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = mm_docs.filter(gen_of("doc_id") == g)
+        _, acc_t, acc_m, dec = gate_multimodal_batch(
+            batch, tstate, mstate,
+            num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
+            threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
+            tsig=tsig_all.filter(gen_of("doc") == g),
+            msig=msig_all.filter(gen_of("doc") == g),
+        )
+        outs.append(
+            dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        )
+        if g < _GATE_GENS - 1:
+            tstate = tstate.unionByName(acc_t).localCheckpoint()
+            mstate = mstate.unionByName(acc_m).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -76,7 +76,8 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
     - ``batch_id=*`` parquet dirs whose schema has ``odoc`` → a gate
       ATTRIBUTION LOG (the dup_of blocker relation; ``est`` marks the
       text gate's MinHash-estimate form, ``dist`` the media gate's
-      Hamming form).
+      Hamming form, a ``modality`` column the unified multimodal
+      gate's tagged form).
 
     Fail-loud on anything else — an unclassifiable root must not be
     silently reported healthy."""
@@ -166,7 +167,8 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
             }
         if "odoc" in df.columns:
             modality = (
-                "text" if "est" in df.columns
+                "multimodal" if "modality" in df.columns
+                else "text" if "est" in df.columns
                 else "media" if "dist" in df.columns
                 else None
             )

@@ -518,3 +518,133 @@ def run_media_ingest_available_now(
             id_col=id_col,
         )
     return p
+
+
+# -- unified multimodal chain -------------------------------------------------
+
+
+def run_multimodal_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    work_dir: str,
+    text_ref_path: str,
+    media_ref_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    psi_threshold: float = 0.25,
+    size_bin_width: int = 256,
+    size_bins: int = 10,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bits: int = 60,
+    max_hamming: int = 5,
+    text_index_path: str | None = None,
+    media_index_path: str | None = None,
+    gate_kwargs: dict | None = None,
+) -> dict[str, str]:
+    """The ingest chain for documents that carry BOTH modalities
+    (id + text + kind/payload/meta): token-length drift gate (frozen
+    TEXT reference) → payload-size drift gate (frozen MEDIA reference)
+    → the UNIFIED near-dup admission gate
+    (streaming/multimodal_gate.py: rejected iff either modality
+    blocks, one accepted corpus, one state spine per modality) →
+    optional serving stages appending the SAME admitted corpus to a
+    persisted text index and a persisted media index — the corpus
+    q_multimodal_topk's cross-modal RRF retrieval serves, produced by
+    one drain with no manual hop.
+
+    Both drift references must pre-exist (drift_gate.write_reference
+    on the validated snapshot for text; :func:`write_media_reference`
+    for payload size) — a feed drifting in EITHER distribution
+    quarantines before any signature is computed. Directory chaining,
+    per-stage checkpoints, and the exactly-once/restart contract are
+    the other chains', verbatim; the unified gate's batch form is
+    replayed by plans/registry_mm.q_multimodal_gate_replay
+    (oracle-paired), parity-pinned by tests/test_multimodal_gate.py.
+    ``gate_kwargs`` passes through to the unified gate runner
+    (monitoring logs, compaction tuning, broadcast_batch)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        multimodal_gate,
+        vector_index_stream,
+    )
+
+    p = _paths(
+        work_dir,
+        (
+            "drift",
+            "mdrift",
+            "accepted",
+            "text_state",
+            "media_state",
+            "ckpt_drift",
+            "ckpt_mdrift",
+            "ckpt_gate",
+            "ckpt_tindex",
+            "ckpt_mindex",
+        ),
+    )
+    drift_gate.run_drift_gate_available_now(
+        spark,
+        input_dir,
+        schema,
+        p["drift"],
+        text_ref_path,
+        p["ckpt_drift"],
+        text_col=text_col,
+        threshold=psi_threshold,
+    )
+    adm_text = os.path.join(p["drift"], "admitted")
+    if _has_batches(adm_text):
+        drift_gate.run_drift_gate_available_now(
+            spark,
+            os.path.join(adm_text, "batch_id=*"),
+            schema,
+            p["mdrift"],
+            media_ref_path,
+            p["ckpt_mdrift"],
+            bin_width=size_bin_width,
+            bins=size_bins,
+            threshold=psi_threshold,
+            metric=drift_gate.payload_size_metric(),
+        )
+    adm_both = os.path.join(p["mdrift"], "admitted")
+    if _has_batches(adm_both):
+        multimodal_gate.run_multimodal_gate_available_now(
+            spark,
+            os.path.join(adm_both, "batch_id=*"),
+            schema,
+            p["accepted"],
+            p["text_state"],
+            p["media_state"],
+            p["ckpt_gate"],
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            bits=bits,
+            max_hamming=max_hamming,
+            **(gate_kwargs or {}),
+        )
+    if text_index_path is not None and _has_batches(p["accepted"]):
+        vector_index_stream.run_text_index_append_available_now(
+            spark,
+            os.path.join(p["accepted"], "batch_id=*"),
+            schema,
+            text_index_path,
+            p["ckpt_tindex"],
+            id_col=id_col,
+            text_col=text_col,
+        )
+    if media_index_path is not None and _has_batches(p["accepted"]):
+        vector_index_stream.run_media_index_append_available_now(
+            spark,
+            os.path.join(p["accepted"], "batch_id=*"),
+            schema,
+            media_index_path,
+            p["ckpt_mindex"],
+            id_col=id_col,
+        )
+    return p
