@@ -1271,13 +1271,13 @@ def _estate_params() -> tuple[str, str, str]:
     return text, media, gate, mgate
 
 
-def _estate_roots(sf_dir: str) -> dict[str, str]:
+def _estate_roots(sf_dir: str, version: str = _ESTATE_VERSION) -> dict[str, str]:
     import hashlib
     import tempfile
 
     h = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     root = os.path.join(
-        tempfile.gettempdir(), f"rapp_spark_estate_{_ESTATE_VERSION}_{h}"
+        tempfile.gettempdir(), f"rapp_spark_estate_{version}_{h}"
     )
     return {
         "gate_decisions": os.path.join(root, "gate_decisions"),
@@ -1298,6 +1298,16 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     3-generation replay (the same arrival order every gate oracle
     unrolls). All inputs slice the documents table deterministically,
     so every count below is a DuckDB-expressible function of it."""
+    return _build_estate_into(spark, sf_dir, _estate_roots(sf_dir))
+
+
+def _build_estate_into(
+    spark: SparkSession, sf_dir: str, roots: dict[str, str]
+) -> dict[str, str]:
+    """The estate builder, parameterized on its root set so a SECOND
+    copy can be built for destructive consumers (the forget sweep
+    mutates its estate; the shared catalog fixture must stay
+    read-only)."""
     import shutil as _sh
 
     from reddit_apache_airflow_postgres_pipeline_spark.operators import (
@@ -1326,7 +1336,6 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         gate_batch_verified_attributed,
     )
 
-    roots = _estate_roots(sf_dir)
     root = os.path.dirname(roots["text_idx"])
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
@@ -1435,6 +1444,49 @@ def _build_estate(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return roots
 
 
+def _estate_blk_ctes() -> str:
+    """Per-generation blocker CTEs for BOTH modalities — the dup_of
+    stores' PAIR relations (doc, odoc); conditions identical to the
+    dup_of oracles (registry_ml._gate_dup_of_sql /
+    registry_mm._media_gate_dup_of_sql). Shared by the catalog oracle
+    (which counts rows) and the forget-audit oracle (which needs the
+    odoc side too: a log row MENTIONING a forgotten id must go)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_GENS,
+        _GATE_T,
+    )
+
+    def _blk(tag: str, rel: str, pred: str, sfx: str) -> list[str]:
+        parts, sels = [], []
+        for g in range(_GATE_GENS):
+            prev = (
+                "\nUNION ALL\n".join(
+                    f"SELECT doc FROM acc{j}{sfx}" for j in range(g)
+                )
+                if g
+                else None
+            )
+            in_batch = (
+                f"(e.id_b < e.id_a AND e.id_b IN"
+                f" (SELECT doc FROM gens WHERE gen = {g}))"
+            )
+            cond = f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
+            parts.append(
+                f"{tag}{g} AS (SELECT e.id_a AS doc, e.id_b AS odoc"
+                f" FROM {rel} e"
+                f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+                f" WHERE {pred}{cond}),"
+            )
+            sels.append(f"SELECT * FROM {tag}{g}")
+        parts.append(f"{tag} AS (" + "\nUNION ALL\n".join(sels) + "),")
+        return parts
+
+    return "\n".join(
+        _blk("tblk", "est", f"e.est >= {_GATE_T!r} AND ", "")
+        + _blk("mblk", "mdist", "", "_m")
+    )
+
+
 def _estate_catalog_sql(select: str = "*") -> str:
     """The catalog oracle: every data-derived cell (row counts,
     admission counts, tombstone backlog) recomputed from the documents
@@ -1462,37 +1514,7 @@ def _estate_catalog_sql(select: str = "*") -> str:
         f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
     )
 
-    # per-generation blocker CTEs for BOTH modalities — the dup_of
-    # stores' row counts; conditions identical to the dup_of oracles
-    # (registry_ml._gate_dup_of_sql / registry_mm._media_gate_dup_of_sql)
-    def _blk(tag: str, rel: str, pred: str, sfx: str) -> list[str]:
-        parts, sels = [], []
-        for g in range(_GATE_GENS):
-            prev = (
-                "\nUNION ALL\n".join(
-                    f"SELECT doc FROM acc{j}{sfx}" for j in range(g)
-                )
-                if g
-                else None
-            )
-            in_batch = (
-                f"(e.id_b < e.id_a AND e.id_b IN"
-                f" (SELECT doc FROM gens WHERE gen = {g}))"
-            )
-            cond = f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
-            parts.append(
-                f"{tag}{g} AS (SELECT e.id_a AS doc FROM {rel} e"
-                f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
-                f" WHERE {pred}{cond}),"
-            )
-            sels.append(f"SELECT * FROM {tag}{g}")
-        parts.append(f"{tag} AS (" + "\nUNION ALL\n".join(sels) + "),")
-        return parts
-
-    blk_ctes = "\n".join(
-        _blk("tblk", "est", f"e.est >= {_GATE_T!r} AND ", "")
-        + _blk("mblk", "mdist", "", "_m")
-    )
+    blk_ctes = _estate_blk_ctes()
     return f"""
     WITH {_embed_ctes()},
     {_gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS)}
@@ -1646,3 +1668,129 @@ def q_ops_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_admission_rate": _MAINT_ADM,
         },
     )
+
+
+# -- estate-wide right-to-be-forgotten audit (sinks/forget.py) ----------------
+
+_FORGET_IDS = (0, 2, 5, 9, 14)  # spread across build/media/admission slices
+
+
+def _build_forget_estate(spark: SparkSession, sf_dir: str) -> str:
+    """A SECOND estate copy (the shared catalog fixture stays
+    read-only), swept ONCE by sinks/forget.forget(_FORGET_IDS) with the
+    audit relation persisted beside it — so the registry query is an
+    idempotent READ of what one erasure request did to every store.
+    Returns the audit parquet path."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.forget import forget
+
+    roots = _estate_roots(sf_dir, version=_ESTATE_VERSION + "f")
+    root = os.path.dirname(roots["text_idx"])
+    audit_path = os.path.join(root, "forget_audit")
+    done = os.path.join(root, "_DONE_FORGET")
+    if os.path.exists(done):
+        return audit_path
+    _build_estate_into(spark, sf_dir, roots)
+    audit = forget(spark, roots, list(_FORGET_IDS))
+    audit.write.mode("overwrite").parquet(audit_path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return audit_path
+
+
+def _forget_audit_sql() -> str:
+    """Expected per-store erasure effect, recomputed from the documents
+    table through the SAME estate CTE families as q_ops_catalog: live
+    index rows the forgotten ids actually had, accepted signatures they
+    held in each gate state, and every decision/attribution row
+    MENTIONING them (odoc included — 'your upload duplicated X' leaks
+    X's existence)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_BANDS,
+        _GATE_GENS,
+        _GATE_K,
+        _GATE_T,
+        _embed_ctes,
+        _gate_chain_ctes,
+        _gate_common_ctes,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_mm import (
+        _media_gate_sig_ctes,
+    )
+
+    ids = ", ".join(str(i) for i in _FORGET_IDS)
+    text_pred = (
+        f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
+    )
+    return f"""
+    WITH {_embed_ctes()},
+    {_gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS)}
+    vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),
+    {_gate_chain_ctes("vcand", "", _GATE_GENS)},
+    {_media_gate_sig_ctes(60, 5)},
+    mcand AS (SELECT id_a, id_b FROM mdist),
+    {_gate_chain_ctes("mcand", "_m", _GATE_GENS)},
+    adm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej)),
+    madm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej_m)),
+    {_estate_blk_ctes()}
+    tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
+              ORDER BY vec_id LIMIT {_EST_TOMBS}),
+    fids AS (SELECT UNNEST([{ids}]) AS fid)
+    SELECT * FROM (
+      SELECT 'gate_decisions' AS name, 'decision-log' AS category,
+             'log-rewrite' AS action,
+             (SELECT COUNT(*) FROM documents
+              WHERE doc_id IN (SELECT fid FROM fids)) AS rows_removed
+      UNION ALL
+      SELECT 'gate_dup_of', 'attribution-log', 'log-rewrite',
+             (SELECT COUNT(*) FROM tblk
+              WHERE doc IN (SELECT fid FROM fids)
+                 OR odoc IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'gate_state', 'gate-state', 'filtered-fold',
+             (SELECT COUNT(*) FROM adm
+              WHERE doc IN (SELECT doc FROM sig)
+                AND doc IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'media_gate_decisions', 'decision-log', 'log-rewrite',
+             (SELECT COUNT(*) FROM documents
+              WHERE doc_id IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'media_gate_dup_of', 'attribution-log', 'log-rewrite',
+             (SELECT COUNT(*) FROM mblk
+              WHERE doc IN (SELECT fid FROM fids)
+                 OR odoc IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'media_gate_state', 'gate-state', 'filtered-fold',
+             (SELECT COUNT(*) FROM madm
+              WHERE doc IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'media_idx', 'vector-index', 'tombstone+full-compact',
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 2
+              AND octet_length(encode(coalesce(text, ''))) > 0
+              AND doc_id IN (SELECT fid FROM fids))
+      UNION ALL
+      SELECT 'text_idx', 'vector-index', 'tombstone+full-compact',
+             (SELECT COUNT(*) FROM temb WHERE {text_pred}
+              AND vec_id NOT IN (SELECT vec_id FROM tombs)
+              AND vec_id IN (SELECT fid FROM fids))
+    ) audit_rel
+    """
+
+
+@_q("q_estate_forget_audit", _forget_audit_sql())
+def q_estate_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What ONE right-to-be-forgotten request did to the WHOLE estate
+    (sinks/forget.forget): per store, the erasure action its family
+    supports and the rows actually removed — vectors tombstoned then
+    physically dropped by full compaction, gate signatures filtered out
+    of the fold, every log row mentioning a forgotten id rewritten
+    away. The oracle recomputes each count from the documents table
+    through the same CTE families as q_ops_catalog, so the sweep's
+    bookkeeping is pinned cell-by-cell; the admissibility consequence
+    (a forgotten doc's near-copy re-admits) is pinned in
+    tests/test_forget.py."""
+    path = _memo_replay(
+        spark, sf_dir, "forget-estate",
+        lambda: _build_forget_estate(spark, sf_dir),
+    )
+    return spark.read.parquet(path)

@@ -1,0 +1,193 @@
+"""Right-to-be-forgotten across the WHOLE serving estate.
+
+The erasure story so far was per-store: indexes tombstone + compact
+(sinks/vector_index.py), and that is where the VECTORS die — but a
+forgotten document also survives as MinHash/aHash signatures in the
+gates' accepted state and as doc ids in the decision and attribution
+logs. An operator honoring an erasure request has to sweep ALL of it,
+and has to know what "erase" means for each layout. This module is that
+sweep: classify every root with the estate catalog (the same on-disk
+markers the read paths verify), dispatch the erasure primitive each
+family supports, and return the audit relation compliance wants.
+
+Per family:
+
+- **vector-index** — tombstone the ids, then FULL compaction: the fold
+  physically drops the rows and absorbs the tombstone (the documented
+  erase → compact → re-add lifecycle, now driven estate-wide).
+- **gate-state** — filtered fold: rewrite the store as one generation
+  dir WITHOUT the ids' signature rows (same crash-safe tmp → rename →
+  delete-subsumed sequence as compaction; a crash mid-delete leaves a
+  superset of dirs whose next fold finishes the job — and unlike
+  compaction the interim superset still contains no forgotten rows,
+  because they were filtered before the rename).
+- **decision-log / attribution-log** — per-dir rewrite dropping every
+  row that MENTIONS a forgotten id (``doc``, and ``odoc`` in
+  attribution logs: "your upload duplicated document X" leaks X's
+  existence).
+
+Documented consequence (pinned in tests/test_forget.py): erasing a
+doc's gate signatures makes its near-copies ADMISSIBLE again — the gate
+can no longer remember content it was ordered to forget. That is the
+correct reading of erasure, and the operator sees it in the audit
+relation rather than discovering it in production.
+
+Scale posture: an erasure request is decision-sized (a list of ids —
+the reference's analog is a row-level GDPR delete against the loaded
+table); every data-sized operation below is one filtered scan + one
+write per store, shuffled only where the store's own compactor already
+shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import catalog as _cat
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+    media_index as _mi,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+    text_index as _ti,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+    vector_index as _vi,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    dedup_gate as _dg,
+)
+from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+    media_gate as _mg,
+)
+
+_GATE_LOADERS = {
+    "dedup-gate/v1": lambda sp, sd: _dg._load_state(sp, sd),
+    "verified-dedup-gate/v1": None,  # needs num_hashes from the meta
+    "media-gate/v1": lambda sp, sd: _mg._load_media_state(sp, sd),
+}
+
+
+def _erase_gate_state(
+    spark: SparkSession, path: str, kind: str, params: dict, ids: list[int]
+) -> int:
+    """Filtered fold of a gate state store: one new generation dir
+    containing every surviving row, forgotten rows dropped BEFORE the
+    rename, subsumed dirs deleted after. Returns rows removed."""
+    if kind == "verified-dedup-gate/v1":
+        loader = lambda sp, sd: _dg._load_sig_state(  # noqa: E731
+            sp, sd, int(params["num_hashes"])
+        )
+    else:
+        loader = _GATE_LOADERS[kind]
+    full = loader(spark, path)
+    survivors = full.filter(~F.col("doc").isin(ids))
+    removed = full.filter(F.col("doc").isin(ids)).count()
+    all_dirs = _dg._state_subdirs(path)
+    ids_of = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
+    next_gen = min(min(ids_of.values(), default=0), 0) - 1
+    tmp = path.rstrip("/") + "__forget_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    key = "bk" if kind == "dedup-gate/v1" else "doc"
+    survivors.distinct().repartition(key).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, os.path.join(path, f"batch_id={next_gen}"))
+    for d in all_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return removed
+
+
+def _erase_log_rows(
+    spark: SparkSession, path: str, ids: list[int], also_odoc: bool
+) -> int:
+    """Rewrite every batch dir of a decision/attribution log without
+    the rows mentioning a forgotten id. Per-dir tmp → rename keeps the
+    log readable throughout; dir names (and so batch attribution) are
+    preserved."""
+    removed = 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("batch_id="):
+            continue
+        sub = os.path.join(path, d)
+        df = spark.read.parquet(sub)
+        cond = F.col("doc").isin(ids)
+        if also_odoc and "odoc" in df.columns:
+            cond = cond | F.col("odoc").isin(ids)
+        n = df.filter(cond).count()
+        if n == 0:
+            continue
+        removed += n
+        tmp = sub + "__forget_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.filter(~cond).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(sub)
+        os.replace(tmp, sub)
+    return removed
+
+
+def _erase_index(
+    spark: SparkSession, path: str, modality: str, kind: str, ids: list[int]
+) -> int:
+    """Tombstone + FULL compaction: rows physically dropped, tombstone
+    absorbed, ids re-addable. Returns rows removed (live rows the ids
+    actually had)."""
+    before = _vi.index_stats(spark, path, kind)["rows"]
+    id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+    _vi.delete_from_index(id_df, path, id_col="vec_id")
+    if modality == "text":
+        _ti.compact_text_index(spark, path)
+    elif modality == "media":
+        _mi.compact_media_index(spark, path)
+    else:
+        _vi.COMPACTORS[kind](spark, path, None)
+    return before - _vi.index_stats(spark, path, kind)["rows"]
+
+
+def forget(
+    spark: SparkSession, roots: dict[str, str], ids: list[int]
+) -> DataFrame:
+    """Erase ``ids`` from every member of the estate and return the
+    audit relation (name, category, action, rows_removed) — one row per
+    root, catalog order. Fail-loud on an unclassifiable root (the
+    catalog's own contract): a store the sweep cannot classify is a
+    store the erasure did NOT reach, and that must never be reported as
+    success. ``ids`` is an erasure REQUEST — decision-sized by nature —
+    so the list rides into filters/isin as literals; the data-sized
+    work is one filtered scan + rewrite per store."""
+    import json as _json
+
+    if not ids:
+        raise ValueError("forget() with no ids — nothing to erase")
+    out = []
+    for name, path in sorted(roots.items()):
+        ent = _cat.catalog_entry(spark, name, path)
+        cat = ent["category"]
+        if cat == "vector-index":
+            n = _erase_index(spark, path, ent["modality"], ent["kind"], ids)
+            action = "tombstone+full-compact"
+        elif cat == "gate-state":
+            n = _erase_gate_state(
+                spark, path, ent["kind"], _json.loads(ent["params"]), ids
+            )
+            action = "filtered-fold"
+        elif cat == "decision-log":
+            n = _erase_log_rows(spark, path, ids, also_odoc=False)
+            action = "log-rewrite"
+        elif cat == "attribution-log":
+            n = _erase_log_rows(spark, path, ids, also_odoc=True)
+            action = "log-rewrite"
+        else:  # pragma: no cover — catalog_entry fails loud first
+            raise ValueError(f"unclassifiable estate member {name!r}")
+        out.append(
+            {
+                "name": name,
+                "category": cat,
+                "action": action,
+                "rows_removed": int(n),
+            }
+        )
+    return spark.createDataFrame(
+        out, "name string, category string, action string, rows_removed long"
+    )
