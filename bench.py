@@ -37,6 +37,7 @@ FAMILY_QUERIES = [
     "q_ingest_chain_text_serve",  # r11: admission composed with serving
     "q_media_ivfpq_topk",  # r11: the media modality through the same index
     "q_neardup_gate_replay",  # r11: verified incremental admission
+    "q_multimodal_topk",  # r12: cross-modal RRF over both served indexes
 ]
 
 

@@ -1047,3 +1047,123 @@ def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _multimodal_gate_dup_of_sql() -> str:
+    """Attribution oracle for the UNIFIED gate: every blocking pair of
+    every rejected doc, tagged with the modality that fired — text
+    pairs with their MinHash estimate, media pairs with their Hamming
+    distance as the score. No cross-modal ranking is imposed (an
+    estimate and a distance are not comparable); the relation is the
+    full eligible-blocker SET, which is exactly what the drain
+    persists."""
+    parts = [
+        "WITH "
+        + _ML._gate_common_ctes(_ML._GATE_K, _ML._GATE_BANDS, _GATE_GENS),
+        _media_gate_sig_ctes(_AHASH_N, _AHASH_MAXHAM) + ",",
+        "xcand AS (SELECT id_a, id_b FROM est"
+        f" WHERE est >= {_ML._GATE_T!r}"
+        " UNION SELECT id_a, id_b FROM mdist),",
+        _ML._gate_chain_ctes("xcand", "", _GATE_GENS) + ",",
+    ]
+    sels = []
+    for g in range(_GATE_GENS):
+        prev = (
+            "\nUNION ALL\n".join(f"SELECT doc FROM acc{j}" for j in range(g))
+            if g
+            else None
+        )
+        in_batch = (
+            f"(e.id_b < e.id_a AND e.id_b IN"
+            f" (SELECT doc FROM gens WHERE gen = {g}))"
+        )
+        cond = f"(e.id_b IN ({prev}) OR {in_batch})" if prev else in_batch
+        parts.append(
+            f"xtb{g} AS (SELECT e.id_a AS doc, e.id_b AS odoc,"
+            " 'text' AS modality, e.est AS score FROM est e"
+            f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+            f" WHERE e.est >= {_ML._GATE_T!r} AND {cond}),"
+        )
+        parts.append(
+            f"xmb{g} AS (SELECT e.id_a AS doc, e.id_b AS odoc,"
+            " 'media' AS modality, CAST(e.dist AS DOUBLE) AS score"
+            " FROM mdist e"
+            f" JOIN gens x ON x.doc = e.id_a AND x.gen = {g}"
+            f" WHERE {cond}),"
+        )
+        sels += [f"SELECT * FROM xtb{g}", f"SELECT * FROM xmb{g}"]
+    parts.append("xblk AS (" + "\nUNION ALL\n".join(sels) + ")")
+    parts.append("SELECT doc, odoc, modality, score FROM xblk")
+    return "\n".join(parts)
+
+
+@_q("q_multimodal_gate_dup_of", _multimodal_gate_dup_of_sql())
+def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection ATTRIBUTION for the unified multimodal gate: every
+    eligible blocking pair of every rejected doc, tagged by modality —
+    'text' rows carry the MinHash estimate, 'media' rows the Hamming
+    distance — the exact relation the unified drain persists under
+    dup_of_dir, so 'what blocked my doc, and in WHICH modality' is a
+    read either way. Runs the stream kernel's own blocker relation per
+    generation off the memoized signature checkpoints shared with
+    q_multimodal_gate_replay; blockers eligible against state are the
+    UNIFIED corpus's accepted items (the atomicity that separates this
+    from per-modality attribution)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        ahash_signatures,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        minhash_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
+        _memo_replay,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _sig_schema,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _SIG_SCHEMA as _M_SIG_SCHEMA,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.multimodal_gate import (
+        gate_multimodal_batch_attributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    mm_docs = docs.select("doc_id", "text").join(
+        media.withColumnRenamed("media_id", "doc_id"), "doc_id"
+    )
+    tsig_all = _memo_replay(
+        spark, sf_dir, "mm-gate-tsigs",
+        lambda: minhash_signature(
+            docs, "doc_id", "text", 3, _ML._GATE_K
+        ).localCheckpoint(),
+    )
+    msig_all = _memo_replay(
+        spark, sf_dir, "media-gate-sigs",
+        lambda: ahash_signatures(media, n=_AHASH_N)
+        .select(F.col("media_id").alias("doc"), "sig")
+        .localCheckpoint(),
+    )
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    tstate = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
+    mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
+    outs = []
+    for g in range(_GATE_GENS):
+        batch = mm_docs.filter(gen_of("doc_id") == g)
+        _, acc_t, acc_m, _, blk = gate_multimodal_batch_attributed(
+            batch, tstate, mstate,
+            num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
+            threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
+            tsig=tsig_all.filter(gen_of("doc") == g),
+            msig=msig_all.filter(gen_of("doc") == g),
+            checkpoint_blockers=True,
+        )
+        outs.append(blk)
+        if g < _GATE_GENS - 1:
+            tstate = tstate.unionByName(acc_t).localCheckpoint()
+            mstate = mstate.unionByName(acc_m).localCheckpoint()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
