@@ -38,6 +38,7 @@ FAMILY_QUERIES = [
     "q_media_ivfpq_topk",  # r11: the media modality through the same index
     "q_neardup_gate_replay",  # r11: verified incremental admission
     "q_multimodal_topk",  # r12: cross-modal RRF over both served indexes
+    "q_snapshot_training_mix",  # r12: pinned corpus -> deterministic split
 ]
 
 

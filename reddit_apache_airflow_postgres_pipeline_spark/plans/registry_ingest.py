@@ -1228,7 +1228,7 @@ def q_ingest_chain_text_serve_recall(
 # pin every data-derived number (row counts, admission counts) from
 # the same parquet tables.
 
-_ESTATE_VERSION = "v3"
+_ESTATE_VERSION = "v4"
 _EST_APPEND_LT = 60  # text append slice: vec_id % 3 = 1 AND vec_id < 60
 _EST_TOMBS = 3  # lowest 3 embedable build ids get tombstoned
 
@@ -1268,7 +1268,15 @@ def _estate_params() -> tuple[str, str, str]:
         {"format": "media-gate/v1", "bits": 60, "max_hamming": 5},
         sort_keys=True,
     )
-    return text, media, gate, mgate
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.counting_state import (
+        CORPUS_FORMAT,
+    )
+
+    corpus = _json.dumps(
+        {"format": CORPUS_FORMAT, "id_col": "doc_id", "modality": "text"},
+        sort_keys=True,
+    )
+    return text, media, gate, mgate, corpus
 
 
 def _estate_roots(sf_dir: str, version: str = _ESTATE_VERSION) -> dict[str, str]:
@@ -1280,6 +1288,7 @@ def _estate_roots(sf_dir: str, version: str = _ESTATE_VERSION) -> dict[str, str]
         tempfile.gettempdir(), f"rapp_spark_estate_{version}_{h}"
     )
     return {
+        "gate_corpus": os.path.join(root, "gate_corpus"),
         "gate_decisions": os.path.join(root, "gate_decisions"),
         "gate_dup_of": os.path.join(root, "gate_dup_of"),
         "gate_state": os.path.join(root, "gate_state"),
@@ -1381,13 +1390,17 @@ def _build_estate_into(
             "threshold": 0.5,
         },
     )
+    _cs.stamp_corpus_meta(roots["gate_corpus"], "doc_id", "text")
     sig_all = minhash_signature(docs, "doc_id", "text", 3, 12).localCheckpoint()
     state = spark.createDataFrame([], _sig_schema(12))
     for g in range(3):
         batch = docs.filter(mod3 == g)
         sig_g = sig_all.filter((F.col("doc") % 3).cast("int") == g)
-        _, acc_sigs, dec, blk = gate_batch_verified_attributed(
+        acc, acc_sigs, dec, blk = gate_batch_verified_attributed(
             batch, state, sig=sig_g, checkpoint_blockers=True
+        )
+        acc.write.mode("overwrite").parquet(
+            os.path.join(roots["gate_corpus"], f"batch_id={g}")
         )
         acc_sigs.write.mode("overwrite").parquet(
             os.path.join(roots["gate_state"], f"batch_id={g}")
@@ -1439,6 +1452,14 @@ def _build_estate_into(
         )
         if g < 2:
             mstate = mstate.unionByName(m_acc_sigs).localCheckpoint()
+    # two pins over the admitted corpus: "g01" (generations 0-1) and
+    # "all" — the snapshot/ledger/diff/training-mix oracles read these
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        snapshots as _snap,
+    )
+
+    _snap.create_snapshot(spark, roots["gate_corpus"], "g01", upto_batch=1)
+    _snap.create_snapshot(spark, roots["gate_corpus"], "all")
     with open(done, "w") as f:
         f.write("ok")
     return roots
@@ -1509,7 +1530,7 @@ def _estate_catalog_sql(select: str = "*") -> str:
         _media_gate_sig_ctes,
     )
 
-    p_text, p_media, p_gate, p_mgate = _estate_params()
+    p_text, p_media, p_gate, p_mgate, p_corpus = _estate_params()
     text_pred = (
         f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
     )
@@ -1529,14 +1550,21 @@ def _estate_catalog_sql(select: str = "*") -> str:
     tombs AS (SELECT vec_id FROM temb WHERE vec_id % 3 = 0
               ORDER BY vec_id LIMIT {_EST_TOMBS})
     SELECT {select} FROM (
-      SELECT 'gate_decisions' AS name, 'decision-log' AS category,
-             'decisions' AS kind, CAST(NULL AS VARCHAR) AS modality,
-             '{{}}' AS params,
-             (SELECT COUNT(*) FROM documents) AS n_rows,
+      SELECT 'gate_corpus' AS name, 'corpus' AS category,
+             'admitted-corpus/v1' AS kind, 'text' AS modality,
+             '{p_corpus}' AS params,
+             (SELECT COUNT(*) FROM adm) AS n_rows,
              3 AS live_dirs, CAST(NULL AS BIGINT) AS tombstones,
-             (SELECT COUNT(*) FROM adm) AS n_admitted,
+             CAST(NULL AS BIGINT) AS n_admitted,
+             CAST(NULL AS BIGINT) AS n_rejected
+      UNION ALL
+      SELECT 'gate_decisions', 'decision-log',
+             'decisions', CAST(NULL AS VARCHAR),
+             '{{}}',
+             (SELECT COUNT(*) FROM documents),
+             3, CAST(NULL AS BIGINT),
+             (SELECT COUNT(*) FROM adm),
              (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM adm)
-               AS n_rejected
       UNION ALL
       SELECT 'gate_dup_of', 'attribution-log', 'dup_of', 'text', '{{}}',
              (SELECT COUNT(*) FROM tblk), 3, CAST(NULL AS BIGINT),
@@ -1736,10 +1764,15 @@ def _forget_audit_sql() -> str:
               ORDER BY vec_id LIMIT {_EST_TOMBS}),
     fids AS (SELECT UNNEST([{ids}]) AS fid)
     SELECT * FROM (
-      SELECT 'gate_decisions' AS name, 'decision-log' AS category,
-             'log-rewrite' AS action,
+      SELECT 'gate_corpus' AS name, 'corpus' AS category,
+             'corpus-rewrite' AS action,
+             (SELECT COUNT(*) FROM adm
+              WHERE doc IN (SELECT fid FROM fids)) AS rows_removed
+      UNION ALL
+      SELECT 'gate_decisions', 'decision-log',
+             'log-rewrite',
              (SELECT COUNT(*) FROM documents
-              WHERE doc_id IN (SELECT fid FROM fids)) AS rows_removed
+              WHERE doc_id IN (SELECT fid FROM fids))
       UNION ALL
       SELECT 'gate_dup_of', 'attribution-log', 'log-rewrite',
              (SELECT COUNT(*) FROM tblk
@@ -1794,3 +1827,126 @@ def q_estate_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _build_forget_estate(spark, sf_dir),
     )
     return spark.read.parquet(path)
+
+
+# -- pinned corpus snapshots (sinks/snapshots.py) ------------------------------
+
+
+def _corpus_chain_prefix() -> str:
+    """CTE prefix shared by the snapshot oracles: the verified gate's
+    3-generation admission chain over the documents table — exactly
+    what the fixture corpus (roots['gate_corpus']) holds per batch
+    dir, so every snapshot cell is a DuckDB-expressible function of
+    the documents table."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_BANDS,
+        _GATE_GENS,
+        _GATE_K,
+        _GATE_T,
+        _gate_chain_ctes,
+        _gate_common_ctes,
+    )
+
+    return f"""{_gate_common_ctes(_GATE_K, _GATE_BANDS, _GATE_GENS)}
+    vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_GATE_T!r}),
+    {_gate_chain_ctes("vcand", "", _GATE_GENS)}"""
+
+
+def _snapshot_ledger_sql() -> str:
+    rows = []
+    for name, gens in (("all", (0, 1, 2)), ("g01", (0, 1))):
+        for g in gens:
+            rows.append(
+                f"SELECT '{name}' AS snapshot, CAST({g} AS INTEGER) AS"
+                f" batch_id, (SELECT COUNT(*) FROM acc{g}) AS rows,"
+                f" (SELECT COUNT(*) FROM acc{g}) AS rows_actual,"
+                " TRUE AS ok"
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return f"WITH {_corpus_chain_prefix()}\n{union}"
+
+
+@_q("q_corpus_snapshot_ledger", _snapshot_ledger_sql())
+def q_corpus_snapshot_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The immutability audit of BOTH fixture pins
+    (sinks/snapshots.verify_snapshot): per pinned batch, manifest row
+    count vs a recount + content re-fingerprint of the dir it pins —
+    one partition-pruned scan per snapshot, no data-sized shuffle. On
+    the untouched fixture corpus every row verifies ok; the
+    forget-collision (a swept dir flips ok to false at unchanged row
+    count) is pinned in tests/test_forget.py. The oracle recomputes
+    each batch's expected count from the documents table through the
+    same admission-chain CTEs as the gate replays."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    roots = _memo_replay(
+        spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
+    )
+    corpus = roots["gate_corpus"]
+    return _snap.verify_snapshot(spark, corpus, "all").unionByName(
+        _snap.verify_snapshot(spark, corpus, "g01")
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    return f"""
+    WITH {_corpus_chain_prefix()}
+    SELECT d.doc_id, CAST(2 AS INTEGER) AS batch_id, d.n_chars
+    FROM documents d JOIN acc2 a ON a.doc = d.doc_id
+    """
+
+
+@_q("q_corpus_snapshot_diff", _snapshot_diff_sql())
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a training run gains moving pin g01 → pin all
+    (sinks/snapshots.snapshot_diff): the rows admitted BETWEEN the two
+    pins. The read costs exactly the delta — only batch dirs in 'all'
+    and not in 'g01' are opened (explicit manifest paths, no corpus
+    listing, no anti-join) — which is the incremental-training feed at
+    100 TB: the delta's size, not the corpus's. Oracle: generation 2's
+    admitted docs from the chain CTEs."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    roots = _memo_replay(
+        spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
+    )
+    return _snap.snapshot_diff(
+        spark, roots["gate_corpus"], "g01", "all"
+    ).select("doc_id", "batch_id", "n_chars")
+
+
+def _snapshot_mix_sql() -> str:
+    return f"""
+    WITH {_corpus_chain_prefix()},
+    adm AS (SELECT doc FROM gens WHERE doc NOT IN (SELECT doc FROM rej)),
+    b AS (SELECT doc AS doc_id,
+                 ('0x' || substr(md5(doc::VARCHAR), 1, 8))::BIGINT % 100 AS bkt
+          FROM adm)
+    SELECT doc_id,
+           CASE WHEN bkt < 90 THEN 'train'
+                WHEN bkt < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@_q("q_snapshot_training_mix", _snapshot_mix_sql())
+def q_snapshot_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reproducible-training contract end-to-end: read pin 'all'
+    (manifest paths only) and assign the deterministic 90/5/5
+    train/val/test split by md5(doc_id) bucket
+    (operators/curation.hash_split) — so "run X trained on snapshot S,
+    split train" names an exact, re-derivable document set years
+    later, independent of corpus growth, row order, and engine. Pure
+    map-side over the pruned snapshot read; the oracle replays the
+    admission chain + the same hex-prefix bucket recipe."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.curation import (
+        hash_split,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    roots = _memo_replay(
+        spark, sf_dir, "ops-estate", lambda: _build_estate(spark, sf_dir)
+    )
+    pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
+    return hash_split(pinned).select("doc_id", "split")

@@ -45,6 +45,13 @@ _GATE_MODALITY = {
     "media-gate/v1": "media",
 }
 
+# the drains stamp their out_dir with this marker
+# (counting_state.stamp_corpus_meta), so the admitted corpus — the
+# estate member that holds the actual document payloads — classifies
+# like every other store, and the forget sweep reaches the text
+# itself, not just its signatures and vectors
+_CORPUS_FORMAT = _cs.CORPUS_FORMAT
+
 
 def _params_json(meta: dict) -> str:
     return json.dumps(meta, sort_keys=True)
@@ -69,6 +76,9 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
       params from the meta, counts from index_stats);
     - a bare ``postings/`` | ``codes/`` | ``sigs/`` store → a raw
       vector index (infer_kind's exactly-one contract);
+    - ``_meta.json`` stamped ``admitted-corpus/v1`` → the ADMITTED
+      CORPUS itself (the drains' out_dir: the document payloads, the
+      store snapshots pin and training runs read);
     - ``_meta.json`` whose format is a gate family → gate state (rows =
       live signature/band rows, the estate's dedup memory);
     - ``batch_id=*`` parquet dirs whose schema has ``admitted`` → a
@@ -126,6 +136,21 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
         with open(gmeta_path) as f:
             meta = json.load(f)
         fmt = meta.get("format", "")
+        if fmt == _CORPUS_FORMAT:
+            return {
+                "name": name,
+                "category": "corpus",
+                "kind": fmt,
+                "modality": meta.get("modality"),
+                "params": _params_json(meta),
+                "n_rows": (
+                    spark.read.parquet(path).count() if _batch_dirs(path) else 0
+                ),
+                "live_dirs": len(_batch_dirs(path)),
+                "tombstones": None,
+                "n_admitted": None,
+                "n_rejected": None,
+            }
         if fmt in _GATE_MODALITY:
             rows = spark.read.parquet(path).count() if _batch_dirs(path) else 0
             return {

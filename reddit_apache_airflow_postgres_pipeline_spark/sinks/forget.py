@@ -25,6 +25,11 @@ Per family:
   row that MENTIONS a forgotten id (``doc``, and ``odoc`` in
   attribution logs: "your upload duplicated document X" leaks X's
   existence).
+- **corpus** — per-dir rewrite of the admitted corpus itself: the
+  document PAYLOADS die here (everything above erases derived state).
+  Dir names are preserved, so a snapshot pinning a rewritten dir fails
+  its immutability audit loudly (sinks/snapshots.py) — erasure beats
+  reproducibility by design.
 
 Documented consequence (pinned in tests/test_forget.py): erasing a
 doc's gate signatures makes its near-copies ADMISSIBLE again — the gate
@@ -127,6 +132,36 @@ def _erase_log_rows(
     return removed
 
 
+def _erase_corpus_rows(
+    spark: SparkSession, path: str, id_col: str, ids: list[int]
+) -> int:
+    """Rewrite every corpus batch dir WITHOUT the forgotten documents —
+    this is where the payloads themselves die (signatures die in the
+    gate states, vectors in the indexes; a sweep that spares the
+    admitted corpus has erased everything except the document). Dir
+    names are preserved (batch provenance survives), so any snapshot
+    pinning a rewritten dir now FAILS its immutability audit
+    (sinks/snapshots.verify_snapshot) — the documented collision:
+    the right to be forgotten beats reproducibility, loudly."""
+    removed = 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("batch_id="):
+            continue
+        sub = os.path.join(path, d)
+        df = spark.read.parquet(sub)
+        cond = F.col(id_col).isin(ids)
+        n = df.filter(cond).count()
+        if n == 0:
+            continue
+        removed += n
+        tmp = sub + "__forget_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.filter(~cond).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(sub)
+        os.replace(tmp, sub)
+    return removed
+
+
 def _erase_index(
     spark: SparkSession, path: str, modality: str, kind: str, ids: list[int]
 ) -> int:
@@ -178,6 +213,11 @@ def forget(
         elif cat == "attribution-log":
             n = _erase_log_rows(spark, path, ids, also_odoc=True)
             action = "log-rewrite"
+        elif cat == "corpus":
+            n = _erase_corpus_rows(
+                spark, path, _json.loads(ent["params"])["id_col"], ids
+            )
+            action = "corpus-rewrite"
         else:  # pragma: no cover — catalog_entry fails loud first
             raise ValueError(f"unclassifiable estate member {name!r}")
         out.append(

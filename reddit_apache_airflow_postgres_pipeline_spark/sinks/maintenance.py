@@ -29,7 +29,12 @@ Rules (first match wins, severity order):
    the combine task's used/skipped accounting,
    Combine_send_to_postgresql.py:151-166); there is no mechanical fix,
    so the action is a flag, not a mutation.
-4. ``OK`` — nothing to do.
+4. ``OK`` — nothing to do. Admitted-corpus stores land here BY DESIGN
+   even when their batch dirs accrete: corpus ``batch_id=`` dirs are
+   provenance (snapshots pin them, as-of reads and diffs prune by
+   them), so folding them would destroy the version history. The
+   listing-cliff pressure is answered by snapshot-manifest reads
+   (sinks/snapshots.py), which never list the corpus root at all.
 
 Scale posture: the planner input is the catalog — one row per store —
 so planning is driver-trivial by design; all data-sized work stays in

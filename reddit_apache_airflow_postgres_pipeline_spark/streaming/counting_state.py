@@ -32,6 +32,23 @@ from pyspark.sql.utils import AnalysisException
 MANIFEST = "_subsumed.json"
 META = "_meta.json"
 
+# every gate drain stamps its out_dir with this marker so the admitted
+# corpus classifies as a first-class estate member (sinks/catalog.py):
+# the forget sweep reaches the payloads themselves and the snapshot
+# layer (sinks/snapshots.py) knows which id column it is pinning
+CORPUS_FORMAT = "admitted-corpus/v1"
+
+
+def stamp_corpus_meta(out_dir: str, id_col: str, modality: str) -> None:
+    """Mark a drain's out_dir as an admitted corpus (same stamp-once /
+    verify-later contract as :func:`stamp_meta` — a drain restarted
+    with a different id column or modality onto the same corpus fails
+    at the marker instead of silently mixing schemas)."""
+    stamp_meta(
+        out_dir,
+        {"format": CORPUS_FORMAT, "id_col": id_col, "modality": modality},
+    )
+
 
 def stamp_meta(state_dir: str, meta: dict, migrate: bool = False) -> None:
     """Write the store's format marker (atomic tmp→rename) on first

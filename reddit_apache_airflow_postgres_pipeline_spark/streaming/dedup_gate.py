@@ -482,6 +482,7 @@ def run_gate_available_now(
             "bands": bands,
         },
     )
+    _cs.stamp_corpus_meta(out_dir, id_col, "text")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -871,6 +872,7 @@ def run_verified_gate_available_now(
             "threshold": threshold,
         },
     )
+    _cs.stamp_corpus_meta(out_dir, id_col, "text")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -276,6 +276,7 @@ def run_media_gate_available_now(
         state_dir,
         {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
     )
+    _cs.stamp_corpus_meta(out_dir, id_col, "media")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

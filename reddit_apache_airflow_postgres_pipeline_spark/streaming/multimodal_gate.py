@@ -204,6 +204,7 @@ def run_multimodal_gate_available_now(
         media_state_dir,
         {"format": "media-gate/v1", "bits": bits, "max_hamming": max_hamming},
     )
+    _cs.stamp_corpus_meta(out_dir, id_col, "multimodal")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

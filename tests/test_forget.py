@@ -49,14 +49,17 @@ def _estate(spark, tmp_path):
         os.path.join(inbox, "f1.parquet"),
         age_s=10,
     )
-    gstate, gdec, gdup = (
-        str(tmp_path / "gstate"), str(tmp_path / "gdec"), str(tmp_path / "gdup")
+    gstate, gdec, gdup, gout = (
+        str(tmp_path / "gstate"), str(tmp_path / "gdec"),
+        str(tmp_path / "gdup"), str(tmp_path / "gout"),
     )
     dedup_gate.run_verified_gate_available_now(
-        spark, inbox, DSCHEMA, str(tmp_path / "gout"), gstate,
+        spark, inbox, DSCHEMA, gout, gstate,
         str(tmp_path / "gckpt"), decisions_dir=gdec, dup_of_dir=gdup,
     )
-    return {"ix": ix, "gstate": gstate, "gdec": gdec, "gdup": gdup}
+    return {
+        "ix": ix, "gstate": gstate, "gdec": gdec, "gdup": gdup, "gout": gout
+    }
 
 
 def test_forget_sweeps_every_estate_member(spark, tmp_path):
@@ -71,6 +74,11 @@ def test_forget_sweeps_every_estate_member(spark, tmp_path):
     dup = spark.read.parquet(roots["gdup"])
     assert {(r["doc"], r["odoc"]) for r in dup.collect()} == {(31, 1)}
 
+    # pin the corpus BEFORE the sweep: the forget-vs-snapshot collision
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as snap
+
+    snap.create_snapshot(spark, roots["gout"], "pre-forget")
+
     audit = {
         r["name"]: r.asDict()
         for r in forget(spark, roots, [1]).collect()
@@ -81,6 +89,24 @@ def test_forget_sweeps_every_estate_member(spark, tmp_path):
     assert audit["gstate"]["rows_removed"] == 1
     assert audit["gdec"]["rows_removed"] == 1  # doc 1's decision row
     assert audit["gdup"]["rows_removed"] == 1  # the (31, 1) blocker row
+    assert audit["gout"]["action"] == "corpus-rewrite"
+    assert audit["gout"]["rows_removed"] == 1  # the PAYLOAD itself
+
+    # doc 1's text is gone from the admitted corpus; doc 2 survives in
+    # its original batch dir (provenance preserved)
+    corpus = spark.read.parquet(roots["gout"])
+    assert {r["doc_id"] for r in corpus.collect()} == {2}
+    # the pre-forget pin now FAILS its immutability audit on the
+    # rewritten batch — erasure beats reproducibility, loudly
+    ver = {
+        int(r["batch_id"]): r["ok"]
+        for r in snap.verify_snapshot(
+            spark, roots["gout"], "pre-forget"
+        ).collect()
+    }
+    assert ver[0] is False
+    with pytest.raises(ValueError, match="immutability"):
+        snap.read_snapshot(spark, roots["gout"], "pre-forget", verify=True)
 
     # erased everywhere: vectors gone (physically, not shadowed),
     # signatures gone, no log row mentions doc 1

@@ -123,6 +123,27 @@ def test_tombstone_backlog_rule_fires_without_accretion(spark, tmp_path):
     assert vi.index_stats(spark, ix, "ivfpq")["tombstones"] == 0
 
 
+def test_corpus_accretion_is_ok_by_design(spark, tmp_path):
+    """Corpus batch dirs are provenance (snapshots pin them); the
+    planner must never fold them — even past the live-dir threshold."""
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming import (
+        counting_state as cs,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    cs.stamp_corpus_meta(corpus, "doc_id", "text")
+    for b in range(4):  # > TIGHT's max_live_dirs=2
+        _docs(spark, 10 * b, 10 * b + 3).write.mode("overwrite").parquet(
+            os.path.join(corpus, f"batch_id={b}")
+        )
+    cat = catalog(spark, {"corpus": corpus})
+    ent = cat.collect()[0]
+    assert ent["category"] == "corpus" and ent["n_rows"] == 12
+    assert ent["live_dirs"] == 4
+    row = maintenance_plan(cat, TIGHT).collect()[0]
+    assert row["action"] == "OK" and row["reason"] == "healthy"
+
+
 def test_admission_floor_investigate_and_handler(spark, tmp_path):
     dec = str(tmp_path / "dec")
     spark.createDataFrame(
