@@ -1717,7 +1717,16 @@ def _build_forget_estate(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(root, "_DONE_FORGET")
     if os.path.exists(done):
         return audit_path
-    _build_estate_into(spark, sf_dir, roots)
+    # the estate build is deterministic on disk, so the destructive
+    # copy is a FILE COPY of the shared read-only fixture, not a
+    # recompute (the rebuild dominated this query's sf0.1 gate row:
+    # 121.6s, GATE_SF01_r12) — identical bytes, ~100x cheaper
+    import shutil as _sh
+
+    src_root = os.path.dirname(_build_estate(spark, sf_dir)["text_idx"])
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.copytree(src_root, root)
+    os.remove(os.path.join(root, "_DONE"))
     audit = forget(spark, roots, list(_FORGET_IDS))
     audit.write.mode("overwrite").parquet(audit_path)
     with open(done, "w") as f:
@@ -1950,3 +1959,86 @@ def q_snapshot_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
     return hash_split(pinned).select("doc_id", "split")
+
+
+def _snapshot_emb_prov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin 'all' of the estate corpus, featurized + provenance-tagged,
+    checkpointed ONCE per (application × sf_dir): the pinned read is
+    embedded a single time (embed_text, one shuffle) and every
+    consumer — the index pipeline's several lineage branches AND the
+    provenance join — reuses the checkpoint. Provenance is free: the
+    snapshot read carries batch_id as a partition column, so 'which
+    corpus version admitted this vector' never re-derives anything."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        embed_text,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    def build():
+        roots = _build_estate(spark, sf_dir)
+        pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
+        emb = embed_text(
+            pinned.select("doc_id", "text"), d=8, n=2, salt="emb"
+        ).withColumnRenamed("doc_id", "vec_id")
+        prov = pinned.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("batch_id").cast("int").alias("src_batch"),
+        )
+        return emb.join(prov, "vec_id").localCheckpoint()
+
+    return _memo_replay(spark, sf_dir, "snap-emb-prov", build)
+
+
+def _snapshot_provenance_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _embed_ctes,
+        _ivfpq_ctes,
+    )
+
+    return f"""
+    WITH admd AS MATERIALIZED (
+      SELECT doc_id, text, src_batch FROM (
+        WITH {_corpus_chain_prefix()}
+        SELECT d.doc_id, d.text, CAST(g.gen AS INT) AS src_batch
+        FROM documents d JOIN gens g ON g.doc = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc FROM rej)) z),
+    {_embed_ctes(src="admd")},
+    qids AS (SELECT vec_id FROM temb ORDER BY vec_id LIMIT 8),
+    {_ivfpq_ctes(src="temb", qpred="vec_id IN (SELECT vec_id FROM qids)")}
+    SELECT t.query_id, t.neighbor_id, t.dist, a.src_batch,
+           a.src_batch <= 1 AS in_g01
+    FROM ivfpqtop t JOIN admd a ON a.doc_id = t.neighbor_id
+    """
+
+
+@_q("q_snapshot_provenance_topk", _snapshot_provenance_sql())
+def q_snapshot_provenance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving joined to corpus VERSION provenance: top-5 IVFPQ
+    results over pin 'all' of the estate corpus, every neighbor tagged
+    with the batch that admitted it (src_batch — the snapshot read's
+    partition column, no re-derivation) and whether the earlier pin
+    'g01' already contained it. This is the audit a training-data
+    incident needs: 'which corpus version produced this served result,
+    and did yesterday's pin already have it'. Scale shape: one
+    checkpointed featurization of the pinned corpus feeds the audited
+    composed-index plan; the provenance join attaches the
+    decision-sized top-k relation back to the checkpointed corpus
+    (AQE broadcasts the 40-row side)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    ep = _snapshot_emb_prov(spark, sf_dir)
+    e = ep.select("vec_id", "embedding")
+    q = e.orderBy("vec_id").limit(8)
+    top = ivfpq_topk(
+        e, q, n_cells=16, n_probe=4, m=4, n_codes=16, k=5, iters=1
+    )
+    prov = ep.select(F.col("vec_id").alias("neighbor_id"), "src_batch")
+    return top.join(prov, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "dist",
+        "src_batch",
+        (F.col("src_batch") <= 1).alias("in_g01"),
+    )
