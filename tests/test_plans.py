@@ -426,6 +426,12 @@ BNLJ_ALLOWED = {
         "coarse-centroid fan-out + survivor query set + the exact-L2 "
         "baseline scan"
     ),
+    # r12: serving-to-provenance over pin 'all' — the serving tail is
+    # q_sim_ivfpq's shape over the checkpointed pinned corpus
+    "q_snapshot_provenance_topk": (
+        "n_cells coarse centroids broadcast + the 8-lowest-pinned "
+        "query-set broadcast (LIMIT 8 of the checkpointed snapshot read)"
+    ),
     # r11: refresh-then-gate composition — the refresh policy's
     # hysteresis switch and the PSI totals are feeds-row scalars
     "q_drift_refresh_regate_by_group": (
