@@ -2042,3 +2042,55 @@ def q_snapshot_provenance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_batch",
         (F.col("src_batch") <= 1).alias("in_g01"),
     )
+
+
+def _forget_collision_sql() -> str:
+    """Expected post-sweep pin audit, per generation: the manifest's
+    row count is the gen's full admitted count; the dir now holds the
+    admitted docs MINUS the forgotten ids; ok is false exactly when a
+    forgotten id was admitted in that generation (forget rewrites only
+    the dirs that held one — an untouched dir keeps its fingerprint)."""
+    ids = ", ".join(str(i) for i in _FORGET_IDS)
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_GENS,
+    )
+
+    rows = []
+    for g in range(_GATE_GENS):
+        rows.append(
+            f"SELECT 'all' AS snapshot, CAST({g} AS INTEGER) AS batch_id,"
+            f" (SELECT COUNT(*) FROM acc{g}) AS rows,"
+            f" (SELECT COUNT(*) FROM acc{g} WHERE doc NOT IN"
+            f"  (SELECT fid FROM fids)) AS rows_actual,"
+            f" NOT EXISTS (SELECT 1 FROM acc{g} WHERE doc IN"
+            f"  (SELECT fid FROM fids)) AS ok"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH {_corpus_chain_prefix()},
+    fids AS (SELECT UNNEST([{ids}]) AS fid)
+    {union}
+    """
+
+
+@_q("q_forget_snapshot_collision", _forget_collision_sql())
+def q_forget_snapshot_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure vs reproducibility, pinned analytically: verify pin
+    'all' on the SWEPT estate copy (the same one q_estate_forget_audit
+    reads). A batch dir that held a forgotten ADMITTED document was
+    rewritten in place — its row count drops below the manifest's and
+    its content fingerprint diverges, so its audit row is ok=false;
+    a generation none of the forgotten ids reached keeps its
+    fingerprint and verifies ok=true. The oracle recomputes all three
+    cells per generation from the documents table through the
+    admission-chain CTEs — the right to be forgotten WINS over a
+    pinned corpus version, and the collision is a relation an
+    operator can query, not a surprise."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    _memo_replay(
+        spark, sf_dir, "forget-estate",
+        lambda: _build_forget_estate(spark, sf_dir),
+    )
+    roots_f = _estate_roots(sf_dir, version=_ESTATE_VERSION + "f")
+    return _snap.verify_snapshot(spark, roots_f["gate_corpus"], "all")
