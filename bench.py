@@ -7,6 +7,20 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Execution is forced with the noop sink (full materialization, no
 collect-to-driver cost polluting the numbers). Pass --explain to dump
 each query's formatted physical plan instead of timing it.
+
+Host-steal hardening (r12 verdict #2): the r12 driver record was taken
+in a contention window and overstated the round ~2x with byte-identical
+plans. Defenses, all visible in the emitted JSON:
+  * REPS=3 full suite passes with per-query min ACROSS passes — a
+    query's three runs are now separated by minutes, so a single steal
+    window can no longer poison every run of one query (the old layout
+    ran a query's attempts back-to-back, inside one window).
+  * /proc loadavg sampled BEFORE SparkSession creation and after stop,
+    plus per-pass wall totals, emitted under "load".
+  * "contaminated": true when start load1 > cpus*0.5 (external load —
+    the bench itself hasn't started) or when max/min pass total > 1.5
+    (a pass-sized steal window mid-run). A contaminated record
+    self-identifies; it should be discarded and re-run idle.
 """
 
 from __future__ import annotations
@@ -23,8 +37,8 @@ from reddit_apache_airflow_postgres_pipeline_spark.session import get_spark
 
 # Non-headline family representatives (r9 verdict #6): the serving and
 # ingest-chain families dominate the codebase but had no round-over-round
-# perf signal. Timed the same way (untimed warm-up + min-of-3) but
-# reported under a SEPARATE "families" block so the 10-query headline
+# perf signal. Timed the same way (untimed warm-up + min-across-passes)
+# but reported under a SEPARATE "families" block so the 10-query headline
 # total stays comparable across rounds. The chain query's warm-up also
 # builds the session-memoized checkpointed replay, so the recorded
 # number is the steady-state consumer cost (the shape every one of the
@@ -39,13 +53,26 @@ FAMILY_QUERIES = [
     "q_neardup_gate_replay",  # r11: verified incremental admission
     "q_multimodal_topk",  # r12: cross-modal RRF over both served indexes
     "q_snapshot_training_mix",  # r12: pinned corpus -> deterministic split
+    "q_multimodal_gate_replay",  # r13: unified either-modality admission
 ]
+
+REPS = 3  # full suite passes; per-query value = min across passes
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-Linux fallback
+        return []
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     explain = "--explain" in sys.argv
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+
+    load_start = _loadavg()  # BEFORE Spark: pure external-load signal
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,80 +104,8 @@ def main() -> None:
 
     qs = headline_queries()
     sc = spark.sparkContext
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
     stage_counts: dict[str, int] = {}
     warmup_errors: dict[str, str] = {}
-
-    def time_query(name, fn, always3):
-        """Untimed warm-up (when always3) + min-of-N timing; fills the
-        shared timings/spreads/stage_counts/warmup_errors dicts."""
-        # min-of-N: best-of-2, escalating to 3 when the first two
-        # disagree by >40% — and unconditionally 3 for the heavy dedup
-        # queries, whose multi-stage plans are the most
-        # contention-sensitive (the r2→r3 bench showed multi-x
-        # run-to-run noise from external CPU load; min-of-N is the
-        # standard latency methodology under interference).
-        # Construction + execution both timed (some operators
-        # materialize intermediates eagerly). Per-query spread
-        # (max-min) and scheduler stage counts are reported so a noisy
-        # host is self-diagnosing in the recorded JSON.
-        if always3:
-            # one UNTIMED warm-up for the heavy dedup queries: their
-            # multi-stage shuffle plans are the bench's noisy pair
-            # (r6-r8 spreads of 1-2.6 s dominated the headline total),
-            # and the first execution pays page-cache/JIT costs the
-            # later runs don't — min-of-3 over WARM runs makes the
-            # recorded number comparable round-over-round.
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                spark.catalog.clearCache()
-            except Exception as exc:  # noqa: BLE001
-                # a failed warm-up means the min-of-3 silently includes
-                # a cold first run — surface it, both on stderr and as
-                # a marker in the recorded JSON, so round-over-round
-                # numbers stay comparable (r9 verdict #2)
-                print(f"WARMUP FAILED for {name}: {exc!r}", file=sys.stderr)
-                warmup_errors[name] = repr(exc)
-        runs: list[float] = []
-        for attempt in range(3):
-            group = f"bench:{name}:{attempt}"
-            sc.setJobGroup(group, name)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-            if attempt == 0:
-                # NOTE on stage-count bounces (r9 verdict watch-item,
-                # diagnosed r10): q_dedup_ngram_jaccard's recorded 56
-                # vs 59 is AQE JOB-SPLITTING variance, not plan
-                # growth — 5 standalone runs are constant 20 jobs/56
-                # stages, while the same code run after the preceding
-                # bench queries records 21 jobs/59 stages on early
-                # attempts and settles back to 20/56. The extra 3-stage
-                # job is an AQE query-stage materialization decision
-                # driven by runtime state, with an identical final
-                # plan; treat ±1 job's worth of stages as noise.
-                try:
-                    tracker = sc.statusTracker()
-                    jobs = tracker.getJobIdsForGroup(group)
-                    stage_counts[name] = sum(
-                        len(tracker.getJobInfo(j).stageIds)
-                        for j in jobs
-                        if tracker.getJobInfo(j) is not None
-                    )
-                except Exception:
-                    pass  # diagnostics only — never fail the bench
-            # release per-query persisted intermediates so queries are
-            # timed independently (cold cost, no cross-run cache reuse)
-            spark.catalog.clearCache()
-            if (
-                attempt == 1
-                and not always3
-                and abs(runs[0] - runs[1]) / min(runs) <= 0.4
-            ):
-                break
-        timings[name] = round(min(runs), 3)
-        spreads[name] = round(max(runs) - min(runs), 3)
 
     if explain:
         # emitted by --explain itself so a snapshot regeneration can
@@ -165,44 +120,107 @@ def main() -> None:
             "# cartesian counts) lives in PLAN_AUDIT_sf0.01.md."
             " (r9 verdict #3)\n"
         )
-    for name, fn in qs.items():
-        if explain:
+        for name, fn in qs.items():
             print(f"==== {name} ====")
             fn(spark, sf_dir).explain("formatted")
-            continue
-        time_query(name, fn, always3="dedup" in name)
+        spark.stop()
+        return
 
-    if not explain:
-        total = round(sum(timings.values()), 3)
+    fam_all = all_queries()
+    timed = list(qs.items()) + [(n, fam_all[n]) for n in FAMILY_QUERIES]
 
-        # families block: NOT part of the headline total (see
-        # FAMILY_QUERIES note above) — timed warm min-of-3 since the
-        # chain replay and IVFPQ training make cold first runs unfair.
-        fam_all = all_queries()
-        for fname in FAMILY_QUERIES:
-            time_query(fname, fam_all[fname], always3=True)
-        families = {
-            n: {"sec": timings.pop(n), "spread": spreads.pop(n),
-                "stages": stage_counts.pop(n, None)}
-            for n in FAMILY_QUERIES if n in timings
-        }
+    def run_once(name, fn, record_stages):
+        """One timed execution (construction + materialization — some
+        operators materialize intermediates eagerly), cache cleared
+        after so passes stay independent."""
+        group = f"bench:{name}"
+        sc.setJobGroup(group, name)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if record_stages:
+            # NOTE on stage-count bounces (r9 verdict watch-item,
+            # diagnosed r10): q_dedup_ngram_jaccard's recorded 56 vs 59
+            # is AQE JOB-SPLITTING variance, not plan growth — the extra
+            # job is an AQE query-stage materialization decision driven
+            # by runtime state, with an identical final plan; treat ±1
+            # job's worth of stages as noise.
+            try:
+                tracker = sc.statusTracker()
+                jobs = tracker.getJobIdsForGroup(group)
+                stage_counts[name] = sum(
+                    len(tracker.getJobInfo(j).stageIds)
+                    for j in jobs
+                    if tracker.getJobInfo(j) is not None
+                )
+            except Exception:
+                pass  # diagnostics only — never fail the bench
+        spark.catalog.clearCache()
+        return dt
 
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_wall",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "spread": spreads,
-                    "stages": stage_counts,
-                    "families": families,
-                    "warmup_errors": warmup_errors,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                }
-            )
-        )
+    # Untimed warm-up of EVERY timed query before pass 1. Two reasons:
+    # cold first runs (JIT, page cache, IVFPQ training, chain replays)
+    # make pass 1 systematically slower — min-across-passes would
+    # discard the cold numbers anyway, but an asymmetric pass 1 would
+    # trip the pass-ratio contamination heuristic on a perfectly idle
+    # host (observed: 79s cold vs 34s warm at sf0.001); with all
+    # passes warm, a pass-sized spread IS external interference.
+    for name, fn in timed:
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            print(f"WARMUP FAILED for {name}: {exc!r}", file=sys.stderr)
+            warmup_errors[name] = repr(exc)
+
+    runs: dict[str, list[float]] = {n: [] for n, _ in timed}
+    pass_totals: list[float] = []
+    for _rep in range(REPS):
+        p0 = time.perf_counter()
+        for name, fn in timed:
+            runs[name].append(run_once(name, fn, record_stages=_rep == 0))
+        pass_totals.append(round(time.perf_counter() - p0, 3))
+
+    timings = {n: round(min(r), 3) for n, r in runs.items()}
+    spreads = {n: round(max(r) - min(r), 3) for n, r in runs.items()}
+    families = {
+        n: {"sec": timings.pop(n), "spread": spreads.pop(n),
+            "stages": stage_counts.pop(n, None)}
+        for n in FAMILY_QUERIES
+    }
+    total = round(sum(timings.values()), 3)
+
     spark.stop()
+    load_end = _loadavg()
+
+    contaminated = bool(
+        (load_start and load_start[0] > cpus * 0.5)
+        or (min(pass_totals) > 0 and max(pass_totals) / min(pass_totals) > 1.5)
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "spread": spreads,
+                "stages": stage_counts,
+                "families": families,
+                "warmup_errors": warmup_errors,
+                "load": {
+                    "start": load_start,
+                    "end": load_end,
+                    "cpus": cpus,
+                    "pass_totals": pass_totals,
+                    "reps": REPS,
+                },
+                "contaminated": contaminated,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
