@@ -29,7 +29,19 @@ Per family:
   document PAYLOADS die here (everything above erases derived state).
   Dir names are preserved, so a snapshot pinning a rewritten dir fails
   its immutability audit loudly (sinks/snapshots.py) — erasure beats
-  reproducibility by design.
+  reproducibility by design (and snapshots.amend_snapshot pins the
+  swept successor).
+
+**Erasure under an active stream** (r12 verdict): the sweep does NOT
+assume quiescent stores. A drain micro-batch committing mid-sweep can
+land rows that mention a forgotten id AFTER its store was rewritten (a
+re-delivery rejected against not-yet-folded state writes a dup_of row
+naming the forgotten doc). forget() therefore sweeps in PASSES until a
+full pass removes nothing — each follow-up pass is one cheap filtered
+count per store (rewrites only fire where mentions remain) — and fails
+loudly (RuntimeError) if writers outpace ``max_passes``: a sweep that
+cannot converge must never report success. Interleave behavior is
+pinned in tests/test_forget_interleave.py.
 
 Documented consequence (pinned in tests/test_forget.py): erasing a
 doc's gate signatures makes its near-copies ADMISSIBLE again — the gate
@@ -41,7 +53,12 @@ Scale posture: an erasure request is decision-sized (a list of ids —
 the reference's analog is a row-level GDPR delete against the loaded
 table); every data-sized operation below is one filtered scan + one
 write per store, shuffled only where the store's own compactor already
-shuffles.
+shuffles. All rewrite temp dirs are underscore-prefixed INSIDE the
+store root and carry no "=" (Spark's file index exempts =-bearing
+names from its underscore filter), so a crash mid-rewrite leaves
+nothing Spark listing,
+catalog._batch_dirs, or snapshots._corpus_batch_ids can mistake for a
+live batch dir (r12 advice).
 """
 
 from __future__ import annotations
@@ -75,13 +92,34 @@ _GATE_LOADERS = {
     "media-gate/v1": lambda sp, sd: _mg._load_media_state(sp, sd),
 }
 
+_INDEX_READERS = {
+    "ivf": lambda sp, p: _vi.read_postings(sp, p),
+    "ivfpq": lambda sp, p: _vi.read_codes(sp, p),
+    "binary": lambda sp, p: _vi.read_sigs(sp, p),
+}
+
+_TMP_PREFIX = "_forget_tmp_"
+
+
+def _clean_stray_tmps(path: str) -> None:
+    """Remove leftovers of a crashed rewrite. They are underscore-
+    prefixed so every reader already ignores them; cleaning keeps the
+    store tidy and the retry deterministic."""
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if d.startswith(_TMP_PREFIX):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
 
 def _erase_gate_state(
     spark: SparkSession, path: str, kind: str, params: dict, ids: list[int]
 ) -> int:
     """Filtered fold of a gate state store: one new generation dir
     containing every surviving row, forgotten rows dropped BEFORE the
-    rename, subsumed dirs deleted after. Returns rows removed."""
+    rename, subsumed dirs deleted after. Skips the fold entirely when
+    no forgotten row is present (the re-sweep passes' cheap probe).
+    Returns rows removed."""
     if kind == "verified-dedup-gate/v1":
         loader = lambda sp, sd: _dg._load_sig_state(  # noqa: E731
             sp, sd, int(params["num_hashes"])
@@ -89,13 +127,15 @@ def _erase_gate_state(
     else:
         loader = _GATE_LOADERS[kind]
     full = loader(spark, path)
-    survivors = full.filter(~F.col("doc").isin(ids))
     removed = full.filter(F.col("doc").isin(ids)).count()
+    if removed == 0:
+        return 0
+    survivors = full.filter(~F.col("doc").isin(ids))
     all_dirs = _dg._state_subdirs(path)
     ids_of = {d: int(os.path.basename(d).split("=", 1)[1]) for d in all_dirs}
     next_gen = min(min(ids_of.values(), default=0), 0) - 1
-    tmp = path.rstrip("/") + "__forget_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    _clean_stray_tmps(path)
+    tmp = os.path.join(path, _TMP_PREFIX + "fold")
     key = "bk" if kind == "dedup-gate/v1" else "doc"
     survivors.distinct().repartition(key).write.mode("overwrite").parquet(tmp)
     os.replace(tmp, os.path.join(path, f"batch_id={next_gen}"))
@@ -111,6 +151,7 @@ def _erase_log_rows(
     the rows mentioning a forgotten id. Per-dir tmp → rename keeps the
     log readable throughout; dir names (and so batch attribution) are
     preserved."""
+    _clean_stray_tmps(path)
     removed = 0
     for d in sorted(os.listdir(path)):
         if not d.startswith("batch_id="):
@@ -124,8 +165,7 @@ def _erase_log_rows(
         if n == 0:
             continue
         removed += n
-        tmp = sub + "__forget_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = os.path.join(path, _TMP_PREFIX + d.replace("=", "_"))
         df.filter(~cond).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(sub)
         os.replace(tmp, sub)
@@ -142,7 +182,9 @@ def _erase_corpus_rows(
     names are preserved (batch provenance survives), so any snapshot
     pinning a rewritten dir now FAILS its immutability audit
     (sinks/snapshots.verify_snapshot) — the documented collision:
-    the right to be forgotten beats reproducibility, loudly."""
+    the right to be forgotten beats reproducibility, loudly (and
+    amend_snapshot pins the swept successor)."""
+    _clean_stray_tmps(path)
     removed = 0
     for d in sorted(os.listdir(path)):
         if not d.startswith("batch_id="):
@@ -154,8 +196,7 @@ def _erase_corpus_rows(
         if n == 0:
             continue
         removed += n
-        tmp = sub + "__forget_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = os.path.join(path, _TMP_PREFIX + d.replace("=", "_"))
         df.filter(~cond).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(sub)
         os.replace(tmp, sub)
@@ -166,8 +207,18 @@ def _erase_index(
     spark: SparkSession, path: str, modality: str, kind: str, ids: list[int]
 ) -> int:
     """Tombstone + FULL compaction: rows physically dropped, tombstone
-    absorbed, ids re-addable. Returns rows removed (live rows the ids
-    actually had)."""
+    absorbed, ids re-addable. Probes the live rows first and no-ops at
+    zero (a re-sweep pass must not accrete tombstones for absent ids).
+    Returns rows removed (live rows the ids actually had)."""
+    live = (
+        _INDEX_READERS[kind](spark, path)
+        .filter(F.col("neighbor_id").isin(ids))
+        .select("neighbor_id")
+        .distinct()
+        .count()
+    )
+    if live == 0:
+        return 0
     before = _vi.index_stats(spark, path, kind)["rows"]
     id_df = spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
     _vi.delete_from_index(id_df, path, id_col="vec_id")
@@ -181,53 +232,90 @@ def _erase_index(
 
 
 def forget(
-    spark: SparkSession, roots: dict[str, str], ids: list[int]
+    spark: SparkSession,
+    roots: dict[str, str],
+    ids: list[int],
+    max_passes: int = 5,
+    on_store_swept=None,
 ) -> DataFrame:
     """Erase ``ids`` from every member of the estate and return the
     audit relation (name, category, action, rows_removed) — one row per
-    root, catalog order. Fail-loud on an unclassifiable root (the
-    catalog's own contract): a store the sweep cannot classify is a
-    store the erasure did NOT reach, and that must never be reported as
-    success. ``ids`` is an erasure REQUEST — decision-sized by nature —
-    so the list rides into filters/isin as literals; the data-sized
-    work is one filtered scan + rewrite per store."""
+    root, catalog order, rows_removed summed across passes. Fail-loud
+    on an unclassifiable root (the catalog's own contract): a store the
+    sweep cannot classify is a store the erasure did NOT reach, and
+    that must never be reported as success. ``ids`` is an erasure
+    REQUEST — decision-sized by nature — so the list rides into
+    filters/isin as literals; the data-sized work is one filtered scan
+    + rewrite per store per pass (follow-up passes rewrite nothing when
+    quiescent — they are the convergence proof).
+
+    ``on_store_swept(name, path)`` fires after each store in each pass
+    — a progress hook, and the interleave point the stream-safety tests
+    use. Classification happens ONCE (a drain cannot change what a
+    store IS); only the erasure re-runs."""
     import json as _json
 
     if not ids:
         raise ValueError("forget() with no ids — nothing to erase")
-    out = []
-    for name, path in sorted(roots.items()):
-        ent = _cat.catalog_entry(spark, name, path)
-        cat = ent["category"]
-        if cat == "vector-index":
-            n = _erase_index(spark, path, ent["modality"], ent["kind"], ids)
-            action = "tombstone+full-compact"
-        elif cat == "gate-state":
-            n = _erase_gate_state(
-                spark, path, ent["kind"], _json.loads(ent["params"]), ids
-            )
-            action = "filtered-fold"
-        elif cat == "decision-log":
-            n = _erase_log_rows(spark, path, ids, also_odoc=False)
-            action = "log-rewrite"
-        elif cat == "attribution-log":
-            n = _erase_log_rows(spark, path, ids, also_odoc=True)
-            action = "log-rewrite"
-        elif cat == "corpus":
-            n = _erase_corpus_rows(
-                spark, path, _json.loads(ent["params"])["id_col"], ids
-            )
-            action = "corpus-rewrite"
-        else:  # pragma: no cover — catalog_entry fails loud first
-            raise ValueError(f"unclassifiable estate member {name!r}")
-        out.append(
-            {
-                "name": name,
-                "category": cat,
-                "action": action,
-                "rows_removed": int(n),
-            }
+    ents = {
+        name: _cat.catalog_entry(spark, name, path)
+        for name, path in sorted(roots.items())
+    }
+    totals: dict[str, int] = {name: 0 for name in ents}
+    actions: dict[str, str] = {}
+    converged = False
+    for _pass in range(max_passes):
+        pass_removed = 0
+        for name, path in sorted(roots.items()):
+            ent = ents[name]
+            cat = ent["category"]
+            if cat == "vector-index":
+                n = _erase_index(
+                    spark, path, ent["modality"], ent["kind"], ids
+                )
+                actions[name] = "tombstone+full-compact"
+            elif cat == "gate-state":
+                n = _erase_gate_state(
+                    spark, path, ent["kind"], _json.loads(ent["params"]), ids
+                )
+                actions[name] = "filtered-fold"
+            elif cat == "decision-log":
+                n = _erase_log_rows(spark, path, ids, also_odoc=False)
+                actions[name] = "log-rewrite"
+            elif cat == "attribution-log":
+                n = _erase_log_rows(spark, path, ids, also_odoc=True)
+                actions[name] = "log-rewrite"
+            elif cat == "corpus":
+                n = _erase_corpus_rows(
+                    spark, path, _json.loads(ent["params"])["id_col"], ids
+                )
+                actions[name] = "corpus-rewrite"
+            else:  # pragma: no cover — catalog_entry fails loud first
+                raise ValueError(f"unclassifiable estate member {name!r}")
+            totals[name] += int(n)
+            pass_removed += int(n)
+            if on_store_swept is not None:
+                on_store_swept(name, path)
+        if pass_removed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"forget() did not converge after {max_passes} passes — "
+            "writers are landing rows that mention the forgotten ids "
+            "faster than the sweep erases them; quiesce the drains (or "
+            "raise max_passes) and re-run. Partial progress is safe: "
+            "every completed rewrite already excludes the ids."
         )
+    out = [
+        {
+            "name": name,
+            "category": ents[name]["category"],
+            "action": actions[name],
+            "rows_removed": totals[name],
+        }
+        for name in sorted(roots)
+    ]
     return spark.createDataFrame(
         out, "name string, category string, action string, rows_removed long"
     )
