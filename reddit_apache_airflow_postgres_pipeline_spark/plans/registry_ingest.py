@@ -1228,12 +1228,12 @@ def q_ingest_chain_text_serve_recall(
 # pin every data-derived number (row counts, admission counts) from
 # the same parquet tables.
 
-_ESTATE_VERSION = "v4"
+_ESTATE_VERSION = "v5"
 _EST_APPEND_LT = 60  # text append slice: vec_id % 3 = 1 AND vec_id < 60
 _EST_TOMBS = 3  # lowest 3 embedable build ids get tombstoned
 
 
-def _estate_params() -> tuple[str, str, str]:
+def _estate_params() -> tuple[str, str, str, str, str]:
     """The frozen-params JSON literals the catalog reads back from the
     estate's meta files — computed from the sinks' own format constants
     so the oracle literal can never drift from the writers."""
@@ -1508,7 +1508,9 @@ def _estate_blk_ctes() -> str:
     )
 
 
-def _estate_catalog_sql(select: str = "*") -> str:
+def _estate_catalog_sql(
+    select: str = "*", post_maintenance: bool = False
+) -> str:
     """The catalog oracle: every data-derived cell (row counts,
     admission counts, tombstone backlog) recomputed from the documents
     table through the SAME CTE families the per-operator oracles use
@@ -1516,7 +1518,11 @@ def _estate_catalog_sql(select: str = "*") -> str:
     categories, frozen-params JSON) are the writers' code-defined
     constants. ``select`` lets catalog CONSUMERS (the maintenance
     planner) project/derive over the same estate relation without
-    duplicating any of it."""
+    duplicating any of it. ``post_maintenance`` swaps in the layout
+    facts a full COMPACT pass leaves behind (gate states folded to one
+    generation dir, the text index's tombstone backlog physically
+    dropped) — the data-derived cells are identical, which is the
+    point: maintenance changes layout, never content."""
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
         _GATE_BANDS,
         _GATE_GENS,
@@ -1535,6 +1541,9 @@ def _estate_catalog_sql(select: str = "*") -> str:
         f"(vec_id % 3 = 0 OR (vec_id % 3 = 1 AND vec_id < {_EST_APPEND_LT}))"
     )
 
+    gate_dirs = 1 if post_maintenance else 3
+    text_dirs = 1 if post_maintenance else 2
+    text_tombs = 0 if post_maintenance else _EST_TOMBS
     blk_ctes = _estate_blk_ctes()
     return f"""
     WITH {_embed_ctes()},
@@ -1573,7 +1582,7 @@ def _estate_catalog_sql(select: str = "*") -> str:
       SELECT 'gate_state', 'gate-state', 'verified-dedup-gate/v1', 'text',
              '{p_gate}',
              (SELECT COUNT(*) FROM adm WHERE doc IN (SELECT doc FROM sig)),
-             3, CAST(NULL AS BIGINT),
+             {gate_dirs}, CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 'media_gate_decisions', 'decision-log', 'decisions',
@@ -1589,7 +1598,7 @@ def _estate_catalog_sql(select: str = "*") -> str:
       UNION ALL
       SELECT 'media_gate_state', 'gate-state', 'media-gate/v1', 'media',
              '{p_mgate}',
-             (SELECT COUNT(*) FROM madm), 3, CAST(NULL AS BIGINT),
+             (SELECT COUNT(*) FROM madm), {gate_dirs}, CAST(NULL AS BIGINT),
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
       UNION ALL
       SELECT 'media_idx', 'vector-index', 'binary', 'media',
@@ -1602,7 +1611,7 @@ def _estate_catalog_sql(select: str = "*") -> str:
              '{p_text}',
              (SELECT COUNT(*) FROM temb WHERE {text_pred}
               AND vec_id NOT IN (SELECT vec_id FROM tombs)),
-             2, {_EST_TOMBS}, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+             {text_dirs}, {text_tombs}, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     ) est_rel
     """
 
@@ -1635,7 +1644,7 @@ def q_ops_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAINT_LIVE, _MAINT_RATIO, _MAINT_ADM = 2, 0.0, 0.9
 
 
-def _maintenance_plan_sql() -> str:
+def _maintenance_plan_sql(post_maintenance: bool = False) -> str:
     acc = (
         "category IN ('vector-index', 'gate-state') "
         f"AND live_dirs > {_MAINT_LIVE}"
@@ -1665,7 +1674,7 @@ def _maintenance_plan_sql() -> str:
            WHEN {blg} THEN {_MAINT_RATIO!r}
            WHEN {flr} THEN {_MAINT_ADM!r}
            ELSE CAST(NULL AS DOUBLE) END AS threshold"""
-    return _estate_catalog_sql(select=proj)
+    return _estate_catalog_sql(select=proj, post_maintenance=post_maintenance)
 
 
 @_q("q_ops_maintenance_plan", _maintenance_plan_sql())
@@ -1729,6 +1738,15 @@ def _build_forget_estate(spark: SparkSession, sf_dir: str) -> str:
     os.remove(os.path.join(root, "_DONE"))
     audit = forget(spark, roots, list(_FORGET_IDS))
     audit.write.mode("overwrite").parquet(audit_path)
+    # the sanctioned successor of the now-failing pin 'all':
+    # supersedes + erasure hash recorded, post-sweep counts pinned
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        snapshots as _snap,
+    )
+
+    _snap.amend_snapshot(
+        spark, roots["gate_corpus"], "all", "all-s1", list(_FORGET_IDS)
+    )
     with open(done, "w") as f:
         f.write("ok")
     return audit_path
@@ -2094,3 +2112,293 @@ def q_forget_snapshot_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roots_f = _estate_roots(sf_dir, version=_ESTATE_VERSION + "f")
     return _snap.verify_snapshot(spark, roots_f["gate_corpus"], "all")
+
+
+# -- post-sweep successor pins (snapshots.amend_snapshot) --------------------
+
+
+def _snapshot_succession_sql() -> str:
+    """Old pin flagged + successor verifying clean, per generation: the
+    swept 'all' rows are q_forget_snapshot_collision's; the successor
+    'all-s1' pins the POST-sweep counts, so rows == rows_actual and ok
+    is unconditionally true."""
+    ids = ", ".join(str(i) for i in _FORGET_IDS)
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_GENS,
+    )
+
+    rows = []
+    for g in range(_GATE_GENS):
+        rows.append(
+            f"SELECT 'all' AS snapshot, CAST({g} AS INTEGER) AS batch_id,"
+            f" (SELECT COUNT(*) FROM acc{g}) AS rows,"
+            f" (SELECT COUNT(*) FROM acc{g} WHERE doc NOT IN"
+            f"  (SELECT fid FROM fids)) AS rows_actual,"
+            f" NOT EXISTS (SELECT 1 FROM acc{g} WHERE doc IN"
+            f"  (SELECT fid FROM fids)) AS ok"
+        )
+        rows.append(
+            f"SELECT 'all-s1', CAST({g} AS INTEGER),"
+            f" (SELECT COUNT(*) FROM acc{g} WHERE doc NOT IN"
+            f"  (SELECT fid FROM fids)),"
+            f" (SELECT COUNT(*) FROM acc{g} WHERE doc NOT IN"
+            f"  (SELECT fid FROM fids)),"
+            " TRUE"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    WITH {_corpus_chain_prefix()},
+    fids AS (SELECT UNNEST([{ids}]) AS fid)
+    {union}
+    """
+
+
+@_q("q_snapshot_succession", _snapshot_succession_sql())
+def q_snapshot_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure's sanctioned CONTINUATION (r12 verdict #3): on the swept
+    estate, the pre-sweep pin 'all' fails its immutability audit on
+    every generation a forgotten doc reached — terminal by design — and
+    its amend_snapshot successor 'all-s1' (created in the same fixture
+    sweep, recording supersedes='all' + the erasure request hash)
+    verifies clean at the post-sweep counts. Together the two audits
+    are the pinned statement "S2 = S1 minus erasure E": reproducible
+    training resumes on S2 without pretending S1 still exists. The
+    oracle recomputes all six audit rows from the documents table
+    through the admission-chain CTEs."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    _memo_replay(
+        spark, sf_dir, "forget-estate",
+        lambda: _build_forget_estate(spark, sf_dir),
+    )
+    corpus = _estate_roots(sf_dir, version=_ESTATE_VERSION + "f")["gate_corpus"]
+    return _snap.verify_snapshot(spark, corpus, "all").unionByName(
+        _snap.verify_snapshot(spark, corpus, "all-s1")
+    )
+
+
+def _snapshot_lineage_sql() -> str:
+    import hashlib as _hl
+
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _GATE_GENS,
+    )
+
+    ids = ", ".join(str(i) for i in _FORGET_IDS)
+    esha = _hl.sha256(
+        ",".join(str(i) for i in sorted(set(_FORGET_IDS))).encode()
+    ).hexdigest()
+    alls = " + ".join(
+        f"(SELECT COUNT(*) FROM acc{g})" for g in range(_GATE_GENS)
+    )
+    swept = " + ".join(
+        f"(SELECT COUNT(*) FROM acc{g} WHERE doc NOT IN"
+        f" (SELECT fid FROM fids))"
+        for g in range(_GATE_GENS)
+    )
+    g01 = " + ".join(f"(SELECT COUNT(*) FROM acc{g})" for g in range(2))
+    return f"""
+    WITH {_corpus_chain_prefix()},
+    fids AS (SELECT UNNEST([{ids}]) AS fid)
+    SELECT 'all' AS snapshot, CAST({_GATE_GENS} AS INTEGER) AS n_batches,
+           {alls} AS rows, CAST(NULL AS VARCHAR) AS supersedes,
+           CAST(NULL AS VARCHAR) AS erasure_sha256
+    UNION ALL
+    SELECT 'all-s1', CAST({_GATE_GENS} AS INTEGER), {swept},
+           'all', '{esha}'
+    UNION ALL
+    SELECT 'g01', CAST(2 AS INTEGER), {g01},
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    """
+
+
+@_q("q_snapshot_lineage", _snapshot_lineage_sql())
+def q_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pin LEDGER of the swept corpus (snapshots.manifests_df): one
+    row per snapshot with its size and its succession link — 'all-s1'
+    names the pin it supersedes and the sha-256 of the erasure request
+    that forced the succession, so "which erasure produced which pin"
+    is a manifest read, not an archaeology exercise. Driver-trivial by
+    construction (manifests are decision-sized JSON; no corpus scan);
+    the oracle recomputes every cell from the documents table plus the
+    erasure literal."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    _memo_replay(
+        spark, sf_dir, "forget-estate",
+        lambda: _build_forget_estate(spark, sf_dir),
+    )
+    corpus = _estate_roots(sf_dir, version=_ESTATE_VERSION + "f")["gate_corpus"]
+    return _snap.manifests_df(spark, corpus)
+
+
+# -- pin-move -> incremental index refresh (r12 verdict #4) ------------------
+
+
+def _incr_serve_sql() -> str:
+    """Frozen-quantizer replay of the ADVANCED index: coarse centroids
+    and PQ codebooks train on the g01-admitted embeddings (the pin the
+    index was built at), codes cover ALL admitted embeddings (g01 +
+    the appended diff) — exactly what build-at-g01 + append-diff
+    serves."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _embed_ctes,
+        _ivfpq_ctes,
+    )
+
+    return f"""
+    WITH admd AS MATERIALIZED (
+      SELECT doc_id, text, src_batch FROM (
+        WITH {_corpus_chain_prefix()}
+        SELECT d.doc_id, d.text, CAST(g.gen AS INT) AS src_batch
+        FROM documents d JOIN gens g ON g.doc = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc FROM rej)) z),
+    {_embed_ctes(src="admd")},
+    tremb AS MATERIALIZED (
+      SELECT t.vec_id, t.embedding FROM temb t
+      JOIN admd a ON a.doc_id = t.vec_id WHERE a.src_batch <= 1),
+    qids AS (SELECT vec_id FROM temb ORDER BY vec_id LIMIT 8),
+    {_ivfpq_ctes(src="temb", qpred="vec_id IN (SELECT vec_id FROM qids)", train_src="tremb")}
+    SELECT query_id, neighbor_id, dist FROM ivfpqtop
+    """
+
+
+def _build_incr_index(spark: SparkSession, sf_dir: str) -> str:
+    """A pin-built serving index advanced across a pin move: build at
+    pin 'g01' (quantizers train on the pinned docs), advance to pin
+    'all' by appending ONLY the snapshot diff — the incremental refresh
+    whose served results the oracle replays with frozen quantizers.
+    Idempotent per on-disk version."""
+    import shutil as _sh
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+
+    roots = _build_estate(spark, sf_dir)
+    iroot = os.path.dirname(
+        _estate_roots(sf_dir, version=_ESTATE_VERSION + "i")["text_idx"]
+    )
+    idx = os.path.join(iroot, "pinned_idx")
+    done = os.path.join(iroot, "_DONE_INCR")
+    if os.path.exists(done):
+        return idx
+    _sh.rmtree(iroot, ignore_errors=True)
+    os.makedirs(iroot)
+    _snap.build_text_index_at_pin(
+        spark, roots["gate_corpus"], "g01", idx,
+        kind="ivfpq", n_cells=16, m=4, n_codes=16, iters=1,
+        d=8, n=2, salt="emb",
+    )
+    _snap.advance_text_index_to_pin(
+        spark, roots["gate_corpus"], idx, "all", batch_id=1
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
+@_q("q_snapshot_incremental_serve", _incr_serve_sql())
+def q_snapshot_incremental_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pin-move → incremental index refresh, served (r12 verdict #4):
+    a text IVFPQ index built FROM pin 'g01' (snapshots.
+    build_text_index_at_pin — manifest-pruned read, pin recorded beside
+    the store) advances to pin 'all' by appending EXACTLY the snapshot
+    diff (advance_text_index_to_pin → append_text_to_index: frozen
+    featurizer, frozen quantizers, delta-dirs-only read), then serves
+    top-5 for the 8 lowest embedable pinned docs. At 100 TB this is
+    the serving loop's whole point: a daily pin advance costs the
+    day's delta, never a corpus re-read or a retrain — and the oracle
+    replays the advanced store bit-for-bit (train CTEs on the g01
+    slice, code CTEs over everything), so the append path's
+    equivalence to its spec is pinned at all three SFs. Quantizer
+    drift across many advances is the store's documented trade,
+    measured by text_index_recall and repaired by
+    rebuild_text_index_if_stale."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
+        embed_text,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.text_index import (
+        query_text_index,
+    )
+
+    idx = _memo_replay(
+        spark, sf_dir, "incr-idx", lambda: _build_incr_index(spark, sf_dir)
+    )
+    roots = _estate_roots(sf_dir)
+    pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
+    qids = (
+        embed_text(pinned.select("doc_id", "text"), d=8, n=2, salt="emb")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(8)
+    )
+    qdocs = pinned.join(qids, "doc_id").select("doc_id", "text")
+    return query_text_index(spark, idx, qdocs, k=5, n_probe=4)
+
+
+# -- maintenance fixed-point (r12 verdict #7) --------------------------------
+
+
+def _build_maint_estate(spark: SparkSession, sf_dir: str) -> str:
+    """A THIRD estate copy, driven through ONE full maintenance loop —
+    catalog → plan → execute — with the RE-plan (fresh catalog of the
+    mutated stores) persisted beside it: the registry query is an
+    idempotent read of the loop's fixed-point. File-copies the shared
+    read-only fixture (identical bytes, no recompute)."""
+    import shutil as _sh
+
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.catalog import catalog
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.maintenance import (
+        execute_maintenance,
+        maintenance_plan,
+    )
+
+    roots_m = _estate_roots(sf_dir, version=_ESTATE_VERSION + "m")
+    root = os.path.dirname(roots_m["text_idx"])
+    replan_path = os.path.join(root, "replan")
+    done = os.path.join(root, "_DONE_MAINT")
+    if os.path.exists(done):
+        return replan_path
+    src_root = os.path.dirname(_build_estate(spark, sf_dir)["text_idx"])
+    _sh.rmtree(root, ignore_errors=True)
+    _sh.copytree(src_root, root)
+    os.remove(os.path.join(root, "_DONE"))
+    policy = {
+        "max_live_dirs": _MAINT_LIVE,
+        "max_tombstone_ratio": _MAINT_RATIO,
+        "min_admission_rate": _MAINT_ADM,
+    }
+    plan = maintenance_plan(catalog(spark, roots_m), policy=policy)
+    execute_maintenance(spark, roots_m, plan)
+    replan = maintenance_plan(catalog(spark, roots_m), policy=policy)
+    replan.write.mode("overwrite").parquet(replan_path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return replan_path
+
+
+@_q("q_ops_maintenance_fixedpoint", _maintenance_plan_sql(post_maintenance=True))
+def q_ops_maintenance_fixedpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintenance loop's CLOSURE (r12 verdict #7): after
+    execute_maintenance dispatches every planned COMPACT to its store
+    family's own compactor, a fresh catalog + re-plan reaches the
+    fixed-point — every previously-COMPACT row is now OK (gate states
+    folded to one generation dir, the text index's tombstone backlog
+    physically dropped), and only the data-conditioned INVESTIGATE
+    flags (admission floor on the decision logs — no mechanical fix by
+    design) survive. The oracle replays the re-plan from the documents
+    table through the SAME estate CTEs with the post-maintenance
+    layout facts (live_dirs=1, tombstones=0), so "the plan converged"
+    is pinned cell-by-cell, not asserted. The in-process loop is
+    pinned by tests/test_maintenance.py::
+    test_plan_execute_replan_reaches_ok; this is the same loop run on
+    the full fixture estate at all three SFs."""
+    path = _memo_replay(
+        spark, sf_dir, "maint-estate",
+        lambda: _build_maint_estate(spark, sf_dir),
+    )
+    return spark.read.parquet(path)

@@ -1651,31 +1651,50 @@ def _recall_vs_exact_l2(
     )
 
 
-def _pq_ctes(src: str = "embeddings", qpred: str = "vec_id < 8") -> str:
+def _pq_ctes(
+    src: str = "embeddings",
+    qpred: str = "vec_id < 8",
+    train_src: str | None = None,
+) -> str:
     """The PQ pipeline unrolled as CTEs under the k-means rounding
     contract: subspace split → per-sub seed codebooks → one Lloyd step
     (6dp distances and components, code-asc tie-break) → corpus codes →
     per-query distance table (9dp terms as DECIMAL(28,12)) → ADC top-k.
     Mirrors similarity.pq_codebooks / pq_encode / pq_adc_topk.
     ``src`` names the (vec_id, embedding) relation to quantize —
-    ``embeddings`` for raw PQ, the permuted ``pemb`` CTE for OPQ."""
+    ``embeddings`` for raw PQ, the permuted ``pemb`` CTE for OPQ.
+    ``train_src`` optionally names a SEPARATE relation the codebooks
+    train on (frozen-quantizer replays: build at pin A, encode/serve
+    pin B — the advance_text_index_to_pin spec); default None trains on
+    ``src`` itself, emitting byte-identical SQL to the single-relation
+    form."""
     l2 = _L2SQ_SQL
+    tsv = "sv" if train_src is None else "svt"
+    train_cte = (
+        ""
+        if train_src is None
+        else f"""
+    svt AS MATERIALIZED (
+      SELECT vec_id, s.j AS sub,
+             embedding[s.j*(len(embedding)//{_PQ_M})+1 : (s.j+1)*(len(embedding)//{_PQ_M})] AS svec
+      FROM {train_src}, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),"""
+    )
     return f"""
     sv AS MATERIALIZED (
       SELECT vec_id, s.j AS sub,
              embedding[s.j*(len(embedding)//{_PQ_M})+1 : (s.j+1)*(len(embedding)//{_PQ_M})] AS svec
-      FROM {src}, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),
+      FROM {src}, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j) s),{train_cte}
     cb0 AS (
       SELECT sub, rn - 1 AS code,
              list_transform(svec, zx -> CAST(zx AS DOUBLE)) AS cv
       FROM (SELECT sub, svec,
                    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
-            FROM sv) z
+            FROM {tsv}) z
       WHERE rn <= {_PQ_CODES}),
     s1 AS (
       SELECT v.vec_id, v.sub, v.svec, c.code,
              round({l2.format(a="v.svec", b="c.cv")}, 6) AS d
-      FROM sv v JOIN cb0 c ON c.sub = v.sub),
+      FROM {tsv} v JOIN cb0 c ON c.sub = v.sub),
     a1 AS (SELECT vec_id, sub, svec, code FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                           ORDER BY d, code) AS rn
@@ -1839,15 +1858,23 @@ def q_sim_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(e, q, approx)
 
 
-def _ivfpq_ctes(src: str = "embeddings", qpred: str = "vec_id < 8") -> str:
+def _ivfpq_ctes(
+    src: str = "embeddings",
+    qpred: str = "vec_id < 8",
+    train_src: str | None = None,
+) -> str:
     """The composed-index CTE chain: the PQ pipeline (_pq_ctes) plus
     coarse seed cells, corpus cell assignment, query probes, and the
     probed ADC ranking — ends at ``ivfpqtop``. Shared by q_sim_ivfpq,
     q_sim_ivfpq_recall, and (via ``src="temb"``) the text-featurized
-    end-to-end loop q_text_embed_ivfpq(_recall)."""
-    return f"""{_pq_ctes(src, qpred)},
+    end-to-end loop q_text_embed_ivfpq(_recall). ``train_src``
+    (optional) trains the coarse cells and codebooks on a separate
+    relation — the frozen-quantizer form the pin-advanced index replay
+    (registry_ingest.q_snapshot_incremental_serve) needs."""
+    ts = train_src if train_src is not None else src
+    return f"""{_pq_ctes(src, qpred, train_src)},
     icents AS (
-      SELECT vec_id AS cell, embedding AS icv FROM {src}
+      SELECT vec_id AS cell, embedding AS icv FROM {ts}
       ORDER BY vec_id LIMIT 16),
     c_sc AS (
       SELECT e.vec_id AS neighbor_id, c.cell,

@@ -1167,3 +1167,94 @@ def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _multimodal_policy_audit_sql() -> str:
+    """Triple unrolled replay — the SAME 3-generation arrival run
+    through the unified (atomic) policy AND through the two gates as
+    independent drains — aggregated per generation into the policy
+    divergence audit. ``rejected_separate`` counts docs at least one
+    independent gate rejects (the separate-operation corpus admits a
+    doc only when BOTH gates do); the two *_only columns count where
+    the policies disagree — the cost of running the gates non-atomically
+    that the unified gate's module docstring claims, here measured on
+    the user's own corpus."""
+    parts = [
+        "WITH "
+        + _ML._gate_common_ctes(_ML._GATE_K, _ML._GATE_BANDS, _GATE_GENS),
+        _media_gate_sig_ctes(_AHASH_N, _AHASH_MAXHAM) + ",",
+        f"vcand AS (SELECT id_a, id_b FROM est WHERE est >= {_ML._GATE_T!r}),",
+        "mcand AS (SELECT id_a, id_b FROM mdist),",
+        "xcand AS (SELECT id_a, id_b FROM vcand"
+        " UNION SELECT id_a, id_b FROM mcand),",
+        _ML._gate_chain_ctes("vcand", "_t", _GATE_GENS) + ",",
+        _ML._gate_chain_ctes("mcand", "_m2", _GATE_GENS) + ",",
+        _ML._gate_chain_ctes("xcand", "_u", _GATE_GENS) + ",",
+        """flags AS (
+          SELECT g.doc, g.gen,
+                 (g.doc IN (SELECT doc FROM rej_u)) AS rej_u,
+                 (g.doc IN (SELECT doc FROM rej_t)
+                  OR g.doc IN (SELECT doc FROM rej_m2)) AS rej_s
+          FROM gens g)
+        SELECT gen, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rej_u THEN 1 ELSE 0 END) AS BIGINT)
+                 AS rejected_unified,
+               CAST(SUM(CASE WHEN rej_s THEN 1 ELSE 0 END) AS BIGINT)
+                 AS rejected_separate,
+               CAST(SUM(CASE WHEN rej_s AND NOT rej_u THEN 1 ELSE 0 END)
+                 AS BIGINT) AS admitted_unified_only,
+               CAST(SUM(CASE WHEN rej_u AND NOT rej_s THEN 1 ELSE 0 END)
+                 AS BIGINT) AS rejected_unified_only
+        FROM flags GROUP BY gen""",
+    ]
+    return "\n".join(parts)
+
+
+@_q("q_multimodal_gate_policy_audit", _multimodal_policy_audit_sql())
+def q_multimodal_gate_policy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The operating-point audit behind the UNIFIED multimodal gate
+    (r12 verdict #6 — parity with the text family's
+    q_neardup_gate_policy_audit): the same 3-generation arrival
+    replayed through the atomic either-modality-rejects policy AND
+    through the two gates run as separate drains, aggregated per
+    generation into (n_docs, rejected_unified, rejected_separate,
+    admitted_unified_only, rejected_unified_only). The *_only columns
+    are the atomicity divergence — docs whose fate depends on whether
+    the gates share one accepted corpus (a media-rejected doc's text
+    entering a separate text gate's state blocks later text near-dups
+    the unified corpus never admitted, and vice versa). All three
+    replays run the streams' own batch kernels off the SAME memoized
+    signature checkpoints (mm-gate-tsigs / media-gate-sigs shared with
+    the replay and dup_of oracles); the joins attach three skinny
+    (doc, admitted) relations — no extra corpus pass."""
+    uni = q_multimodal_gate_replay(spark, sf_dir).select(
+        "doc", "gen", F.col("admitted").alias("adm_u")
+    )
+    txt = _ML.q_neardup_gate_replay(spark, sf_dir).select(
+        "doc", F.col("admitted").alias("adm_t")
+    )
+    med = q_media_gate_replay(spark, sf_dir).select(
+        "doc", F.col("admitted").alias("adm_m")
+    )
+    j = uni.join(txt, "doc").join(med, "doc")
+    return j.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("adm_u")).cast("int")).cast("bigint").alias(
+            "rejected_unified"
+        ),
+        F.sum((~(F.col("adm_t") & F.col("adm_m"))).cast("int"))
+        .cast("bigint")
+        .alias("rejected_separate"),
+        F.sum(
+            (F.col("adm_u") & ~(F.col("adm_t") & F.col("adm_m"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("admitted_unified_only"),
+        F.sum(
+            (~F.col("adm_u") & F.col("adm_t") & F.col("adm_m")).cast("int")
+        )
+        .cast("bigint")
+        .alias("rejected_unified_only"),
+    )

@@ -432,6 +432,14 @@ BNLJ_ALLOWED = {
         "n_cells coarse centroids broadcast + the 8-lowest-pinned "
         "query-set broadcast (LIMIT 8 of the checkpointed snapshot read)"
     ),
+    # r13: pin-advanced store served on raw query docs — the persisted
+    # IVFPQ probe's audited shape (centroids + LIMIT-8 embedded query
+    # set), the store read itself is cell-pruned
+    "q_snapshot_incremental_serve": (
+        "n_cells coarse centroids broadcast + the 8-lowest-pinned "
+        "embedded query set (q_sim_ivfpq's audited fan-out, served "
+        "from the pin-advanced persisted store)"
+    ),
     # r11: refresh-then-gate composition — the refresh policy's
     # hysteresis switch and the PSI totals are feeds-row scalars
     "q_drift_refresh_regate_by_group": (
