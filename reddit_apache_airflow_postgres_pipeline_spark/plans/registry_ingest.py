@@ -2315,9 +2315,6 @@ def q_snapshot_incremental_serve(
     drift across many advances is the store's documented trade,
     measured by text_index_recall and repaired by
     rebuild_text_index_if_stale."""
-    from reddit_apache_airflow_postgres_pipeline_spark.operators.similarity import (
-        embed_text,
-    )
     from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
     from reddit_apache_airflow_postgres_pipeline_spark.sinks.text_index import (
         query_text_index,
@@ -2328,9 +2325,12 @@ def q_snapshot_incremental_serve(
     )
     roots = _estate_roots(sf_dir)
     pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
+    # query ids from the session-checkpointed pin-all featurization
+    # (shared with the provenance join and the recall audit) — the 8
+    # lowest EMBEDABLE pinned docs, no second embed pass
     qids = (
-        embed_text(pinned.select("doc_id", "text"), d=8, n=2, salt="emb")
-        .select("doc_id")
+        _snapshot_emb_prov(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
         .orderBy("doc_id")
         .limit(8)
     )
@@ -2402,3 +2402,66 @@ def q_ops_maintenance_fixedpoint(
         lambda: _build_maint_estate(spark, sf_dir),
     )
     return spark.read.parquet(path)
+
+
+def _incr_serve_recall_sql() -> str:
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _embed_ctes,
+        _exl2_recall_sql,
+        _ivfpq_ctes,
+    )
+
+    qp = "vec_id IN (SELECT vec_id FROM qids)"
+    return f"""
+    WITH admd AS MATERIALIZED (
+      SELECT doc_id, text, src_batch FROM (
+        WITH {_corpus_chain_prefix()}
+        SELECT d.doc_id, d.text, CAST(g.gen AS INT) AS src_batch
+        FROM documents d JOIN gens g ON g.doc = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc FROM rej)) z),
+    {_embed_ctes(src="admd")},
+    tremb AS MATERIALIZED (
+      SELECT t.vec_id, t.embedding FROM temb t
+      JOIN admd a ON a.doc_id = t.vec_id WHERE a.src_batch <= 1),
+    qids AS (SELECT vec_id FROM temb ORDER BY vec_id LIMIT 8),
+    {_ivfpq_ctes(src="temb", qpred=qp, train_src="tremb")},
+    {_exl2_recall_sql("ivfpqtop", src="temb", qpred=qp)}
+    """
+
+
+@_q("q_snapshot_incremental_serve_recall", _incr_serve_recall_sql())
+def q_snapshot_incremental_serve_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantizer-drift trade MEASURED (the number every pin-advance
+    docstring defers to): recall@5 of the pin-advanced store — built at
+    'g01', quantizers frozen, diff appended — against exact L2 over the
+    FULL pin-'all' embeddings, per query. This is what an operator
+    reads to decide when the advance chain has drifted far enough to
+    retrain (rebuild_text_index_if_stale's min_recall threshold, here
+    as an auditable relation instead of a float). Reuses the
+    session-checkpointed pin-all featurization for both the truth set
+    and the query pick; the oracle replays approx AND truth from the
+    documents table (frozen-quantizer CTEs + the shared exact-L2
+    baseline)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ml import (
+        _recall_vs_exact_l2,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import snapshots as _snap
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.text_index import (
+        query_text_index,
+    )
+
+    idx = _memo_replay(
+        spark, sf_dir, "incr-idx", lambda: _build_incr_index(spark, sf_dir)
+    )
+    roots = _estate_roots(sf_dir)
+    ep = _snapshot_emb_prov(spark, sf_dir)
+    e = ep.select("vec_id", "embedding")
+    q = e.orderBy("vec_id").limit(8)
+    pinned = _snap.read_snapshot(spark, roots["gate_corpus"], "all")
+    qdocs = pinned.join(
+        q.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    approx = query_text_index(spark, idx, qdocs, k=5, n_probe=4)
+    return _recall_vs_exact_l2(e, q, approx)

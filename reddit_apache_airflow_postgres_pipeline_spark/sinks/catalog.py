@@ -97,6 +97,14 @@ def catalog_entry(spark: SparkSession, name: str, path: str) -> dict:
         with open(tmeta if os.path.exists(tmeta) else mmeta) as f:
             meta = json.load(f)
         modality = "text" if os.path.exists(tmeta) else "media"
+        # a pin-built index (snapshots.build_text_index_at_pin) records
+        # the corpus version it serves — surface it in the catalog so
+        # "which pin is this index at" is a dashboard cell, not a
+        # marker-file hunt
+        pin_p = os.path.join(path, "pinned_snapshot.json")
+        if os.path.exists(pin_p):
+            with open(pin_p) as f:
+                meta = {**meta, "pinned_snapshot": json.load(f)["snapshot"]}
         stats = _vi.index_stats(spark, path, meta["kind"])
         return {
             "name": name,

@@ -409,20 +409,25 @@ def snapshot_diff(
 # -- pin-aware serving: a text index that knows which pin it serves ----------
 
 
-def text_index_pin(index_dir: str) -> dict:
-    """The pin marker a :func:`build_text_index_at_pin` store carries:
+def index_pin(index_dir: str) -> dict:
+    """The pin marker a pin-built store carries (text or media):
     ``{"corpus_dir": ..., "snapshot": ...}``. Fail-loud when absent —
     advancing an index that never declared its corpus version would
     silently mix lineages."""
     p = os.path.join(index_dir, PIN_META)
     if not os.path.exists(p):
         raise ValueError(
-            f"{index_dir!r} carries no {PIN_META} — not a pin-built text "
-            "index. Build it with build_text_index_at_pin(...) so the "
-            "corpus version it serves is recorded beside the store."
+            f"{index_dir!r} carries no {PIN_META} — not a pin-built "
+            "index. Build it with build_text_index_at_pin / "
+            "build_media_index_at_pin so the corpus version it serves "
+            "is recorded beside the store."
         )
     with open(p) as f:
         return json.load(f)
+
+
+# the original (text-named) accessor; both modalities share the marker
+text_index_pin = index_pin
 
 
 def _write_pin(index_dir: str, corpus_dir: str, snapshot: str) -> None:
@@ -462,6 +467,64 @@ def build_text_index_at_pin(
         id_col=id_col, text_col=text_col, **build_kwargs,
     )
     _write_pin(index_dir, corpus_dir, snapshot)
+
+
+def build_media_index_at_pin(
+    spark: SparkSession,
+    corpus_dir: str,
+    snapshot: str,
+    index_dir: str,
+    id_col: str = "media_id",
+    **build_kwargs,
+) -> None:
+    """The media form of :func:`build_text_index_at_pin`: featurize the
+    pinned corpus's payloads with sinks/media_index.write_media_index
+    (frozen codec recorded in media_meta.json) and record the pin
+    beside the store. The pinned rows must carry the media columns the
+    codec featurizes (kind/payload/meta) — i.e. a multimodal drain's
+    out_dir, the corpus whose batch dirs hold both modalities."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        media_index as _mi,
+    )
+
+    pinned = read_snapshot(spark, corpus_dir, snapshot)
+    _mi.write_media_index(
+        pinned.drop("batch_id"), index_dir, id_col=id_col, **build_kwargs
+    )
+    _write_pin(index_dir, corpus_dir, snapshot)
+
+
+def advance_media_index_to_pin(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    target: str,
+    batch_id: int | None = None,
+    id_col: str = "media_id",
+) -> dict:
+    """The media form of :func:`advance_text_index_to_pin`: same pin
+    marker, same delta-only read, the append featurizing with the
+    index's frozen codec (media_index.append_media_to_index)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        media_index as _mi,
+    )
+
+    base = index_pin(index_dir)["snapshot"]
+    if base == target:
+        return {"base": base, "target": target, "appended_batches": []}
+    delta = snapshot_diff(spark, corpus_dir, base, target)
+    ids_b = {e["batch_id"] for e in load_manifest(corpus_dir, base)["batches"]}
+    ids_t = {
+        e["batch_id"] for e in load_manifest(corpus_dir, target)["batches"]
+    }
+    appended = sorted(ids_t - ids_b)
+    if appended:
+        _mi.append_media_to_index(
+            delta.drop("batch_id"), index_dir, id_col=id_col,
+            batch_id=batch_id,
+        )
+    _write_pin(index_dir, corpus_dir, target)
+    return {"base": base, "target": target, "appended_batches": appended}
 
 
 def advance_text_index_to_pin(

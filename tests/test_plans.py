@@ -440,6 +440,11 @@ BNLJ_ALLOWED = {
         "embedded query set (q_sim_ivfpq's audited fan-out, served "
         "from the pin-advanced persisted store)"
     ),
+    "q_snapshot_incremental_serve_recall": (
+        "the serve shape above + the 8-query exact-L2 baseline over "
+        "the checkpointed pin-all featurization (same shape as "
+        "q_ingest_chain_text_serve_recall)"
+    ),
     # r11: refresh-then-gate composition — the refresh policy's
     # hysteresis switch and the PSI totals are feeds-row scalars
     "q_drift_refresh_regate_by_group": (

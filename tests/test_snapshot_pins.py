@@ -207,3 +207,65 @@ def test_advance_after_amend_is_a_noop_with_lineage(spark, tmp_path):
     out = snap.advance_text_index_to_pin(spark, corpus, idx, "v2")
     assert out == {"base": "v1", "target": "v2", "appended_batches": []}
     assert snap.text_index_pin(idx)["snapshot"] == "v2"
+
+
+def test_build_and_advance_media_index_at_pins(spark, tmp_path):
+    """The pin marker + delta-append contract holds for the MEDIA form
+    too (shared PIN_META, media_index's frozen-codec featurization)."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
+        media_from_documents,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks import (
+        media_index as mi,
+    )
+
+    corpus = os.path.join(str(tmp_path), "mcorpus")
+    docs = spark.createDataFrame(
+        [
+            (i, f"payload body {i} alpha beta gamma token{i} " * 4)
+            for i in range(18)
+        ],
+        DSCHEMA,
+    )
+    media = media_from_documents(docs)
+    for g in range(3):
+        media.filter((F.col("media_id") % 3) == g).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(corpus, f"batch_id={g}"))
+    snap.create_snapshot(spark, corpus, "g01", upto_batch=1)
+    snap.create_snapshot(spark, corpus, "all")
+
+    idx = str(tmp_path / "midx")
+    snap.build_media_index_at_pin(
+        spark, corpus, "g01", idx, kind="binary", codec="fake"
+    )
+    assert snap.index_pin(idx)["snapshot"] == "g01"
+    n_g01 = vi.read_sigs(spark, idx).count()
+    out = snap.advance_media_index_to_pin(spark, corpus, idx, "all", batch_id=7)
+    assert out == {"base": "g01", "target": "all", "appended_batches": [2]}
+    assert snap.index_pin(idx)["snapshot"] == "all"
+    n_all = vi.read_sigs(spark, idx).count()
+    assert n_all > n_g01
+    # row-identical to build@g01 + one manual append of the same diff
+    idx2 = str(tmp_path / "midx2")
+    snap.build_media_index_at_pin(
+        spark, corpus, "g01", idx2, kind="binary", codec="fake"
+    )
+    mi.append_media_to_index(
+        snap.snapshot_diff(spark, corpus, "g01", "all").drop("batch_id"),
+        idx2,
+        batch_id=7,
+    )
+    rel = lambda p: sorted(  # noqa: E731
+        (r["neighbor_id"], tuple(r["sig"]) if hasattr(r["sig"], "__iter__")
+         else r["sig"])
+        for r in vi.read_sigs(spark, p).collect()
+    )
+    assert rel(idx) == rel(idx2)
+    # the catalog surfaces the pin on the index row
+    from reddit_apache_airflow_postgres_pipeline_spark.sinks.catalog import (
+        catalog_entry,
+    )
+
+    ent = catalog_entry(spark, "midx", idx)
+    assert '"pinned_snapshot": "all"' in ent["params"]
