@@ -328,17 +328,25 @@ def ahash_signatures(
                     np.frombuffer(p or b"", dtype=np.uint8)
                     for p in pdf["payload"]
                 ]
-            sigs = []
-            for a in arrs:
-                b = np.zeros(n, dtype=np.int64)
-                k = min(n, a.size)
-                b[:k] = a[:k]
-                mean = b.sum() / float(n)
-                sig = 0
-                for i in range(n):
-                    if b[i] > mean:
-                        sig |= 1 << (n - 1 - i)
-                sigs.append(sig)
+            # whole-batch vectorization (guide §4.2): one (rows, n)
+            # int64 matrix, row means, threshold, dot with the MSB-first
+            # power vector — no per-row/per-bit Python loop. Bit i is 1
+            # iff sample_i > mean, identical comparisons to the old
+            # loop; the dot is exact in int64 (n <= 60 keeps every
+            # power and the packed sum inside the signed range).
+            if arrs:
+                mat = np.zeros((len(arrs), n), dtype=np.int64)
+                for r, a in enumerate(arrs):
+                    k = min(n, a.size)
+                    mat[r, :k] = a[:k]
+                means = mat.sum(axis=1) / float(n)
+                bits = mat > means[:, None]
+                powers = np.left_shift(
+                    np.int64(1), np.arange(n - 1, -1, -1, dtype=np.int64)
+                )
+                sigs = (bits * powers).sum(axis=1).tolist()
+            else:
+                sigs = []
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

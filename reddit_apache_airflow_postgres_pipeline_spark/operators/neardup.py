@@ -513,35 +513,40 @@ def minhash_signature(
     sh = shingle_arrays(df, id_col, text_col, n).select(
         "doc", F.explode("sh").alias("s")
     )
+    # the k-wide projections/aggregates are JVM-parsed SQL strings —
+    # this builder runs at plan-build time once per micro-batch in the
+    # streaming gates (guide §5); parsed trees identical to the old
+    # Column-API form (the concat subtree is embedded per column either
+    # way; Catalyst CSE collapses it at codegen).
     if num_hashes <= 24:
         # 32 + 64 (+32 +64 reversed-input) hex chars → up to 24 chunks
         # from ≤4 hash calls; k ≤ 12 needs only the first two.
         # md5/sha256 over reverse(s) are the extra digests both engines
         # share (DuckDB has no sha512) — same cross-engine-lowercase-hex
         # argument as above.
-        parts = [F.md5("s"), F.sha2("s", 256)]
+        parts = ["md5(s)", "sha2(s, 256)"]
         if num_hashes > 12:
-            parts.append(F.md5(F.reverse(F.col("s"))))
+            parts.append("md5(reverse(s))")
         if num_hashes > 16:
-            parts.append(F.sha2(F.reverse(F.col("s")), 256))
-        dg = F.concat(*parts)
-        digs = sh.select(
+            parts.append("sha2(reverse(s), 256)")
+        dg = "concat(" + ", ".join(parts) + ")"
+        digs = sh.selectExpr(
             "doc",
             *[
-                F.substring(dg, i * 8 + 1, 8).alias(f"d{i}")
+                f"substring({dg}, {i * 8 + 1}, 8) AS d{i}"
                 for i in range(num_hashes)
             ],
         )
     else:
-        digs = sh.select(
+        digs = sh.selectExpr(
             "doc",
             *[
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"d{i}")
+                f"md5(concat('{i}:', s)) AS d{i}"
                 for i in range(num_hashes)
             ],
         )
     return digs.groupBy("doc").agg(
-        *[F.min(f"d{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(d{i}) AS mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -577,15 +582,16 @@ def band_keys_of_signature(
     from stored sigs without re-reading any text."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + i}") for i in range(r)]
-            )
-            for b in range(bands)
-        ]
+    # built as one JVM-parsed selectExpr: this runs at plan-build time
+    # once per micro-batch in the streaming gates (~25 py4j round trips
+    # per call in Column form; guide §5). Identical parsed tree.
+    band_keys = ", ".join(
+        "concat_ws('|', '" + str(b) + "', "
+        + ", ".join(f"mh_{b * r + i}" for i in range(r))
+        + ")"
+        for b in range(bands)
     )
-    return sig.select("doc", F.explode(band_keys).alias("bk"))
+    return sig.selectExpr("doc", f"explode(array({band_keys})) AS bk")
 
 
 def minhash_lsh_pairs(
@@ -875,14 +881,19 @@ def signature_band_keys(
     nbands = max_hamming + 1
     width = bits // nbands
 
-    def band_key(b: int) -> Column:
+    # one JVM-parsed selectExpr (plan-build runs once per micro-batch
+    # in the media/multimodal gates; guide §5); parens pin the SQL
+    # precedence to the Column-API tree ((sig >> s) & mask) * n + b
+    def band_key(b: int) -> str:
         w = width if b < nbands - 1 else bits - (nbands - 1) * width
         shift = bits - b * width - w
-        return F.shiftright("sig", shift).bitwiseAND(F.lit((1 << w) - 1)) * nbands + b
+        return (
+            f"((shiftright(sig, {shift}) & {(1 << w) - 1})"
+            f" * {nbands} + {b})"
+        )
 
-    return sig.select(
-        "doc", F.explode(F.array(*[band_key(b) for b in range(nbands)])).alias("bk")
-    )
+    keys = ", ".join(band_key(b) for b in range(nbands))
+    return sig.selectExpr("doc", f"explode(array({keys})) AS bk")
 
 
 def signature_near_dups(

@@ -193,9 +193,32 @@ def ivf_assign(
     cells by cosine (rounded 6dp; ties broken by cell id — fully
     deterministic). ``keep_score=True`` appends the rounded cosine.
 
-    Map-only at any scale: centroids are broadcast, the cross join scores
-    ``n_cells`` cells per vector, and the per-vector top-n_probe is a
-    window over that small fan-out."""
+    Centroids are broadcast and the cross join scores ``n_cells``
+    cells per vector. The per-vector pick is shaped by ``n_probe``
+    (guide §2.3 "aggregate before you shuffle"):
+
+    * ``n_probe == 1`` (the corpus-assignment path — the BIG side of
+      every IVF build): one aggregate whose map-side partial combine
+      collapses the ``n_cells`` fan-out to ONE row per vector before
+      the exchange, so the shuffle carries |corpus| rows instead of
+      |corpus| × n_cells and nothing is sorted. The argmax is
+      ``max(struct(__cs, -cell, ...))`` — struct comparison is
+      lexicographic, ``cell`` is unique within a vector's fan-out, so
+      the pick is exactly the old window's (score desc, cell asc) row
+      (rounded -0.0/0.0 compare equal in Spark, so the negated
+      tiebreak cannot flip).
+    * ``n_probe > 1`` (the query/probe side — bounded, decision-sized):
+      the original window top-n over the fan-out.
+
+    A zero-shuffle variant (centroids collapsed to one broadcast array
+    row, argmin via array_min of structs) was measured and REJECTED:
+    row-identical, and it removes even this exchange, but interleaved
+    idle A/B of the full composed ivfpq (min-of-5 ×2 rounds) ran
+    window 3.25/2.29 s, this aggregate 3.51/2.40 s, array 3.74/3.57 s —
+    with single-row-group bench inputs the exchange is ALSO what fans
+    the downstream Lloyd/encode work across cores, so deleting it
+    serializes the pipeline; the aggregate keeps the parallelism while
+    cutting the shuffled rows ×n_cells."""
     from pyspark.sql import Window
 
     scored = vectors.select(
@@ -203,10 +226,29 @@ def ivf_assign(
     ).join(F.broadcast(centroids)).withColumn(
         "__cs", F.round(cosine(F.col("__v"), F.col("cv")), 6)
     )
-    w = Window.partitionBy(out_id).orderBy(F.desc("__cs"), F.asc("cell"))
     cols = [out_id, F.col("__v").alias(vec_col), "cell"]
     if keep_score:
         cols.append(F.col("__cs").alias("score"))
+    if n_probe == 1:
+        # cell ids are numeric in every caller (vec/doc ids); negation
+        # flips the tiebreak to ascending under max()
+        best = scored.groupBy(out_id).agg(
+            F.max(
+                F.struct(
+                    F.col("__cs"),
+                    (-F.col("cell")).alias("__negc"),
+                    F.col("cell"),
+                    F.col("__v"),
+                )
+            ).alias("__m")
+        ).select(
+            out_id,
+            F.col("__m.__v").alias("__v"),
+            F.col("__m.cell").alias("cell"),
+            F.col("__m.__cs").alias("__cs"),
+        )
+        return best.select(*cols)
+    w = Window.partitionBy(out_id).orderBy(F.desc("__cs"), F.asc("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_probe)
@@ -586,10 +628,20 @@ def pq_codebooks(
     from pyspark.sql import Window
 
     sv = pq_subvectors(corpus, m, id_col, vec_col, out_id="__id")
+    # Seeds = "the n_codes lowest-__id subvectors per sub". Every vector
+    # contributes exactly one row to every sub, so that set is just the
+    # subvectors of the n_codes lowest-id VECTORS — a TakeOrdered over
+    # the corpus (top-k, no shuffle) instead of the old full-corpus
+    # window sort into m partitions (guide §2.4: remove shuffles
+    # outright; the window shuffled and sorted every subvector to rank
+    # only the first n_codes). The tiny window below ranks n_codes rows.
+    seed_rows = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).orderBy("__id").limit(n_codes)
     w = Window.partitionBy("sub").orderBy("__id")
     cb = (
-        sv.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_codes)
+        pq_subvectors(seed_rows, m, "__id", "__vec", out_id="__id")
+        .withColumn("__rn", F.row_number().over(w))
         .select(
             "sub",
             (F.col("__rn") - 1).alias("code"),
@@ -617,21 +669,35 @@ def pq_codebooks(
 
 def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(*sv.columns, code): each subvector's nearest code by rounded
-    L2² (6dp, code-asc tie-break). Broadcast codebooks, window over the
-    n_codes fan-out — map-shaped at any corpus size. Column-preserving
-    so carried columns (e.g. the IVF ``cell``) survive encoding."""
-    from pyspark.sql import Window
-
+    L2² (6dp, code-asc tie-break). Broadcast codebooks fan the relation
+    out ×n_codes map-side; the argmin is one aggregate on (id, sub)
+    whose map-side partial combine folds the fan-out back to one row
+    per subvector BEFORE the exchange — the shuffle carries |sv| rows
+    instead of |sv| × n_codes and nothing is sorted (the old form was
+    a window over the full fan-out; guide §2.3). The pick is
+    ``min(struct(__d, code, payload...))``: struct comparison is
+    lexicographic, ``code`` is unique within a (id, sub) group, so the
+    row chosen is exactly the old (__d asc, code asc) rank-1 — NULL
+    distances sort first in both forms. Column-preserving so carried
+    columns (e.g. the IVF ``cell``) survive encoding. (A zero-shuffle
+    array_min-over-broadcast-array variant was measured and rejected —
+    see ivf_assign's docstring; same single-row-group serialization.)"""
     idc = sv.columns[0]
     scored = sv.join(F.broadcast(codebooks), "sub").withColumn(
         "__d", F.round(l2sq("svec", "cv"), 6)
     )
-    w = Window.partitionBy(idc, "sub").orderBy("__d", "code")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*sv.columns, "code")
+    rest = [c for c in sv.columns if c not in (idc, "sub")]
+    best = scored.groupBy(idc, "sub").agg(
+        F.min(
+            F.struct(F.col("__d"), F.col("code"), *[F.col(c) for c in rest])
+        ).alias("__m")
     )
+    return best.select(
+        idc,
+        *[F.col(f"__m.{c}").alias(c) for c in rest],
+        "sub",
+        F.col("__m.code").alias("code"),
+    ).select(*sv.columns, "code")
 
 
 def pq_encode(
@@ -1003,19 +1069,25 @@ def sq8_encode(
     compiled into ONE map-side array projection from the collected
     d-row params — no join, no shuffle, whatever the corpus size."""
     pars = _sq8_params(minmax)
-    v = F.col(vec_col)
+    # one F.expr over a JVM-parsed SQL string instead of ~8 py4j Column
+    # calls per dimension (d=64 -> ~450 driver round trips; guide §5 —
+    # query construction is driver work). The parsed tree is the same
+    # unrolled codegen projection as the old Column-API build; double
+    # literals are embedded via CAST(repr AS DOUBLE), which folds to
+    # the identical double (repr is shortest-roundtrip).
+    v = f"`{vec_col}`"
     comps = []
     for i, (mn, mx) in enumerate(pars):
         if mx > mn:
-            scaled = F.floor(
-                (v[i].cast("double") - F.lit(mn)) * 256.0 / F.lit(mx - mn)
-            )
             comps.append(
-                F.least(F.greatest(scaled, F.lit(0)), F.lit(255)).cast("int")
+                "CAST(least(greatest(floor((CAST("
+                f"{v}[{i}] AS DOUBLE) - CAST({mn!r} AS DOUBLE))"
+                f" * 256.0 / CAST({mx - mn!r} AS DOUBLE)"
+                "), 0), 255) AS INT)"
             )
         else:
-            comps.append(F.lit(0))
-    return vectors.withColumn(out_col, F.array(*comps))
+            comps.append("0")
+    return vectors.withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
 
 
 def sq8_dequant(
@@ -1028,16 +1100,16 @@ def sq8_dequant(
     per dim — the bucket midpoint, exactly what asymmetric SQ8 search
     scores against. Same collected-params map-side posture as encode."""
     pars = _sq8_params(minmax)
-    c = F.col(codes_col)
+    # same JVM-parsed-SQL construction as sq8_encode (one expr instead
+    # of ~5 py4j Column calls per dimension); identical parsed tree
+    c = f"`{codes_col}`"
+    comps = [
+        f"CAST({mn!r} AS DOUBLE) + (CAST({c}[{i}] AS DOUBLE) + 0.5)"
+        f" * CAST({mx - mn!r} AS DOUBLE) / 256.0"
+        for i, (mn, mx) in enumerate(pars)
+    ]
     return codes_df.withColumn(
-        out_col,
-        F.array(
-            *[
-                F.lit(mn)
-                + (c[i].cast("double") + 0.5) * F.lit(mx - mn) / 256.0
-                for i, (mn, mx) in enumerate(pars)
-            ]
-        ),
+        out_col, F.expr("array(" + ", ".join(comps) + ")")
     )
 
 

@@ -3163,11 +3163,31 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    # Per-round bounded-lineage contract, r13 form: checkpoint the
+    # round's SKINNY (doc, admitted) decisions instead of the unioned
+    # k-column signature state — the next round's state is the memoized
+    # signature checkpoint semi-joined to the accepted ids (identical
+    # relation: acc_0..g = sig_{<=g} minus rejected, and dec holds
+    # exactly that partition). Same checkpoint-job count, but the fat
+    # state never re-materializes and the final plan reads rounds 0..
+    # n-2 straight from the skinny checkpoints instead of re-running
+    # their blocker chains (guide §2.4 / §5: 5 blocker-chain executions
+    # -> 3 per construction+run). Checkpoints are LAZY (eager=False,
+    # here and in the other eight replay loops): lineage truncates
+    # either way, but materialization folds into the single consuming
+    # action instead of one driver-blocking job per round (A/B at
+    # sf0.1 min-of-3: 3.2s vs 8.2s under identical load).
+    empty_state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    acc_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = docs.filter(F.col("gen") == g)
-        _, acc_sigs, dec = gate_batch_verified(
+        state = (
+            empty_state
+            if acc_union is None
+            else sig_all.join(acc_union, "doc", "left_semi")
+        )
+        _, _acc_sigs, dec = gate_batch_verified(
             batch,
             state,
             "doc_id",
@@ -3178,9 +3198,13 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=_GATE_T,
             sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
         )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
         if g < _GATE_GENS - 1:
-            state = state.unionByName(acc_sigs).localCheckpoint()
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -3263,18 +3287,27 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys_all = band_keys_of_signature(sig_all, _GATE_K, _GATE_BANDS)
 
+    # skinny-decision checkpoint contract (see q_neardup_gate_replay):
+    # ONE (doc, gen, rej_v, __acc_b) checkpoint per round replaces TWO
+    # fat state checkpoints — both policies' next-round states are the
+    # memoized signature/band-key checkpoints semi-joined to their own
+    # accepted ids (identical relations by the same partition argument)
     state_v = spark.createDataFrame([], _sig_schema(_GATE_K))
     state_b = spark.createDataFrame([], "doc long, bk string")
+    acc_v_union = acc_b_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = docs.filter(F.col("gen") == g)
         gen_pred = (F.col("doc") % _GATE_GENS).cast("int") == g
-        _, acc_sigs, dec_v = gate_batch_verified(
+        if acc_v_union is not None:
+            state_v = sig_all.join(acc_v_union, "doc", "left_semi")
+            state_b = keys_all.join(acc_b_union, "doc", "left_semi")
+        _, _acc_sigs, dec_v = gate_batch_verified(
             batch, state_v, "doc_id", "text",
             n=3, num_hashes=_GATE_K, bands=_GATE_BANDS, threshold=_GATE_T,
             sig=sig_all.filter(gen_pred),
         )
-        acc_b, acc_keys = gate_batch(
+        acc_b, _acc_keys = gate_batch(
             batch, state_b, "doc_id", "text",
             n=3, num_hashes=_GATE_K, bands=_GATE_BANDS,
             keys=keys_all.filter(gen_pred),
@@ -3290,10 +3323,19 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("admitted")).alias("rej_v"),
             F.coalesce(F.col("__acc_b"), F.lit(False)).alias("__acc_b"),
         )
-        outs.append(dec)
         if g < _GATE_GENS - 1:
-            state_v = state_v.unionByName(acc_sigs).localCheckpoint()
-            state_b = state_b.unionByName(acc_keys).localCheckpoint()
+            dec = dec.localCheckpoint(eager=False)
+            acc_v_g = dec.filter(~F.col("rej_v")).select("doc")
+            acc_b_g = dec.filter(F.col("__acc_b")).select("doc")
+            acc_v_union = (
+                acc_v_g if acc_v_union is None
+                else acc_v_union.unionByName(acc_v_g)
+            )
+            acc_b_union = (
+                acc_b_g if acc_b_union is None
+                else acc_b_union.unionByName(acc_b_g)
+            )
+        outs.append(dec)
     flags = outs[0]
     for o in outs[1:]:
         flags = flags.unionByName(o)
@@ -3371,11 +3413,21 @@ def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             good, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    # same skinny-decision checkpoint contract as q_neardup_gate_replay
+    # (state = quality-filtered signature checkpoint semi-joined to the
+    # accepted ids; dec covers floor-survivors only, so the semi-join
+    # reproduces the old unioned state exactly)
+    empty_state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    acc_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = good.filter(F.col("gen") == g)
-        _, acc_sigs, dec = gate_batch_verified(
+        state = (
+            empty_state
+            if acc_union is None
+            else sig_all.join(acc_union, "doc", "left_semi")
+        )
+        _, _acc_sigs, dec = gate_batch_verified(
             batch,
             state,
             "doc_id",
@@ -3386,9 +3438,13 @@ def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             threshold=_GATE_T,
             sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
         )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
         if g < _GATE_GENS - 1:
-            state = state.unionByName(acc_sigs).localCheckpoint()
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -3469,7 +3525,6 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
         _est_blockers,
         _sig_schema,
-        gate_batch_verified,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -3481,12 +3536,25 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
+    # skinny-blocker checkpoint contract (see q_neardup_gate_replay):
+    # the round's (doc, odoc, est) blocker relation is checkpointed and
+    # IS both the output rows and the rejection evidence — the rejected
+    # set is its distinct doc column, so the old per-round
+    # gate_batch_verified call (a second full blocker chain run only to
+    # rebuild the state) is gone; the next round's state is the
+    # memoized signature checkpoint gen-filtered and anti-joined to the
+    # rejected union (identical relation: accepted = earlier gens minus
+    # rejected, and sig-less docs have no signature rows either way).
     state = spark.createDataFrame([], _sig_schema(_GATE_K))
+    rej_union = None
     outs = []
     for g in range(_GATE_GENS):
-        batch = docs.filter(F.col("gen") == g)
         sig_g = sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g)
         keys_g = band_keys_of_signature(sig_g, _GATE_K, _GATE_BANDS)
+        if rej_union is not None:
+            state = sig_all.filter(
+                (F.col("doc") % _GATE_GENS).cast("int") < g
+            ).join(rej_union, "doc", "left_anti")
         skeys = band_keys_of_signature(state, _GATE_K, _GATE_BANDS)
         blockers = _est_blockers(
             keys_g, sig_g, skeys, state, _GATE_K, _GATE_T, ordered=False
@@ -3495,16 +3563,15 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys_g, sig_g, keys_g, sig_g, _GATE_K, _GATE_T, ordered=True
             )
         )
+        if g < _GATE_GENS - 1:
+            blockers = blockers.localCheckpoint(eager=False)
+            rej_g = blockers.select("doc").distinct()
+            rej_union = (
+                rej_g if rej_union is None else rej_union.unionByName(rej_g)
+            )
         outs.append(blockers.select(
             "doc", F.lit(g).cast("int").alias("gen"), "odoc", "est"
         ))
-        if g < _GATE_GENS - 1:
-            _, acc_sigs, _ = gate_batch_verified(
-                batch, state, "doc_id", "text",
-                n=3, num_hashes=_GATE_K, bands=_GATE_BANDS, threshold=_GATE_T,
-                sig=sig_g,
-            )
-            state = state.unionByName(acc_sigs).localCheckpoint()
     blk = outs[0]
     for o in outs[1:]:
         blk = blk.unionByName(o)

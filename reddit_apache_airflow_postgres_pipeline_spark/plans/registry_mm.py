@@ -487,17 +487,33 @@ def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(),
     )
     gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    state = spark.createDataFrame([], _SIG_SCHEMA)
+    # skinny-decision checkpoint contract (registry_ml.
+    # q_neardup_gate_replay): checkpoint (doc, admitted) per round, not
+    # the unioned signature state — next round's state is the memoized
+    # aHash checkpoint semi-joined to the accepted ids (identical
+    # relation), and the final plan reads rounds 0..n-2 from the skinny
+    # checkpoints instead of re-running their blocker chains.
+    empty_state = spark.createDataFrame([], _SIG_SCHEMA)
+    acc_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = media.filter(gen_of("media_id") == g)
-        _, acc_sigs, dec = gate_media_batch(
+        state = (
+            empty_state
+            if acc_union is None
+            else sig_all.join(acc_union, "doc", "left_semi")
+        )
+        _, _acc_sigs, dec = gate_media_batch(
             batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
             sig=sig_all.filter(gen_of("doc") == g),
         )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
         if g < _GATE_GENS - 1:
-            state = state.unionByName(acc_sigs).localCheckpoint()
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -581,7 +597,6 @@ def q_media_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
         _SIG_SCHEMA,
         _ham_blockers,
-        gate_media_batch,
     )
 
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
@@ -592,26 +607,37 @@ def q_media_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(),
     )
     gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    # skinny-blocker checkpoint contract (registry_ml.
+    # q_neardup_gate_dup_of): the checkpointed round blockers ARE the
+    # output rows and the rejection evidence — the old per-round
+    # gate_media_batch call (a second blocker-chain run only to rebuild
+    # the state) is gone; state = memoized aHash checkpoint gen-filtered
+    # and anti-joined to the rejected union (identical relation).
     state = spark.createDataFrame([], _SIG_SCHEMA)
+    rej_union = None
     outs = []
     for g in range(_GATE_GENS):
         sig_g = sig_all.filter(gen_of("doc") == g)
         keys_g = signature_band_keys(sig_g, _AHASH_N, _AHASH_MAXHAM)
+        if rej_union is not None:
+            state = sig_all.filter(gen_of("doc") < g).join(
+                rej_union, "doc", "left_anti"
+            )
         skeys = signature_band_keys(state, _AHASH_N, _AHASH_MAXHAM)
         blockers = _ham_blockers(
             keys_g, sig_g, skeys, state, _AHASH_MAXHAM, ordered=False
         ).unionAll(
             _ham_blockers(keys_g, sig_g, keys_g, sig_g, _AHASH_MAXHAM, ordered=True)
         )
+        if g < _GATE_GENS - 1:
+            blockers = blockers.localCheckpoint(eager=False)
+            rej_g = blockers.select("doc").distinct()
+            rej_union = (
+                rej_g if rej_union is None else rej_union.unionByName(rej_g)
+            )
         outs.append(
             blockers.select("doc", F.lit(g).cast("int").alias("gen"), "odoc", "dist")
         )
-        if g < _GATE_GENS - 1:
-            batch = media.filter(gen_of("media_id") == g)
-            _, acc_sigs, _ = gate_media_batch(
-                batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM, sig=sig_g
-            )
-            state = state.unionByName(acc_sigs).localCheckpoint()
     blk = outs[0]
     for o in outs[1:]:
         blk = blk.unionByName(o)
@@ -667,17 +693,31 @@ def q_media_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(),
     )
     gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    state = spark.createDataFrame([], _SIG_SCHEMA)
+    # skinny-decision checkpoint contract (see q_media_gate_replay);
+    # dec covers floor-surviving items only and the memoized signature
+    # checkpoint is floor-filtered, so the semi-join reproduces the old
+    # unioned state exactly
+    empty_state = spark.createDataFrame([], _SIG_SCHEMA)
+    acc_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = good.filter(gen_of("media_id") == g)
-        _, acc_sigs, dec = gate_media_batch(
+        state = (
+            empty_state
+            if acc_union is None
+            else sig_all.join(acc_union, "doc", "left_semi")
+        )
+        _, _acc_sigs, dec = gate_media_batch(
             batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
             sig=sig_all.filter(gen_of("doc") == g),
         )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
         if g < _GATE_GENS - 1:
-            state = state.unionByName(acc_sigs).localCheckpoint()
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
+        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -1025,24 +1065,41 @@ def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(),
     )
     gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    tstate = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
-    mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
+    # skinny-decision checkpoint contract (registry_ml.
+    # q_neardup_gate_replay), unified-gate form: ONE (doc, admitted)
+    # checkpoint per round replaces TWO fat per-modality state
+    # checkpoints — admission is atomic, so BOTH next-round states are
+    # their memoized signature checkpoints semi-joined to the same
+    # accepted ids (identical relations). 4 checkpoint jobs -> 2 per
+    # construction, and the final plan reads rounds 0..n-2 from the
+    # skinny checkpoints instead of re-running their blocker chains.
+    empty_t = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
+    empty_m = spark.createDataFrame([], _M_SIG_SCHEMA)
+    acc_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = mm_docs.filter(gen_of("doc_id") == g)
-        _, acc_t, acc_m, dec = gate_multimodal_batch(
+        if acc_union is None:
+            tstate, mstate = empty_t, empty_m
+        else:
+            tstate = tsig_all.join(acc_union, "doc", "left_semi")
+            mstate = msig_all.join(acc_union, "doc", "left_semi")
+        _, _acc_t, _acc_m, dec = gate_multimodal_batch(
             batch, tstate, mstate,
             num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
             threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
             tsig=tsig_all.filter(gen_of("doc") == g),
             msig=msig_all.filter(gen_of("doc") == g),
         )
+        if g < _GATE_GENS - 1:
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
         outs.append(
             dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
         )
-        if g < _GATE_GENS - 1:
-            tstate = tstate.unionByName(acc_t).localCheckpoint()
-            mstate = mstate.unionByName(acc_m).localCheckpoint()
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -1146,23 +1203,41 @@ def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(),
     )
     gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    # skinny-blocker checkpoint contract (registry_ml.
+    # q_neardup_gate_dup_of), unified-gate form: the per-round
+    # checkpointed blocker relation IS the output rows and the
+    # rejection evidence — both next-round states are the memoized
+    # signature checkpoints gen-filtered and anti-joined to the
+    # rejected union (identical relations; admission is atomic so one
+    # rejected set drives both). 7 checkpoint jobs (3 blocker + 4 fat
+    # state) -> 2 skinny ones per construction.
     tstate = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
     mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
+    rej_union = None
     outs = []
     for g in range(_GATE_GENS):
         batch = mm_docs.filter(gen_of("doc_id") == g)
-        _, acc_t, acc_m, _, blk = gate_multimodal_batch_attributed(
+        if rej_union is not None:
+            tstate = tsig_all.filter(gen_of("doc") < g).join(
+                rej_union, "doc", "left_anti"
+            )
+            mstate = msig_all.filter(gen_of("doc") < g).join(
+                rej_union, "doc", "left_anti"
+            )
+        _, _acc_t, _acc_m, _, blk = gate_multimodal_batch_attributed(
             batch, tstate, mstate,
             num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
             threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
             tsig=tsig_all.filter(gen_of("doc") == g),
             msig=msig_all.filter(gen_of("doc") == g),
-            checkpoint_blockers=True,
         )
-        outs.append(blk)
         if g < _GATE_GENS - 1:
-            tstate = tstate.unionByName(acc_t).localCheckpoint()
-            mstate = mstate.unionByName(acc_m).localCheckpoint()
+            blk = blk.localCheckpoint(eager=False)
+            rej_g = blk.select("doc").distinct()
+            rej_union = (
+                rej_g if rej_union is None else rej_union.unionByName(rej_g)
+            )
+        outs.append(blk)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -58,6 +58,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         # Arrow for pandas_udf / mapInPandas (vectors, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the Python call site for every DataFrame
+        # API call when this is on (the default): getActiveSession +
+        # conf.get + origin set/clear = ~4 extra py4j round trips PER
+        # CALL, plus a Python traceback walk. Measured on q_sim_sq8
+        # construction: 11,683 -> 3,673 round trips with it off. Pure
+        # driver-side instrumentation — plans, results and executor
+        # work are unchanged; only error messages lose the "called at
+        # <file>:<line>" DataFrame context. (guide §5: the driver
+        # should do almost no work; query CONSTRUCTION is driver work.)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Keep small-dim joins broadcast (region/nation/supplier style).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Stable timestamp behavior for the DuckDB oracle comparison.

@@ -654,25 +654,35 @@ def _est_blockers(
     if ordered:
         cand = cand.filter(F.col("odoc") < F.col("doc"))
     cand = cand.distinct()
-    sa = sig.select(
-        "doc", *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(num_hashes)]
+    # k-wide projections and the k-term match sum are built as
+    # JVM-parsed SQL strings: this function runs at plan-BUILD time
+    # once per micro-batch in the drains (and 3-6x per replay
+    # construction), and the Column-API form cost ~100 py4j round
+    # trips per call (guide §5 — driver work). Parsed trees identical:
+    # `mh_i AS __ai` == col().alias(), `CAST((a = b) AS INT)` ==
+    # (col == col).cast("int"), and the int sum / double literal
+    # division is unchanged.
+    sa = sig.selectExpr(
+        "doc", *[f"mh_{i} AS __a{i}" for i in range(num_hashes)]
     )
-    sb = other_sig.select(
-        F.col("doc").alias("odoc"),
-        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    sb = other_sig.selectExpr(
+        "doc AS odoc",
+        *[f"mh_{i} AS __b{i}" for i in range(num_hashes)],
     )
-    matches = sum(
-        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
-        for i in range(num_hashes)
+    est_sql = (
+        "("
+        + " + ".join(
+            f"CAST((__a{i} = __b{i}) AS INT)" for i in range(num_hashes)
+        )
+        + f") / CAST({float(num_hashes)!r} AS DOUBLE)"
     )
-    est = (matches / F.lit(float(num_hashes))).alias("est")
     probe = cand.join(sa, "doc")
     if broadcast_batch:
         joined = sb.join(F.broadcast(probe), "odoc")
     else:
         joined = probe.join(sb, "odoc")
     return (
-        joined.select("doc", "odoc", est)
+        joined.selectExpr("doc", "odoc", f"{est_sql} AS est")
         .filter(F.col("est") >= F.lit(float(threshold)))
     )
 
