@@ -3117,6 +3117,114 @@ def _gate_chain_ctes(rel: str, sfx: str, n_gens: int) -> str:
     return "\n".join(parts).rstrip(",")
 
 
+def _chain_from_pairs(
+    gens: DataFrame,
+    pairs: DataFrame,
+    n_gens: int,
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The unrolled generation-ordered admission chain evaluated over a
+    PRECOMPUTED candidate-pair relation — the DataFrame mirror of
+    :func:`_gate_chain_ctes`, which is the oracle's (and therefore the
+    policy's) definition of the chain.
+
+    ``gens`` is the decision spine (doc, gen) — every doc that gets a
+    decision, including signature-less docs that never appear in
+    ``pairs``. ``pairs`` is the DIRECTED threshold-filtered candidate
+    relation (doc, odoc, gen_d, gen_o, *payload) with doc != odoc —
+    computed ONCE over the whole corpus (one banded self-join + one
+    verification pass) instead of once per generation against a growing
+    state (guide §2.4: remove shuffles outright — the r13 form re-ran
+    the band/verify joins 2x per generation, 6-12 blocker-join
+    executions per replay; this form runs them once and the per-round
+    work degenerates to semi-joins between TINY pair/accepted-id
+    relations). Callers localCheckpoint ``pairs`` (lazily) so the chain
+    reads one materialized relation.
+
+    Per generation g a doc is rejected iff it has a pair whose ``odoc``
+    is an ACCEPTED doc of an earlier generation, or a smaller id in its
+    own generation (admitted or not — the family's pessimistic rule);
+    exactly rej{g} of the oracle chain. Returns (decisions, blockers)
+    lists: per-gen (doc, admitted) and the per-gen eligible-blocker
+    subsets of ``pairs`` (payload columns preserved) — the dup_of
+    relation. Decision relations for g < n_gens-1 are lazily
+    localCheckpointed (the repo's bounded-lineage iteration contract).
+    """
+    decs: list[DataFrame] = []
+    blks: list[DataFrame] = []
+    acc_union: DataFrame | None = None
+    for g in range(n_gens):
+        blk = pairs.filter(
+            (F.col("gen_d") == g)
+            & (F.col("gen_o") == g)
+            & (F.col("odoc") < F.col("doc"))
+        )
+        if acc_union is not None:
+            cross = pairs.filter(
+                (F.col("gen_d") == g) & (F.col("gen_o") < g)
+            ).join(
+                acc_union.select(F.col("doc").alias("odoc")),
+                "odoc",
+                "left_semi",
+            )
+            blk = blk.unionByName(cross)
+        rej = blk.select("doc").distinct()
+        dec = (
+            gens.filter(F.col("gen") == g)
+            .select("doc")
+            .join(rej.withColumn("__rej", F.lit(True)), "doc", "left")
+            .select(
+                "doc",
+                (~F.coalesce(F.col("__rej"), F.lit(False))).alias("admitted"),
+            )
+        )
+        if g < n_gens - 1:
+            dec = dec.localCheckpoint(eager=False)
+            acc_g = dec.filter(F.col("admitted")).select("doc")
+            acc_union = (
+                acc_g if acc_union is None else acc_union.unionByName(acc_g)
+            )
+        decs.append(dec)
+        blks.append(blk)
+    return decs, blks
+
+
+def _gate_pairs(
+    sig_all: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float | None,
+    n_gens: int,
+) -> DataFrame:
+    """(doc, odoc, gen_d, gen_o, est): the full DIRECTED verified-pair
+    relation over a corpus signature relation — band buckets propose
+    (both directions, self-pairs dropped: every doc arrives in exactly
+    one generation, so a self-pair can satisfy neither chain direction),
+    the matching-position estimate disposes at >= ``threshold``.
+    ``threshold=None`` skips verification and returns every banded
+    collision (the raw bucket policy's candidate relation, est-less) —
+    the policy-audit comparison differs only here, exactly as in the
+    oracle's cand/vcand split."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        band_keys_of_signature,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
+        _est_blockers,
+    )
+
+    keys = band_keys_of_signature(sig_all, num_hashes, bands)
+    if threshold is None:
+        okeys = keys.select(F.col("doc").alias("odoc"), "bk")
+        p = keys.join(okeys, "bk").select("doc", "odoc").distinct()
+    else:
+        p = _est_blockers(
+            keys, sig_all, keys, sig_all, num_hashes, threshold, ordered=False
+        )
+    gen_of = lambda c: (F.col(c) % n_gens).cast("int")  # noqa: E731
+    return p.filter(F.col("doc") != F.col("odoc")).select(
+        "*", gen_of("doc").alias("gen_d"), gen_of("odoc").alias("gen_o")
+    )
+
+
 _GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS = 12, 4, 0.5, 3
 
 
@@ -3132,26 +3240,34 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching-position MinHash estimate (the only verification possible
     at 100 TB, where history's text is gone and signatures are the
     retained state) disposes at ≥ 0.5, plus the pessimistic smaller-id
-    rule within a generation. Runs the stream's own batch kernel
-    (streaming/dedup_gate.gate_batch_verified) per generation with the
-    state unioned + localCheckpointed between rounds (the repo's
-    standard bounded-lineage iteration contract); stream-vs-batch
-    parity of the same kernel is pinned by tests/test_dedup_gate.py.
+    rule within a generation. The POLICY is the streams' batch kernel
+    (streaming/dedup_gate.gate_batch_verified — stream-vs-replay parity
+    against a real drained stream is pinned by tests/test_dedup_gate.py);
+    the batch REPLAY evaluates it in the oracle's own shape (r14, guide
+    §2.4): the full directed verified pair relation is computed ONCE
+    (one banded self-join + one estimate pass over the memoized corpus
+    signatures, lazily localCheckpointed) and the unrolled generation
+    chain (:func:`_chain_from_pairs` — the DataFrame mirror of
+    :func:`_gate_chain_ctes`) runs as semi-joins between that skinny
+    pair relation and the accumulating accepted-id sets. The r13 form
+    re-ran the band/verify joins twice per generation against a growing
+    state (6 blocker-join executions per replay); this form runs them
+    once — identical decisions, since per generation "rejected" is
+    exactly "has a pair to an earlier-gen ACCEPTED doc, or to a smaller
+    id in its own generation", which is how the SQL oracle has always
+    defined the chain.
 
     Scale: the corpus is scanned + signature-aggregated ONCE (memoized
-    checkpoint, the chain_meta contract) and every generation slices
-    it; per round, ONE skinny band-key equi-join against state plus two
-    signature joins, all output-proportional — never a cross join,
-    never a text re-read of history."""
+    checkpoint, the chain_meta contract); the pair relation is the
+    standard LSH batch job (banded equi-join, output-proportional
+    estimate verify — never a cross join, never a text re-read of
+    history); the chain itself touches only true-pair-scale and
+    decision-scale rows."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
         minhash_signature,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _sig_schema,
-        gate_batch_verified,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -3163,48 +3279,15 @@ def q_neardup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    # Per-round bounded-lineage contract, r13 form: checkpoint the
-    # round's SKINNY (doc, admitted) decisions instead of the unioned
-    # k-column signature state — the next round's state is the memoized
-    # signature checkpoint semi-joined to the accepted ids (identical
-    # relation: acc_0..g = sig_{<=g} minus rejected, and dec holds
-    # exactly that partition). Same checkpoint-job count, but the fat
-    # state never re-materializes and the final plan reads rounds 0..
-    # n-2 straight from the skinny checkpoints instead of re-running
-    # their blocker chains (guide §2.4 / §5: 5 blocker-chain executions
-    # -> 3 per construction+run). Checkpoints are LAZY (eager=False,
-    # here and in the other eight replay loops): lineage truncates
-    # either way, but materialization folds into the single consuming
-    # action instead of one driver-blocking job per round (A/B at
-    # sf0.1 min-of-3: 3.2s vs 8.2s under identical load).
-    empty_state = spark.createDataFrame([], _sig_schema(_GATE_K))
-    acc_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = docs.filter(F.col("gen") == g)
-        state = (
-            empty_state
-            if acc_union is None
-            else sig_all.join(acc_union, "doc", "left_semi")
-        )
-        _, _acc_sigs, dec = gate_batch_verified(
-            batch,
-            state,
-            "doc_id",
-            "text",
-            n=3,
-            num_hashes=_GATE_K,
-            bands=_GATE_BANDS,
-            threshold=_GATE_T,
-            sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
-        )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_g = dec.filter(F.col("admitted")).select("doc")
-            acc_union = (
-                acc_g if acc_union is None else acc_union.unionByName(acc_g)
-            )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+    pairs = _gate_pairs(
+        sig_all, _GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = docs.select(F.col("doc_id").alias("doc"), "gen")
+    decs, _blks = _chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        for g, dec in enumerate(decs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -3258,11 +3341,16 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-curation owner reads before picking a gate for a 100 TB
     ingest, measured on their own corpus by the engine itself.
 
-    Both replays run the stream's own batch kernels with the corpus
-    signatures computed ONCE (shared memoized checkpoint with
-    q_neardup_gate_replay); band keys for the bucket policy derive from
-    the same checkpoint (band_keys_of_signature — map-side, no second
-    text pass)."""
+    Both policies replay through the oracle's own all-pairs shape (r14,
+    see q_neardup_gate_replay): the corpus signatures are computed ONCE
+    (shared memoized checkpoint with q_neardup_gate_replay), ONE banded
+    self-join proposes every collision pair, and the two policies'
+    chains (:func:`_chain_from_pairs`, run twice) differ ONLY in their
+    candidate relation — the estimate-verified subset vs every banded
+    collision, exactly the oracle's vcand/cand split. The raw pair
+    relation is the verified one MINUS its estimate filter, so both
+    derive from the same join (the verified chain reads the est >= t
+    subset of the checkpointed collision pairs)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
         band_keys_of_signature,
         minhash_signature,
@@ -3271,9 +3359,7 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _memo_replay,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _sig_schema,
-        gate_batch,
-        gate_batch_verified,
+        _est_blockers,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -3285,57 +3371,38 @@ def q_neardup_gate_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    keys_all = band_keys_of_signature(sig_all, _GATE_K, _GATE_BANDS)
-
-    # skinny-decision checkpoint contract (see q_neardup_gate_replay):
-    # ONE (doc, gen, rej_v, __acc_b) checkpoint per round replaces TWO
-    # fat state checkpoints — both policies' next-round states are the
-    # memoized signature/band-key checkpoints semi-joined to their own
-    # accepted ids (identical relations by the same partition argument)
-    state_v = spark.createDataFrame([], _sig_schema(_GATE_K))
-    state_b = spark.createDataFrame([], "doc long, bk string")
-    acc_v_union = acc_b_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = docs.filter(F.col("gen") == g)
-        gen_pred = (F.col("doc") % _GATE_GENS).cast("int") == g
-        if acc_v_union is not None:
-            state_v = sig_all.join(acc_v_union, "doc", "left_semi")
-            state_b = keys_all.join(acc_b_union, "doc", "left_semi")
-        _, _acc_sigs, dec_v = gate_batch_verified(
-            batch, state_v, "doc_id", "text",
-            n=3, num_hashes=_GATE_K, bands=_GATE_BANDS, threshold=_GATE_T,
-            sig=sig_all.filter(gen_pred),
+    # one banded self-join + estimate pass serves BOTH policies:
+    # threshold=0.0 keeps every collision pair with its estimate, the
+    # bucket chain uses them all, the verified chain filters est >= t
+    keys = band_keys_of_signature(sig_all, _GATE_K, _GATE_BANDS)
+    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
+    pairs_all = (
+        _est_blockers(
+            keys, sig_all, keys, sig_all, _GATE_K, 0.0, ordered=False
         )
-        acc_b, _acc_keys = gate_batch(
-            batch, state_b, "doc_id", "text",
-            n=3, num_hashes=_GATE_K, bands=_GATE_BANDS,
-            keys=keys_all.filter(gen_pred),
+        .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            "doc", "odoc", "est",
+            gen_of("doc").alias("gen_d"), gen_of("odoc").alias("gen_o"),
         )
-        dec = dec_v.join(
-            acc_b.select(F.col("doc_id").alias("doc"))
-            .withColumn("__acc_b", F.lit(True)),
-            "doc",
-            "left",
-        ).select(
+        .localCheckpoint(eager=False)
+    )
+    gens = docs.select(F.col("doc_id").alias("doc"), "gen")
+    decs_v, _ = _chain_from_pairs(
+        gens, pairs_all.filter(F.col("est") >= F.lit(float(_GATE_T))),
+        _GATE_GENS,
+    )
+    decs_b, _ = _chain_from_pairs(gens, pairs_all, _GATE_GENS)
+    outs = [
+        dv.select(
             "doc",
             F.lit(g).cast("int").alias("gen"),
             (~F.col("admitted")).alias("rej_v"),
-            F.coalesce(F.col("__acc_b"), F.lit(False)).alias("__acc_b"),
+        ).join(
+            db.select("doc", F.col("admitted").alias("__acc_b")), "doc"
         )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_v_g = dec.filter(~F.col("rej_v")).select("doc")
-            acc_b_g = dec.filter(F.col("__acc_b")).select("doc")
-            acc_v_union = (
-                acc_v_g if acc_v_union is None
-                else acc_v_union.unionByName(acc_v_g)
-            )
-            acc_b_union = (
-                acc_b_g if acc_b_union is None
-                else acc_b_union.unionByName(acc_b_g)
-            )
-        outs.append(dec)
+        for g, (dv, db) in enumerate(zip(decs_v, decs_b))
+    ]
     flags = outs[0]
     for o in outs[1:]:
         flags = flags.unionByName(o)
@@ -3398,10 +3465,6 @@ def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _sig_schema,
-        gate_batch_verified,
-    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen")
@@ -3413,38 +3476,20 @@ def q_neardup_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             good, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    # same skinny-decision checkpoint contract as q_neardup_gate_replay
-    # (state = quality-filtered signature checkpoint semi-joined to the
-    # accepted ids; dec covers floor-survivors only, so the semi-join
-    # reproduces the old unioned state exactly)
-    empty_state = spark.createDataFrame([], _sig_schema(_GATE_K))
-    acc_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = good.filter(F.col("gen") == g)
-        state = (
-            empty_state
-            if acc_union is None
-            else sig_all.join(acc_union, "doc", "left_semi")
-        )
-        _, _acc_sigs, dec = gate_batch_verified(
-            batch,
-            state,
-            "doc_id",
-            "text",
-            n=3,
-            num_hashes=_GATE_K,
-            bands=_GATE_BANDS,
-            threshold=_GATE_T,
-            sig=sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g),
-        )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_g = dec.filter(F.col("admitted")).select("doc")
-            acc_union = (
-                acc_g if acc_union is None else acc_union.unionByName(acc_g)
-            )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+    # all-pairs chain form (see q_neardup_gate_replay); the pair
+    # relation derives from the floor-filtered signature checkpoint and
+    # the decision spine covers floor-survivors only, so a below-floor
+    # doc claims no buckets and gets no decision — the kernels'
+    # min_quality contract unchanged
+    pairs = _gate_pairs(
+        sig_all, _GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = good.select(F.col("doc_id").alias("doc"), "gen")
+    decs, _blks = _chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        for g, dec in enumerate(decs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -3510,21 +3555,17 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked it — highest estimate wins, smallest id on ties. The
     relation an ingest operator reads when a contributor asks why
     their document was dropped, and the input to any dedup appeals /
-    cluster-canonicalization process downstream. Runs the stream
-    kernel's own blocker relation (dedup_gate._est_blockers — the same
-    candidate/estimate machinery _est_rejections keeps only the doc
-    set of) per generation off the ONE memoized signature checkpoint
-    shared with q_neardup_gate_replay."""
+    cluster-canonicalization process downstream. Replays through the
+    oracle's own all-pairs shape (r14, see q_neardup_gate_replay) off
+    the ONE memoized signature checkpoint shared with it: the chain's
+    per-generation eligible-blocker subsets of the single checkpointed
+    pair relation ARE the output rows — the blocker machinery
+    (dedup_gate._est_blockers) runs once, not once per generation."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
-        band_keys_of_signature,
         minhash_signature,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _est_blockers,
-        _sig_schema,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -3536,42 +3577,15 @@ def q_neardup_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", 3, _GATE_K
         ).localCheckpoint(),
     )
-    # skinny-blocker checkpoint contract (see q_neardup_gate_replay):
-    # the round's (doc, odoc, est) blocker relation is checkpointed and
-    # IS both the output rows and the rejection evidence — the rejected
-    # set is its distinct doc column, so the old per-round
-    # gate_batch_verified call (a second full blocker chain run only to
-    # rebuild the state) is gone; the next round's state is the
-    # memoized signature checkpoint gen-filtered and anti-joined to the
-    # rejected union (identical relation: accepted = earlier gens minus
-    # rejected, and sig-less docs have no signature rows either way).
-    state = spark.createDataFrame([], _sig_schema(_GATE_K))
-    rej_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        sig_g = sig_all.filter((F.col("doc") % _GATE_GENS).cast("int") == g)
-        keys_g = band_keys_of_signature(sig_g, _GATE_K, _GATE_BANDS)
-        if rej_union is not None:
-            state = sig_all.filter(
-                (F.col("doc") % _GATE_GENS).cast("int") < g
-            ).join(rej_union, "doc", "left_anti")
-        skeys = band_keys_of_signature(state, _GATE_K, _GATE_BANDS)
-        blockers = _est_blockers(
-            keys_g, sig_g, skeys, state, _GATE_K, _GATE_T, ordered=False
-        ).unionAll(
-            _est_blockers(
-                keys_g, sig_g, keys_g, sig_g, _GATE_K, _GATE_T, ordered=True
-            )
-        )
-        if g < _GATE_GENS - 1:
-            blockers = blockers.localCheckpoint(eager=False)
-            rej_g = blockers.select("doc").distinct()
-            rej_union = (
-                rej_g if rej_union is None else rej_union.unionByName(rej_g)
-            )
-        outs.append(blockers.select(
-            "doc", F.lit(g).cast("int").alias("gen"), "odoc", "est"
-        ))
+    pairs = _gate_pairs(
+        sig_all, _GATE_K, _GATE_BANDS, _GATE_T, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = docs.select(F.col("doc_id").alias("doc"), "gen")
+    _decs, blks = _chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        b.select("doc", F.lit(g).cast("int").alias("gen"), "odoc", "est")
+        for g, b in enumerate(blks)
+    ]
     blk = outs[0]
     for o in outs[1:]:
         blk = blk.unionByName(o)

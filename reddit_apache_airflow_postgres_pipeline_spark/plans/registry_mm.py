@@ -451,6 +451,33 @@ def _media_gate_replay_sql(
     )
 
 
+def _media_pairs(sig_all, bits: int, max_ham: int, n_gens: int):
+    """(doc, odoc, gen_d, gen_o, dist): the full DIRECTED within-Hamming
+    pair relation over a corpus aHash signature relation — pigeonhole
+    band buckets propose (both directions, self-pairs dropped: every
+    item arrives in exactly one generation so a self-pair can satisfy
+    neither chain direction), popcount(xor) <= ``max_ham`` disposes.
+    The media analog of registry_ml._gate_pairs; band-equivalent to the
+    oracle's direct quadratic ``mdist`` filter by the pigeonhole bound."""
+    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
+        signature_band_keys,
+    )
+    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
+        _ham_blockers,
+    )
+
+    keys = signature_band_keys(sig_all, bits, max_ham)
+    gen_of = lambda c: (F.col(c) % n_gens).cast("int")  # noqa: E731
+    return (
+        _ham_blockers(keys, sig_all, keys, sig_all, max_ham, ordered=False)
+        .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            "doc", "odoc", "dist",
+            gen_of("doc").alias("gen_d"), gen_of("odoc").alias("gen_o"),
+        )
+    )
+
+
 @_q("q_media_gate_replay", _media_gate_replay_sql(_AHASH_N, _AHASH_MAXHAM, _GATE_GENS))
 def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media admission gate (streaming/media_gate.gate_media_batch)
@@ -458,12 +485,18 @@ def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations (media_id % 3); each generation is admitted against the
     aHash SIGNATURES of earlier generations' accepted items — banded
     buckets propose, popcount(xor) ≤ 5 disposes — plus the family's
-    pessimistic smaller-id rule within a generation. Runs the stream's
-    own batch kernel per generation with the corpus signatures computed
-    ONCE (one Arrow-batched aHash pass, memoized checkpoint); the
-    oracle replays the identical policy through the shared unrolled
-    generation chain (registry_ml._gate_chain_ctes) over the direct
-    quadratic pair filter — band-equivalent by the pigeonhole bound.
+    pessimistic smaller-id rule within a generation. The POLICY is the
+    stream's batch kernel (streaming/media_gate.gate_media_batch —
+    stream-vs-replay parity pinned by tests/test_media_gate.py); the
+    batch REPLAY evaluates it in the oracle's own all-pairs shape (r14,
+    registry_ml.q_neardup_gate_replay): corpus signatures computed ONCE
+    (one Arrow-batched aHash pass, memoized checkpoint), ONE banded
+    self-join + popcount pass builds the within-distance pair relation
+    (lazily localCheckpointed; band-equivalent to the oracle's direct
+    quadratic filter by the pigeonhole bound), and the unrolled
+    generation chain (registry_ml._chain_from_pairs) runs as semi-joins
+    between that skinny pair relation and the accepted-id sets —
+    blocker joins once, not twice per generation.
 
     The media half of the incremental-admission story: 8 bytes of
     signature per accepted item is the ONLY state history keeps, so
@@ -474,46 +507,27 @@ def q_media_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _SIG_SCHEMA,
-        gate_media_batch,
-    )
 
-    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
     sig_all = _memo_replay(
         spark, sf_dir, "media-gate-sigs",
         lambda: ahash_signatures(media, n=_AHASH_N)
         .select(F.col("media_id").alias("doc"), "sig")
         .localCheckpoint(),
     )
-    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    # skinny-decision checkpoint contract (registry_ml.
-    # q_neardup_gate_replay): checkpoint (doc, admitted) per round, not
-    # the unioned signature state — next round's state is the memoized
-    # aHash checkpoint semi-joined to the accepted ids (identical
-    # relation), and the final plan reads rounds 0..n-2 from the skinny
-    # checkpoints instead of re-running their blocker chains.
-    empty_state = spark.createDataFrame([], _SIG_SCHEMA)
-    acc_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = media.filter(gen_of("media_id") == g)
-        state = (
-            empty_state
-            if acc_union is None
-            else sig_all.join(acc_union, "doc", "left_semi")
-        )
-        _, _acc_sigs, dec = gate_media_batch(
-            batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
-            sig=sig_all.filter(gen_of("doc") == g),
-        )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_g = dec.filter(F.col("admitted")).select("doc")
-            acc_union = (
-                acc_g if acc_union is None else acc_union.unionByName(acc_g)
-            )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+    pairs = _media_pairs(
+        sig_all, _AHASH_N, _AHASH_MAXHAM, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen"),
+    )
+    decs, _blks = _ML._chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        for g, dec in enumerate(decs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -581,63 +595,40 @@ def q_media_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     it — minimum Hamming distance wins, smallest id on ties. Family
     parity with q_neardup_gate_dup_of: the relation a media-ingest
     operator reads when a contributor asks which accepted item their
-    upload duplicates. Runs the stream kernel's own blocker relation
-    (streaming/media_gate._ham_blockers — the same machinery the drain
-    persists under dup_of_dir) per generation off the ONE memoized
-    aHash checkpoint shared with q_media_gate_replay."""
+    upload duplicates. Replays through the oracle's own all-pairs
+    shape (r14, registry_ml.q_neardup_gate_replay) off the ONE memoized
+    aHash checkpoint shared with q_media_gate_replay: the chain's
+    per-generation eligible-blocker subsets of the single checkpointed
+    pair relation ARE the output rows — the blocker machinery
+    (streaming/media_gate._ham_blockers, the same machinery the drain
+    persists under dup_of_dir) runs once, not once per generation."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
         ahash_signatures,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
-        signature_band_keys,
     )
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _SIG_SCHEMA,
-        _ham_blockers,
-    )
 
-    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
     sig_all = _memo_replay(
         spark, sf_dir, "media-gate-sigs",
         lambda: ahash_signatures(media, n=_AHASH_N)
         .select(F.col("media_id").alias("doc"), "sig")
         .localCheckpoint(),
     )
-    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    # skinny-blocker checkpoint contract (registry_ml.
-    # q_neardup_gate_dup_of): the checkpointed round blockers ARE the
-    # output rows and the rejection evidence — the old per-round
-    # gate_media_batch call (a second blocker-chain run only to rebuild
-    # the state) is gone; state = memoized aHash checkpoint gen-filtered
-    # and anti-joined to the rejected union (identical relation).
-    state = spark.createDataFrame([], _SIG_SCHEMA)
-    rej_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        sig_g = sig_all.filter(gen_of("doc") == g)
-        keys_g = signature_band_keys(sig_g, _AHASH_N, _AHASH_MAXHAM)
-        if rej_union is not None:
-            state = sig_all.filter(gen_of("doc") < g).join(
-                rej_union, "doc", "left_anti"
-            )
-        skeys = signature_band_keys(state, _AHASH_N, _AHASH_MAXHAM)
-        blockers = _ham_blockers(
-            keys_g, sig_g, skeys, state, _AHASH_MAXHAM, ordered=False
-        ).unionAll(
-            _ham_blockers(keys_g, sig_g, keys_g, sig_g, _AHASH_MAXHAM, ordered=True)
-        )
-        if g < _GATE_GENS - 1:
-            blockers = blockers.localCheckpoint(eager=False)
-            rej_g = blockers.select("doc").distinct()
-            rej_union = (
-                rej_g if rej_union is None else rej_union.unionByName(rej_g)
-            )
-        outs.append(
-            blockers.select("doc", F.lit(g).cast("int").alias("gen"), "odoc", "dist")
-        )
+    pairs = _media_pairs(
+        sig_all, _AHASH_N, _AHASH_MAXHAM, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen"),
+    )
+    _decs, blks = _ML._chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        b.select("doc", F.lit(g).cast("int").alias("gen"), "odoc", "dist")
+        for g, b in enumerate(blks)
+    ]
     blk = outs[0]
     for o in outs[1:]:
         blk = blk.unionByName(o)
@@ -677,10 +668,6 @@ def q_media_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _SIG_SCHEMA,
-        gate_media_batch,
-    )
 
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
     good = media.filter(
@@ -692,32 +679,23 @@ def q_media_gate_replay_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("media_id").alias("doc"), "sig")
         .localCheckpoint(),
     )
-    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    # skinny-decision checkpoint contract (see q_media_gate_replay);
-    # dec covers floor-surviving items only and the memoized signature
-    # checkpoint is floor-filtered, so the semi-join reproduces the old
-    # unioned state exactly
-    empty_state = spark.createDataFrame([], _SIG_SCHEMA)
-    acc_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = good.filter(gen_of("media_id") == g)
-        state = (
-            empty_state
-            if acc_union is None
-            else sig_all.join(acc_union, "doc", "left_semi")
-        )
-        _, _acc_sigs, dec = gate_media_batch(
-            batch, state, "media_id", _AHASH_N, _AHASH_MAXHAM,
-            sig=sig_all.filter(gen_of("doc") == g),
-        )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_g = dec.filter(F.col("admitted")).select("doc")
-            acc_union = (
-                acc_g if acc_union is None else acc_union.unionByName(acc_g)
-            )
-        outs.append(dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted"))
+    # all-pairs chain form (see q_media_gate_replay); the pair relation
+    # derives from the floor-filtered signature checkpoint and the
+    # decision spine covers floor-survivors only, so a below-floor item
+    # claims no buckets and gets no decision — the kernels' min_bytes
+    # contract unchanged
+    pairs = _media_pairs(
+        sig_all, _AHASH_N, _AHASH_MAXHAM, _GATE_GENS
+    ).localCheckpoint(eager=False)
+    gens = good.select(
+        F.col("media_id").alias("doc"),
+        (F.col("media_id") % _GATE_GENS).cast("int").alias("gen"),
+    )
+    decs, _blks = _ML._chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        for g, dec in enumerate(decs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -1023,11 +1001,19 @@ def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits) against its accepted media signatures. Atomicity is the
     point (and what running the two gates separately gets wrong): a
     doc rejected by either modality enters NEITHER state, so the
-    accepted set is ONE corpus. Runs the stream's own batch kernel per
-    generation with both signature relations computed once (memoized
-    checkpoints); the oracle replays the identical policy through the
-    shared unrolled chain over the UNION of the two candidate
-    relations."""
+    accepted set is ONE corpus. The POLICY is the stream's batch
+    kernel (streaming/multimodal_gate.gate_multimodal_batch —
+    stream-vs-replay parity pinned by tests/test_multimodal_gate.py);
+    the batch REPLAY evaluates it in the oracle's own all-pairs shape
+    (r14, registry_ml.q_neardup_gate_replay): both signature relations
+    computed once (memoized checkpoints), each modality's full
+    directed pair relation computed ONCE (one banded self-join +
+    verify per modality instead of twice per generation per modality —
+    12 blocker-join executions down to 2), their union lazily
+    localCheckpointed, and the unrolled chain
+    (registry_ml._chain_from_pairs) run over it — the atomic
+    either-modality-rejects policy IS the chain over the unioned
+    candidate relation, exactly as the oracle composes it."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
         ahash_signatures,
     )
@@ -1037,21 +1023,9 @@ def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _sig_schema,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _SIG_SCHEMA as _M_SIG_SCHEMA,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.multimodal_gate import (
-        gate_multimodal_batch,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
-    mm_docs = docs.select("doc_id", "text").join(
-        media.withColumnRenamed("media_id", "doc_id"), "doc_id"
-    )
     tsig_all = _memo_replay(
         spark, sf_dir, "mm-gate-tsigs",
         lambda: minhash_signature(
@@ -1064,42 +1038,22 @@ def q_multimodal_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("media_id").alias("doc"), "sig")
         .localCheckpoint(),
     )
-    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    # skinny-decision checkpoint contract (registry_ml.
-    # q_neardup_gate_replay), unified-gate form: ONE (doc, admitted)
-    # checkpoint per round replaces TWO fat per-modality state
-    # checkpoints — admission is atomic, so BOTH next-round states are
-    # their memoized signature checkpoints semi-joined to the same
-    # accepted ids (identical relations). 4 checkpoint jobs -> 2 per
-    # construction, and the final plan reads rounds 0..n-2 from the
-    # skinny checkpoints instead of re-running their blocker chains.
-    empty_t = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
-    empty_m = spark.createDataFrame([], _M_SIG_SCHEMA)
-    acc_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = mm_docs.filter(gen_of("doc_id") == g)
-        if acc_union is None:
-            tstate, mstate = empty_t, empty_m
-        else:
-            tstate = tsig_all.join(acc_union, "doc", "left_semi")
-            mstate = msig_all.join(acc_union, "doc", "left_semi")
-        _, _acc_t, _acc_m, dec = gate_multimodal_batch(
-            batch, tstate, mstate,
-            num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
-            threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
-            tsig=tsig_all.filter(gen_of("doc") == g),
-            msig=msig_all.filter(gen_of("doc") == g),
-        )
-        if g < _GATE_GENS - 1:
-            dec = dec.localCheckpoint(eager=False)
-            acc_g = dec.filter(F.col("admitted")).select("doc")
-            acc_union = (
-                acc_g if acc_union is None else acc_union.unionByName(acc_g)
-            )
-        outs.append(
-            dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
-        )
+    tpairs = _ML._gate_pairs(
+        tsig_all, _ML._GATE_K, _ML._GATE_BANDS, _ML._GATE_T, _GATE_GENS
+    ).select("doc", "odoc", "gen_d", "gen_o")
+    mpairs = _media_pairs(
+        msig_all, _AHASH_N, _AHASH_MAXHAM, _GATE_GENS
+    ).select("doc", "odoc", "gen_d", "gen_o")
+    pairs = tpairs.unionByName(mpairs).localCheckpoint(eager=False)
+    gens = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen"),
+    )
+    decs, _blks = _ML._chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        dec.select("doc", F.lit(g).cast("int").alias("gen"), "admitted")
+        for g, dec in enumerate(decs)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -1161,11 +1115,16 @@ def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     'text' rows carry the MinHash estimate, 'media' rows the Hamming
     distance — the exact relation the unified drain persists under
     dup_of_dir, so 'what blocked my doc, and in WHICH modality' is a
-    read either way. Runs the stream kernel's own blocker relation per
-    generation off the memoized signature checkpoints shared with
-    q_multimodal_gate_replay; blockers eligible against state are the
-    UNIFIED corpus's accepted items (the atomicity that separates this
-    from per-modality attribution)."""
+    read either way. Replays through the oracle's own all-pairs shape
+    (r14, registry_ml.q_neardup_gate_replay) off the memoized signature
+    checkpoints shared with q_multimodal_gate_replay: one banded
+    self-join + verify per modality builds the modality-tagged pair
+    union (lazily localCheckpointed), and the chain's per-generation
+    eligible-blocker subsets of it ARE the output rows. Blockers
+    eligible against state are the UNIFIED corpus's accepted items
+    (the atomicity that separates this from per-modality attribution):
+    one accepted set, derived from the unioned candidate relation,
+    gates BOTH modalities' pairs."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.multimodal import (
         ahash_signatures,
     )
@@ -1175,21 +1134,9 @@ def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_apache_airflow_postgres_pipeline_spark.plans.registry_ingest import (
         _memo_replay,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.dedup_gate import (
-        _sig_schema,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _SIG_SCHEMA as _M_SIG_SCHEMA,
-    )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.multimodal_gate import (
-        gate_multimodal_batch_attributed,
-    )
 
     docs = load_table(spark, sf_dir, "documents")
     media = MM.media_from_documents(docs)
-    mm_docs = docs.select("doc_id", "text").join(
-        media.withColumnRenamed("media_id", "doc_id"), "doc_id"
-    )
     tsig_all = _memo_replay(
         spark, sf_dir, "mm-gate-tsigs",
         lambda: minhash_signature(
@@ -1202,42 +1149,28 @@ def q_multimodal_gate_dup_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("media_id").alias("doc"), "sig")
         .localCheckpoint(),
     )
-    gen_of = lambda c: (F.col(c) % _GATE_GENS).cast("int")  # noqa: E731
-    # skinny-blocker checkpoint contract (registry_ml.
-    # q_neardup_gate_dup_of), unified-gate form: the per-round
-    # checkpointed blocker relation IS the output rows and the
-    # rejection evidence — both next-round states are the memoized
-    # signature checkpoints gen-filtered and anti-joined to the
-    # rejected union (identical relations; admission is atomic so one
-    # rejected set drives both). 7 checkpoint jobs (3 blocker + 4 fat
-    # state) -> 2 skinny ones per construction.
-    tstate = spark.createDataFrame([], _sig_schema(_ML._GATE_K))
-    mstate = spark.createDataFrame([], _M_SIG_SCHEMA)
-    rej_union = None
-    outs = []
-    for g in range(_GATE_GENS):
-        batch = mm_docs.filter(gen_of("doc_id") == g)
-        if rej_union is not None:
-            tstate = tsig_all.filter(gen_of("doc") < g).join(
-                rej_union, "doc", "left_anti"
-            )
-            mstate = msig_all.filter(gen_of("doc") < g).join(
-                rej_union, "doc", "left_anti"
-            )
-        _, _acc_t, _acc_m, _, blk = gate_multimodal_batch_attributed(
-            batch, tstate, mstate,
-            num_hashes=_ML._GATE_K, bands=_ML._GATE_BANDS,
-            threshold=_ML._GATE_T, bits=_AHASH_N, max_hamming=_AHASH_MAXHAM,
-            tsig=tsig_all.filter(gen_of("doc") == g),
-            msig=msig_all.filter(gen_of("doc") == g),
-        )
-        if g < _GATE_GENS - 1:
-            blk = blk.localCheckpoint(eager=False)
-            rej_g = blk.select("doc").distinct()
-            rej_union = (
-                rej_g if rej_union is None else rej_union.unionByName(rej_g)
-            )
-        outs.append(blk)
+    tpairs = _ML._gate_pairs(
+        tsig_all, _ML._GATE_K, _ML._GATE_BANDS, _ML._GATE_T, _GATE_GENS
+    ).select(
+        "doc", "odoc", "gen_d", "gen_o",
+        F.lit("text").alias("modality"), F.col("est").alias("score"),
+    )
+    mpairs = _media_pairs(
+        msig_all, _AHASH_N, _AHASH_MAXHAM, _GATE_GENS
+    ).select(
+        "doc", "odoc", "gen_d", "gen_o",
+        F.lit("media").alias("modality"),
+        F.col("dist").cast("double").alias("score"),
+    )
+    pairs = tpairs.unionByName(mpairs).localCheckpoint(eager=False)
+    gens = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("doc_id") % _GATE_GENS).cast("int").alias("gen"),
+    )
+    _decs, blks = _ML._chain_from_pairs(gens, pairs, _GATE_GENS)
+    outs = [
+        b.select("doc", "odoc", "modality", "score") for b in blks
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
