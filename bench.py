@@ -66,8 +66,63 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def run_full_registry(spark, sf_dir: str, sf: str) -> None:
+    """--full sidecar (r13 verdict #5): ONE warm-up + ONE timed pass
+    over EVERY registered query, written as one JSON line to
+    BENCH_FULL_sf{sf}.json (and stdout). Gives the ~200-query registry
+    tail a per-round perf signal without touching the headline
+    contract — the driver never passes --full, and the headline JSON
+    line is unchanged. Single-pass numbers are ranking-grade, not
+    regression-grade: use them to find the slow tail, then measure the
+    suspects with the min-of-3 machinery."""
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    sc = spark.sparkContext
+    for name, fn in all_queries().items():
+        sc.setJobGroup(f"bench-full:{name}", name)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = repr(exc)
+    line = json.dumps(
+        {
+            "metric": "full_registry_single_warm_pass",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "n_queries": len(times),
+            "queries": times,
+            "errors": errors,
+            "load": {"end": _loadavg()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+    )
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
+    )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    full = "--full" in sys.argv
+    if full:
+        # sidecar default: the driver-correctness SF, not the bench SF
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     explain = "--explain" in sys.argv
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
@@ -101,6 +156,11 @@ def main() -> None:
         )
     except Exception:
         pass  # warm-up only — never fail the bench
+
+    if full:
+        run_full_registry(spark, sf_dir, sf)
+        spark.stop()
+        return
 
     qs = headline_queries()
     sc = spark.sparkContext
@@ -183,8 +243,14 @@ def main() -> None:
 
     timings = {n: round(min(r), 3) for n, r in runs.items()}
     spreads = {n: round(max(r) - min(r), 3) for n, r in runs.items()}
+    # median alongside min (r13 verdict #8): with REPS=3 the reported
+    # min can sit far below a noisy pair's typical run (observed
+    # spreads >1s on the heavy dedup pair); the median makes that
+    # self-diagnosing without changing the comparable "queries" block.
+    medians = {n: round(_median(r), 3) for n, r in runs.items()}
     families = {
         n: {"sec": timings.pop(n), "spread": spreads.pop(n),
+            "median": medians.pop(n),
             "stages": stage_counts.pop(n, None)}
         for n in FAMILY_QUERIES
     }
@@ -206,6 +272,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "median": medians,
                 "stages": stage_counts,
                 "families": families,
                 "warmup_errors": warmup_errors,
