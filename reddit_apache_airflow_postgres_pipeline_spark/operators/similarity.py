@@ -20,6 +20,8 @@ for the oracle (plans/registry.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -231,7 +233,20 @@ def ivf_assign(
         cols.append(F.col("__cs").alias("score"))
     if n_probe == 1:
         # cell ids are numeric in every caller (vec/doc ids); negation
-        # flips the tiebreak to ascending under max()
+        # flips the tiebreak to ascending under max(). Fail loudly on a
+        # non-numeric cell column (r13 advice): the negation would die
+        # in analysis with an opaque message, and the constraint
+        # otherwise lives only in this comment.
+        from pyspark.sql import types as T
+
+        cell_t = centroids.schema["cell"].dataType
+        if not isinstance(cell_t, T.NumericType):
+            raise TypeError(
+                "ivf_assign(n_probe=1) needs a NUMERIC cell column for "
+                f"its ascending tiebreak; got {cell_t.simpleString()} — "
+                "use the n_probe>1 window path for orderable non-numeric "
+                "cell ids"
+            )
         best = scored.groupBy(out_id).agg(
             F.max(
                 F.struct(
@@ -1048,11 +1063,27 @@ def _sq8_params(
     (sq8_topk, ivfsq_topk) pay the training scan ONCE and hand the
     same params to encode and dequant."""
     if isinstance(minmax, list):
-        return minmax
+        # coerce (r13 advice): numpy scalars repr as np.float64(...)
+        # under numpy>=2, which would embed invalid SQL downstream
+        return [(float(mn), float(mx)) for mn, mx in minmax]
     return [
         (float(r["mn"]), float(r["mx"]))
         for r in minmax.orderBy("dim").collect()
     ]
+
+
+def _dlit(x: float) -> str:
+    """A double literal for embedding in JVM-parsed SQL. ``repr`` of a
+    finite float is shortest-roundtrip, so the folded literal is
+    bit-identical; non-finite values (a NaN training dim would poison
+    sq8_minmax's min/max) have no bare-token SQL literal — ``nan``
+    parses as a COLUMN reference and fails analysis — so they embed as
+    string casts, which Spark folds to the identical double (r13
+    advice)."""
+    if math.isfinite(x):
+        return f"CAST({x!r} AS DOUBLE)"
+    s = "NaN" if math.isnan(x) else ("Infinity" if x > 0 else "-Infinity")
+    return f"CAST('{s}' AS DOUBLE)"
 
 
 def sq8_encode(
@@ -1081,11 +1112,14 @@ def sq8_encode(
         if mx > mn:
             comps.append(
                 "CAST(least(greatest(floor((CAST("
-                f"{v}[{i}] AS DOUBLE) - CAST({mn!r} AS DOUBLE))"
-                f" * 256.0 / CAST({mx - mn!r} AS DOUBLE)"
+                f"{v}[{i}] AS DOUBLE) - {_dlit(mn)})"
+                f" * 256.0 / {_dlit(mx - mn)}"
                 "), 0), 255) AS INT)"
             )
         else:
+            # also the NaN path: mx > mn is False for non-finite
+            # training dims, so a poisoned dim degrades to code 0
+            # instead of failing analysis
             comps.append("0")
     return vectors.withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
 
@@ -1104,8 +1138,8 @@ def sq8_dequant(
     # of ~5 py4j Column calls per dimension); identical parsed tree
     c = f"`{codes_col}`"
     comps = [
-        f"CAST({mn!r} AS DOUBLE) + (CAST({c}[{i}] AS DOUBLE) + 0.5)"
-        f" * CAST({mx - mn!r} AS DOUBLE) / 256.0"
+        f"{_dlit(mn)} + (CAST({c}[{i}] AS DOUBLE) + 0.5)"
+        f" * {_dlit(mx - mn)} / 256.0"
         for i, (mn, mx) in enumerate(pars)
     ]
     return codes_df.withColumn(

@@ -169,3 +169,47 @@ def test_sign_signature_null_embedding_fails_loudly_any_row(spark):
     )
     with pytest.raises((Py4JJavaError, SparkRuntimeException)):
         sim.sign_signature(nulled_later).collect()
+
+
+def test_sq8_params_coerce_and_nonfinite_literals(spark):
+    """r13 advice hardening: list-path params are float()-coerced (a
+    numpy scalar would repr as np.float64(...) under numpy>=2 and embed
+    invalid SQL) and non-finite mins/maxes embed as string-cast double
+    literals instead of bare tokens that fail analysis. A NaN-poisoned
+    dim degrades deterministically: encode emits code 0 (mx > mn is
+    False), dequant reproduces the NaN arithmetic."""
+    import math
+
+    class FakeScalar(float):  # numpy-scalar stand-in: float sub, odd repr
+        def __repr__(self):
+            return f"np.float64({float(self)!r})"
+
+    rows = spark.createDataFrame(
+        [(1, [0.25, 0.5]), (2, [0.75, 0.5])], "vec_id long, embedding array<double>"
+    )
+    pars = [(FakeScalar(0.0), FakeScalar(1.0)), (float("nan"), float("nan"))]
+    enc = sim.sq8_encode(rows, pars)
+    got = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert got[1] == [64, 0] and got[2] == [192, 0]
+    dec = sim.sq8_dequant(enc, pars)
+    out = {r["vec_id"]: r["embedding"] for r in dec.collect()}
+    # dim 0 reconstructs the bucket midpoint; dim 1 is NaN arithmetic
+    assert abs(out[1][0] - (64 + 0.5) / 256.0) < 1e-12
+    assert math.isnan(out[1][1]) and math.isnan(out[2][1])
+
+
+def test_ivf_assign_fast_path_rejects_non_numeric_cell(spark):
+    """r13 advice hardening: the n_probe=1 aggregate pick negates the
+    cell id for its ascending tiebreak, which silently assumed numeric
+    cells; a string cell column must fail loudly at build time, not
+    with an opaque analysis error."""
+    import pytest
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "cell string, cv array<double>"
+    )
+    with pytest.raises(TypeError, match="NUMERIC cell column"):
+        sim.ivf_assign(vecs, cents, n_probe=1)
