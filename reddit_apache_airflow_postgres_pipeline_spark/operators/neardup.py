@@ -245,6 +245,19 @@ def _df_capped_candidates(
     partitioning without a further exchange), then one groupBy(doc)
     for ``sides``. One more shuffle than a collect-everything
     single-pass, bought back as a bounded memory profile per task.
+
+    Measured-and-REJECTED alternative (r14, guide §1): joining only
+    the df-FILTERED key sets (rare keys for the collect, hot keys for
+    a broadcast-probe hot count) with a join-free ``__n`` looks like
+    §2.3 "filter before the join" but LOST the A/B decisively —
+    solo-session min-of-3 at sf0.1: construct 0.69→1.42s, execute
+    2.04→4.48s. The filtered form references the exploded relation 4x
+    and the df aggregate 2x, growing the physical plan from 84 to 108
+    Exchange mentions / 28 to 36 scans (duplicated non-exchange
+    subtree work + planning); the single annotate-join keeps one
+    shared subtree that runtime ReuseExchange serves to both
+    consumers. Singleton-heavy join output is cheaper than subtree
+    duplication at every scale where the explode dominates.
     """
     dfreq = rel.groupBy(key_col).agg(F.count("*").alias("__df"))
     ann = rel.join(dfreq, key_col)
@@ -853,7 +866,7 @@ def simhash_near_dups(
 
 
 def signature_band_keys(
-    sig: DataFrame, bits: int, max_hamming: int
+    sig: DataFrame, bits: int, max_hamming: int, keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """(doc, bk) pigeonhole band keys over a packed-long ``(doc, sig)``
     relation: distance ≤ d ⇒ at least one of d+1 bands is identical.
@@ -893,7 +906,14 @@ def signature_band_keys(
         )
 
     keys = ", ".join(band_key(b) for b in range(nbands))
-    return sig.selectExpr("doc", f"explode(array({keys})) AS bk")
+    # ``keep`` carries extra columns (e.g. the packed sig itself)
+    # through the explode so a caller can verify ON the banded relation
+    # without re-joining the signature store — the all-pairs replay
+    # builder's verify-before-distinct shape (r14; a hot band bucket
+    # makes distinct-then-join quadratic in bucket size BEFORE any
+    # filtering, measured 6.8M distinct inputs vs 21k after the
+    # popcount filter at sf0.1)
+    return sig.selectExpr("doc", *keep, f"explode(array({keys})) AS bk")
 
 
 def signature_near_dups(

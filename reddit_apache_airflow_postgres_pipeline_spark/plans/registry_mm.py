@@ -458,19 +458,40 @@ def _media_pairs(sig_all, bits: int, max_ham: int, n_gens: int):
     item arrives in exactly one generation so a self-pair can satisfy
     neither chain direction), popcount(xor) <= ``max_ham`` disposes.
     The media analog of registry_ml._gate_pairs; band-equivalent to the
-    oracle's direct quadratic ``mdist`` filter by the pigeonhole bound."""
+    oracle's direct quadratic ``mdist`` filter by the pigeonhole bound.
+
+    Shape: the 8-byte sig is CARRIED through the band explode (one
+    extra long per key row) so the popcount verify runs directly on
+    the banded self-join's output and the distinct sees only
+    within-distance pairs. aHash bands are few-bit and real corpora
+    cluster hard on them (measured at sf0.1: a 1,198-doc bucket; 7.9M
+    collision rows, of which only 21k are within distance) — the
+    streaming kernels' distinct-then-join-signatures shape
+    (_ham_blockers), built for state-pruned candidate volumes, would
+    put the 7.9M rows through a distinct and two joins first (measured
+    6.7s for the distinct alone; guide §2.3/§2.5: filter before you
+    shuffle, never materialize a hot bucket's quadratic blowup past
+    the cheap per-row disposal)."""
     from reddit_apache_airflow_postgres_pipeline_spark.operators.neardup import (
         signature_band_keys,
     )
-    from reddit_apache_airflow_postgres_pipeline_spark.streaming.media_gate import (
-        _ham_blockers,
-    )
 
-    keys = signature_band_keys(sig_all, bits, max_ham)
+    mk = signature_band_keys(sig_all, bits, max_ham, keep=("sig",))
+    a = mk.select("doc", "bk", "sig")
+    b = mk.select(
+        F.col("doc").alias("odoc"), "bk", F.col("sig").alias("__sb")
+    )
     gen_of = lambda c: (F.col(c) % n_gens).cast("int")  # noqa: E731
     return (
-        _ham_blockers(keys, sig_all, keys, sig_all, max_ham, ordered=False)
+        a.join(b, "bk")
         .filter(F.col("doc") != F.col("odoc"))
+        .select(
+            "doc",
+            "odoc",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("__sb"))).alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_ham))
+        .distinct()
         .select(
             "doc", "odoc", "dist",
             gen_of("doc").alias("gen_d"), gen_of("odoc").alias("gen_o"),
