@@ -236,6 +236,24 @@ def main() -> None:
     runs: dict[str, list[float]] = {n: [] for n, _ in timed}
     pass_totals: list[float] = []
     for _rep in range(REPS):
+        # UNTIMED between-pass hygiene (r14): each pass's replay
+        # constructions localCheckpoint fresh RDD blocks whose
+        # unpersist waits on the async ContextCleaner behind Python/JVM
+        # GC; on the low-core leg the backlog grew pass totals
+        # monotonically (observed 33→51→57 s on an idle host) and
+        # tripped the pass-ratio contamination flag that exists to
+        # catch EXTERNAL steal. Forcing both GCs between passes keeps
+        # passes independent — nothing timed changes, the flag keeps
+        # meaning what it says.
+        if _rep:
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+            time.sleep(1.0)
         p0 = time.perf_counter()
         for name, fn in timed:
             runs[name].append(run_once(name, fn, record_stages=_rep == 0))
